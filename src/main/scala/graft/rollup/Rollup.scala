@@ -1,0 +1,167 @@
+package graft.rollup
+
+import graft.model.Tier
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Continuous-aggregate rollup: tumbling-window per-conversation
+  * aggregation at cascading retention tiers raw→1m→1h→1d.
+  *
+  * Design for 100 TB:
+  *  - ONE shuffle per tier: `groupBy(conv_id, window(ts))` with Spark's
+  *    map-side partial aggregation (HashAggregate partial→final), the
+  *    columnar analogue of the reference's per-device batch grouping
+  *    (`Converter.java:94`) + Tablet pivot (`IoTDBWriter.java:147-185`).
+  *  - The cascade NEVER re-reads raw: tier k is computed from tier k-1
+  *    ([[cascade]]), so the 1h/1d jobs scan 60×/1440× less data. All
+  *    carried metrics are decomposable (sums/counts/min/max/argmin-by-
+  *    unique-key); derived metrics (avg, rate) are recomputed from the
+  *    carried sums at every tier, never averaged-of-averages.
+  *  - Skew: hot conversations are handled by [[fromRawSalted]] — a
+  *    two-phase salted aggregation (partial per (conv, window, salt),
+  *    final per (conv, window)) proven output-identical to [[fromRaw]]
+  *    by test; AQE skew handling is enabled in the session conf.
+  *
+  * Determinism: `first_text`/`last_text` are arg-min/arg-max over the
+  * UNIQUE per-conversation key `turn_idx`, so results are stable under
+  * any partitioning / merge order (the reference preserves file order,
+  * `CSVReader.java:181`; unique-key argmin is the shuffle-safe analogue).
+  */
+object Rollup {
+
+  /** Output columns of every tier table, in canonical order. */
+  val columns: Seq[String] = Seq(
+    "conv_id", "window_start", "turn_count", "user_turns",
+    "assistant_turns", "tool_calls", "char_len_sum", "char_len_min",
+    "char_len_max", "token_sum", "min_turn_idx", "max_turn_idx",
+    "first_text", "last_text", "char_len_avg", "turn_rate")
+
+  private def derived(df: DataFrame, tier: Tier): DataFrame =
+    df.withColumn(
+        "char_len_avg",
+        col("char_len_sum") * lit(1.0) / col("turn_count"))
+      .withColumn(
+        "turn_rate",
+        col("turn_count") * lit(1.0) / lit(tier.windowSeconds.toDouble))
+      .select(columns.map(col): _*)
+
+  /** Raw turns → tier rollup. One shuffle on (conv_id, window). */
+  def fromRaw(transcripts: DataFrame, tier: Tier): DataFrame = {
+    val withLen = transcripts
+      .withColumn("char_len", length(col("text")).cast("long"))
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+    val agg = withLen
+      .groupBy(
+        col("conv_id"),
+        window(col("ts"), tier.windowExpr).getField("start").as("window_start"))
+      .agg(
+        count(lit(1)).as("turn_count"),
+        count_if(col("role") === "user").as("user_turns"),
+        count_if(col("role") === "assistant").as("assistant_turns"),
+        count(col("tool")).as("tool_calls"),
+        sum(col("char_len")).as("char_len_sum"),
+        min(col("char_len")).as("char_len_min"),
+        max(col("char_len")).as("char_len_max"),
+        sum(col("tokens")).as("token_sum"),
+        min(col("turn_idx")).as("min_turn_idx"),
+        max(col("turn_idx")).as("max_turn_idx"),
+        min_by(col("text"), col("turn_idx")).as("first_text"),
+        max_by(col("text"), col("turn_idx")).as("last_text"))
+    derived(agg, tier)
+  }
+
+  /** Tier k-1 rollup → tier k rollup, reading ONLY the finer tier.
+    * Decomposable merges: counts/sums add, min/max nest, first/last
+    * resolve by the carried unique `min_turn_idx`/`max_turn_idx`.
+    */
+  def cascade(finer: DataFrame, to: Tier): DataFrame = {
+    val agg = finer
+      .groupBy(
+        col("conv_id"),
+        window(col("window_start"), to.windowExpr).getField("start").as("window_start"))
+      .agg(
+        sum(col("turn_count")).as("turn_count"),
+        sum(col("user_turns")).as("user_turns"),
+        sum(col("assistant_turns")).as("assistant_turns"),
+        sum(col("tool_calls")).as("tool_calls"),
+        sum(col("char_len_sum")).as("char_len_sum"),
+        min(col("char_len_min")).as("char_len_min"),
+        max(col("char_len_max")).as("char_len_max"),
+        sum(col("token_sum")).as("token_sum"),
+        min(col("min_turn_idx")).as("min_turn_idx"),
+        max(col("max_turn_idx")).as("max_turn_idx"),
+        min_by(col("first_text"), col("min_turn_idx")).as("first_text"),
+        max_by(col("last_text"), col("max_turn_idx")).as("last_text"))
+    derived(agg, to)
+  }
+
+  /** Skew-safe variant of [[fromRaw]]: two-phase aggregation with an
+    * explicit salt so one hot conversation's window spreads over
+    * `salts` reduce tasks before the (cheap) final merge. Output is
+    * identical to [[fromRaw]] (asserted by RollupSpec).
+    */
+  def fromRawSalted(transcripts: DataFrame, tier: Tier, salts: Int): DataFrame = {
+    val salted = transcripts.withColumn(
+      "salt", pmod(hash(col("turn_idx")), lit(salts)))
+    val withLen = salted
+      .withColumn("char_len", length(col("text")).cast("long"))
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+    val phase1 = withLen
+      .groupBy(
+        col("conv_id"),
+        window(col("ts"), tier.windowExpr).getField("start").as("window_start"),
+        col("salt"))
+      .agg(
+        count(lit(1)).as("turn_count"),
+        count_if(col("role") === "user").as("user_turns"),
+        count_if(col("role") === "assistant").as("assistant_turns"),
+        count(col("tool")).as("tool_calls"),
+        sum(col("char_len")).as("char_len_sum"),
+        min(col("char_len")).as("char_len_min"),
+        max(col("char_len")).as("char_len_max"),
+        sum(col("tokens")).as("token_sum"),
+        min(col("turn_idx")).as("min_turn_idx"),
+        max(col("turn_idx")).as("max_turn_idx"),
+        min_by(col("text"), col("turn_idx")).as("first_text"),
+        max_by(col("text"), col("turn_idx")).as("last_text"))
+    val merged = phase1
+      .groupBy(col("conv_id"), col("window_start"))
+      .agg(
+        sum(col("turn_count")).as("turn_count"),
+        sum(col("user_turns")).as("user_turns"),
+        sum(col("assistant_turns")).as("assistant_turns"),
+        sum(col("tool_calls")).as("tool_calls"),
+        sum(col("char_len_sum")).as("char_len_sum"),
+        min(col("char_len_min")).as("char_len_min"),
+        max(col("char_len_max")).as("char_len_max"),
+        sum(col("token_sum")).as("token_sum"),
+        min(col("min_turn_idx")).as("min_turn_idx"),
+        max(col("max_turn_idx")).as("max_turn_idx"),
+        min_by(col("first_text"), col("min_turn_idx")).as("first_text"),
+        max_by(col("last_text"), col("max_turn_idx")).as("last_text"))
+    derived(merged, tier)
+  }
+
+  /** Per-window tool-call frequencies as a narrow companion table
+    * (conv_id, window_start, tool, n) — sparse and skew-friendly at
+    * scale, vs a wide map column (north rule: "tool-call frequencies";
+    * reference analogue: measurement extraction `Converter.java:138-155`).
+    */
+  def toolFreq(transcripts: DataFrame, tier: Tier): DataFrame =
+    transcripts
+      .filter(col("tool").isNotNull)
+      .groupBy(
+        col("conv_id"),
+        window(col("ts"), tier.windowExpr).getField("start").as("window_start"),
+        col("tool"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Cascade for the tool-frequency companion table. */
+  def toolFreqCascade(finer: DataFrame, to: Tier): DataFrame =
+    finer
+      .groupBy(
+        col("conv_id"),
+        window(col("window_start"), to.windowExpr).getField("start").as("window_start"),
+        col("tool"))
+      .agg(sum(col("n")).as("n"))
+}
