@@ -44,7 +44,17 @@ object SparkEntry {
     // tool-call frequency companion table + its cascade
     "q06_tool_freq_1h" -> ((s, dir) => Rollup.toolFreq(transcripts(s, dir), Tier.H1)),
     "q07_tool_freq_1d" -> ((s, dir) =>
-      Rollup.toolFreqCascade(Rollup.toolFreq(transcripts(s, dir), Tier.H1), Tier.D1))
+      Rollup.toolFreqCascade(Rollup.toolFreq(transcripts(s, dir), Tier.H1), Tier.D1)),
+    // Gorilla XOR + delta-of-delta blocks: encode per (conv, 1h window),
+    // decode + explode back to points; oracle is the raw series, so a
+    // pass proves bit-exact codec roundtrip through the shuffle path.
+    "q08_blocks_roundtrip" -> ((s, dir) =>
+      graft.rollup.BlockRollup.decode(
+        graft.rollup.BlockRollup.encode(transcripts(s, dir), Tier.H1))),
+    // linear-interpolation gap-fill on the 1h char_len_avg series
+    "q09_gapfill_1h" -> ((s, dir) =>
+      graft.gapfill.GapFill.linear(
+        Rollup.fromRaw(transcripts(s, dir), Tier.H1), Tier.H1, "char_len_avg"))
   )
 
   private val rollupSelect: String =
@@ -88,6 +98,33 @@ object SparkEntry {
         |FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2, 3""".stripMargin),
     "q07_tool_freq_1d" -> Transcripts.oracle(
       """SELECT conv_id, DATE_TRUNC('day', ts) AS window_start, tool, COUNT(*) AS n
-        |FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2, 3""".stripMargin)
+        |FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2, 3""".stripMargin),
+    "q08_blocks_roundtrip" -> Transcripts.oracle(
+      "SELECT conv_id, ts, CAST(LENGTH(text) AS DOUBLE) AS value FROM transcripts"),
+    "q09_gapfill_1h" -> Transcripts.oracle(
+      """, r AS (
+        |  SELECT conv_id, DATE_TRUNC('hour', ts) AS window_start,
+        |         CAST(SUM(LENGTH(text)) AS BIGINT) * 1.0 / COUNT(*) AS value
+        |  FROM transcripts GROUP BY 1, 2),
+        |p AS (
+        |  SELECT conv_id, window_start, value,
+        |         LEAD(window_start) OVER (PARTITION BY conv_id ORDER BY window_start) AS next_ws,
+        |         LEAD(value) OVER (PARTITION BY conv_id ORDER BY window_start) AS next_v
+        |  FROM r),
+        |g AS (
+        |  SELECT conv_id, window_start AS ws, next_ws, value, next_v,
+        |         UNNEST(generate_series(window_start + INTERVAL 1 HOUR,
+        |                                next_ws - INTERVAL 1 HOUR,
+        |                                INTERVAL 1 HOUR)) AS gs
+        |  FROM p
+        |  WHERE next_ws IS NOT NULL AND next_ws > window_start + INTERVAL 1 HOUR)
+        |SELECT conv_id, window_start, value, FALSE AS filled FROM p
+        |UNION ALL
+        |SELECT conv_id, gs AS window_start,
+        |       value + (next_v - value) *
+        |         (CAST(EPOCH(gs) - EPOCH(ws) AS DOUBLE) /
+        |          CAST(EPOCH(next_ws) - EPOCH(ws) AS DOUBLE)) AS value,
+        |       TRUE AS filled
+        |FROM g""".stripMargin)
   )
 }
