@@ -1,0 +1,80 @@
+package graft.jobs
+
+import graft.ingest.{Synth, Transcripts}
+import graft.model.Tier
+import graft.retention.Retention
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point for the rollup pipeline (north rule: "run
+  * via spark-submit on a multi-executor cluster at two cluster sizes").
+  *
+  * Usage:
+  *   spark-submit --class graft.jobs.RollupMain <jar> \
+  *     --warehouse /path/wh [--source synth:<nConvs>:<avgTurns>:<seed>[:hot:<n>:<factor>]
+  *                           | --source events:<sfDir> | --source parquet:<path>]
+  *     [--job-id <id>] [--retention-watermark yyyy-MM-dd]
+  *
+  * Parallelism comes from the cluster (`--master`/executors), not from
+  * this code: the same binary runs `local[8]`, `local[32]`, or a real
+  * cluster unchanged — that is the N vs 4N scaling axis.
+  */
+object RollupMain {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val warehouse = opts.getOrElse("warehouse",
+      sys.error("--warehouse is required"))
+    val source = opts.getOrElse("source", "synth:100:100:42")
+    val jobId = opts.getOrElse("job-id", s"rollup-${java.util.UUID.randomUUID()}")
+
+    val builder = SparkSession.builder().appName("graft-rollup")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // default master only when not provided by spark-submit
+    val spark = (sys.props.get("spark.master") match {
+      case Some(_) => builder
+      case None => builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    }).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val input = source.split(":").toList match {
+      case "synth" :: n :: t :: s :: rest =>
+        val (hot, factor) = rest match {
+          case "hot" :: h :: f :: Nil => (h.toInt, f.toInt)
+          case _ => (0, 50)
+        }
+        Synth.transcripts(spark, n.toInt, t.toInt, s.toLong, hot, factor).toDF()
+      case "events" :: dir :: Nil => Transcripts.fromEvents(spark, dir)
+      case "parquet" :: path :: Nil => spark.read.parquet(path)
+      case other => sys.error(s"unknown --source: $other")
+    }
+
+    val job = new RollupJob(warehouse)
+    val t0 = System.nanoTime()
+    val results = job.run(spark, input, jobId)
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val turns = job.state.metrics.filter(m => m.jobId == jobId && m.tier == "1m")
+      .map(_.processed).sum
+    results.foreach(r =>
+      println(s"[rollup] tier=${r.tier} partitions=${r.partitions.size} rows=${r.rows}"))
+    println(f"[rollup] job=$jobId wall=$secs%.2fs")
+
+    opts.get("retention-watermark").foreach { day =>
+      val policy = Retention.Policy()
+      for (t <- Tier.cascade) {
+        val dropped = Retention.expire(job.tierTable(t), t, day, policy)
+        println(s"[retention] tier=${t.name} dropped=${dropped.size}")
+      }
+    }
+    spark.stop()
+  }
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+}

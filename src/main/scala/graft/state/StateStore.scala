@@ -1,0 +1,137 @@
+package graft.state
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Checkpoint / lineage / metrics state, mirroring the reference's H2
+  * state machine (`H2DatabaseManager.java:43-86`):
+  *
+  *  - [[Checkpoint]] ≈ `csv_settings` + `jobs` — per (tier, partition)
+  *    watermark + status instead of per-file status;
+  *  - [[LineageRow]] ≈ `row_processing` — per (tier, partition) work
+  *    unit with status ∈ PENDING/PROCESSING/COMPLETED/FAILED/RETRY
+  *    (`DAO/RowProcessingStatus.java:5-10`) and `retry_count`;
+  *  - [[MetricsRow]] ≈ `jobs.processed_rows/failed_rows` counters.
+  *
+  * Storage: JSON-lines files, one per commit, under `<root>/<kind>/`,
+  * each written temp-then-ATOMIC_MOVE so a kill mid-commit never leaves
+  * a torn record (the H2 analogue was transaction-per-batch,
+  * `MigrateTask.java:101`). Latest-wins per key, exactly like the
+  * reference's MERGE upsert (`RowProcessingDAO.java:184-194`).
+  *
+  * State volume is O(tiers × partitions), not O(rows) — at 100 TB the
+  * partition count is ~10^4-10^5, so driver-side JSON stays trivially
+  * small while the data path stays fully distributed.
+  */
+final class StateStore(root: String) {
+
+  final case class Checkpoint(
+      tier: String, partition: String, watermarkUs: Long, status: String,
+      jobId: String, seq: Long)
+
+  final case class LineageRow(
+      tier: String, partition: String, status: String, error: String,
+      retryCount: Int, rows: Long, jobId: String, seq: Long)
+
+  final case class MetricsRow(
+      jobId: String, tier: String, processed: Long, failed: Long, seq: Long)
+
+  private def dir(kind: String) = Paths.get(root, kind)
+
+  private val seqCounter = new java.util.concurrent.atomic.AtomicLong(loadMaxSeq())
+
+  private def loadMaxSeq(): Long = {
+    val seqs = for {
+      kind <- Seq("checkpoints", "lineage", "metrics")
+      if Files.exists(dir(kind))
+      f <- Files.list(dir(kind)).iterator().asScala.toSeq
+      line <- Files.readAllLines(f).asScala
+      m <- """"seq":(\d+)""".r.findFirstMatchIn(line)
+    } yield m.group(1).toLong
+    if (seqs.isEmpty) 0L else seqs.max
+  }
+
+  def nextSeq(): Long = seqCounter.incrementAndGet()
+
+  private def esc(s: String): String =
+    Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+
+  private def writeLines(kind: String, lines: Seq[String]): Unit = {
+    if (lines.isEmpty) return
+    Files.createDirectories(dir(kind))
+    val name = f"commit-${seqCounter.get()}%012d-${java.util.UUID.randomUUID()}.jsonl"
+    val tmp = dir(kind).resolve(s".$name.tmp")
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir(kind).resolve(name), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readLines(kind: String): Seq[String] =
+    if (!Files.exists(dir(kind))) Seq.empty
+    else Files.list(dir(kind)).iterator().asScala.toSeq
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .sortBy(_.getFileName.toString)
+      .flatMap(f => Files.readAllLines(f).asScala)
+
+  private def field(line: String, name: String): String =
+    s""""$name":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(line).map(_.group(1))
+      .getOrElse("")
+
+  private def numField(line: String, name: String): Long =
+    s""""$name":(-?\\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(0L)
+
+  // --- checkpoints ----------------------------------------------------
+
+  def commitCheckpoints(cps: Seq[Checkpoint]): Unit =
+    writeLines("checkpoints", cps.map(c =>
+      s"""{"tier":"${esc(c.tier)}","partition":"${esc(c.partition)}","watermarkUs":${c.watermarkUs},"status":"${esc(c.status)}","jobId":"${esc(c.jobId)}","seq":${c.seq}}"""))
+
+  /** Latest checkpoint per (tier, partition), by seq. */
+  def checkpoints: Map[(String, String), Checkpoint] =
+    readLines("checkpoints")
+      .map(l => Checkpoint(field(l, "tier"), field(l, "partition"),
+        numField(l, "watermarkUs"), field(l, "status"), field(l, "jobId"),
+        numField(l, "seq")))
+      .groupBy(c => (c.tier, c.partition))
+      .map { case (k, vs) => k -> vs.maxBy(_.seq) }
+
+  /** Partitions of `tier` already COMPLETED — the resume planner's
+    * anti-join set (reference: replay-only-failed,
+    * `MigrationInitializer.java:62-75`).
+    */
+  def completedPartitions(tier: String): Set[String] =
+    checkpoints.collect {
+      case ((t, p), c) if t == tier && c.status == "COMPLETED" => p
+    }.toSet
+
+  // --- lineage ----------------------------------------------------------
+
+  def commitLineage(rows: Seq[LineageRow]): Unit =
+    writeLines("lineage", rows.map(r =>
+      s"""{"tier":"${esc(r.tier)}","partition":"${esc(r.partition)}","status":"${esc(r.status)}","error":"${esc(r.error)}","retryCount":${r.retryCount},"rows":${r.rows},"jobId":"${esc(r.jobId)}","seq":${r.seq}}"""))
+
+  def lineage: Seq[LineageRow] =
+    readLines("lineage").map(l => LineageRow(
+      field(l, "tier"), field(l, "partition"), field(l, "status"),
+      field(l, "error"), numField(l, "retryCount").toInt, numField(l, "rows"),
+      field(l, "jobId"), numField(l, "seq")))
+
+  /** Latest lineage row per (tier, partition). */
+  def latestLineage: Map[(String, String), LineageRow] =
+    lineage.groupBy(r => (r.tier, r.partition))
+      .map { case (k, vs) => k -> vs.maxBy(_.seq) }
+
+  // --- metrics ----------------------------------------------------------
+
+  def commitMetrics(rows: Seq[MetricsRow]): Unit =
+    writeLines("metrics", rows.map(r =>
+      s"""{"jobId":"${esc(r.jobId)}","tier":"${esc(r.tier)}","processed":${r.processed},"failed":${r.failed},"seq":${r.seq}}"""))
+
+  def metrics: Seq[MetricsRow] =
+    readLines("metrics").map(l => MetricsRow(
+      field(l, "jobId"), field(l, "tier"), numField(l, "processed"),
+      numField(l, "failed"), numField(l, "seq")))
+}

@@ -1,0 +1,245 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshot table emulated over partitioned Parquet —
+  * no Iceberg jar exists in this sandbox (SURVEY.md §7), so the engine
+  * implements the narrow slice of semantics the north rule uses:
+  *
+  *  - **snapshot isolation**: readers resolve the `CURRENT` pointer once
+  *    and read only files listed in that manifest; a concurrent commit
+  *    never changes what an in-flight reader sees;
+  *  - **atomic commit**: stage parquet → write manifest vN+1 → atomic
+  *    rename of the CURRENT pointer (the all-or-nothing step; reference
+  *    analogue: transaction-per-batch commit, `MigrateTask.java:101`);
+  *  - **MERGE-style upsert**: [[overwritePartitions]] replaces exactly
+  *    the partitions present in the incoming frame (idempotent rollup
+  *    window commits — rerunning a window is a no-op-equivalent rewrite,
+  *    reference analogue: `MERGE INTO row_processing`,
+  *    `RowProcessingDAO.java:184-194`);
+  *  - **retention**: [[compact]] rewrites a partition's small files;
+  *    [[dropPartitions]] + [[expireSnapshots]] implement tier expiry
+  *    (Iceberg `rewrite_data_files`/`expire_snapshots` analogue).
+  *
+  * Layout: `root/data/stage-&#42;/_p=&lt;val&gt;/part-&#42;.parquet`,
+  * `root/snapshots/v&lt;N&gt;.json`, `root/CURRENT` (text: version number).
+  * The partition column is duplicated into the data files (written via
+  * an aliased `_p` dir column), so manifest-listed files can be read
+  * directly — no partition-discovery `basePath` needed — while the
+  * manifest still knows each file's partition for engine-side pruning.
+  *
+  * Single-writer per table is assumed and documented (the driver is the
+  * only committer in this engine, like the reference's per-file
+  * single-thread ownership `ThreadManager.java:18-44`).
+  */
+final class SnapshotTable(val root: String) {
+
+  private val snapshotsDir = Paths.get(root, "snapshots")
+  private val currentPtr = Paths.get(root, "CURRENT")
+
+  final case class FileEntry(path: String, partition: String, bytes: Long)
+  final case class Manifest(
+      version: Long,
+      partitionCol: String,
+      files: Seq[FileEntry],
+      parentVersion: Long)
+
+  // --- manifest (de)serialization: tiny hand-rolled JSON, no deps ----
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+
+  private def manifestJson(m: Manifest): String = {
+    val files = m.files
+      .map(f => s"""{"path":"${esc(f.path)}","partition":"${esc(f.partition)}","bytes":${f.bytes}}""")
+      .mkString("[", ",", "]")
+    s"""{"version":${m.version},"partitionCol":"${esc(m.partitionCol)}","parentVersion":${m.parentVersion},"files":$files}"""
+  }
+
+  private def parseManifest(json: String): Manifest = {
+    // fields are engine-written with known shapes; a minimal parser is safe
+    def longField(name: String): Long =
+      s""""$name":(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(s"bad manifest: $name"))
+    def strField(src: String, name: String): String =
+      s""""$name":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(src).map(m => unesc(m.group(1)))
+        .getOrElse(throw new IllegalStateException(s"bad manifest: $name"))
+    val fileRe = """\{"path":"((?:[^"\\]|\\.)*)","partition":"((?:[^"\\]|\\.)*)","bytes":(\d+)\}""".r
+    val files = fileRe.findAllMatchIn(json).map { m =>
+      FileEntry(unesc(m.group(1)), unesc(m.group(2)), m.group(3).toLong)
+    }.toSeq
+    Manifest(longField("version"), strField(json, "partitionCol"), files, longField("parentVersion"))
+  }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'n' => sb += '\n'; i += 2
+          case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  // --- snapshot pointer ----------------------------------------------
+
+  def currentVersion: Option[Long] =
+    if (Files.exists(currentPtr))
+      Some(new String(Files.readAllBytes(currentPtr), StandardCharsets.UTF_8).trim.toLong)
+    else None
+
+  def currentManifest: Option[Manifest] = currentVersion.map(readManifest)
+
+  def readManifest(v: Long): Manifest =
+    parseManifest(new String(
+      Files.readAllBytes(snapshotsDir.resolve(s"v$v.json")), StandardCharsets.UTF_8))
+
+  /** The atomic commit step: manifest file first, then pointer swap via
+    * ATOMIC_MOVE — a crash before the move leaves the previous snapshot
+    * current and the staged files orphaned (cleaned by [[expireSnapshots]]).
+    */
+  private def commitManifest(m: Manifest): Unit = {
+    Files.createDirectories(snapshotsDir)
+    val mf = snapshotsDir.resolve(s"v${m.version}.json")
+    Files.write(mf, manifestJson(m).getBytes(StandardCharsets.UTF_8))
+    val tmp = Paths.get(root, s".CURRENT.tmp.${m.version}")
+    Files.write(tmp, m.version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // --- read ------------------------------------------------------------
+
+  /** Read the current snapshot, optionally pruned to a partition subset
+    * BEFORE any file is opened (manifest-level partition pruning — the
+    * 100 TB path never lists or opens expired/foreign partitions).
+    */
+  def read(spark: SparkSession, partitions: Option[Set[String]] = None): DataFrame = {
+    currentManifest match {
+      case None => spark.emptyDataFrame
+      case Some(m) =>
+        val files = partitions match {
+          case Some(ps) => m.files.filter(f => ps.contains(f.partition))
+          case None => m.files
+        }
+        if (files.isEmpty) spark.emptyDataFrame
+        else spark.read.parquet(files.map(_.path): _*)
+    }
+  }
+
+  def partitionsOf: Set[String] =
+    currentManifest.map(_.files.map(_.partition).toSet).getOrElse(Set.empty)
+
+  // --- write -----------------------------------------------------------
+
+  private def stageWrite(df: DataFrame, partitionCol: String): Seq[FileEntry] = {
+    val stage = Paths.get(root, "data", s"stage-${java.util.UUID.randomUUID()}")
+    df.withColumn("_p", col(partitionCol).cast("string"))
+      .write.partitionBy("_p").parquet(stage.toString)
+    if (!Files.exists(stage)) return Seq.empty
+    Files.list(stage).iterator().asScala.toSeq
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("_p="))
+      .flatMap { dir =>
+        val part = java.net.URLDecoder.decode(
+          dir.getFileName.toString.stripPrefix("_p="), "UTF-8")
+        Files.list(dir).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(f => FileEntry(f.toString, part, Files.size(f)))
+      }
+  }
+
+  /** Replace exactly the partitions present in `df` (dynamic partition
+    * overwrite = the idempotent MERGE of rollup windows).
+    */
+  def overwritePartitions(df: DataFrame, partitionCol: String): Manifest = {
+    val staged = stageWrite(df, partitionCol)
+    val touched = staged.map(_.partition).toSet
+    val prev = currentManifest
+    val kept = prev.map(_.files.filterNot(f => touched.contains(f.partition))).getOrElse(Seq.empty)
+    val m = Manifest(
+      prev.map(_.version + 1).getOrElse(0L), partitionCol, kept ++ staged,
+      prev.map(_.version).getOrElse(-1L))
+    commitManifest(m)
+    m
+  }
+
+  /** Append-only commit (state/lineage/metrics tables). */
+  def append(df: DataFrame, partitionCol: String): Manifest = {
+    val staged = stageWrite(df, partitionCol)
+    val prev = currentManifest
+    val m = Manifest(
+      prev.map(_.version + 1).getOrElse(0L), partitionCol,
+      prev.map(_.files).getOrElse(Seq.empty) ++ staged,
+      prev.map(_.version).getOrElse(-1L))
+    commitManifest(m)
+    m
+  }
+
+  /** Drop whole partitions (tier-expiry retention: raw/fine tiers past
+    * their horizon). Metadata-only — data files are unlinked by
+    * [[expireSnapshots]] once no retained snapshot references them.
+    */
+  def dropPartitions(partitions: Set[String]): Manifest = {
+    val prev = currentManifest.getOrElse(
+      throw new IllegalStateException(s"dropPartitions on empty table $root"))
+    val m = Manifest(
+      prev.version + 1, prev.partitionCol,
+      prev.files.filterNot(f => partitions.contains(f.partition)), prev.version)
+    commitManifest(m)
+    m
+  }
+
+  /** Rewrite fragmented partitions into ~one file each (Iceberg
+    * `rewrite_data_files` analogue). Only partitions with more than
+    * `maxFiles` files are rewritten.
+    */
+  def compact(spark: SparkSession, maxFiles: Int = 4): Manifest = {
+    val prev = currentManifest.getOrElse(
+      throw new IllegalStateException(s"compact on empty table $root"))
+    val byPart = prev.files.groupBy(_.partition)
+    val (frag, fine) = byPart.partition(_._2.size > maxFiles)
+    if (frag.isEmpty) return prev
+    val rewritten = frag.toSeq.flatMap { case (_, files) =>
+      val df = spark.read.parquet(files.map(_.path): _*).coalesce(1)
+      stageWrite(df, prev.partitionCol)
+    }
+    val m = Manifest(
+      prev.version + 1, prev.partitionCol,
+      fine.values.flatten.toSeq ++ rewritten, prev.version)
+    commitManifest(m)
+    m
+  }
+
+  /** Delete snapshots older than the last `keep` and unlink data files
+    * no retained snapshot references.
+    */
+  def expireSnapshots(keep: Int = 2): Unit = {
+    val cur = currentVersion.getOrElse(return)
+    val all = Files.list(snapshotsDir).iterator().asScala.toSeq
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted
+    val retained = all.filter(v => v > cur - keep && v <= cur)
+    val referenced = retained.map(readManifest).flatMap(_.files.map(_.path)).toSet
+    val expired = all.filterNot(retained.contains)
+    val expiredRefs = expired.map(readManifest).flatMap(_.files.map(_.path)).toSet
+    (expiredRefs -- referenced).foreach(p => Files.deleteIfExists(Paths.get(p)))
+    expired.foreach(v => Files.deleteIfExists(snapshotsDir.resolve(s"v$v.json")))
+  }
+}

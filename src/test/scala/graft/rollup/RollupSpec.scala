@@ -1,0 +1,79 @@
+package graft.rollup
+
+import graft.SparkTestBase
+import graft.ingest.Synth
+import graft.model.Tier
+
+class RollupSpec extends SparkTestBase {
+
+  private lazy val turns = Synth.transcripts(
+    spark, nConvs = 40, avgTurns = 60, seed = 7L, hotConvs = 1, hotFactor = 40).toDF().cache()
+
+  test("salted two-phase aggregation equals plain rollup on skewed input") {
+    val plain = Rollup.fromRaw(turns, Tier.M1)
+    val salted = Rollup.fromRawSalted(turns, Tier.M1, salts = 16)
+    assertSameRows(plain, salted)
+  }
+
+  test("cascade law: cascade(rollup_1m) == rollup_1h(raw) == cascade twice to 1d") {
+    val m1 = Rollup.fromRaw(turns, Tier.M1)
+    val h1Direct = Rollup.fromRaw(turns, Tier.H1)
+    val h1Cascade = Rollup.cascade(m1, Tier.H1)
+    assertSameRows(h1Direct, h1Cascade)
+    val d1Direct = Rollup.fromRaw(turns, Tier.D1)
+    val d1Cascade = Rollup.cascade(h1Cascade, Tier.D1)
+    assertSameRows(d1Direct, d1Cascade)
+  }
+
+  test("golden values on a hand-checkable fixture") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rows = Seq(
+      // conv A, one minute window: 3 turns
+      ("A", 0, "user", "hi", null, Timestamp.valueOf("2024-01-01 00:00:05")),
+      ("A", 1, "assistant", "hello there", null, Timestamp.valueOf("2024-01-01 00:00:30")),
+      ("A", 2, "tool", "ok", "search", Timestamp.valueOf("2024-01-01 00:00:59")),
+      // conv A, later window
+      ("A", 3, "user", "bye", null, Timestamp.valueOf("2024-01-01 00:02:10")),
+      // conv B
+      ("B", 0, "user", "x y z", null, Timestamp.valueOf("2024-01-01 00:00:10"))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val m1 = Rollup.fromRaw(rows, Tier.M1).collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Timestamp]("window_start").toString) -> r).toMap
+
+    val a0 = m1(("A", "2024-01-01 00:00:00.0"))
+    assert(a0.getAs[Long]("turn_count") == 3L)
+    assert(a0.getAs[Long]("user_turns") == 1L)
+    assert(a0.getAs[Long]("assistant_turns") == 1L)
+    assert(a0.getAs[Long]("tool_calls") == 1L)
+    assert(a0.getAs[Long]("char_len_sum") == (2 + 11 + 2))
+    assert(a0.getAs[Long]("char_len_min") == 2L)
+    assert(a0.getAs[Long]("char_len_max") == 11L)
+    assert(a0.getAs[Long]("token_sum") == (1 + 2 + 1))
+    assert(a0.getAs[String]("first_text") == "hi")
+    assert(a0.getAs[String]("last_text") == "ok")
+    assert(a0.getAs[Double]("char_len_avg") == 15.0 / 3)
+    assert(a0.getAs[Double]("turn_rate") == 3.0 / 60)
+
+    val a2 = m1(("A", "2024-01-01 00:02:00.0"))
+    assert(a2.getAs[Long]("turn_count") == 1L && a2.getAs[String]("first_text") == "bye")
+    val b0 = m1(("B", "2024-01-01 00:00:00.0"))
+    assert(b0.getAs[Long]("token_sum") == 3L)
+  }
+
+  test("block encode/decode roundtrips the raw series distributedly") {
+    import org.apache.spark.sql.functions._
+    val withTs = turns.filter(col("ts").isNotNull)
+    val decoded = BlockRollup.decode(BlockRollup.encode(withTs, Tier.H1))
+    val raw = withTs.select(
+      col("conv_id"),
+      col("ts").cast("timestamp_ntz").as("ts"),
+      length(col("text")).cast("double").as("value"))
+    assertSameRows(raw, decoded)
+  }
+
+  test("tool freq cascade equals direct") {
+    val h1 = Rollup.toolFreq(turns, Tier.H1)
+    assertSameRows(Rollup.toolFreq(turns, Tier.D1), Rollup.toolFreqCascade(h1, Tier.D1))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.table
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SnapshotTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def df(rows: (String, Int)*) =
+    rows.toDF("p_key", "v").withColumn("p", col("p_key"))
+
+  test("commit + read roundtrip, snapshot isolation") {
+    val t = new SnapshotTable(tmpDir("snap"))
+    t.overwritePartitions(df("a" -> 1, "b" -> 2), "p")
+    val v0 = t.currentVersion.get
+    val snapshot0 = t.read(spark).collect().map(r => (r.getAs[String]("p_key"), r.getAs[Int]("v"))).toSet
+    assert(snapshot0 == Set("a" -> 1, "b" -> 2))
+
+    // second commit replaces only partition b
+    t.overwritePartitions(df("b" -> 20), "p")
+    assert(t.currentVersion.get == v0 + 1)
+    val now = t.read(spark).collect().map(r => (r.getAs[String]("p_key"), r.getAs[Int]("v"))).toSet
+    assert(now == Set("a" -> 1, "b" -> 20))
+
+    // old manifest still readable (reader pinned to v0 is unaffected)
+    val old = t.readManifest(v0)
+    assert(old.files.map(_.partition).toSet == Set("a", "b"))
+  }
+
+  test("overwritePartitions is idempotent per partition") {
+    val t = new SnapshotTable(tmpDir("snap-idem"))
+    t.overwritePartitions(df("a" -> 1), "p")
+    t.overwritePartitions(df("a" -> 1), "p")
+    t.overwritePartitions(df("a" -> 1), "p")
+    assert(t.read(spark).count() == 1)
+    assert(t.partitionsOf == Set("a"))
+  }
+
+  test("manifest-level partition pruning reads only requested partitions") {
+    val t = new SnapshotTable(tmpDir("snap-prune"))
+    t.overwritePartitions(df("a" -> 1, "b" -> 2, "c" -> 3), "p")
+    val only = t.read(spark, Some(Set("b")))
+    assert(only.collect().map(_.getAs[Int]("v")).toSeq == Seq(2))
+  }
+
+  test("dropPartitions + expireSnapshots unlink expired data files") {
+    val t = new SnapshotTable(tmpDir("snap-drop"))
+    t.overwritePartitions(df("a" -> 1, "b" -> 2), "p")
+    val before = t.currentManifest.get.files.map(_.path)
+    t.dropPartitions(Set("a"))
+    assert(t.partitionsOf == Set("b"))
+    t.expireSnapshots(keep = 1)
+    val aFiles = before.filter(_.contains("_p=a"))
+    assert(aFiles.nonEmpty && aFiles.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    // surviving partition still reads
+    assert(t.read(spark).count() == 1)
+  }
+
+  test("compact rewrites fragmented partitions without changing content") {
+    val t = new SnapshotTable(tmpDir("snap-compact"))
+    // 6 separate commits to the same partition → 6 files
+    (1 to 6).foreach(i => t.append(df("a" -> i), "p"))
+    assert(t.currentManifest.get.files.size == 6)
+    t.compact(spark, maxFiles = 4)
+    assert(t.currentManifest.get.files.size == 1)
+    assert(t.read(spark).agg(sum("v")).head().getLong(0) == 21L)
+    t.expireSnapshots(keep = 1)
+    assert(t.read(spark).agg(sum("v")).head().getLong(0) == 21L)
+  }
+}
