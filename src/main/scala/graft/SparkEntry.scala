@@ -54,7 +54,25 @@ object SparkEntry {
     // linear-interpolation gap-fill on the 1h char_len_avg series
     "q09_gapfill_1h" -> ((s, dir) =>
       graft.gapfill.GapFill.linear(
-        Rollup.fromRaw(transcripts(s, dir), Tier.H1), Tier.H1, "char_len_avg"))
+        Rollup.fromRaw(transcripts(s, dir), Tier.H1), Tier.H1, "char_len_avg")),
+    // reference-behavior operators (SURVEY.md §2.1)
+    "q10_typed_cast" -> ((s, dir) =>
+      graft.operators.RefOps.typedCast(s.read.parquet(s"$dir/events.parquet"))),
+    "q11_time_normalize" -> ((s, dir) =>
+      graft.operators.RefOps.timeNormalize(s.read.parquet(s"$dir/events.parquet"))),
+    "q12_row_id" -> ((s, dir) => graft.operators.RefOps.rowId(transcripts(s, dir))),
+    "q13_replay_semijoin" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      val failed = t.filter(org.apache.spark.sql.functions.expr("turn_idx % 17 = 3"))
+        .select("conv_id", "turn_idx")
+      graft.operators.RefOps.replaySemiJoin(t, failed)
+    }),
+    "q14_device_fanout" -> ((s, dir) =>
+      graft.operators.RefOps.deviceFanout(transcripts(s, dir))),
+    "q15_latest_per_key" -> ((s, dir) =>
+      graft.operators.RefOps.latestPerKey(s.read.parquet(s"$dir/events.parquet"))),
+    "q16_running_counters" -> ((s, dir) =>
+      graft.operators.RefOps.runningCounters(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -125,6 +143,46 @@ object SparkEntry {
         |         (CAST(EPOCH(gs) - EPOCH(ws) AS DOUBLE) /
         |          CAST(EPOCH(next_ws) - EPOCH(ws) AS DOUBLE)) AS value,
         |       TRUE AS filled
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin),
+    "q10_typed_cast" ->
+      """SELECT event_id,
+        |  TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k_int,
+        |  TRY_CAST(event_type AS INTEGER) AS bad_int,
+        |  CAST(TRUNC(value) AS INTEGER) AS value_int,
+        |  CAST(CAST(TRUNC(value) AS INTEGER) AS DOUBLE) != value AS precision_loss,
+        |  value != 0.0 AS value_bool
+        |FROM events""".stripMargin,
+    "q11_time_normalize" ->
+      """SELECT event_id,
+        |  CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS unix_sec,
+        |  MAKE_TIMESTAMP(CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) * 1000000) AS ts_from_unix,
+        |  STRPTIME(STRFTIME(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f') AS ts_from_iso
+        |FROM events""".stripMargin,
+    "q12_row_id" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+        |  SHA256('42' || ':' || conv_id || ':' || CAST(turn_idx AS VARCHAR)) AS row_id
+        |FROM transcripts""".stripMargin),
+    "q13_replay_semijoin" -> Transcripts.oracle(
+      "SELECT * FROM transcripts WHERE turn_idx % 17 = 3"),
+    "q14_device_fanout" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+        |       'root.metrics.' || conv_id AS device_path,
+        |       CAST(LENGTH(text) AS BIGINT) AS char_len
+        |FROM transcripts
+        |UNION ALL
+        |SELECT conv_id, turn_idx,
+        |       'root.tools.' || conv_id || '.' || tool,
+        |       CAST(LENGTH(text) AS BIGINT)
+        |FROM transcripts WHERE tool IS NOT NULL""".stripMargin),
+    "q15_latest_per_key" ->
+      """SELECT user_id, event_id, ts FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "q16_running_counters" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+        |  COUNT(*) OVER w AS processed_rows,
+        |  SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS tool_calls_so_far
+        |FROM transcripts
+        |WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)
   )
 }

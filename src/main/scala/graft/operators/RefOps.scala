@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-behavior operators (SURVEY.md §2.1) re-expressed as
+  * declarative Spark — each is a pure DataFrame → DataFrame function so
+  * Catalyst prunes/pushes/codegens them; none needs a custom node.
+  */
+object RefOps {
+
+  /** Op #3/#12 — typed parse + cast matrix with null-on-error.
+    * The reference parses strings to typed values (`CsvColumn.java:79-115`)
+    * and drops illegal conversions to null without failing the row
+    * (`Converter.java:260-264`); narrowing casts get a precision-loss
+    * flag (`Converter.java:166-195`). `try_cast`-style semantics via
+    * ANSI-safe `cast` on non-ANSI session + explicit loss detection.
+    */
+  def typedCast(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      // STRING → INT where the string is numeric: json k-field
+      expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS int)").as("k_int"),
+      // STRING → INT on a non-numeric string: null, row survives
+      // (ANSI session: plain cast would throw — try_cast IS the
+      // reference's null-on-error, Converter.java:260-264)
+      expr("try_cast(event_type AS int)").as("bad_int"),
+      // DOUBLE → INT narrowing + precision-loss flag
+      col("value").cast("int").as("value_int"),
+      (col("value").cast("int").cast("double") =!= col("value")).as("precision_loss"),
+      // DOUBLE → BOOLEAN-ish (reference allows numeric→boolean via != 0)
+      (col("value") =!= 0.0).as("value_bool"))
+
+  /** Op #4 — timestamp normalization, both reference formats:
+    * UNIX seconds ×1000 → millis (`CsvColumn.java:121`) and ISO-8601
+    * parse pinned to UTC (`CsvColumn.java:123-126`).
+    */
+  def timeNormalize(events: DataFrame): DataFrame = {
+    val sec = col("ts").cast("timestamp") // session TZ = UTC
+    events.select(
+      col("event_id"),
+      unix_seconds(date_trunc("second", sec)).as("unix_sec"),
+      timestamp_millis(unix_seconds(date_trunc("second", sec)) * 1000)
+        .cast("timestamp_ntz").as("ts_from_unix"),
+      to_timestamp(
+        date_format(sec, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").cast("timestamp_ntz").as("ts_from_iso"))
+  }
+
+  /** Op #5 — deterministic stable row id:
+    * sha256(`settingId:path:rowNumber`) (`CSVReader.java:335-346`),
+    * keyed here by the natural key. Hex form (both engines agree on
+    * lowercase hex sha256).
+    */
+  def rowId(transcripts: DataFrame, settingId: String = "42"): DataFrame =
+    transcripts.select(
+      col("conv_id"),
+      col("turn_idx"),
+      sha2(concat_ws(":", lit(settingId), col("conv_id"), col("turn_idx")), 256)
+        .as("row_id"))
+
+  /** Op #8 — failed-row replay: on resume keep only rows whose key is
+    * in the failed set (`CSVReader.java:184-186`). The failed set is
+    * small ⇒ broadcast LEFT SEMI — no shuffle of the big side.
+    */
+  def replaySemiJoin(transcripts: DataFrame, failedKeys: DataFrame): DataFrame =
+    transcripts.join(
+      broadcast(failedKeys), Seq("conv_id", "turn_idx"), "left_semi")
+
+  /** Ops #9/#10/#11 — per-device fan-out + path construction + joinKey
+    * rename (`Converter.java:87-155`): each row fans to a static device
+    * (`root.metrics`) and a dynamic device segmented by the `tool`
+    * column; a null path value fails the row FOR THAT DEVICE only
+    * (`Converter.java:128-131`) — expressed as explode + filter.
+    */
+  def deviceFanout(transcripts: DataFrame): DataFrame =
+    transcripts
+      .select(
+        col("conv_id"), col("turn_idx"),
+        explode(array(
+          concat(lit("root.metrics."), col("conv_id")),
+          when(col("tool").isNotNull,
+            concat(lit("root.tools."), col("conv_id"), lit("."), col("tool")))
+        )).as("device_path"),
+        length(col("text")).cast("long").as("char_len"))
+      .filter(col("device_path").isNotNull)
+
+  /** Op #20 — top-1 per group (latest job per setting,
+    * `JobsDAO.java:147-157`): deterministic via total order
+    * (ts desc, event_id desc).
+    */
+  def latestPerKey(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"))
+  }
+
+  /** Op #19 — running counters (`processed_rows += k`,
+    * `CsvSettingsDAO.java:72-91`): cumulative sums over the stable
+    * per-conversation order.
+    */
+  def runningCounters(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    transcripts.select(
+      col("conv_id"),
+      col("turn_idx"),
+      count(lit(1)).over(w).as("processed_rows"),
+      sum(when(col("tool").isNotNull, 1L).otherwise(0L)).over(w).as("tool_calls_so_far"))
+  }
+}
