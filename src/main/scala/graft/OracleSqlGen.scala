@@ -1,0 +1,130 @@
+package graft
+
+/** Programmatically generated DuckDB oracle SQL for the dedup/similarity
+  * operators — the SQL mirrors the Spark implementation term for term
+  * (same md5-hex hash trick, same band layout, same rounding), so the
+  * driver's value-hash compare is exact, including LSH recall behavior.
+  */
+object OracleSqlGen {
+
+  /** Shared shingle CTE (3-word shingles; short docs collapse to one
+    * whole-text shingle, matching TextFunctions.shingles3).
+    */
+  val shingleCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+      |         ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |                i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+      |    END AS sh
+      |  FROM documents)""".stripMargin
+
+  def minhashLsh(k: Int, bands: Int, threshold: Double): String = {
+    val rowsPerBand = k / bands
+    val sigCols = (0 until k).map(i =>
+      s"list_min(list_transform(sh, s -> substr(md5('$i:' || s), 1, 16))) AS mh$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"mh${b * rowsPerBand + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $shingleCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM sh),
+       |band AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+       |    AND a.doc_id < b.doc_id),
+       |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh)
+       |SELECT doc_a, doc_b,
+       |  ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |        CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS jaccard
+       |FROM cand JOIN ds x ON cand.doc_a = x.doc_id
+       |          JOIN ds y ON cand.doc_b = y.doc_id
+       |WHERE ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |            CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) >= $threshold""".stripMargin
+  }
+
+  def simhashSigCte(bits: Int): String = {
+    val bitSums = (0 until bits).map(j =>
+      s"SUM(cnt * (((h >> $j) & 1) * 2 - 1)) AS bs$j").mkString(",\n    ")
+    val sigSum = (0 until bits).map(j =>
+      s"(CASE WHEN bs$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |h AS (
+       |  SELECT doc_id, cnt,
+       |         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+       |  FROM tok),
+       |bs AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY 1),
+       |s AS (SELECT doc_id, CAST($sigSum AS BIGINT) AS simhash FROM bs)""".stripMargin
+  }
+
+  def simhash(bits: Int): String =
+    s"WITH ${simhashSigCte(bits)}\nSELECT doc_id, simhash FROM s"
+
+  def simhashPairs(bits: Int, maxDist: Int): String = {
+    val chunks = 4
+    val w = bits / chunks
+    val mask = (1L << w) - 1
+    s"""WITH ${simhashSigCte(bits)},
+       |b AS (
+       |  SELECT doc_id, simhash, c.c AS band,
+       |         (simhash >> (c.c * $w)) & $mask AS key
+       |  FROM s, (SELECT UNNEST(range(0, $chunks)) AS c) c)
+       |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |       bit_count(xor(a.simhash, b2.simhash)) AS hamming
+       |FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key
+       |  AND a.doc_id < b2.doc_id
+       |WHERE bit_count(xor(a.simhash, b2.simhash)) <= $maxDist""".stripMargin
+  }
+
+  def knnBruteForce(maxQueryId: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $maxQueryId),
+       |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
+       |sc AS (
+       |  SELECT q_id, n_id,
+       |    ROUND(list_cosine_similarity(CAST(q_emb AS DOUBLE[]), CAST(n_emb AS DOUBLE[])), 6) AS sim
+       |  FROM q, c WHERE q_id != n_id)
+       |SELECT q_id, n_id, sim, rank FROM (
+       |  SELECT q_id, n_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+       |  FROM sc)
+       |WHERE rank <= $k""".stripMargin
+
+  val textStats: String = {
+    val stop = graft.functions.TextFunctions.stopwords
+      .map(s => s"'$s'").mkString(", ")
+    val bpe = graft.functions.TextFunctions.bpeTokenPattern
+    s"""SELECT doc_id,
+       |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens_ws,
+       |  CAST(len(regexp_extract_all(text, '$bpe')) AS BIGINT) AS tokens_bpe,
+       |  CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE
+       |    CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+       |      / CAST(LENGTH(text) AS DOUBLE) END AS punct_ratio,
+       |  CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0 ELSE
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS DOUBLE)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) END AS stopword_ratio,
+       |  CAST(FLOOR((
+       |    LEAST(LENGTH(text) * 2000, 1000000) * 4 +
+       |    (1000000 - LEAST(CASE WHEN LENGTH(text) = 0 THEN 0 ELSE
+       |      CAST(FLOOR(CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) * 4000000 AS DOUBLE)
+       |        / CAST(LENGTH(text) AS DOUBLE)) AS BIGINT) END, 1000000)) * 3 +
+       |    LEAST(CASE WHEN len(string_split(text, ' ')) = 0 THEN 0 ELSE
+       |      CAST(FLOOR(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) * 5000000 AS DOUBLE)
+       |        / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS BIGINT) END, 1000000) * 3
+       |  ) / 10.0) AS BIGINT) AS quality_ppm
+       |FROM documents""".stripMargin
+  }
+}

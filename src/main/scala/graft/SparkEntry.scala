@@ -72,7 +72,30 @@ object SparkEntry {
     "q15_latest_per_key" -> ((s, dir) =>
       graft.operators.RefOps.latestPerKey(s.read.parquet(s"$dir/events.parquet"))),
     "q16_running_counters" -> ((s, dir) =>
-      graft.operators.RefOps.runningCounters(transcripts(s, dir)))
+      graft.operators.RefOps.runningCounters(transcripts(s, dir))),
+    // training-data pipeline operators (documents / embeddings tables)
+    "q20_dedup_exact" -> ((s, dir) =>
+      graft.operators.Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))),
+    "q21_text_stats" -> ((s, dir) =>
+      graft.operators.TextAnalysis.stats(s.read.parquet(s"$dir/documents.parquet"))),
+    "q22_langid" -> ((s, dir) =>
+      graft.operators.TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet"))),
+    "q23_minhash_lsh" -> ((s, dir) =>
+      graft.operators.Dedup.minhashLsh(
+        s.read.parquet(s"$dir/documents.parquet"), k = 16, bands = 4, threshold = 0.7)),
+    "q24_simhash" -> ((s, dir) =>
+      graft.operators.Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"))),
+    "q25_simhash_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.simhashPairs(
+        graft.operators.Dedup.simhash(s.read.parquet(s"$dir/documents.parquet")))),
+    "q26_knn_bruteforce" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.bruteForceTopK(
+        emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), k = 5)
+    }),
+    "q27_fingerprint_pairs" -> ((s, dir) =>
+      graft.operators.TextAnalysis.fingerprintPairs(
+        s.read.parquet(s"$dir/documents.parquet"), minShared = 2))
   )
 
   private val rollupSelect: String =
@@ -183,6 +206,17 @@ object SparkEntry {
         |  SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS tool_calls_so_far
         |FROM transcripts
         |WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,
+        |       COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q21_text_stats" -> OracleSqlGen.textStats,
+    // q22_langid: heuristic model not SQL-expressible → rows-only check
+    "q23_minhash_lsh" -> OracleSqlGen.minhashLsh(k = 16, bands = 4, threshold = 0.7),
+    "q24_simhash" -> OracleSqlGen.simhash(bits = 60),
+    "q25_simhash_pairs" -> OracleSqlGen.simhashPairs(bits = 60, maxDist = 3),
+    "q26_knn_bruteforce" -> OracleSqlGen.knnBruteForce(maxQueryId = 10, k = 5)
+    // q27_fingerprint_pairs: winnowing not SQL-expressible → rows-only
   )
 }

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Static vector kernels called from generated code — operate directly
+  * on Catalyst `ArrayData` (no boxing, no Scala collection conversion,
+  * unlike a Scala UDF which would serialize each array per row).
+  */
+object VectorOps {
+
+  /** Cosine similarity, double accumulation over float inputs.
+    * Returns 0.0 when either norm is 0 (no NaN poisoning).
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Random-hyperplane LSH signature: bit j = sign(v · h_j) where h_j is
+    * a deterministic pseudo-random unit-free hyperplane derived from
+    * (seed, j, dim-index) via SplitMix64 — no stored model, executors
+    * recompute coefficients on the fly (nothing to broadcast).
+    */
+  def hyperplaneSig(v: ArrayData, bits: Int, seed: Long): Long = {
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var s = 0.0
+      var i = 0
+      val n = v.numElements()
+      while (i < n) {
+        s += v.getFloat(i).toDouble * gauss(seed ^ (j.toLong << 32) ^ i.toLong)
+        i += 1
+      }
+      if (s > 0.0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** Deterministic standard-normal-ish value from a key (SplitMix64 →
+    * two uniforms → Box-Muller). Good enough for hyperplane directions.
+    */
+  private def gauss(key: Long): Double = {
+    val u1 = splitmix(key)
+    val u2 = splitmix(key + 0x9e3779b97f4a7c15L)
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
+
+  private def splitmix(key: Long): Double = {
+    var z = key + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    // map to (0,1) exclusive — log(0) guard
+    ((z >>> 11).toDouble + 0.5) / 9007199254740992.0
+  }
+
+  // --- Column API -----------------------------------------------------
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+
+  def lshSig(v: Column, bits: Int, seed: Long): Column =
+    column(HyperplaneSig(expression(v), bits, seed))
+}
+
+/** Native Catalyst expression: cosine similarity of two float arrays.
+  * Codegen emits a single static call — stays inside WholeStageCodegen
+  * (no UDF ser/de). Null-safe: null in → null out.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true; case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float> inputs, got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native expression computing the random-hyperplane LSH signature of a
+  * float vector (bits ≤ 63). Deterministic in (seed, bits).
+  */
+case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits > 0 && bits < 64, s"bits must be in [1,63], got $bits")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_sig expects array<float>, got $other")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.hyperplaneSig(v.asInstanceOf[ArrayData], bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.VectorOps.hyperplaneSig($v, $bits, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  *  - [[bruteForceTopK]] — the correctness baseline: broadcast the
+  *    (small) query set against the corpus, score with the native
+  *    [[graft.functions.CosineSim]] expression (stays in
+  *    WholeStageCodegen — no UDF boxing), window top-k. Cost
+  *    O(|Q|·|corpus|) but embarrassingly parallel: the corpus never
+  *    shuffles, only the per-query top-k heap rows do.
+  *  - [[lshTopK]] — the 100 TB path: random-hyperplane signatures
+  *    bucket the corpus; each query probes only its own bucket family
+  *    (multi-probe via `probes` sign-flips), then exact-reranks.
+  *    Corpus pass is one map + one narrow shuffle on (bucket), and the
+  *    per-bucket candidate set is ~corpus/2^bits.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(VectorOps.cosineSim(col("q_emb"), col("n_emb")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: `tables` independent random-hyperplane tables of
+    * `bits` bits each (union of same-bucket candidates across tables —
+    * the standard recall amplifier: per-table hit prob p^bits, union
+    * 1-(1-p^bits)^tables), then exact rerank of the deduped candidates.
+    * Returns the same schema as [[bruteForceTopK]]; recall < 1 by
+    * construction (bounded in SimilaritySpec, not oracle-exact).
+    * Corpus cost: one map pass emitting `tables` (bucket, id) pairs per
+    * vector — candidates per query ≈ tables · corpus/2^bits, tuned so
+    * that at 10^9 vectors (bits≈16-20) the rerank set stays ~10^4.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 8, seed: Long = 42L, tables: Int = 8): DataFrame = {
+    def bucketed(df: DataFrame, idCol: String, embCol: String) = {
+      val sigs = (0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          VectorOps.lshSig(col("embedding"), bits, seed + t * 0x51_7c_c1_b7L).as("sig"))
+          .as(s"b$t"))
+      df.select(col("vec_id").as(idCol) +: col("embedding").as(embCol) +: sigs: _*)
+        .withColumn("bucket", explode(array((0 until tables).map(t => col(s"b$t")): _*)))
+        .drop((0 until tables).map(t => s"b$t"): _*)
+    }
+    val c = bucketed(corpus, "n_id", "n_emb")
+    val q = bucketed(queries, "q_id", "q_emb")
+    val cand = c.join(broadcast(q.select(col("bucket"), col("q_id"), col("q_emb"))), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("q_emb"), col("n_emb"))
+      .dropDuplicates("q_id", "n_id")
+    val scored = cand.withColumn(
+      "sim", round(VectorOps.cosineSim(col("q_emb"), col("n_emb")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    scored
+      .select(col("q_id"), col("n_id"), col("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** All pairs above a cosine threshold within a labeled corpus —
+    * embedding near-dup dedup (brute force baseline; LSH variant =
+    * [[lshTopK]] with the corpus as its own query set).
+    */
+  def cosinePairsAbove(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", round(VectorOps.cosineSim(col("emb_a"), col("emb_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

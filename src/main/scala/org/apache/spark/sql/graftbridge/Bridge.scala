@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Expression ↔ Column bridge. Spark 4 made the converters
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`);
+  * exposing them from a subpackage of `org.apache.spark.sql` is the
+  * sanctioned pattern for libraries shipping native Catalyst
+  * expressions (same technique as spark-connectors in the wild).
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

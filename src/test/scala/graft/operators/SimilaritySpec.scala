@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("cosine_sim native expression: self-similarity is 1, range is [-1,1]") {
+    val self = emb.select(VectorOps.cosineSim(col("embedding"), col("embedding")).as("s"))
+      .agg(min("s"), max("s")).head()
+    assert(math.abs(self.getDouble(0) - 1.0) < 1e-12 && math.abs(self.getDouble(1) - 1.0) < 1e-12)
+    val cross = Similarity.bruteForceTopK(emb, emb.limit(3), 5)
+      .agg(min("sim"), max("sim")).head()
+    assert(cross.getDouble(0) >= -1.0 - 1e-9 && cross.getDouble(1) <= 1.0 + 1e-9)
+  }
+
+  test("brute-force top-k returns k deterministic neighbors per query") {
+    val q = emb.filter(col("vec_id") < 5)
+    val a = Similarity.bruteForceTopK(emb, q, 5).collect().map(_.toString).sorted
+    val b = Similarity.bruteForceTopK(emb, q, 5).collect().map(_.toString).sorted
+    assert(a.length == 25 && a.sameElements(b))
+  }
+
+  test("LSH top-k recall vs brute force is usable and candidates shrink") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, q, 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val approx = Similarity.lshTopK(emb, q, 10, bits = 4, seed = 42L, tables = 8).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+    // selectivity: each table's buckets split the corpus (scale lever:
+    // at 10^9 vectors bits≈16-20 keeps rerank sets ~10^4 per query)
+    val corpusN = emb.count()
+    val avgBucket = emb.groupBy(VectorOps.lshSig(col("embedding"), 4, 42L))
+      .count().agg(avg("count")).head().getDouble(0)
+    assert(avgBucket < corpusN / 4.0, s"buckets not selective: $avgBucket of $corpusN")
+  }
+
+  test("threshold pairs are symmetric-free (a<b) and above threshold") {
+    val pairs = Similarity.cosinePairsAbove(emb.limit(100), 0.5).collect()
+    assert(pairs.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(pairs.forall(_.getAs[Double]("sim") >= 0.5))
+  }
+}
