@@ -1,24 +1,84 @@
 package graft
+
+import graft.ingest.Synth
+import graft.model.Tier
+import graft.rollup.Rollup
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Benchmark main — driver contract: ONE JSON line
+  * `{"metric":…,"value":N,"unit":"sec","queries":{…},"sf":…}`.
+  *
+  * Methodology: a production-tuned session (AQE on, shuffle partitions
+  * = cores), one UNcounted warmup pass (JVM/codegen warm — the
+  * reference's own logs show 5-7× cold-vs-warm spread,
+  * `logs/application.log` 18:07 vs 18:14), then each SparkEntry query
+  * timed end-to-end, then a rollup-cascade throughput probe on a
+  * seeded synthetic transcripts table (turns/sec — the BASELINE.json
+  * headline metric).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "2000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timed[A](body: => A): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      body
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // warmup (uncounted): touches scan+window+agg codegen paths
+    SparkEntry.entry(spark).count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t = timed {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      }
+      name -> t
+    }
+
+    // rollup-cascade throughput probe: seeded synth, cached raw (the
+    // scan cost is measured separately by the spark-submit scaling runs
+    // in BENCH/BASELINE.md; this isolates the rollup operator chain)
+    val convs = math.max(64, (benchTurns / 200L).toInt)
+    val raw = Synth.transcripts(spark, convs, 200, seed = 42L,
+      hotConvs = math.max(1, convs / 100), hotFactor = 20).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTurns = raw.count()
+    val tM1 = timed(Rollup.fromRaw(raw, Tier.M1).count())
+    val m1 = Rollup.fromRaw(raw, Tier.M1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    m1.count()
+    val tH1 = timed(Rollup.cascade(m1, Tier.H1).count())
+    val tD1 = timed(Rollup.cascade(Rollup.cascade(m1, Tier.H1), Tier.D1).count())
+    val tBlocks = timed(graft.rollup.BlockRollup.encode(
+      raw.filter(col("ts").isNotNull), Tier.H1).count())
+    raw.unpersist(); m1.unpersist()
+    val rollupTps = nTurns / tM1
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","bench_turns":$nTurns,"rollup_1m_sec":${f"$tM1%.3f"},"cascade_1h_sec":${f"$tH1%.3f"}""" +
+      s""","cascade_1d_sec":${f"$tD1%.3f"},"blocks_1h_sec":${f"$tBlocks%.3f"}""" +
+      s""","rollup_throughput_turns_per_sec":${f"$rollupTps%.0f"},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -53,6 +53,10 @@ final class RollupJob(
 
   final case class TierResult(tier: String, partitions: Seq[String], rows: Long)
 
+  private val t0 = System.nanoTime()
+  private def phase(msg: String): Unit =
+    System.err.println(f"[rollup-job +${(System.nanoTime() - t0) / 1e9}%8.2fs] $msg")
+
   private def dayOf(c: org.apache.spark.sql.Column) =
     date_format(c, "yyyy-MM-dd")
 
@@ -65,25 +69,39 @@ final class RollupJob(
       jobId: String,
       killAfterTier: Option[String] = None): Seq[TierResult] = {
 
+    // NO .cache() anywhere: measured on 14M turns, building Spark's
+    // in-memory columnar cache costs 122s and reading it back is ~2x
+    // SLOWER than re-scanning parquet (text columns compress badly in
+    // the columnar cache). Each pass re-reads the (pushdown-pruned)
+    // parquet scan instead — 3-17s per pass. See BENCH/BASELINE.md.
     val validated = Transcripts.validate(input)
-    val (valid0, rejects) = Transcripts.splitValid(validated)
-    val valid = valid0.cache()
+    val (valid, rejects) = Transcripts.splitValid(validated)
     try {
-      // rejected rows → lineage table, run survives (reference: parse
-      // errors mark the row FAILED without aborting the batch,
-      // CSVReader.java:199-204)
-      val rejectCount = rejects.count()
+      // ONE planning pass over the input: reject count, day partitions,
+      // and per-day max ts (watermark = global max) in a single scan —
+      // separate rejects.count()/distinct()/max() scans each cost a
+      // full pass at 10^7+ rows.
+      phase("start: planning pass")
+      val okCol = col("ts").isNotNull && col("conv_id").isNotNull
+      val dayStats = validated
+        .groupBy(okCol.as("ok"), dayOf(col("ts")).as("p"))
+        .agg(count(lit(1)).as("n"),
+          max(unix_micros(col("ts").cast("timestamp"))).as("max_ts"))
+        .collect()
+      val rejectCount = dayStats.filter(!_.getBoolean(0)).map(_.getLong(2)).sum
+      val okStats = dayStats.filter(_.getBoolean(0))
+      phase(s"planned: ${okStats.length} day partitions, $rejectCount rejects")
       if (rejectCount > 0) {
+        // rare path: a second scan materializes the reject rows
         rejectsTable.append(
           rejects.withColumn("p", coalesce(dayOf(col("ts")), lit("invalid"))), "p")
         state.commitLineage(Seq(state.LineageRow(
           "ingest", "rejects", "FAILED", "null ts or conv_id", 0, rejectCount,
           jobId, state.nextSeq())))
       }
-
-      // input watermark: the engine's "no more data before this" point
-      val wmRow = valid.agg(max(unix_micros(col("ts").cast("timestamp")))).head()
-      val watermarkUs = if (wmRow.isNullAt(0)) Long.MinValue else wmRow.getLong(0)
+      val watermarkUs =
+        if (okStats.isEmpty) Long.MinValue else okStats.map(_.getLong(3)).max
+      val rawParts = okStats.map(_.getString(1)).toSet
 
       val results = scala.collection.mutable.ArrayBuffer[TierResult]()
       var finerParts: Set[String] = Set.empty
@@ -92,27 +110,42 @@ final class RollupJob(
         val done = state.completedPartitions(tier.name)
         // day partitions align across tiers (1m/1h/1d windows nest in days)
         val allParts = tier match {
-          case Tier.M1 =>
-            valid.select(dayOf(col("ts")).as("p")).distinct()
-              .collect().map(_.getString(0)).toSet
+          case Tier.M1 => rawParts
           case _ => finerParts
         }
         val target = (allParts -- done).toSeq.sorted
+        phase(s"tier ${tier.name}: ${target.size} target partitions planned")
         if (target.nonEmpty) {
           val tierDf = tier match {
             case Tier.M1 =>
-              Rollup.fromRaw(
-                valid.filter(dayOf(col("ts")).isin(target: _*)), Tier.M1)
+              // skip the per-row day filter when every partition is a
+              // target (the common first-run case) — it costs a
+              // date_format + N-way isin over every input row
+              val src =
+                if (target.size == allParts.size) valid
+                else valid.filter(dayOf(col("ts")).isin(target: _*))
+              Rollup.fromRaw(src, Tier.M1)
             case t =>
               val finer = Tier.cascade(Tier.cascade.indexOf(t) - 1)
               val src = tierTable(finer).read(spark, Some(target.toSet))
               Rollup.cascade(src, t)
           }
+          // cluster by day so each output partition is written by one
+          // task (not tasks×days small files; AQE coalesces small day
+          // groups), sorted for parquet encoding locality; the row
+          // count afterwards comes from the committed files' parquet
+          // FOOTERS (metadata-only) — never recompute the aggregation.
           val withP = tierDf.withColumn("p", dayOf(col("window_start")))
+            .repartition(col("p"))
+            .sortWithinPartitions(col("conv_id"), col("window_start"))
+          phase(s"tier ${tier.name}: computing + staging write")
           val rows = commitWithRetry(tier.name, jobId) {
-            tierTable(tier).overwritePartitions(withP, "p")
-            withP.count()
+            val table = tierTable(tier)
+            val manifest = table.overwritePartitions(withP, "p")
+            val committed = manifest.files.filter(f => target.contains(f.partition))
+            table.rowCount(spark, committed)
           }
+          phase(s"tier ${tier.name}: committed $rows rows")
           // per-partition checkpoint: closed days are COMPLETED
           val cps = target.map { p =>
             val dayEndUs = (java.time.LocalDate.parse(p).plusDays(1)

@@ -178,6 +178,20 @@ final class SnapshotTable(val root: String) {
     m
   }
 
+  /** Row count of a set of committed files from parquet FOOTER metadata
+    * only — read driver-side via parquet-hadoop, no Spark job at all
+    * (a Spark count() costs a full job-schedule round trip per tier).
+    */
+  def rowCount(spark: SparkSession, files: Seq[FileEntry]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.path), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Append-only commit (state/lineage/metrics tables). */
   def append(df: DataFrame, partitionCol: String): Manifest = {
     val staged = stageWrite(df, partitionCol)
