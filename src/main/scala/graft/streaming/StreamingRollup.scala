@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.model.Tier
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variant of the 1m rollup: the same continuous
+  * aggregates computed incrementally over a transcripts stream with an
+  * event-time watermark.
+  *
+  * The watermark is the streaming analogue of the batch engine's
+  * closed-day checkpoint (RollupJob: a day is COMPLETED once the input
+  * watermark passes it; here a window is emitted in append mode once
+  * the event-time watermark passes window end — same monotone-event-
+  * time contract, same "no more data before this" semantics the
+  * reference encodes in its per-file state machine,
+  * `MigrateTask.java:79-111`).
+  *
+  * The aggregate set is the decomposable subset (counts/sums/min/max —
+  * streaming state must merge incrementally); first/last text are a
+  * batch-tier concern (they ride on the unique turn_idx key there).
+  */
+object StreamingRollup {
+
+  val inputSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+    StructField("role", StringType), StructField("text", StringType),
+    StructField("tool", StringType), StructField("ts", TimestampType)))
+
+  /** Open the streaming source over a directory of transcript parquet. */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(inputSchema).parquet(dir)
+
+  /** Windowed continuous aggregates with a watermark; append mode emits
+    * each (conv, window) exactly once, when it can no longer change.
+    */
+  def rollup(stream: DataFrame, tier: Tier, watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .withColumn("char_len", length(col("text")).cast("long"))
+      .withWatermark("ts", watermarkDelay)
+      // group on the window STRUCT itself — the analyzer only links the
+      // watermark to the window when it appears unprojected in the keys
+      .groupBy(col("conv_id"), window(col("ts"), tier.windowExpr).as("w"))
+      .agg(
+        count(lit(1)).as("turn_count"),
+        count_if(col("role") === "user").as("user_turns"),
+        count_if(col("role") === "assistant").as("assistant_turns"),
+        count(col("tool")).as("tool_calls"),
+        sum(col("char_len")).as("char_len_sum"),
+        min(col("char_len")).as("char_len_min"),
+        max(col("char_len")).as("char_len_max"))
+      .select(col("conv_id"), col("w.start").as("window_start"),
+        col("turn_count"), col("user_turns"), col("assistant_turns"),
+        col("tool_calls"), col("char_len_sum"), col("char_len_min"),
+        col("char_len_max"))
+}
