@@ -167,6 +167,42 @@ final class RollupJob(
         if (killAfterTier.contains(tier.name))
           throw new SimulatedKill(s"killed after tier ${tier.name}")
       }
+
+      // encoded block tier (Gorilla/DoD binary columns per (conv, 1h
+      // window)) — same commit protocol, own checkpoint stream, so the
+      // raw tier is droppable after retention without losing
+      // point-level answers.
+      {
+        val done = state.completedPartitions("blocks_1h")
+        val target = (rawParts -- done).toSeq.sorted
+        phase(s"tier blocks_1h: ${target.size} target partitions planned")
+        if (target.nonEmpty) {
+          val src =
+            if (target.size == rawParts.size) valid
+            else valid.filter(dayOf(col("ts")).isin(target: _*))
+          val blocks = graft.rollup.BlockRollup.encode(src, Tier.H1)
+            .withColumn("p", dayOf(col("window_start")))
+            .repartition(col("p"))
+          val rows = commitWithRetry("blocks_1h", jobId) {
+            val table = blocksTable(Tier.H1)
+            val manifest = table.overwritePartitions(blocks, "p")
+            table.rowCount(spark, manifest.files.filter(f => target.contains(f.partition)))
+          }
+          phase(s"tier blocks_1h: committed $rows rows")
+          state.commitCheckpoints(target.map { p =>
+            val dayEndUs = (java.time.LocalDate.parse(p).plusDays(1)
+              .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond) * 1000000L
+            state.Checkpoint("blocks_1h", p, watermarkUs,
+              if (dayEndUs <= watermarkUs) "COMPLETED" else "IN_PROGRESS",
+              jobId, state.nextSeq())
+          })
+          state.commitMetrics(Seq(state.MetricsRow(
+            jobId, "blocks_1h", rows, 0, state.nextSeq())))
+          results += TierResult("blocks_1h", target, rows)
+        } else {
+          results += TierResult("blocks_1h", Seq.empty, 0L)
+        }
+      }
       results.toSeq
     } finally valid.unpersist()
   }

@@ -13,7 +13,7 @@ class ResumeSpec extends SparkTestBase {
     val wh = tmpDir("wh-clean")
     val job = new RollupJob(wh)
     val res = job.run(spark, freshInput(), "job-1")
-    assert(res.map(_.tier) == Seq("1m", "1h", "1d"))
+    assert(res.map(_.tier) == Seq("1m", "1h", "1d", "blocks_1h"))
     assert(res.forall(_.rows > 0))
     val cps = job.state.checkpoints
     assert(cps.nonEmpty)
