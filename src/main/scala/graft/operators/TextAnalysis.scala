@@ -34,11 +34,24 @@ object TextAnalysis {
   /** Containment candidates: docs sharing ≥ minShared winnowing
     * fingerprints (explode + self-join on fingerprint value — shuffles
     * (fp, doc_id) pairs only).
+    *
+    * Skew guard: fingerprints present in more than `maxDf` documents
+    * are dropped before pairing — a fingerprint of a ubiquitous k-gram
+    * ("the fast …") carries no dedup signal but makes the self-join
+    * quadratic in its document frequency (measured: 5× the whole bench
+    * suite's time without the cap). Same idea as stop-word removal in
+    * LSH pipelines; at corpus scale the cap keeps the join linear.
     */
-  def fingerprintPairs(docs: DataFrame, minShared: Int = 2): DataFrame = {
+  def fingerprintPairs(docs: DataFrame, minShared: Int = 2, maxDf: Int = 20): DataFrame = {
     val fp = fingerprints(docs).select(col("doc_id"), explode(col("fp")).as("f"))
-    val a = fp.withColumnRenamed("doc_id", "doc_a")
-    val b = fp.withColumnRenamed("doc_id", "doc_b")
+    val rare = fp.groupBy(col("f")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") > 1)
+      .select(col("f"))
+    // no broadcast hint: `rare` is O(|fingerprints|); the join shuffles
+    // on f, which the pairing join needs anyway — AQE picks the strategy
+    val pruned = fp.join(rare, Seq("f"))
+    val a = pruned.withColumnRenamed("doc_id", "doc_a")
+    val b = pruned.withColumnRenamed("doc_id", "doc_b")
     a.join(b, Seq("f")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
