@@ -102,6 +102,18 @@ object OracleSqlGen {
        |  FROM sc)
        |WHERE rank <= $k""".stripMargin
 
+  /** Embedding-cosine near-dup pairs — mirrors
+    * [[graft.operators.Similarity.cosinePairsAbove]] (double accumulation
+    * over float inputs, round-6, threshold on the rounded value).
+    */
+  def cosinePairs(threshold: Double): String =
+    s"""SELECT id_a, id_b, sim FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                 CAST(b.embedding AS DOUBLE[])), 6) AS sim
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       |WHERE sim >= $threshold""".stripMargin
+
   val textStats: String = {
     val stop = graft.functions.TextFunctions.stopwords
       .map(s => s"'$s'").mkString(", ")

@@ -95,7 +95,29 @@ object SparkEntry {
     }),
     "q27_fingerprint_pairs" -> ((s, dir) =>
       graft.operators.TextAnalysis.fingerprintPairs(
-        s.read.parquet(s"$dir/documents.parquet"), minShared = 2))
+        s.read.parquet(s"$dir/documents.parquet"), minShared = 2)),
+    // embedding-cosine near-dup: all pairs above threshold (brute-force
+    // baseline; the LSH-bucketed scale path is q29)
+    "q28_cosine_pairs" -> ((s, dir) =>
+      graft.operators.Similarity.cosinePairsAbove(
+        s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.35)),
+    // LSH-bucketed ANN (recall < 1 by construction → rows-only check;
+    // recall vs q26's exact top-k is bounded in SimilaritySpec)
+    "q29_knn_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.lshTopK(
+        emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), k = 5)
+    }),
+    // multimodal: batched per-partition feature extraction over binary
+    // media columns (decode step is a documented deterministic stub —
+    // no image/audio codecs in this container; plumbing is real)
+    "q30_media_features" -> ((s, _) =>
+      graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.synthMedia(s, n = 2000), dims = 32)),
+    // multimodal: video frame sampling via pure binary column algebra
+    "q31_frame_sample" -> ((s, _) =>
+      graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.synthMedia(s, n = 2000), stride = 2))
   )
 
   private val rollupSelect: String =
@@ -203,7 +225,7 @@ object SparkEntry {
     "q16_running_counters" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx,
         |  COUNT(*) OVER w AS processed_rows,
-        |  SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS tool_calls_so_far
+        |  CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS BIGINT) AS tool_calls_so_far
         |FROM transcripts
         |WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
@@ -216,7 +238,10 @@ object SparkEntry {
     "q23_minhash_lsh" -> OracleSqlGen.minhashLsh(k = 16, bands = 4, threshold = 0.7),
     "q24_simhash" -> OracleSqlGen.simhash(bits = 60),
     "q25_simhash_pairs" -> OracleSqlGen.simhashPairs(bits = 60, maxDist = 3),
-    "q26_knn_bruteforce" -> OracleSqlGen.knnBruteForce(maxQueryId = 10, k = 5)
+    "q26_knn_bruteforce" -> OracleSqlGen.knnBruteForce(maxQueryId = 10, k = 5),
     // q27_fingerprint_pairs: winnowing not SQL-expressible → rows-only
+    "q28_cosine_pairs" -> OracleSqlGen.cosinePairs(threshold = 0.35)
+    // q29_knn_lsh: recall<1 ANN → rows-only
+    // q30/q31 multimodal: binary synth not SQL-expressible → rows-only
   )
 }
