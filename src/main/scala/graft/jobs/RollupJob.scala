@@ -130,13 +130,17 @@ final class RollupJob(
               val src = tierTable(finer).read(spark, Some(target.toSet))
               Rollup.cascade(src, t)
           }
-          // cluster by day so each output partition is written by one
-          // task (not tasks×days small files; AQE coalesces small day
-          // groups), sorted for parquet encoding locality; the row
-          // count afterwards comes from the committed files' parquet
-          // FOOTERS (metadata-only) — never recompute the aggregation.
+          // cluster the write by day via RANGE partitioning on
+          // (p, conv_id): sampling balances task row counts even when
+          // day sizes are skewed or the day count is below / barely
+          // above the task count (hash-by-day left cores idle on few
+          // days and straggled on hot days), while contiguous ranges
+          // keep each day in O(1) files — not tasks×days small files.
+          // Sorted for parquet encoding locality; the row count
+          // afterwards comes from the committed files' parquet FOOTERS
+          // (metadata-only) — never recompute the aggregation.
           val withP = tierDf.withColumn("p", dayOf(col("window_start")))
-            .repartition(col("p"))
+            .repartitionByRange(col("p"), col("conv_id"))
             .sortWithinPartitions(col("conv_id"), col("window_start"))
           phase(s"tier ${tier.name}: computing + staging write")
           val rows = commitWithRetry(tier.name, jobId) {
@@ -182,7 +186,7 @@ final class RollupJob(
             else valid.filter(dayOf(col("ts")).isin(target: _*))
           val blocks = graft.rollup.BlockRollup.encode(src, Tier.H1)
             .withColumn("p", dayOf(col("window_start")))
-            .repartition(col("p"))
+            .repartitionByRange(col("p"), col("conv_id"))
           val rows = commitWithRetry("blocks_1h", jobId) {
             val table = blocksTable(Tier.H1)
             val manifest = table.overwritePartitions(blocks, "p")
