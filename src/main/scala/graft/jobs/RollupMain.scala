@@ -52,6 +52,20 @@ object RollupMain {
       case other => sys.error(s"unknown --source: $other")
     }
 
+    // --warmup true: run the identical pipeline once into a scratch
+    // warehouse first (deleted afterwards), then measure. A JVM's first
+    // heavy pass pays a 3-7x cold page-fault penalty on this host
+    // (BENCH/BASELINE.md variance section; WriteProbe round-1 vs
+    // round-2 evidence) that has nothing to do with engine scaling;
+    // real clusters run long-lived executors, which the warm run models.
+    if (opts.get("warmup").contains("true")) {
+      val scratch = s"$warehouse.warmup"
+      val tw = System.nanoTime()
+      new RollupJob(scratch).run(spark, input, s"$jobId-warmup")
+      println(f"[rollup] warmup wall=${(System.nanoTime() - tw) / 1e9}%.2fs")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
+    }
+
     val job = new RollupJob(warehouse)
     val t0 = System.nanoTime()
     val results = job.run(spark, input, jobId)

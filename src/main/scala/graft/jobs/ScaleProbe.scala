@@ -1,0 +1,49 @@
+package graft.jobs
+
+import graft.model.Tier
+import graft.rollup.Rollup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Operator-level scaling probe: the rollup cascade + block encode over
+  * a memory-cached input, with count-only actions — no warehouse
+  * writes — so the measurement isolates the ENGINE's compute+shuffle
+  * scaling from this sandbox's pathological multi-thread write path
+  * (60%+ kernel time from Firecracker demand-paging at 32 writer
+  * threads; BENCH/BASELINE.md variance section). Run the same binary at
+  * `--master local[8]` and `local[32]` and compare best-rep times.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val input = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().appName("graft-scale-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cores = spark.sparkContext.defaultParallelism
+
+    val raw = spark.read.parquet(input.split(","): _*)
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val n = raw.count() // materialize cache (uncounted warm pass)
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = (1 to reps).map { r =>
+      val tM1 = timed(Rollup.fromRaw(raw, Tier.M1).count())
+      val m1 = Rollup.fromRaw(raw, Tier.M1)
+      val tCascade = timed(
+        Rollup.cascade(Rollup.cascade(m1, Tier.H1), Tier.D1).count())
+      val tBlocks = timed(graft.rollup.BlockRollup.encode(raw, Tier.H1).count())
+      val total = tM1 + tCascade + tBlocks
+      println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
+        f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs total=$total%.2fs " +
+        f"throughput=${n / tM1}%.0f turns/s")
+      total
+    }
+    println(f"[scale-probe] BEST cores=$cores total=${results.min}%.2fs " +
+      f"chain_throughput=${n / results.min}%.0f turns/s")
+    spark.stop()
+  }
+}
