@@ -145,7 +145,7 @@ final class RollupJob(
           phase(s"tier ${tier.name}: computing + staging write")
           val rows = commitWithRetry(tier.name, jobId) {
             val table = tierTable(tier)
-            val manifest = table.overwritePartitions(withP, "p")
+            val manifest = table.overwritePartitions(withP, "p", clusterKey = "conv_id")
             val committed = manifest.files.filter(f => target.contains(f.partition))
             table.rowCount(spark, committed)
           }
@@ -189,7 +189,7 @@ final class RollupJob(
             .repartitionByRange(col("p"), col("conv_id"))
           val rows = commitWithRetry("blocks_1h", jobId) {
             val table = blocksTable(Tier.H1)
-            val manifest = table.overwritePartitions(blocks, "p")
+            val manifest = table.overwritePartitions(blocks, "p", clusterKey = "conv_id")
             table.rowCount(spark, manifest.files.filter(f => target.contains(f.partition)))
           }
           phase(s"tier blocks_1h: committed $rows rows")

@@ -41,12 +41,22 @@ final class SnapshotTable(val root: String) {
   private val snapshotsDir = Paths.get(root, "snapshots")
   private val currentPtr = Paths.get(root, "CURRENT")
 
-  final case class FileEntry(path: String, partition: String, bytes: Long)
+  /** One data file in a snapshot. `minKey`/`maxKey` are the file's
+    * clustering-key bounds (conv_id — tier writes are range-partitioned
+    * and sorted on it), the Iceberg manifest column-stats analogue:
+    * per-conversation reads prune to the files whose key range covers
+    * the conversation, without opening any footer. Empty string = bounds
+    * unknown (file never pruned by key).
+    */
+  final case class FileEntry(path: String, partition: String, bytes: Long,
+      minKey: String = "", maxKey: String = "")
   final case class Manifest(
       version: Long,
       partitionCol: String,
       files: Seq[FileEntry],
-      parentVersion: Long)
+      parentVersion: Long,
+      /** Clustering-key column whose per-file bounds are tracked ("" = none). */
+      clusterKey: String = "")
 
   // --- manifest (de)serialization: tiny hand-rolled JSON, no deps ----
 
@@ -58,9 +68,9 @@ final class SnapshotTable(val root: String) {
 
   private def manifestJson(m: Manifest): String = {
     val files = m.files
-      .map(f => s"""{"path":"${esc(f.path)}","partition":"${esc(f.partition)}","bytes":${f.bytes}}""")
+      .map(f => s"""{"path":"${esc(f.path)}","partition":"${esc(f.partition)}","bytes":${f.bytes},"minKey":"${esc(f.minKey)}","maxKey":"${esc(f.maxKey)}"}""")
       .mkString("[", ",", "]")
-    s"""{"version":${m.version},"partitionCol":"${esc(m.partitionCol)}","parentVersion":${m.parentVersion},"files":$files}"""
+    s"""{"version":${m.version},"partitionCol":"${esc(m.partitionCol)}","clusterKey":"${esc(m.clusterKey)}","parentVersion":${m.parentVersion},"files":$files}"""
   }
 
   private def parseManifest(json: String): Manifest = {
@@ -71,11 +81,18 @@ final class SnapshotTable(val root: String) {
     def strField(src: String, name: String): String =
       s""""$name":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(src).map(m => unesc(m.group(1)))
         .getOrElse(throw new IllegalStateException(s"bad manifest: $name"))
-    val fileRe = """\{"path":"((?:[^"\\]|\\.)*)","partition":"((?:[^"\\]|\\.)*)","bytes":(\d+)\}""".r
+    val fileRe = ("""\{"path":"((?:[^"\\]|\\.)*)","partition":"((?:[^"\\]|\\.)*)","bytes":(\d+)""" +
+      """(?:,"minKey":"((?:[^"\\]|\\.)*)","maxKey":"((?:[^"\\]|\\.)*)")?\}""").r
     val files = fileRe.findAllMatchIn(json).map { m =>
-      FileEntry(unesc(m.group(1)), unesc(m.group(2)), m.group(3).toLong)
+      FileEntry(unesc(m.group(1)), unesc(m.group(2)), m.group(3).toLong,
+        Option(m.group(4)).map(unesc).getOrElse(""),
+        Option(m.group(5)).map(unesc).getOrElse(""))
     }.toSeq
-    Manifest(longField("version"), strField(json, "partitionCol"), files, longField("parentVersion"))
+    val clusterKey = // absent in pre-stats manifests
+      """"clusterKey":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+        .map(m => unesc(m.group(1))).getOrElse("")
+    Manifest(longField("version"), strField(json, "partitionCol"), files,
+      longField("parentVersion"), clusterKey)
   }
 
   private def unesc(s: String): String = {
@@ -129,16 +146,48 @@ final class SnapshotTable(val root: String) {
     * BEFORE any file is opened (manifest-level partition pruning — the
     * 100 TB path never lists or opens expired/foreign partitions).
     */
-  def read(spark: SparkSession, partitions: Option[Set[String]] = None): DataFrame = {
+  def read(spark: SparkSession, partitions: Option[Set[String]] = None): DataFrame =
+    readFiles(spark, planFiles(partitions))
+
+  /** Manifest-level file planning: partition pruning + clustering-key
+    * range pruning (for a point lookup `keyEquals`, keep only files
+    * whose [minKey, maxKey] covers the key — the "bucketed by conv_id"
+    * read path: tier writes range-cluster + sort on conv_id, so one
+    * conversation lives in O(1) files per day partition).
+    */
+  def planFiles(partitions: Option[Set[String]] = None,
+      keyEquals: Option[String] = None): Seq[FileEntry] = {
     currentManifest match {
-      case None => spark.emptyDataFrame
+      case None => Seq.empty
       case Some(m) =>
-        val files = partitions match {
+        val byPart = partitions match {
           case Some(ps) => m.files.filter(f => ps.contains(f.partition))
           case None => m.files
         }
-        if (files.isEmpty) spark.emptyDataFrame
-        else spark.read.parquet(files.map(_.path): _*)
+        keyEquals match {
+          case Some(k) => byPart.filter(f =>
+            f.minKey.isEmpty || f.maxKey.isEmpty ||
+              (f.minKey <= k && k <= f.maxKey))
+          case None => byPart
+        }
+    }
+  }
+
+  def readFiles(spark: SparkSession, files: Seq[FileEntry]): DataFrame =
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.map(_.path): _*)
+
+  /** Point lookup by clustering key: manifest key-range pruning BEFORE
+    * any file is opened, then the parquet-level filter.
+    */
+  def readForKey(spark: SparkSession, key: String,
+      partitions: Option[Set[String]] = None): DataFrame = {
+    val m = currentManifest
+    val keyCol = m.map(_.clusterKey).filter(_.nonEmpty)
+    val df = readFiles(spark, planFiles(partitions, keyEquals = Some(key)))
+    keyCol match {
+      case Some(c) if df.columns.contains(c) => df.filter(col(c) === key)
+      case _ => df
     }
   }
 
@@ -147,11 +196,13 @@ final class SnapshotTable(val root: String) {
 
   // --- write -----------------------------------------------------------
 
-  private def stageWrite(df: DataFrame, partitionCol: String): Seq[FileEntry] = {
+  private def stageWrite(df: DataFrame, partitionCol: String,
+      clusterKey: String = ""): Seq[FileEntry] = {
     val stage = Paths.get(root, "data", s"stage-${java.util.UUID.randomUUID()}")
     df.withColumn("_p", col(partitionCol).cast("string"))
       .write.partitionBy("_p").parquet(stage.toString)
     if (!Files.exists(stage)) return Seq.empty
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
     Files.list(stage).iterator().asScala.toSeq
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("_p="))
       .flatMap { dir =>
@@ -159,21 +210,57 @@ final class SnapshotTable(val root: String) {
           dir.getFileName.toString.stripPrefix("_p="), "UTF-8")
         Files.list(dir).iterator().asScala.toSeq
           .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(f => FileEntry(f.toString, part, Files.size(f)))
+          .map { f =>
+            val (lo, hi) =
+              if (clusterKey.isEmpty) ("", "")
+              else keyBounds(f.toString, clusterKey, conf)
+            FileEntry(f.toString, part, Files.size(f), lo, hi)
+          }
       }
+  }
+
+  /** Clustering-key bounds of one parquet file, from row-group footer
+    * statistics only (no data pages read) — the write-side cost of the
+    * manifest column-stats analogue. String/binary keys only.
+    */
+  private def keyBounds(path: String, column: String,
+      conf: org.apache.hadoop.conf.Configuration): (String, String) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      var lo: String = null
+      var hi: String = null
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .foreach { c =>
+            val s = c.getStatistics
+            if (s != null && !s.isEmpty) {
+              val mn = s.minAsString
+              val mx = s.maxAsString
+              if (lo == null || mn < lo) lo = mn
+              if (hi == null || mx > hi) hi = mx
+            }
+          }
+      }
+      (Option(lo).getOrElse(""), Option(hi).getOrElse(""))
+    } finally r.close()
   }
 
   /** Replace exactly the partitions present in `df` (dynamic partition
     * overwrite = the idempotent MERGE of rollup windows).
     */
-  def overwritePartitions(df: DataFrame, partitionCol: String): Manifest = {
-    val staged = stageWrite(df, partitionCol)
+  def overwritePartitions(df: DataFrame, partitionCol: String,
+      clusterKey: String = ""): Manifest = {
+    val staged = stageWrite(df, partitionCol, clusterKey)
     val touched = staged.map(_.partition).toSet
     val prev = currentManifest
     val kept = prev.map(_.files.filterNot(f => touched.contains(f.partition))).getOrElse(Seq.empty)
     val m = Manifest(
       prev.map(_.version + 1).getOrElse(0L), partitionCol, kept ++ staged,
-      prev.map(_.version).getOrElse(-1L))
+      prev.map(_.version).getOrElse(-1L),
+      if (clusterKey.nonEmpty) clusterKey else prev.map(_.clusterKey).getOrElse(""))
     commitManifest(m)
     m
   }
@@ -199,7 +286,8 @@ final class SnapshotTable(val root: String) {
     val m = Manifest(
       prev.map(_.version + 1).getOrElse(0L), partitionCol,
       prev.map(_.files).getOrElse(Seq.empty) ++ staged,
-      prev.map(_.version).getOrElse(-1L))
+      prev.map(_.version).getOrElse(-1L),
+      prev.map(_.clusterKey).getOrElse(""))
     commitManifest(m)
     m
   }
@@ -213,7 +301,8 @@ final class SnapshotTable(val root: String) {
       throw new IllegalStateException(s"dropPartitions on empty table $root"))
     val m = Manifest(
       prev.version + 1, prev.partitionCol,
-      prev.files.filterNot(f => partitions.contains(f.partition)), prev.version)
+      prev.files.filterNot(f => partitions.contains(f.partition)),
+      prev.version, prev.clusterKey)
     commitManifest(m)
     m
   }
@@ -230,11 +319,11 @@ final class SnapshotTable(val root: String) {
     if (frag.isEmpty) return prev
     val rewritten = frag.toSeq.flatMap { case (_, files) =>
       val df = spark.read.parquet(files.map(_.path): _*).coalesce(1)
-      stageWrite(df, prev.partitionCol)
+      stageWrite(df, prev.partitionCol, prev.clusterKey)
     }
     val m = Manifest(
       prev.version + 1, prev.partitionCol,
-      fine.values.flatten.toSeq ++ rewritten, prev.version)
+      fine.values.flatten.toSeq ++ rewritten, prev.version, prev.clusterKey)
     commitManifest(m)
     m
   }

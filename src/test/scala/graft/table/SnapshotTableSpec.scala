@@ -56,6 +56,26 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.read(spark).count() == 1)
   }
 
+  test("clustering-key bounds prune files for point lookups (bucketed-read path)") {
+    val t = new SnapshotTable(tmpDir("snap-key"))
+    // one day partition, conv-clustered into two files via range partition
+    val rows = (0 until 400).map(i => (f"conv-$i%03d", i, "d1"))
+      .toDF("conv_id", "v", "p")
+      .repartitionByRange(2, col("p"), col("conv_id"))
+      .sortWithinPartitions(col("conv_id"))
+    t.overwritePartitions(rows, "p", clusterKey = "conv_id")
+    val m = t.currentManifest.get
+    assert(m.clusterKey == "conv_id")
+    assert(m.files.size == 2 && m.files.forall(f => f.minKey.nonEmpty && f.maxKey.nonEmpty))
+    // a point lookup must plan strictly fewer files than the partition holds
+    val planned = t.planFiles(Some(Set("d1")), keyEquals = Some("conv-001"))
+    assert(planned.size == 1, s"expected 1 file, planned ${planned.size}")
+    val got = t.readForKey(spark, "conv-001").collect()
+    assert(got.length == 1 && got.head.getAs[Int]("v") == 1)
+    // keys outside every file range plan zero files
+    assert(t.planFiles(Some(Set("d1")), keyEquals = Some("zzz")).isEmpty)
+  }
+
   test("compact rewrites fragmented partitions without changing content") {
     val t = new SnapshotTable(tmpDir("snap-compact"))
     // 6 separate commits to the same partition → 6 files
