@@ -35,21 +35,23 @@ object WriteProbe {
         .sortWithinPartitions(col("conv_id"), col("window_start"))),
       "no_cluster" -> (() => tier))
 
-    for (r <- 1 to rounds; (label, mk) <- variants) {
+    val codecs: Seq[String] =
+      if (args.length > 2) args(2).split(",").toSeq else Seq("snappy")
+
+    for (r <- 1 to rounds; codec <- codecs; (label, mk) <- variants) {
+      spark.conf.set("spark.sql.parquet.compression.codec", codec)
       val out = s"/dev/shm/write-probe-$label-$r"
       val t0 = System.nanoTime()
       mk().withColumn("_p", col("p")).write.mode("overwrite")
         .partitionBy("_p").parquet(out)
       val secs = (System.nanoTime() - t0) / 1e9
-      val files = {
-        val d = new java.io.File(out)
-        def count(f: java.io.File): Int =
-          if (f.isDirectory) f.listFiles().map(count).sum
-          else if (f.getName.endsWith(".parquet")) 1 else 0
-        count(d)
-      }
-      println(f"[probe] round=$r variant=$label wall=$secs%.2fs files=$files")
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val dir = new java.io.File(out)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val parts = walk(dir).filter(_.getName.endsWith(".parquet"))
+      println(f"[probe] round=$r codec=$codec variant=$label wall=$secs%.2fs " +
+        f"files=${parts.size} mb=${parts.map(_.length).sum / 1048576.0}%.0f")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
     }
     spark.stop()
   }
