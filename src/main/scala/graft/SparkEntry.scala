@@ -117,7 +117,15 @@ object SparkEntry {
     // multimodal: video frame sampling via pure binary column algebra
     "q31_frame_sample" -> ((s, _) =>
       graft.operators.Multimodal.sampleFrames(
-        graft.operators.Multimodal.synthMedia(s, n = 2000), stride = 2))
+        graft.operators.Multimodal.synthMedia(s, n = 2000), stride = 2)),
+    // IVF ANN (k-means coarse quantizer + nprobe lists; recall<1 →
+    // rows-only check, recall bounded vs q26 in SimilaritySpec)
+    "q32_knn_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.ivfTopK(
+        emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+        k = 5, nlist = 16, nprobe = 4)
+    })
   )
 
   private val rollupSelect: String =

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,80 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) ANN — the second scale path besides LSH:
+    * `nlist` coarse centroids (k-means refined from a deterministic
+    * seeded sample), corpus vectors assigned to their nearest centroid
+    * MAP-SIDE (centroids are literal arrays inside codegen'd
+    * [[graft.functions.CosineSim]] calls — nothing broadcast, no
+    * assignment shuffle), queries probe their `nprobe` nearest lists,
+    * exact rerank of list members only. Candidates per query ≈
+    * nprobe/nlist of the corpus; recall < 1 by construction (bounded in
+    * SimilaritySpec against [[bruteForceTopK]]).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      iters: Int = 3): DataFrame = {
+    val centroids = trainCentroids(corpus, nlist, seed, iters)
+    def simArr(embCol: Column) =
+      array(centroids.map(c => VectorOps.cosineSim(embCol, typedLit(c.toSeq))): _*)
+
+    // corpus: argmax centroid, computed map-side
+    val assigned = corpus.select(
+      col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      (array_position(simArr(col("embedding")), array_max(simArr(col("embedding")))) - 1)
+        .cast("int").as("list_id"))
+
+    // queries: nprobe best centroids, also map-side
+    val probed = queries.select(
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        slice(reverse(array_sort(zip_with(
+          simArr(col("embedding")),
+          sequence(lit(0), lit(nlist - 1)),
+          (s, i) => struct(s.as("sim"), i.as("idx"))))), 1, nprobe).as("probes"))
+      .select(col("q_id"), col("q_emb"),
+        explode(col("probes.idx")).as("list_id"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    assigned.join(broadcast(probed), Seq("list_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(VectorOps.cosineSim(col("q_emb"), col("n_emb")), 6))
+      .select(col("q_id"), col("n_id"), col("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic k-means training: seeded sample for the initial
+    * centroids, `iters` Lloyd steps computed distributedly (assignment
+    * map-side; the update is a (list, dim)-keyed average — a shuffle of
+    * nlist×dims cells, independent of corpus size).
+    */
+  private[operators] def trainCentroids(corpus: DataFrame, nlist: Int,
+      seed: Long, iters: Int): Array[Array[Float]] = {
+    var cents: Array[Array[Float]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    for (_ <- 1 to iters) {
+      def simArr(embCol: Column) =
+        array(cents.map(c => VectorOps.cosineSim(embCol, typedLit(c.toSeq))): _*)
+      val cells = corpus
+        .select(col("embedding"),
+          (array_position(simArr(col("embedding")), array_max(simArr(col("embedding")))) - 1)
+            .cast("int").as("list_id"))
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("v")).as("c"))
+        .collect()
+      val next = cents.map(_.clone())
+      cells.foreach(r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+      cents = next
+    }
+    cents
   }
 
   /** All pairs above a cosine threshold within a labeled corpus —

