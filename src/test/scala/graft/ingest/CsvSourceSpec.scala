@@ -1,0 +1,100 @@
+package graft.ingest
+
+import graft.SparkTestBase
+import java.nio.file.{Files, Paths}
+
+/** Mirrors the reference's scenario fixtures
+  * (`/root/reference/tests/` scenario CSVs) retargeted to the transcript
+  * schema: standard, different_delimiter, quoted_values, the three
+  * timestamp formats, invalid_data_types, missing_values,
+  * extra_columns, missing declared column, empty_csv.
+  */
+class CsvSourceSpec extends SparkTestBase {
+
+  private def write(name: String, content: String): String = {
+    val p = Paths.get(tmpDir(name), s"$name.csv")
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("standard: header + typed parse, ISO timestamps") {
+    val path = write("std",
+      """conv_id,turn_idx,role,text,tool,ts
+        |c1,0,user,hello,,2024-03-01T10:00:00
+        |c1,1,assistant,hi there,search,2024-03-01T10:00:30
+        |c2,0,user,question,,2024-03-01T11:00:00""".stripMargin)
+    val (valid, rejects) = CsvSource.read(spark, path)
+    assert(valid.count() == 3 && rejects.count() == 0)
+    val r = valid.orderBy("conv_id", "turn_idx").collect()
+    assert(r(0).getAs[String]("conv_id") == "c1" && r(0).getAs[Int]("turn_idx") == 0)
+    assert(r(1).getAs[String]("tool") == "search")
+    assert(r(0).getAs[java.sql.Timestamp]("ts").toInstant.toString == "2024-03-01T10:00:00Z")
+  }
+
+  test("different delimiter and quoted values containing it") {
+    val path = write("delim",
+      """conv_id;turn_idx;role;text;tool;ts
+        |c1;0;user;"hello; world";;2024-03-01T10:00:00
+        |c1;1;assistant;"say ""hi"" twice";;2024-03-01T10:01:00""".stripMargin)
+    val (valid, rejects) = CsvSource.read(spark, path, CsvSource.Options(delimiter = ";"))
+    assert(valid.count() == 2 && rejects.count() == 0)
+    val texts = valid.orderBy("turn_idx").collect().map(_.getAs[String]("text"))
+    assert(texts(0) == "hello; world")
+    assert(texts(1) == "say \"hi\" twice")
+  }
+
+  test("unix timestamps are SECONDS multiplied to millis (CsvColumn.java:121)") {
+    val path = write("unix",
+      """conv_id,turn_idx,role,text,tool,ts
+        |c1,0,user,x,,1709287200""".stripMargin)
+    val (valid, _) = CsvSource.read(spark, path, CsvSource.Options(tsFormat = CsvSource.Unix))
+    assert(valid.head().getAs[java.sql.Timestamp]("ts").getTime == 1709287200000L)
+  }
+
+  test("custom timestamp pattern, pinned UTC") {
+    val path = write("custom",
+      """conv_id,turn_idx,role,text,tool,ts
+        |c1,0,user,x,,01/03/2024 10:00""".stripMargin)
+    val (valid, _) = CsvSource.read(spark, path,
+      CsvSource.Options(tsFormat = CsvSource.Custom("dd/MM/yyyy HH:mm")))
+    assert(valid.head().getAs[java.sql.Timestamp]("ts").toInstant.toString == "2024-03-01T10:00:00Z")
+  }
+
+  test("invalid values reject the ROW, never the batch (CSVReader.java:199-204)") {
+    val path = write("badvals",
+      """conv_id,turn_idx,role,text,tool,ts
+        |c1,0,user,good,,2024-03-01T10:00:00
+        |c1,not_a_number,user,bad idx,,2024-03-01T10:01:00
+        |c1,2,user,bad ts,,invalid_timestamp
+        |,3,user,null conv,,2024-03-01T10:03:00""".stripMargin)
+    val (valid, rejects) = CsvSource.read(spark, path)
+    assert(valid.count() == 1)
+    val why = rejects.collect().map(_.getAs[String]("reject_reason")).sorted
+    assert(why.toSeq == Seq("bad ts", "bad turn_idx", "null conv_id"))
+  }
+
+  test("missing optional values tolerated; extra undeclared columns ignored") {
+    val path = write("extra",
+      """conv_id,turn_idx,role,text,tool,ts,undeclared1,undeclared2
+        |c1,0,user,,,2024-03-01T10:00:00,junk,morejunk""".stripMargin)
+    val (valid, rejects) = CsvSource.read(spark, path)
+    assert(valid.count() == 1 && rejects.count() == 0)
+    val r = valid.head()
+    assert(r.getAs[String]("text") == null && r.getAs[String]("tool") == null)
+    assert(!valid.columns.contains("undeclared1"))
+  }
+
+  test("missing declared column fails fast (ConfigValidator-style)") {
+    val path = write("missingcol",
+      """conv_id,turn_idx,role,text,ts
+        |c1,0,user,x,2024-03-01T10:00:00""".stripMargin)
+    val e = intercept[IllegalArgumentException](CsvSource.read(spark, path))
+    assert(e.getMessage.contains("tool"))
+  }
+
+  test("empty csv (header only) yields zero rows on both sides") {
+    val path = write("empty", "conv_id,turn_idx,role,text,tool,ts\n")
+    val (valid, rejects) = CsvSource.read(spark, path)
+    assert(valid.count() == 0 && rejects.count() == 0)
+  }
+}
