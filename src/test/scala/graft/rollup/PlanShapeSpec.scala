@@ -1,0 +1,67 @@
+package graft.rollup
+
+import graft.SparkTestBase
+import graft.ingest.Synth
+import graft.model.Tier
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: the scale properties BENCH/BASELINE.md
+  * documents are asserted here so a refactor can't silently reintroduce a
+  * shuffle, lose a pushdown, or widen a scan.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val turns = Synth.transcripts(spark, 16, 30, seed = 5L).toDF()
+
+  test("rollup raw->1m is a single-exchange aggregation with partial agg") {
+    val p = plan(Rollup.fromRaw(turns, Tier.M1))
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected 1 Exchange:\n$p")
+    // map-side combine before the shuffle (partial_*), final after.
+    // The agg is SortAggregate, not Hash: min_by/max_by over string
+    // columns have no fixed-size mutable buffer — a known, accepted
+    // cost of carrying first/last text (BENCH numbers include it).
+    assert(p.contains("partial_count"), s"expected partial aggregation:\n$p")
+  }
+
+  test("cascade 1m->1h adds exactly one more exchange, never re-reads raw") {
+    val m1 = Rollup.fromRaw(turns, Tier.M1)
+    val p = plan(Rollup.cascade(m1, Tier.H1))
+    assert("Exchange".r.findAllIn(p).size == 2, s"expected 2 Exchanges:\n$p")
+  }
+
+  test("replay semi-join broadcasts the failed-key side (op #8)") {
+    val failed = turns.filter(expr("turn_idx % 7 = 1")).select("conv_id", "turn_idx")
+    val p = plan(graft.operators.RefOps.replaySemiJoin(turns, failed))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast left-semi join:\n$p")
+  }
+
+  test("knn query-side filter reaches the parquet scan as a pushed filter") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = graft.operators.Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 10), k = 3)
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"),
+      s"expected vec_id pushdown:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "expected the small query side broadcast")
+  }
+
+  test("planning-style aggregation prunes the text column from the scan") {
+    val dir = tmpDir("planshape-in")
+    turns.write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    val planning = scan
+      .groupBy((col("ts").isNotNull && col("conv_id").isNotNull).as("ok"),
+        date_format(col("ts"), "yyyy-MM-dd").as("p"))
+      .agg(count(lit(1)), max(unix_micros(col("ts"))))
+    val p = plan(planning)
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("text"), s"text must be pruned:\n$readSchema")
+    assert(readSchema.contains("conv_id") && readSchema.contains("ts"))
+  }
+}
