@@ -41,7 +41,12 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("knn query-side filter reaches the parquet scan as a pushed filter") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // private copy: another suite caches the shared path in this session,
+    // which would swap the scan for InMemoryTableScan and hide pushdown
+    val dir = tmpDir("planshape-emb")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val emb = spark.read.parquet(dir)
     val q = graft.operators.Similarity.bruteForceTopK(
       emb, emb.filter(col("vec_id") < 10), k = 3)
     val p = plan(q)
