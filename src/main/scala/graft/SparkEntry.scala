@@ -110,10 +110,14 @@ object SparkEntry {
     }),
     // multimodal: batched per-partition feature extraction over binary
     // media columns (decode step is a documented deterministic stub —
-    // no image/audio codecs in this container; plumbing is real)
+    // no image/audio codecs in this container; plumbing is real). The
+    // driver row drops the raw array<float> column: its harness sorts
+    // every output column and arrays are unsortable pandas-side — the
+    // scalar norm + md5 digest columns verify the same bytes.
     "q30_media_features" -> ((s, _) =>
       graft.operators.Multimodal.extractFeatures(
-        graft.operators.Multimodal.synthMedia(s, n = 2000), dims = 32)),
+        graft.operators.Multimodal.synthMedia(s, n = 2000), dims = 32)
+        .drop("feature")),
     // multimodal: video frame sampling via pure binary column algebra
     "q31_frame_sample" -> ((s, _) =>
       graft.operators.Multimodal.sampleFrames(

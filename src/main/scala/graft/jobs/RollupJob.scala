@@ -76,7 +76,7 @@ final class RollupJob(
     // parquet scan instead — 3-17s per pass. See BENCH/BASELINE.md.
     val validated = Transcripts.validate(input)
     val (valid, rejects) = Transcripts.splitValid(validated)
-    try {
+    locally {
       // ONE planning pass over the input: reject count, day partitions,
       // and per-day max ts (watermark = global max) in a single scan —
       // separate rejects.count()/distinct()/max() scans each cost a
@@ -208,7 +208,7 @@ final class RollupJob(
         }
       }
       results.toSeq
-    } finally valid.unpersist()
+    }
   }
 
   /** Reference retry policy: `min(base·2^attempt, cap)` backoff

@@ -69,15 +69,35 @@ object Multimodal {
     * `mapInPandas` — each partition is processed as one streaming batch
     * (constant memory, no per-row closure dispatch), output is a typed
     * (asset_id, feature: array<float>) frame ready for
-    * [[Similarity.lshTopK]].
+    * [[Similarity.lshTopK]], plus scalar verification companions
+    * computed in the same pass: `feature_norm` (L2 norm, double) and
+    * `feature_md5` (hex digest of the big-endian-packed float bytes) —
+    * sortable/hashable columns for harnesses that cannot order an
+    * array column.
     */
   def extractFeatures(media: DataFrame, dims: Int = 32): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
-      StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+      StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("feature_norm", DoubleType, nullable = false),
+      StructField("feature_md5", StringType, nullable = false)))
     val rdd = media.select(col("asset_id"), col("media")).rdd.mapPartitions { it =>
-      it.map { r => Row(r.getLong(0), decodeStub(r.getAs[Array[Byte]](1), dims).toSeq) }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val f = decodeStub(r.getAs[Array[Byte]](1), dims)
+        var norm = 0.0
+        val packed = java.nio.ByteBuffer.allocate(4 * f.length)
+        var i = 0
+        while (i < f.length) {
+          norm += f(i).toDouble * f(i).toDouble
+          packed.putFloat(f(i))
+          i += 1
+        }
+        md.reset()
+        val hex = md.digest(packed.array()).map(b => f"$b%02x").mkString
+        Row(r.getLong(0), f.toSeq, math.sqrt(norm), hex)
+      }
     }
     spark.createDataFrame(rdd, outSchema)
   }

@@ -17,10 +17,18 @@ class MultimodalSpec extends SparkTestBase {
 
   test("feature extraction yields fixed-dim float vectors per asset") {
     val feats = Multimodal.extractFeatures(media, dims = 32)
-    assert(feats.schema.fieldNames.toSeq == Seq("asset_id", "feature"))
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("asset_id", "feature", "feature_norm", "feature_md5"))
     val rows = feats.collect()
     assert(rows.length == 60)
     assert(rows.forall(_.getSeq[Float](1).length == 32))
+    // scalar companions agree with the array they digest
+    rows.foreach { r =>
+      val f = r.getSeq[Float](1)
+      val norm = math.sqrt(f.map(x => x.toDouble * x.toDouble).sum)
+      assert(math.abs(r.getDouble(2) - norm) < 1e-9)
+      assert(r.getString(3).matches("[0-9a-f]{32}"))
+    }
     // plumbing composes with the ANN operator
     val asEmb = feats.select(col("asset_id").as("vec_id"), col("feature").as("embedding"))
     val knn = Similarity.bruteForceTopK(asEmb, asEmb.limit(2), 3)
