@@ -19,27 +19,46 @@ object OracleSqlGen {
       |    END AS sh
       |  FROM documents)""".stripMargin
 
-  def minhashLsh(k: Int, bands: Int, threshold: Double): String = {
+  def minhashLsh(k: Int, bands: Int, threshold: Double, maxBucket: Int = 64): String = {
     val rowsPerBand = k / bands
-    val sigCols = (0 until k).map(i =>
-      s"list_min(list_transform(sh, s -> substr(md5('$i:' || s), 1, 16))) AS mh$i")
-      .mkString(",\n    ")
+    val P = graft.functions.TextFunctions.minhashP
+    val sigCols = (0 until k).map { i =>
+      val (a, b) = graft.functions.TextFunctions.minhashCoeffs(i)
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $P)) AS mh$i"
+    }.mkString(",\n    ")
     val bandSelects = (0 until bands).map { b =>
       val key = (0 until rowsPerBand)
-        .map(r => s"mh${b * rowsPerBand + r}").mkString(" || '|' || ")
+        .map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
+    // hs/sig mirror Dedup.minhashSignatures (one md5 per shingle,
+    // universal-hash derives); stats/cand mirror Dedup.pairsFromBuckets:
+    // pairwise inside buckets of size <= maxBucket, star pairing beyond
     s"""WITH $shingleCte,
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hs
+       |  FROM sh),
        |sig AS (
        |  SELECT doc_id,
        |    $sigCols
-       |  FROM sh),
+       |  FROM hs),
        |band AS (
        |  $bandSelects),
+       |stats AS (
+       |  SELECT band, key, COUNT(*) AS n, MIN(doc_id) AS rep
+       |  FROM band GROUP BY 1, 2 HAVING COUNT(*) > 1),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
-       |    AND a.doc_id < b.doc_id),
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM band a
+       |    JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |    JOIN stats s ON s.band = a.band AND s.key = a.key
+       |    WHERE s.n <= $maxBucket
+       |    UNION ALL
+       |    SELECT s.rep AS doc_a, x.doc_id AS doc_b
+       |    FROM band x JOIN stats s ON s.band = x.band AND s.key = x.key
+       |    WHERE s.n > $maxBucket AND x.doc_id != s.rep)),
        |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh)
        |SELECT doc_a, doc_b,
        |  ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
@@ -73,20 +92,34 @@ object OracleSqlGen {
   def simhash(bits: Int): String =
     s"WITH ${simhashSigCte(bits)}\nSELECT doc_id, simhash FROM s"
 
-  def simhashPairs(bits: Int, maxDist: Int): String = {
+  def simhashPairs(bits: Int, maxDist: Int, maxBucket: Int = 64): String = {
     val chunks = 4
     val w = bits / chunks
     val mask = (1L << w) - 1
+    // stats/pairing mirror Dedup.pairsFromBuckets (hot-bucket star guard)
     s"""WITH ${simhashSigCte(bits)},
        |b AS (
        |  SELECT doc_id, simhash, c.c AS band,
        |         (simhash >> (c.c * $w)) & $mask AS key
-       |  FROM s, (SELECT UNNEST(range(0, $chunks)) AS c) c)
-       |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-       |       bit_count(xor(a.simhash, b2.simhash)) AS hamming
-       |FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key
-       |  AND a.doc_id < b2.doc_id
-       |WHERE bit_count(xor(a.simhash, b2.simhash)) <= $maxDist""".stripMargin
+       |  FROM s, (SELECT UNNEST(range(0, $chunks)) AS c) c),
+       |stats AS (
+       |  SELECT band, key, COUNT(*) AS n, MIN(doc_id) AS rep,
+       |         ARG_MIN(simhash, doc_id) AS rep_sig
+       |  FROM b GROUP BY 1, 2 HAVING COUNT(*) > 1),
+       |p AS (
+       |  SELECT DISTINCT doc_a, doc_b, hamming FROM (
+       |    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |           bit_count(xor(a.simhash, b2.simhash)) AS hamming
+       |    FROM b a
+       |    JOIN b b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+       |    JOIN stats s ON s.band = a.band AND s.key = a.key
+       |    WHERE s.n <= $maxBucket
+       |    UNION ALL
+       |    SELECT s.rep AS doc_a, x.doc_id AS doc_b,
+       |           bit_count(xor(s.rep_sig, x.simhash)) AS hamming
+       |    FROM b x JOIN stats s ON s.band = x.band AND s.key = x.key
+       |    WHERE s.n > $maxBucket AND x.doc_id != s.rep))
+       |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= $maxDist""".stripMargin
   }
 
   def knnBruteForce(maxQueryId: Int, k: Int): String =

@@ -129,7 +129,14 @@ object SparkEntry {
       graft.operators.Similarity.ivfTopK(
         emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
         k = 5, nlist = 16, nprobe = 4)
-    })
+    }),
+    // broadcast-free LSH near-dup pairs — the scale path for q28
+    // (recall<1 → rows-only; recall vs q28 bounded in SimilaritySpec,
+    // no-broadcast plan shape pinned in PlanShapeSpec)
+    // bits=4: tuned to the low 0.35 threshold (see lshPairsAbove doc)
+    "q33_cosine_pairs_lsh" -> ((s, dir) =>
+      graft.operators.Similarity.lshPairsAbove(
+        s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.35, bits = 4))
   )
 
   private val rollupSelect: String =

@@ -79,12 +79,39 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(3)))))
   }
 
-  /** MinHash element for seed i: the minimum of md5(i:shingle) hex
-    * prefixes — min over lexicographic HEX STRINGS, which every engine
-    * orders identically (the cross-engine-stable trick standing in for
-    * k independent integer hash functions).
+  /** MinHash via ONE base hash per shingle + k universal-hash derives.
+    * The naive form (k independent md5(i:shingle) calls) costs k md5
+    * passes over every shingle — measured as most of the LSH pipeline's
+    * time. Instead each shingle is hashed once (md5 prefix → 28-bit
+    * int), and the k functions are `(a_i·h + b_i) mod P` with P prime
+    * < 2^29: products stay < 2^57, so 64-bit engines (Spark long,
+    * DuckDB BIGINT — which ERRORS on overflow rather than wrapping)
+    * compute bit-identical values, keeping the oracle mirror exact.
     */
-  def minhashHex(shingleCol: Column, seedIdx: Int): Column =
-    array_min(transform(shingleCol,
-      s => substring(md5(concat(lit(s"$seedIdx:"), s)), 1, 16)))
+  val minhashP = 536870909L // largest prime < 2^29
+
+  /** Deterministic (a, b) coefficients for minhash function i —
+    * splitmix64-derived, inlined as literals on BOTH engines.
+    */
+  def minhashCoeffs(i: Int): (Long, Long) = {
+    def mix(k: Long): Long = {
+      var z = k + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = java.lang.Long.remainderUnsigned(mix(2L * i + 1), minhashP - 1) + 1
+    val b = java.lang.Long.remainderUnsigned(mix(2L * i + 2), minhashP)
+    (a, b)
+  }
+
+  /** Base 28-bit hash per shingle: md5 7-hex-char prefix as int. */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => conv(substring(md5(s), 1, 7), 16, 10).cast("long"))
+
+  /** MinHash element i over pre-hashed shingles. */
+  def minhashUniversal(hashesCol: Column, i: Int): Column = {
+    val (a, b) = minhashCoeffs(i)
+    array_min(transform(hashesCol, h => (h * a + b) % minhashP))
+  }
 }

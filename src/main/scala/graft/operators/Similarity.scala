@@ -146,8 +146,11 @@ object Similarity {
   }
 
   /** All pairs above a cosine threshold within a labeled corpus —
-    * embedding near-dup dedup (brute force baseline; LSH variant =
-    * [[lshTopK]] with the corpus as its own query set).
+    * embedding near-dup dedup. BRUTE-FORCE BASELINE ONLY (the join is a
+    * BroadcastNestedLoopJoin — O(n²) work and a broadcast of one full
+    * side): correct at any scale where n² compute is affordable, used
+    * as the oracle-checkable reference. The 100 TB path is
+    * [[lshPairsAbove]], which never broadcasts.
     */
   def cosinePairsAbove(corpus: DataFrame, threshold: Double): DataFrame = {
     val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
@@ -156,5 +159,37 @@ object Similarity {
       .withColumn("sim", round(VectorOps.cosineSim(col("emb_a"), col("emb_b")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Broadcast-free embedding near-dup pairs — the scale sibling of
+    * [[cosinePairsAbove]]: `tables` hyperplane-signature tables bucket
+    * the corpus map-side, candidates come from a SELF-JOIN of the
+    * bucketed corpus on its bucket key (shuffle-shuffle — nothing is
+    * ever broadcast, so the corpus can be arbitrarily large), then the
+    * deduped candidates are exact-reranked with the native cosine.
+    * Recall < 1 by construction (union over tables amplifies it;
+    * bounded vs [[cosinePairsAbove]] in SimilaritySpec). Tune `bits`
+    * jointly with the threshold: per-table hit prob is p^bits with
+    * p = 1 - acos(sim)/π, so LOW thresholds need FEW bits (θ=0.35 →
+    * p≈0.62 → bits=4 keeps union-recall ~0.7) while high-sim near-dup
+    * hunting at corpus scale wants bits 16-20 (p≈0.86 at sim 0.9 keeps
+    * recall while buckets shrink to corpus/2^bits). Hot buckets
+    * (boilerplate/zero vectors) fall back to star pairing against the
+    * bucket's min id via [[Dedup.pairsFromBuckets]] — linear, keeps
+    * dedup connectivity.
+    */
+  def lshPairsAbove(corpus: DataFrame, threshold: Double, bits: Int = 8,
+      tables: Int = 8, seed: Long = 42L, maxBucket: Int = 1024): DataFrame = {
+    val banded = corpus.select(
+      col("vec_id").as("doc_id"), col("embedding"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          VectorOps.lshSig(col("embedding"), bits, seed + t * 0x51_7c_c1_b7L).as("sig"))): _*))
+        .as("bk"))
+    Dedup.pairsFromBuckets(banded, maxBucket, extra = Seq("embedding"))
+      .withColumn("sim",
+        round(VectorOps.cosineSim(col("embedding_a"), col("embedding_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("sim"))
   }
 }

@@ -24,7 +24,10 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
-    val pairs = Dedup.minhashLsh(docs, k = 16, bands = 4, threshold = 0.5)
+    // bands=8 (2 rows/band): the near-dup pair's jaccard is ~0.57, so
+    // per-band hit prob is 0.57² and union over 8 bands ≈ 0.96 — robust
+    // to the (deterministic) hash family, unlike 4-row bands (~0.36)
+    val pairs = Dedup.minhashLsh(docs, k = 16, bands = 8, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(pairs.contains((0L, 1L)), "exact dup must be found")
     assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), "near dup must be found")
@@ -51,6 +54,59 @@ class DedupSpec extends SparkTestBase {
     val fp2 = TextAnalysis.fingerprints(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
     assert(fp == fp2)
+  }
+
+  test("native minhash == built-in-composed minhash (oracle-parity proof)") {
+    // the DuckDB oracle mirrors the BUILT-IN form (md5-substr-conv +
+    // per-i transform); the native fused expressions must be bit-equal
+    import graft.functions.{TextFunctions, TextOps}
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .union(Seq((9001L, ""), (9002L, "one"), (9003L, "two words"),
+        (9004L, "a  b   c"), (9005L, " leading and trailing "))
+        .toDF("doc_id", "text"))
+    val nat = real.select(col("doc_id"), TextOps.shingleHashes3(col("text")).as("hs"),
+      TextOps.minhash(TextOps.shingleHashes3(col("text")), 16).as("sig"))
+    val ref = real.select(col("doc_id"),
+      TextFunctions.shingleHashes(TextFunctions.shingles3(col("text"))).as("hs"),
+      array((0 until 16).map(i => TextFunctions.minhashUniversal(
+        TextFunctions.shingleHashes(TextFunctions.shingles3(col("text"))), i)): _*).as("sig"))
+    val joined = nat.alias("n").join(ref.alias("r"), "doc_id")
+      .filter(col("n.hs") =!= col("r.hs") || col("n.sig") =!= col("r.sig"))
+    assert(joined.count() == 0, s"native/built-in minhash divergence:\n${joined.head(3).mkString("\n")}")
+  }
+
+  test("hot-bucket guard: 1000 identical docs yield linear star pairs, not n²") {
+    val many = spark.range(1000).select(
+      col("id").as("doc_id"),
+      lit("the same boilerplate text repeated across every document here").as("text"))
+    // every band bucket has 1000 members (> maxBucket=64) → star pairing
+    val lsh = Dedup.minhashLsh(many, k = 16, bands = 4, threshold = 0.5).collect()
+    assert(lsh.length == 999, s"expected 999 star pairs, got ${lsh.length}")
+    assert(lsh.forall(r => r.getAs[Long]("doc_a") == 0L && r.getAs[Double]("jaccard") == 1.0))
+    val sp = Dedup.simhashPairs(Dedup.simhash(many)).collect()
+    assert(sp.length == 999, s"expected 999 star pairs, got ${sp.length}")
+    assert(sp.forall(r =>
+      r.getAs[Long]("doc_a") == 0L && r.getAs[Number]("hamming").longValue == 0L))
+  }
+
+  test("hot-bucket guard: 1000 empty docs complete with bounded output") {
+    val empty = spark.range(1000).select(col("id").as("doc_id"), lit("").as("text"))
+    assert(Dedup.minhashLsh(empty, k = 16, bands = 4, threshold = 0.5).count() == 999)
+    assert(Dedup.simhashPairs(Dedup.simhash(empty)).count() == 999)
+  }
+
+  test("small buckets still pair exhaustively under the guard") {
+    // three docs share a bucket (size 3 <= 64): all 3 pairs must appear,
+    // not just the representative's 2
+    val trio = Seq(
+      (7L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (8L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (9L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(trio, k = 16, bands = 4, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == Set((7L, 8L), (7L, 9L), (8L, 9L)), s"got $pairs")
   }
 
   test("language id separates real multilingual samples") {

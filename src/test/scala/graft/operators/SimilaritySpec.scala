@@ -62,4 +62,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
     assert(pairs.forall(_.getAs[Double]("sim") >= 0.5))
   }
+
+  test("LSH pairs: subset of exact pairs, usable recall, no broadcast") {
+    val exact = Similarity.cosinePairsAbove(emb, 0.35).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = Similarity.lshPairsAbove(emb, 0.35, bits = 4, tables = 8)
+    val approx = lsh.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // every reported pair is exact-reranked, so approx ⊆ exact
+    assert((approx -- exact).isEmpty, s"false positives: ${approx -- exact}")
+    val recall = (exact intersect approx).size.toDouble / math.max(1, exact.size)
+    assert(recall >= 0.5, s"LSH pair recall too low: $recall (${exact.size} exact)")
+    // the scale contract: nothing in the plan broadcasts the corpus
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"lshPairsAbove must not BNLJ:\n$plan")
+  }
 }

@@ -56,6 +56,13 @@ class PlanShapeSpec extends SparkTestBase {
       "expected the small query side broadcast")
   }
 
+  test("lshPairsAbove never broadcast-nested-loop-joins (q33 scale contract)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(graft.operators.Similarity.lshPairsAbove(emb, 0.35))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"lshPairsAbove must stay shuffle-shuffle:\n$p")
+  }
+
   test("planning-style aggregation prunes the text column from the scan") {
     val dir = tmpDir("planshape-in")
     turns.write.mode("overwrite").parquet(dir)
