@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -82,6 +82,50 @@ object VectorOps {
     ((z >>> 11).toDouble + 0.5) / 9007199254740992.0
   }
 
+  /** Cosine of a Catalyst float array against a JVM float array —
+    * identical accumulation order to [[cosine]], so values are
+    * bit-equal to CosineSim against a literal array.
+    */
+  def cosineVsRow(a: ArrayData, c: Array[Float]): Double = {
+    val n = math.min(a.numElements(), c.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = c(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Cosine sims of a vector against every centroid row (one pass). */
+  def centroidSims(v: ArrayData, cents: Array[Array[Float]]): ArrayData = {
+    val out = new Array[Double](cents.length)
+    var i = 0
+    while (i < cents.length) { out(i) = cosineVsRow(v, cents(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Nearest-centroid index (max cosine, first index wins ties — the
+    * same tie-break as `array_position(sims, array_max(sims)) - 1`).
+    */
+  def centroidArgmax(v: ArrayData, cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val s = cosineVsRow(v, cents(i))
+      if (s > bestSim) { bestSim = s; best = i }
+      i += 1
+    }
+    best
+  }
+
   // --- Column API -----------------------------------------------------
 
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
@@ -91,6 +135,12 @@ object VectorOps {
 
   def lshSig(v: Column, bits: Int, seed: Long): Column =
     column(HyperplaneSig(expression(v), bits, seed))
+
+  def centroidSimsCol(v: Column, cents: Array[Array[Float]]): Column =
+    column(CentroidSims(expression(v), cents))
+
+  def centroidArgmaxCol(v: Column, cents: Array[Array[Float]]): Column =
+    column(CentroidArgmax(expression(v), cents))
 }
 
 /** Native Catalyst expression: cosine similarity of two float arrays.
@@ -133,5 +183,54 @@ case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
     defineCodeGen(ctx, ev,
       v => s"graft.functions.VectorOps.hyperplaneSig($v, $bits, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** Native expression: cosine sims of a float vector against a centroid
+  * MATRIX carried as a codegen reference object — generated code is
+  * O(1) in nlist×dims (the literal-array formulation inlined nlist·dims
+  * constants per call and broke past JVM codegen limits at realistic
+  * nlist).
+  */
+case class CentroidSims(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"centroid_sims expects array<float>, got $other")
+  }
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.centroidSims(v.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", centroids, "float[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorOps.centroidSims($v, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CentroidSims =
+    copy(child = newChild)
+}
+
+/** Native expression: nearest-centroid index in one pass (the
+  * array_position(array_max) formulation evaluated the sims array
+  * twice per row).
+  */
+case class CentroidArgmax(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"centroid_argmax expects array<float>, got $other")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.centroidArgmax(v.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", centroids, "float[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorOps.centroidArgmax($v, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CentroidArgmax =
     copy(child = newChild)
 }

@@ -37,6 +37,18 @@ object CsvSource {
       quote: String = "\"",
       tsFormat: TsFormat = Iso)
 
+  /** ISO acceptance pinned to `DateTimeFormatter.ISO_DATE_TIME` shapes
+    * (`CsvColumn.java:123-126`): date + 'T' + at least HH:mm, optional
+    * seconds/fraction, optional Z or ±HH:MM offset. Spark's bare
+    * `try_to_timestamp` is laxer (accepts date-only and space-separated
+    * forms the reference REJECTS as rows), which would diverge the
+    * valid/reject split on malformed feeds; this guard restores the
+    * reference's row-reject contract. Known remaining deviation: zone-
+    * region suffixes like `[Europe/Paris]` are not accepted.
+    */
+  private[ingest] val isoDateTimeRe =
+    """^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}(:\d{2}(\.\d{1,9})?)?(Z|[+-]\d{2}:\d{2})?$"""
+
   private val declared = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
   /** Read transcript CSVs → (valid typed turns, rejected raw rows).
@@ -64,11 +76,7 @@ object CsvSource {
     // projection by name — undeclared extras dropped here
     val projected = raw.select(declared.map(col): _*)
 
-    val tsParsed = opts.tsFormat match {
-      case Unix => timestamp_millis(expr("try_cast(ts AS long)") * 1000)
-      case Iso => try_to_timestamp(col("ts"))
-      case Custom(p) => try_to_timestamp(col("ts"), lit(p))
-    }
+    val tsParsed = tsParse("ts", opts.tsFormat)
     val typed = projected
       .withColumn("_turn_idx", expr("try_cast(turn_idx AS int)"))
       .withColumn("_ts", tsParsed)
@@ -88,6 +96,79 @@ object CsvSource {
           .when(col("_turn_idx").isNull, "bad turn_idx")
           .otherwise("bad ts").as("reject_reason"): _*)
 
+    (valid, rejects)
+  }
+
+  private def tsParse(name: String, fmt: TsFormat) = fmt match {
+    case Unix => timestamp_millis(expr(s"try_cast(`$name` AS long)") * 1000)
+    case Iso => when(col(name).rlike(isoDateTimeRe), try_to_timestamp(col(name)))
+      .otherwise(lit(null).cast("timestamp"))
+    case Custom(p) => try_to_timestamp(col(name), lit(p))
+  }
+
+  /** Config-declared read: the generalized form of [[read]], driven by a
+    * validated [[ConfigModel.CsvSetting]] instead of the fixed transcript
+    * schema — the reference's column-binding + typed-parse contract for
+    * ARBITRARY declared columns (`CSVReader.java:245-249` header
+    * binding, `CsvColumn.java:75-142` typed parse, `Converter.java`
+    * null-on-error):
+    *
+    *  - header-name binding: undeclared extras ignored; a missing
+    *    declared column fails fast;
+    *  - output columns are named by joinKey (the projection+rename of
+    *    op #11), the parsed timestamp lands in `timestamp`;
+    *  - a non-null raw value that fails its typed parse (or a null /
+    *    unparseable timestamp) rejects the ROW to the second frame,
+    *    never the batch (`CSVReader.java:199-204`); null inputs stay
+    *    null (missing_values fixture).
+    */
+  def readDeclared(spark: SparkSession, setting: ConfigModel.CsvSetting): (DataFrame, DataFrame) = {
+    import ConfigModel._
+    val tsCol = setting.timestampColumn.getOrElse(
+      throw new IllegalArgumentException("setting has no timestamp column"))
+    val raw = spark.read
+      .option("header", "true")
+      .option("sep", setting.delimiter)
+      .option("quote", setting.quote)
+      .option("escape", setting.quote)
+      .option("inferSchema", "false")
+      .csv(setting.filePaths: _*)
+
+    val declaredCols = tsCol.name +: setting.columns.map(_.name)
+    val missing = declaredCols.filterNot(raw.columns.contains)
+    require(missing.isEmpty,
+      s"csv missing declared columns: ${missing.mkString(", ")} " +
+        s"(found: ${raw.columns.mkString(", ")})")
+
+    def typedExpr(c: CsvColumn) = c.tpe match {
+      case CString => col(c.name)
+      case CDouble => expr(s"try_cast(`${c.name}` AS double)")
+      case CFloat => expr(s"try_cast(`${c.name}` AS float)")
+      case CInteger => expr(s"try_cast(`${c.name}` AS int)")
+      case CLong => expr(s"try_cast(`${c.name}` AS long)")
+      case CBoolean => expr(s"try_cast(`${c.name}` AS boolean)")
+      case CTime => tsParse(c.name, c.tsFormat)
+    }
+    val outName = (c: CsvColumn) => c.joinKey.getOrElse(c.name)
+
+    val typed = setting.columns.foldLeft(
+      raw.withColumn("timestamp", tsParse(tsCol.name, tsCol.tsFormat))) {
+      (df, c) => df.withColumn(s"_t_${outName(c)}", typedExpr(c))
+    }
+    // a row is rejected iff its timestamp fails, or any declared value
+    // is present (non-null raw) but unparseable (null typed)
+    val parseFailed = setting.columns
+      .filter(_.tpe != CString)
+      .map(c => col(c.name).isNotNull && col(s"_t_${outName(c)}").isNull)
+      .foldLeft(col("timestamp").isNull)(_ || _)
+
+    val outCols = col("timestamp") +:
+      setting.columns.map(c => col(s"_t_${outName(c)}").as(outName(c)))
+    val valid = typed.filter(!parseFailed).select(outCols: _*)
+    val rejects = typed.filter(parseFailed).select(
+      declaredCols.map(col) :+
+        when(col("timestamp").isNull, "bad timestamp")
+          .otherwise("bad typed value").as("reject_reason"): _*)
     (valid, rejects)
   }
 }

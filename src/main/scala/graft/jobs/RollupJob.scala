@@ -38,7 +38,15 @@ final class RollupJob(
     maxRetries: Int = 5,
     retryBaseMs: Long = 50L,
     retryCapMs: Long = 1000L,
-    sleeper: Long => Unit = Thread.sleep) {
+    sleeper: Long => Unit = Thread.sleep,
+    /** Cross-RUN retry cap (`RowProcessingDAO.java:121-135`:
+      * `status='FAILED' AND retry_count < max`): a partition whose
+      * latest lineage is FAILED with this many failed runs is excluded
+      * from planning (surfaced via WARNING log + metrics) instead of
+      * retrying forever — clear it by fixing the input and letting a
+      * run commit COMPLETED lineage, which supersedes the poison row.
+      */
+    maxCrossRunRetries: Int = 3) {
 
   val state = new StateStore(s"$warehouse/_state")
   def tierTable(t: Tier): SnapshotTable = new SnapshotTable(s"$warehouse/rollup_${t.name}")
@@ -98,6 +106,8 @@ final class RollupJob(
         state.commitLineage(Seq(state.LineageRow(
           "ingest", "rejects", "FAILED", "null ts or conv_id", 0, rejectCount,
           jobId, state.nextSeq())))
+        state.log("WARNING", "ingest",
+          s"$rejectCount rows rejected (null ts or conv_id), side-written to rejects", jobId)
       }
       val watermarkUs =
         if (okStats.isEmpty) Long.MinValue else okStats.map(_.getLong(3)).max
@@ -113,7 +123,19 @@ final class RollupJob(
           case Tier.M1 => rawParts
           case _ => finerParts
         }
-        val target = (allParts -- done).toSeq.sorted
+        // cross-run retry cap: skip partitions poisoned by repeated
+        // failed runs (latest lineage FAILED, retryCount >= cap)
+        val poisoned = state.failedRetryCounts(tier.name)
+          .filter(_._2 >= maxCrossRunRetries).keySet
+        if (poisoned.nonEmpty) {
+          state.log("WARNING", tier.name,
+            s"skipping ${poisoned.size} poisoned partition(s) after " +
+              s"$maxCrossRunRetries failed runs: ${poisoned.toSeq.sorted.mkString(",")}",
+            jobId)
+          state.commitMetrics(Seq(state.MetricsRow(
+            jobId, tier.name, 0, poisoned.size, state.nextSeq())))
+        }
+        val target = (allParts -- done -- poisoned).toSeq.sorted
         phase(s"tier ${tier.name}: ${target.size} target partitions planned")
         if (target.nonEmpty) {
           val tierDf = tier match {
@@ -143,13 +165,15 @@ final class RollupJob(
             .repartitionByRange(col("p"), col("conv_id"))
             .sortWithinPartitions(col("conv_id"), col("window_start"))
           phase(s"tier ${tier.name}: computing + staging write")
-          val rows = commitWithRetry(tier.name, jobId) {
+          val rows = commitWithRetry(tier.name, jobId, target) {
             val table = tierTable(tier)
             val manifest = table.overwritePartitions(withP, "p", clusterKey = "conv_id")
             val committed = manifest.files.filter(f => target.contains(f.partition))
             table.rowCount(spark, committed)
           }
           phase(s"tier ${tier.name}: committed $rows rows")
+          state.log("INFO", tier.name,
+            s"committed $rows rows across ${target.size} partition(s)", jobId)
           // per-partition checkpoint: closed days are COMPLETED
           val cps = target.map { p =>
             val dayEndUs = (java.time.LocalDate.parse(p).plusDays(1)
@@ -167,7 +191,9 @@ final class RollupJob(
         } else {
           results += TierResult(tier.name, Seq.empty, 0L)
         }
-        finerParts = allParts
+        // downstream tiers only see partitions that exist at this tier —
+        // a poisoned partition must not be read (empty) one level up
+        finerParts = allParts -- poisoned
         if (killAfterTier.contains(tier.name))
           throw new SimulatedKill(s"killed after tier ${tier.name}")
       }
@@ -178,7 +204,12 @@ final class RollupJob(
       // point-level answers.
       {
         val done = state.completedPartitions("blocks_1h")
-        val target = (rawParts -- done).toSeq.sorted
+        val poisoned = state.failedRetryCounts("blocks_1h")
+          .filter(_._2 >= maxCrossRunRetries).keySet
+        if (poisoned.nonEmpty)
+          state.log("WARNING", "blocks_1h",
+            s"skipping ${poisoned.size} poisoned partition(s)", jobId)
+        val target = (rawParts -- done -- poisoned).toSeq.sorted
         phase(s"tier blocks_1h: ${target.size} target partitions planned")
         if (target.nonEmpty) {
           val src =
@@ -187,7 +218,7 @@ final class RollupJob(
           val blocks = graft.rollup.BlockRollup.encode(src, Tier.H1)
             .withColumn("p", dayOf(col("window_start")))
             .repartitionByRange(col("p"), col("conv_id"))
-          val rows = commitWithRetry("blocks_1h", jobId) {
+          val rows = commitWithRetry("blocks_1h", jobId, target) {
             val table = blocksTable(Tier.H1)
             val manifest = table.overwritePartitions(blocks, "p", clusterKey = "conv_id")
             table.rowCount(spark, manifest.files.filter(f => target.contains(f.partition)))
@@ -200,6 +231,8 @@ final class RollupJob(
               if (dayEndUs <= watermarkUs) "COMPLETED" else "IN_PROGRESS",
               jobId, state.nextSeq())
           })
+          state.commitLineage(target.map(p => state.LineageRow(
+            "blocks_1h", p, "COMPLETED", "", 0, rows, jobId, state.nextSeq())))
           state.commitMetrics(Seq(state.MetricsRow(
             jobId, "blocks_1h", rows, 0, state.nextSeq())))
           results += TierResult("blocks_1h", target, rows)
@@ -213,9 +246,12 @@ final class RollupJob(
 
   /** Reference retry policy: `min(base·2^attempt, cap)` backoff
     * (`IoTDBWriter.java:272-291`); terminal failure marks lineage FAILED
-    * (`IoTDBWriter.java:249-269`) and rethrows.
+    * (`IoTDBWriter.java:249-269`) — one row PER TARGET PARTITION with
+    * the accumulated cross-run failure count (prior FAILED count + 1),
+    * feeding the resume planner's poison filter — and rethrows.
     */
-  private def commitWithRetry[A](tier: String, jobId: String)(body: => A): A = {
+  private def commitWithRetry[A](tier: String, jobId: String,
+      partitions: Seq[String])(body: => A): A = {
     var attempt = 0
     while (true) {
       try {
@@ -227,12 +263,19 @@ final class RollupJob(
           state.commitLineage(Seq(state.LineageRow(
             tier, "*", "RETRY", String.valueOf(e.getMessage), attempt + 1, 0,
             jobId, state.nextSeq())))
+          state.log("WARNING", tier,
+            s"transient commit failure (attempt ${attempt + 1}/$maxRetries): ${e.getMessage}",
+            jobId)
           sleeper(math.min(retryBaseMs * (1L << attempt), retryCapMs))
           attempt += 1
         case e: Exception =>
-          state.commitLineage(Seq(state.LineageRow(
-            tier, "*", "FAILED", String.valueOf(e.getMessage), attempt, 0,
-            jobId, state.nextSeq())))
+          val prior = state.failedRetryCounts(tier)
+          state.commitLineage(partitions.map(p => state.LineageRow(
+            tier, p, "FAILED", String.valueOf(e.getMessage),
+            prior.getOrElse(p, 0) + 1, 0, jobId, state.nextSeq())))
+          state.log("ERROR", tier,
+            s"commit failed terminally after $attempt in-process retries: ${e.getMessage}",
+            jobId)
           throw e
       }
     }

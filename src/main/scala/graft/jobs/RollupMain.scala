@@ -61,9 +61,15 @@ object RollupMain {
     if (opts.get("warmup").contains("true")) {
       val scratch = s"$warehouse.warmup"
       val tw = System.nanoTime()
-      new RollupJob(scratch).run(spark, input, s"$jobId-warmup")
-      println(f"[rollup] warmup wall=${(System.nanoTime() - tw) / 1e9}%.2fs")
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
+      // finally: a failed warmup must not leak the scratch tree; Hadoop
+      // FileSystem resolves URI/non-local warehouse paths correctly
+      try {
+        new RollupJob(scratch).run(spark, input, s"$jobId-warmup")
+        println(f"[rollup] warmup wall=${(System.nanoTime() - tw) / 1e9}%.2fs")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(scratch)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     }
 
     val job = new RollupJob(warehouse)

@@ -32,6 +32,22 @@ object RefOps {
       // DOUBLE → BOOLEAN-ish (reference allows numeric→boolean via != 0)
       (col("value") =!= 0.0).as("value_bool"))
 
+  /** [[typedCast]] + precision-loss routing into the leveled log stream
+    * (the reference computes the loss flag in `Converter.java:166-195`
+    * and logs it at WARNING via `migration_logs`; the bare operator only
+    * computed the column). One extra aggregate over the already-computed
+    * frame — off the hot path, run once per ingest batch.
+    */
+  def typedCastLogged(events: DataFrame, state: graft.state.StateStore,
+      jobId: String): DataFrame = {
+    val out = typedCast(events)
+    val lossy = out.filter(col("precision_loss")).count()
+    if (lossy > 0)
+      state.log("WARNING", "ingest",
+        s"$lossy value(s) lost precision in DOUBLE->INT narrowing", jobId)
+    out
+  }
+
   /** Op #4 — timestamp normalization, both reference formats:
     * UNIX seconds ×1000 → millis (`CsvColumn.java:121`) and ISO-8601
     * parse pinned to UTC (`CsvColumn.java:123-126`).

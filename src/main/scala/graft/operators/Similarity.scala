@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorOps
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,31 +74,31 @@ object Similarity {
   /** IVF (inverted-file) ANN — the second scale path besides LSH:
     * `nlist` coarse centroids (k-means refined from a deterministic
     * seeded sample), corpus vectors assigned to their nearest centroid
-    * MAP-SIDE (centroids are literal arrays inside codegen'd
-    * [[graft.functions.CosineSim]] calls — nothing broadcast, no
-    * assignment shuffle), queries probe their `nprobe` nearest lists,
-    * exact rerank of list members only. Candidates per query ≈
-    * nprobe/nlist of the corpus; recall < 1 by construction (bounded in
-    * SimilaritySpec against [[bruteForceTopK]]).
+    * MAP-SIDE (the centroid matrix rides inside the native
+    * [[graft.functions.CentroidArgmax]] expression as a codegen
+    * reference object — no assignment shuffle, and generated code stays
+    * O(1) in nlist×dims, so realistic nlist in the hundreds neither
+    * blows JVM method limits nor falls out of codegen), queries probe
+    * their `nprobe` nearest lists, exact rerank of list members only.
+    * Candidates per query ≈ nprobe/nlist of the corpus; recall < 1 by
+    * construction (bounded in SimilaritySpec against [[bruteForceTopK]]).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
       iters: Int = 3): DataFrame = {
     val centroids = trainCentroids(corpus, nlist, seed, iters)
-    def simArr(embCol: Column) =
-      array(centroids.map(c => VectorOps.cosineSim(embCol, typedLit(c.toSeq))): _*)
 
-    // corpus: argmax centroid, computed map-side
+    // corpus: argmax centroid in ONE pass, computed map-side
     val assigned = corpus.select(
       col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-      (array_position(simArr(col("embedding")), array_max(simArr(col("embedding")))) - 1)
-        .cast("int").as("list_id"))
+      VectorOps.centroidArgmaxCol(col("embedding"), centroids).as("list_id"))
 
-    // queries: nprobe best centroids, also map-side
+    // queries: nprobe best centroids, also map-side (sims array built
+    // by one native expression, then sorted — nlist elements per row)
     val probed = queries.select(
         col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         slice(reverse(array_sort(zip_with(
-          simArr(col("embedding")),
+          VectorOps.centroidSimsCol(col("embedding"), centroids),
           sequence(lit(0), lit(nlist - 1)),
           (s, i) => struct(s.as("sim"), i.as("idx"))))), 1, nprobe).as("probes"))
       .select(col("q_id"), col("q_emb"),
@@ -127,12 +127,9 @@ object Similarity {
       .collect()
       .map(_.getSeq[Float](1).toArray)
     for (_ <- 1 to iters) {
-      def simArr(embCol: Column) =
-        array(cents.map(c => VectorOps.cosineSim(embCol, typedLit(c.toSeq))): _*)
       val cells = corpus
         .select(col("embedding"),
-          (array_position(simArr(col("embedding")), array_max(simArr(col("embedding")))) - 1)
-            .cast("int").as("list_id"))
+          VectorOps.centroidArgmaxCol(col("embedding"), cents).as("list_id"))
         .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("list_id"), col("pos"))
         .agg(avg(col("v")).as("c"))

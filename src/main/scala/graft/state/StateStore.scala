@@ -134,4 +134,44 @@ final class StateStore(root: String) {
     readLines("metrics").map(l => MetricsRow(
       field(l, "jobId"), field(l, "tier"), numField(l, "processed"),
       numField(l, "failed"), numField(l, "seq")))
+
+  // --- leveled migration log -------------------------------------------
+
+  /** Append-only leveled job log — the reference's `migration_logs`
+    * stream (`H2DatabaseManager.java:55-62`: ts, level
+    * INFO/WARNING/ERROR, message per job). Lineage rows carry errors;
+    * this is the human-facing channel for non-fatal signals (precision
+    * loss, rejects, retries) that the reference logs at WARNING.
+    */
+  final case class LogRow(
+      tsMs: Long, level: String, tier: String, message: String,
+      jobId: String, seq: Long)
+
+  private val logLevels = Set("INFO", "WARNING", "ERROR")
+
+  def log(level: String, tier: String, message: String, jobId: String): Unit = {
+    require(logLevels.contains(level), s"bad log level: $level")
+    commitLogs(Seq(LogRow(
+      System.currentTimeMillis(), level, tier, message, jobId, nextSeq())))
+  }
+
+  def commitLogs(rows: Seq[LogRow]): Unit =
+    writeLines("logs", rows.map(r =>
+      s"""{"tsMs":${r.tsMs},"level":"${esc(r.level)}","tier":"${esc(r.tier)}","message":"${esc(r.message)}","jobId":"${esc(r.jobId)}","seq":${r.seq}}"""))
+
+  def logs: Seq[LogRow] =
+    readLines("logs").map(l => LogRow(
+      numField(l, "tsMs"), field(l, "level"), field(l, "tier"),
+      field(l, "message"), field(l, "jobId"), numField(l, "seq")))
+
+  /** Cross-run retry state: partitions of `tier` whose LATEST lineage is
+    * FAILED, with their accumulated failed-run count — the resume
+    * planner's poison filter (`RowProcessingDAO.java:121-135`:
+    * `status='FAILED' AND retry_count < max`).
+    */
+  def failedRetryCounts(tier: String): Map[String, Int] =
+    latestLineage.collect {
+      case ((t, p), r) if t == tier && r.status == "FAILED" && p != "*" =>
+        p -> r.retryCount
+    }
 }

@@ -149,6 +149,25 @@ final class SnapshotTable(val root: String) {
   def read(spark: SparkSession, partitions: Option[Set[String]] = None): DataFrame =
     readFiles(spark, planFiles(partitions))
 
+  /** Unsigned UTF-8 byte comparison — parquet footer min/max statistics
+    * for BINARY/UTF8 columns are ordered by unsigned bytes; Java String
+    * comparison (UTF-16 code units) disagrees for supplementary
+    * characters, which could wrongly prune a covering file. All key
+    * range checks go through this, matching the writer's ordering.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Manifest-level file planning: partition pruning + clustering-key
     * range pruning (for a point lookup `keyEquals`, keep only files
     * whose [minKey, maxKey] covers the key — the "bucketed by conv_id"
@@ -167,7 +186,7 @@ final class SnapshotTable(val root: String) {
         keyEquals match {
           case Some(k) => byPart.filter(f =>
             f.minKey.isEmpty || f.maxKey.isEmpty ||
-              (f.minKey <= k && k <= f.maxKey))
+              (utf8Compare(f.minKey, k) <= 0 && utf8Compare(k, f.maxKey) <= 0))
           case None => byPart
         }
     }
@@ -178,17 +197,22 @@ final class SnapshotTable(val root: String) {
     else spark.read.parquet(files.map(_.path): _*)
 
   /** Point lookup by clustering key: manifest key-range pruning BEFORE
-    * any file is opened, then the parquet-level filter.
+    * any file is opened, then the parquet-level filter. Throws when the
+    * table tracks no clustering key (or the column is missing from the
+    * data) — a silent full-table return from a point-lookup API hides
+    * the bug that matters most at scale.
     */
   def readForKey(spark: SparkSession, key: String,
       partitions: Option[Set[String]] = None): DataFrame = {
-    val m = currentManifest
-    val keyCol = m.map(_.clusterKey).filter(_.nonEmpty)
+    val keyCol = currentManifest.map(_.clusterKey).filter(_.nonEmpty).getOrElse(
+      throw new IllegalStateException(
+        s"readForKey on $root: table has no clusterKey — use read()"))
     val df = readFiles(spark, planFiles(partitions, keyEquals = Some(key)))
-    keyCol match {
-      case Some(c) if df.columns.contains(c) => df.filter(col(c) === key)
-      case _ => df
-    }
+    if (df.columns.isEmpty) df // no files matched: empty frame
+    else if (!df.columns.contains(keyCol))
+      throw new IllegalStateException(
+        s"readForKey on $root: clusterKey column '$keyCol' absent from data")
+    else df.filter(col(keyCol) === key)
   }
 
   def partitionsOf: Set[String] =
@@ -221,7 +245,10 @@ final class SnapshotTable(val root: String) {
 
   /** Clustering-key bounds of one parquet file, from row-group footer
     * statistics only (no data pages read) — the write-side cost of the
-    * manifest column-stats analogue. String/binary keys only.
+    * manifest column-stats analogue. BINARY (string) keys only: footer
+    * stats are ordered by unsigned UTF-8 bytes, and a numeric key's
+    * minAsString would prune lexicographically ('10' < '9'), so any
+    * non-BINARY physical type yields empty bounds (file never pruned).
     */
   private def keyBounds(path: String, column: String,
       conf: org.apache.hadoop.conf.Configuration): (String, String) = {
@@ -231,20 +258,27 @@ final class SnapshotTable(val root: String) {
     try {
       var lo: String = null
       var hi: String = null
+      var nonBinary = false
       r.getFooter.getBlocks.asScala.foreach { b =>
         b.getColumns.asScala
           .find(_.getPath.toDotString == column)
           .foreach { c =>
-            val s = c.getStatistics
-            if (s != null && !s.isEmpty) {
-              val mn = s.minAsString
-              val mx = s.maxAsString
-              if (lo == null || mn < lo) lo = mn
-              if (hi == null || mx > hi) hi = mx
+            if (c.getPrimitiveType.getPrimitiveTypeName !=
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY) {
+              nonBinary = true
+            } else {
+              val s = c.getStatistics
+              if (s != null && !s.isEmpty) {
+                val mn = s.minAsString
+                val mx = s.maxAsString
+                if (lo == null || utf8Compare(mn, lo) < 0) lo = mn
+                if (hi == null || utf8Compare(mx, hi) > 0) hi = mx
+              }
             }
           }
       }
-      (Option(lo).getOrElse(""), Option(hi).getOrElse(""))
+      if (nonBinary) ("", "")
+      else (Option(lo).getOrElse(""), Option(hi).getOrElse(""))
     } finally r.close()
   }
 

@@ -73,6 +73,28 @@ class CsvSourceSpec extends SparkTestBase {
     assert(why.toSeq == Seq("bad ts", "bad turn_idx", "null conv_id"))
   }
 
+  test("ISO acceptance is pinned to ISO_DATE_TIME shapes (CsvColumn.java:123-126)") {
+    // date-only and space-separated forms parse under Spark's bare
+    // try_to_timestamp but are REJECTED rows in the reference — the
+    // valid/reject split must match the reference contract
+    val path = write("isopin",
+      """conv_id,turn_idx,role,text,tool,ts
+        |c1,0,user,t-form,,2024-03-01T10:00:00
+        |c1,1,user,fraction,,2024-03-01T10:00:00.123
+        |c1,2,user,offset,,2024-03-01T10:00:00+01:00
+        |c1,3,user,zulu,,2024-03-01T10:00:00Z
+        |c1,4,user,minutes-only,,2024-03-01T10:00
+        |c1,5,user,date-only,,2024-03-01
+        |c1,6,user,space-form,,2024-03-01 10:00:00""".stripMargin)
+    val (valid, rejects) = CsvSource.read(spark, path)
+    assert(valid.count() == 5, s"want 5 accepted, got ${valid.count()}")
+    val rej = rejects.collect().map(r => r.getAs[String]("text") -> r.getAs[String]("reject_reason"))
+    assert(rej.toSet == Set("date-only" -> "bad ts", "space-form" -> "bad ts"), s"got ${rej.toSeq}")
+    // the offset form lands at the correct UTC instant
+    val off = valid.filter(org.apache.spark.sql.functions.col("text") === "offset").head()
+    assert(off.getAs[java.sql.Timestamp]("ts").toInstant.toString == "2024-03-01T09:00:00Z")
+  }
+
   test("missing optional values tolerated; extra undeclared columns ignored") {
     val path = write("extra",
       """conv_id,turn_idx,role,text,tool,ts,undeclared1,undeclared2

@@ -92,5 +92,70 @@ class ResumeSpec extends SparkTestBase {
     val rej = job.state.lineage.filter(r => r.tier == "ingest" && r.status == "FAILED")
     assert(rej.nonEmpty && rej.head.rows > 0)
     assert(job.rejectsTable.read(spark).count() == rej.head.rows)
+    // reject warnings are routed into the leveled log stream
+    // (migration_logs analogue, H2DatabaseManager.java:55-62)
+    val warns = job.state.logs.filter(l => l.level == "WARNING" && l.tier == "ingest")
+    assert(warns.exists(_.message.contains("rejected")), s"got: ${job.state.logs}")
+  }
+
+  test("a partition poisoned across maxCrossRunRetries runs is excluded and surfaced") {
+    val wh = tmpDir("wh-poison")
+    val input = freshInput()
+    // three runs that fail terminally at the 1m commit (no in-process
+    // retries) accumulate per-partition FAILED lineage with rising counts
+    for (i <- 1 to 3) {
+      val bad = new RollupJob(wh, maxRetries = 0, maxCrossRunRetries = 3)
+      bad.commitFault = (tier, _) =>
+        if (tier == "1m") throw new RuntimeException("poisoned input")
+      intercept[RuntimeException](bad.run(spark, input, s"bad-$i"))
+    }
+    val counts = new RollupJob(wh).state.failedRetryCounts("1m")
+    assert(counts.nonEmpty && counts.values.forall(_ == 3), s"got $counts")
+
+    // the next (healthy) run skips the poisoned partitions entirely...
+    val healthy = new RollupJob(wh, maxCrossRunRetries = 3)
+    val res = healthy.run(spark, input, "healthy")
+    assert(res.find(_.tier == "1m").get.partitions.isEmpty)
+    // ...and downstream tiers don't try to read never-written data
+    assert(res.find(_.tier == "1h").get.partitions.isEmpty)
+    // blocks_1h is computed from raw, independent of the poisoned tier
+    assert(res.find(_.tier == "blocks_1h").get.rows > 0)
+    // surfaced: WARNING log naming the partitions + a failed-count metric
+    val warn = healthy.state.logs.find(l =>
+      l.level == "WARNING" && l.tier == "1m" && l.message.contains("poisoned"))
+    assert(warn.nonEmpty, s"logs: ${healthy.state.logs}")
+    assert(healthy.state.metrics.exists(m =>
+      m.jobId == "healthy" && m.tier == "1m" && m.failed == counts.size))
+
+    // raising the cap un-poisons: the run processes and COMPLETED
+    // lineage supersedes the FAILED rows
+    val retried = new RollupJob(wh, maxCrossRunRetries = 10)
+    val res2 = retried.run(spark, input, "retried")
+    assert(res2.find(_.tier == "1m").get.rows > 0)
+    assert(retried.state.failedRetryCounts("1m").isEmpty)
+  }
+
+  test("precision-loss warnings route into the log stream") {
+    import spark.implicits._
+    val state = new graft.state.StateStore(tmpDir("state-loss"))
+    val events = Seq((1L, 1.5, "x", "{}"), (2L, 2.0, "y", "{}"))
+      .toDF("event_id", "value", "event_type", "props")
+    graft.operators.RefOps.typedCastLogged(events, state, "j")
+    val w = state.logs.filter(l => l.level == "WARNING" && l.message.contains("precision"))
+    assert(w.nonEmpty && w.head.message.startsWith("1 value"))
+  }
+
+  test("tier commits write INFO log rows; terminal failures write ERROR") {
+    val wh = tmpDir("wh-logs")
+    val job = new RollupJob(wh)
+    job.run(spark, freshInput(), "job-logs")
+    val infos = job.state.logs.filter(_.level == "INFO")
+    assert(Seq("1m", "1h", "1d").forall(t => infos.exists(_.tier == t)))
+
+    val bad = new RollupJob(tmpDir("wh-logs-bad"), maxRetries = 0)
+    bad.commitFault = (tier, _) =>
+      if (tier == "1m") throw new RuntimeException("boom")
+    intercept[RuntimeException](bad.run(spark, freshInput(), "job-err"))
+    assert(bad.state.logs.exists(l => l.level == "ERROR" && l.tier == "1m"))
   }
 }

@@ -63,6 +63,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.forall(_.getAs[Double]("sim") >= 0.5))
   }
 
+  test("IVF at nlist=64 stays inside codegen (no fallback) and is exact-parity") {
+    // force codegen: any fallback (e.g. generated code past JVM limits,
+    // as with the old nlist×dims literal-array formulation) now throws
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val q = emb.filter(col("vec_id") < 5)
+      val out = Similarity.ivfTopK(emb, q, 5, nlist = 64, nprobe = 8)
+      assert(out.count() == 25)
+      // native argmax ties/values match the declarative formulation
+      val cents = Similarity.trainCentroids(emb, 64, 42L, 3)
+      val simArr = array(cents.map(c =>
+        VectorOps.cosineSim(col("embedding"), typedLit(c.toSeq))): _*)
+      val declar = emb.select(col("vec_id"),
+        (array_position(simArr, array_max(simArr)) - 1).cast("int").as("list_id"))
+      val native = emb.select(col("vec_id"),
+        VectorOps.centroidArgmaxCol(col("embedding"), cents).as("list_id"))
+      assert(native.exceptAll(declar).isEmpty && declar.exceptAll(native).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("LSH pairs: subset of exact pairs, usable recall, no broadcast") {
     val exact = Similarity.cosinePairsAbove(emb, 0.35).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

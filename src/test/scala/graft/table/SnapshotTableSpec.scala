@@ -76,6 +76,39 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.planFiles(Some(Set("d1")), keyEquals = Some("zzz")).isEmpty)
   }
 
+  test("key pruning follows unsigned UTF-8 order for non-ASCII keys") {
+    val t = new SnapshotTable(tmpDir("snap-utf8"))
+    // 😀 (U+1F600) sorts BELOW 'ﬀ' (U+FB00) in UTF-16 code units (its
+    // high surrogate 0xD83D < 0xFB00) but ABOVE it in UTF-8 bytes
+    // (0xF0... > 0xEF...) — the ordering parquet stats use. A String<=
+    // comparison would wrongly prune the covering file for such keys.
+    val keys = Seq("alpha", "ﬀlig", "😀emoji", "zz")
+    val rows = keys.zipWithIndex.map { case (k, i) => (k, i, "d1") }
+      .toDF("conv_id", "v", "p").coalesce(1).sortWithinPartitions(col("conv_id"))
+    t.overwritePartitions(rows, "p", clusterKey = "conv_id")
+    keys.foreach { k =>
+      val got = t.readForKey(spark, k).collect()
+      assert(got.length == 1, s"key $k: got ${got.length} rows")
+    }
+  }
+
+  test("non-string clustering key yields empty bounds, never wrong pruning") {
+    val t = new SnapshotTable(tmpDir("snap-numkey"))
+    // numeric keys: '10' < '9' lexicographically — bounds must be empty
+    val rows = (1 to 12).map(i => (i.toLong, i, "d1")).toDF("k", "v", "p")
+    t.overwritePartitions(rows, "p", clusterKey = "k")
+    val m = t.currentManifest.get
+    assert(m.files.forall(f => f.minKey.isEmpty && f.maxKey.isEmpty))
+    // point lookup still answers (no manifest pruning, filter applies)
+    assert(t.readForKey(spark, "10").count() == 1)
+  }
+
+  test("readForKey on a table without a clustering key throws") {
+    val t = new SnapshotTable(tmpDir("snap-nokey"))
+    t.overwritePartitions(df("a" -> 1), "p")
+    intercept[IllegalStateException](t.readForKey(spark, "a"))
+  }
+
   test("compact rewrites fragmented partitions without changing content") {
     val t = new SnapshotTable(tmpDir("snap-compact"))
     // 6 separate commits to the same partition → 6 files
