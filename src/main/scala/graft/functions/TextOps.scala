@@ -121,6 +121,42 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** 60-bit SimHash of a text in ONE map pass — bit-identical to the
+    * declarative form in [[graft.operators.Dedup.simhash]]'s oracle
+    * (explode tokens → groupBy(doc, tok) count → md5-prefix hash → bit
+    * sums), but with the per-token counting done in a local hashmap so
+    * NO shuffle of token rows ever happens. h = first 15 hex nibbles of
+    * md5(token) (the cross-engine `conv(substr(md5,1,15),16,10)`
+    * trick); bit j of the signature is set iff Σ count·(2·bit_j(h)−1)
+    * is positive.
+    */
+  def simhashText(text: UTF8String, bits: Int): Long = {
+    val md = md5Local.get()
+    val words = text.toString.split(" ", -1)
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < words.length) { counts.merge(words(i), 1, Integer.sum _); i += 1 }
+    val sums = new Array[Long](bits)
+    counts.forEach { (tok, cnt) =>
+      md.reset()
+      val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex nibbles = 60 bits: 7 full bytes + the high nibble
+      val h = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+        ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+        ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+        ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+      var j = 0
+      while (j < bits) {
+        sums(j) += cnt.toLong * (((h >>> j) & 1L) * 2 - 1)
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) { if (sums(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
+
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
@@ -131,6 +167,28 @@ object TextOps {
 
   def shingleHashes3(text: Column): Column =
     column(ShingleHash3(expression(text)))
+
+  def simhash(text: Column, bits: Int): Column =
+    column(SimhashText(expression(text), bits))
+}
+
+/** Native expression: 60-bit-capable SimHash of a string, one map pass,
+  * no token shuffle.
+  */
+case class SimhashText(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits > 0 && bits < 64, s"bits must be in [1,63], got $bits")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash expects string, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextOps.simhashText(v.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.simhashText($s, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimhashText =
+    copy(child = newChild)
 }
 
 /** Native expression: 28-bit md5-prefix hashes of a text's 3-word

@@ -146,11 +146,22 @@ object Dedup {
       threshold: Double = 0.7): DataFrame =
     jaccardVerify(docs, lshCandidatePairs(minhashSignatures(docs, k), k, bands), threshold)
 
-  /** 60-bit SimHash over whitespace tokens with count weights. Uses the
-    * cross-engine md5-hex→BIGINT trick so the oracle computes the
-    * identical signature. Bit j set ⇔ Σ count·(±1 by token bit j) > 0.
+  /** 60-bit SimHash over whitespace tokens with count weights, computed
+    * by the native [[graft.functions.SimhashText]] expression in one
+    * map pass — NO token shuffle (the declarative groupBy(doc, tok)
+    * form shuffles every token row; it survives as
+    * [[simhashDeclarative]], which the oracle mirrors and a DedupSpec
+    * parity test pins bit-equal). Bit j set ⇔ Σ count·(±1 by token
+    * bit j) > 0, token hash = md5-hex→BIGINT cross-engine trick.
     */
-  def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
+  def simhash(docs: DataFrame, bits: Int = 60): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextOps.simhash(col("text"), bits).as("simhash"))
+
+  /** Declarative simhash — the form the DuckDB oracle mirrors term for
+    * term; kept as the parity reference for the native expression.
+    */
+  private[operators] def simhashDeclarative(docs: DataFrame, bits: Int = 60): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))

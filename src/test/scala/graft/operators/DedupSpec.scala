@@ -76,6 +76,17 @@ class DedupSpec extends SparkTestBase {
     assert(joined.count() == 0, s"native/built-in minhash divergence:\n${joined.head(3).mkString("\n")}")
   }
 
+  test("native simhash == declarative simhash (oracle-parity proof)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .union(Seq((9001L, ""), (9002L, "one"), (9003L, "rep rep rep rep"),
+        (9004L, "a  b   c")).toDF("doc_id", "text"))
+    val nat = Dedup.simhash(real).withColumnRenamed("simhash", "n")
+    val ref = Dedup.simhashDeclarative(real).withColumnRenamed("simhash", "r")
+    val bad = nat.join(ref, "doc_id").filter(col("n") =!= col("r"))
+    assert(bad.count() == 0, s"simhash divergence:\n${bad.head(3).mkString("\n")}")
+  }
+
   test("hot-bucket guard: 1000 identical docs yield linear star pairs, not n²") {
     val many = spark.range(1000).select(
       col("id").as("doc_id"),
