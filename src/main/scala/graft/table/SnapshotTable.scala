@@ -221,10 +221,17 @@ final class SnapshotTable(val root: String) {
   // --- write -----------------------------------------------------------
 
   private def stageWrite(df: DataFrame, partitionCol: String,
-      clusterKey: String = ""): Seq[FileEntry] = {
+      clusterKey: String = "", maxRecordsPerFile: Long = 0L): Seq[FileEntry] = {
     val stage = Paths.get(root, "data", s"stage-${java.util.UUID.randomUUID()}")
-    df.withColumn("_p", col(partitionCol).cast("string"))
-      .write.partitionBy("_p").parquet(stage.toString)
+    // maxRecordsPerFile = the reference's batchSize knob
+    // (`MigrationSettings.java:5`, consumed `MigrateTask.java:99-103`)
+    // at the file-commit granularity: bounds the rows a single task
+    // commits into one file (0 = let split sizing decide)
+    val writer = df.withColumn("_p", col(partitionCol).cast("string"))
+      .write.partitionBy("_p")
+    (if (maxRecordsPerFile > 0)
+      writer.option("maxRecordsPerFile", maxRecordsPerFile)
+    else writer).parquet(stage.toString)
     if (!Files.exists(stage)) return Seq.empty
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     Files.list(stage).iterator().asScala.toSeq
@@ -286,8 +293,8 @@ final class SnapshotTable(val root: String) {
     * overwrite = the idempotent MERGE of rollup windows).
     */
   def overwritePartitions(df: DataFrame, partitionCol: String,
-      clusterKey: String = ""): Manifest = {
-    val staged = stageWrite(df, partitionCol, clusterKey)
+      clusterKey: String = "", maxRecordsPerFile: Long = 0L): Manifest = {
+    val staged = stageWrite(df, partitionCol, clusterKey, maxRecordsPerFile)
     val touched = staged.map(_.partition).toSet
     val prev = currentManifest
     val kept = prev.map(_.files.filterNot(f => touched.contains(f.partition))).getOrElse(Seq.empty)

@@ -103,6 +103,15 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.readForKey(spark, "10").count() == 1)
   }
 
+  test("maxRecordsPerFile bounds rows per committed file (batching knob)") {
+    val t = new SnapshotTable(tmpDir("snap-batch"))
+    val rows = (0 until 400).map(i => (i, "d1")).toDF("v", "p").coalesce(1)
+    t.overwritePartitions(rows, "p", maxRecordsPerFile = 100L)
+    val m = t.currentManifest.get
+    assert(m.files.size >= 4, s"expected >=4 files, got ${m.files.size}")
+    assert(t.rowCount(spark, m.files) == 400L)
+  }
+
   test("readForKey on a table without a clustering key throws") {
     val t = new SnapshotTable(tmpDir("snap-nokey"))
     t.overwritePartitions(df("a" -> 1), "p")
