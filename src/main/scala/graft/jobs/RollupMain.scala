@@ -82,6 +82,14 @@ object RollupMain {
     results.foreach(r =>
       println(s"[rollup] tier=${r.tier} partitions=${r.partitions.size} rows=${r.rows}"))
     println(f"[rollup] job=$jobId wall=$secs%.2fs")
+    // leveled-log summary (migration_logs analogue): surface WARNING and
+    // ERROR rows at job end so rejects/poisoned partitions aren't silent
+    val jobLogs = job.state.logs.filter(_.jobId == jobId)
+    val byLevel = jobLogs.groupBy(_.level).view.mapValues(_.size).toMap
+    println(s"[rollup] log: INFO=${byLevel.getOrElse("INFO", 0)} " +
+      s"WARNING=${byLevel.getOrElse("WARNING", 0)} ERROR=${byLevel.getOrElse("ERROR", 0)}")
+    jobLogs.filter(l => l.level == "WARNING" || l.level == "ERROR")
+      .foreach(l => println(s"[rollup] ${l.level} ${l.tier}: ${l.message}"))
 
     opts.get("retention-watermark").foreach { day =>
       val policy = Retention.Policy()
