@@ -26,14 +26,18 @@ object OracleSqlGen {
       val (a, b) = graft.functions.TextFunctions.minhashCoeffs(i)
       s"list_min(list_transform(hs, h -> (h * $a + $b) % $P)) AS mh$i"
     }.mkString(",\n    ")
+    val M = graft.operators.Dedup.bandFoldM
+    val P31 = graft.operators.Dedup.bandFoldP
     val bandSelects = (0 until bands).map { b =>
-      val key = (0 until rowsPerBand)
-        .map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+      val key = (0 until rowsPerBand).foldLeft(s"$b") { (acc, r) =>
+        s"(($acc) * $M + mh${b * rowsPerBand + r}) % $P31"
+      }
+      s"SELECT doc_id, $key AS bk FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     // hs/sig mirror Dedup.minhashSignatures (one md5 per shingle,
-    // universal-hash derives); stats/cand mirror Dedup.pairsFromBuckets:
-    // pairwise inside buckets of size <= maxBucket, star pairing beyond
+    // universal-hash derives); band mirrors the numeric band-key fold;
+    // stats/cand mirror Dedup.pairsFromBuckets: pairwise inside buckets
+    // of size <= maxBucket, star pairing beyond
     s"""WITH $shingleCte,
        |hs AS (
        |  SELECT doc_id,
@@ -46,20 +50,20 @@ object OracleSqlGen {
        |band AS (
        |  $bandSelects),
        |stats AS (
-       |  SELECT band, key, COUNT(*) AS n, MIN(doc_id) AS rep
-       |  FROM band GROUP BY 1, 2 HAVING COUNT(*) > 1),
+       |  SELECT bk, COUNT(*) AS n, MIN(doc_id) AS rep
+       |  FROM band GROUP BY 1 HAVING COUNT(*) > 1),
        |cand AS (
        |  SELECT DISTINCT doc_a, doc_b FROM (
        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |    FROM band a
-       |    JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |    JOIN stats s ON s.band = a.band AND s.key = a.key
+       |    JOIN band b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |    JOIN stats s ON s.bk = a.bk
        |    WHERE s.n <= $maxBucket
        |    UNION ALL
        |    SELECT s.rep AS doc_a, x.doc_id AS doc_b
-       |    FROM band x JOIN stats s ON s.band = x.band AND s.key = x.key
+       |    FROM band x JOIN stats s ON s.bk = x.bk
        |    WHERE s.n > $maxBucket AND x.doc_id != s.rep)),
-       |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh)
+       |ds AS (SELECT doc_id, list_distinct(hs) AS s FROM hs)
        |SELECT doc_a, doc_b,
        |  ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
        |        CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS jaccard
@@ -96,28 +100,29 @@ object OracleSqlGen {
     val chunks = 4
     val w = bits / chunks
     val mask = (1L << w) - 1
-    // stats/pairing mirror Dedup.pairsFromBuckets (hot-bucket star guard)
+    // stats/pairing mirror Dedup.pairsFromBuckets (hot-bucket star
+    // guard) over the numeric band key (chunk index in the high bits)
     s"""WITH ${simhashSigCte(bits)},
        |b AS (
-       |  SELECT doc_id, simhash, c.c AS band,
-       |         (simhash >> (c.c * $w)) & $mask AS key
+       |  SELECT doc_id, simhash,
+       |         c.c * ${mask + 1} + ((simhash >> (c.c * $w)) & $mask) AS bk
        |  FROM s, (SELECT UNNEST(range(0, $chunks)) AS c) c),
        |stats AS (
-       |  SELECT band, key, COUNT(*) AS n, MIN(doc_id) AS rep,
+       |  SELECT bk, COUNT(*) AS n, MIN(doc_id) AS rep,
        |         ARG_MIN(simhash, doc_id) AS rep_sig
-       |  FROM b GROUP BY 1, 2 HAVING COUNT(*) > 1),
+       |  FROM b GROUP BY 1 HAVING COUNT(*) > 1),
        |p AS (
        |  SELECT DISTINCT doc_a, doc_b, hamming FROM (
        |    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
        |           bit_count(xor(a.simhash, b2.simhash)) AS hamming
        |    FROM b a
-       |    JOIN b b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
-       |    JOIN stats s ON s.band = a.band AND s.key = a.key
+       |    JOIN b b2 ON a.bk = b2.bk AND a.doc_id < b2.doc_id
+       |    JOIN stats s ON s.bk = a.bk
        |    WHERE s.n <= $maxBucket
        |    UNION ALL
        |    SELECT s.rep AS doc_a, x.doc_id AS doc_b,
        |           bit_count(xor(s.rep_sig, x.simhash)) AS hamming
-       |    FROM b x JOIN stats s ON s.band = x.band AND s.key = x.key
+       |    FROM b x JOIN stats s ON s.bk = x.bk
        |    WHERE s.n > $maxBucket AND x.doc_id != s.rep))
        |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= $maxDist""".stripMargin
   }

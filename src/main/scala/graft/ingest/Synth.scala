@@ -68,4 +68,42 @@ object Synth {
       Turn(s"conv$convId", i, role, text, tool, t)
     }
   }
+
+  /** Seeded synthetic documents corpus with KNOWN injected duplicates,
+    * for dedup recall measurement + scale probes (generated
+    * distributedly, one task per id range):
+    *
+    *  - `id % 10 == 8` → EXACT duplicate of doc id-2 (id-2 ≡ 6 mod 10,
+    *    always a unique doc);
+    *  - `id % 10 == 9` → NEAR duplicate of doc id-2 (id-2 ≡ 7 mod 10,
+    *    unique; one word of ~60 replaced → 3-shingle jaccard ≈ 0.90);
+    *  - everything else unique.
+    *
+    * Expected ground truth: exact-dup pairs (id-2, id) for id%10==8,
+    * near-dup pairs (id-2, id) for id%10==9.
+    */
+  def documents(spark: org.apache.spark.sql.SparkSession, n: Long,
+      seed: Long = 42L, wordsPerDoc: Int = 60): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Row => SqlRow}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    def baseWords(baseId: Long): Array[String] = {
+      val rng = new java.util.Random(seed ^ (baseId * 0x9e3779b97f4a7c15L))
+      Array.fill(wordsPerDoc)(s"w${rng.nextInt(5000)}")
+    }
+    val rdd = spark.range(0L, n).rdd.map { id =>
+      val text = (id % 10) match {
+        case 8 => baseWords(id - 2).mkString(" ")
+        case 9 =>
+          val w = baseWords(id - 2)
+          w((id % wordsPerDoc).toInt) = s"mut$id"
+          w.mkString(" ")
+        case _ => baseWords(id).mkString(" ")
+      }
+      SqlRow(id, text)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

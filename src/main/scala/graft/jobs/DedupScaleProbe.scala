@@ -1,0 +1,59 @@
+package graft.jobs
+
+import graft.ingest.Synth
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dedup-at-scale probe: the text-dedup family (exact, MinHash+LSH,
+  * SimHash banding) over [[Synth.documents]] — a seeded corpus with
+  * KNOWN injected exact/near duplicates — measuring per-stage
+  * throughput (docs/s) and recall against the injected ground truth.
+  * Cached input + count-only actions isolate operator scaling from the
+  * sandbox write path, like [[ScaleProbe]]; run the same binary at
+  * `local[8]` and `local[32]` for the N-vs-4N evidence on the
+  * training-data-pipeline operators.
+  */
+object DedupScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().appName("graft-dedup-scale-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cores = spark.sparkContext.defaultParallelism
+
+    val docs = Synth.documents(spark, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    docs.count() // materialize (uncounted)
+
+    def timed(body: => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val out = body
+      (out, (System.nanoTime() - t0) / 1e9)
+    }
+
+    for (r <- 1 to reps) {
+      val (ex, tEx) = timed(Dedup.exact(docs).count())
+      val (mh, tMh) = timed(Dedup.minhashLsh(docs, k = 16, bands = 8, threshold = 0.8).count())
+      val (sh, tSh) = timed(Dedup.simhashPairs(Dedup.simhash(docs)).count())
+      println(f"[dedup-probe] rep=$r cores=$cores docs=$n " +
+        f"exact=$tEx%.2fs (${n / tEx}%.0f docs/s, $ex groups) " +
+        f"minhash_lsh=$tMh%.2fs (${n / tMh}%.0f docs/s, $mh pairs) " +
+        f"simhash_pairs=$tSh%.2fs (${n / tSh}%.0f docs/s, $sh pairs)")
+    }
+
+    // recall vs injected ground truth (exact pairs at id%10==8, near
+    // pairs at id%10==9, both anchored at id-2)
+    val found = Dedup.minhashLsh(docs, k = 16, bands = 8, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = (8L until n by 10L).map(i => (i - 2, i)).toSet
+    val nearPairs = (9L until n by 10L).map(i => (i - 2, i)).toSet
+    def recall(want: Set[(Long, Long)]) =
+      if (want.isEmpty) 1.0 else (want intersect found).size.toDouble / want.size
+    println(f"[dedup-probe] cores=$cores recall_exact=${recall(exactPairs)}%.4f " +
+      f"recall_near=${recall(nearPairs)}%.4f " +
+      f"extra_pairs=${(found -- exactPairs -- nearPairs).size}")
+    spark.stop()
+  }
+}

@@ -53,16 +53,28 @@ object Dedup {
     * stats aggregation is a partial-agg count/min, and pairing is a
     * bucket-key self-join.
     */
+  /** Band-key fold constants — shared with [[graft.OracleSqlGen]] so
+    * both engines compute the identical NUMERIC band key:
+    * `bk = fold(band, mh…) of (acc·M + v) mod P31`. Products stay
+    * < 2^52, wrap-free on 64-bit engines (DuckDB errors on overflow).
+    * A numeric key sorts/compares ~10× cheaper through the bucket
+    * shuffle than the old concatenated hex-string key (measured on the
+    * 2M-doc probe: the banded window sort dominated the stage); key
+    * collisions (≈ n²/2³² per band) only create false CANDIDATES,
+    * which exact verification filters — and the oracle mirrors the
+    * same keys anyway.
+    */
+  val bandFoldM = 1000003L
+  val bandFoldP = 2147483647L
+
   def lshCandidatePairs(signatures: DataFrame, k: Int, bands: Int,
       maxBucket: Int = 64): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, s"bands=$bands must divide k=$k")
     val bandExprs = (0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        concat_ws("|",
-          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
-          .as("key"))
+      (0 until rowsPerBand).foldLeft(lit(b.toLong).cast("long")) { (acc, r) =>
+        (acc * bandFoldM + col(s"mh${b * rowsPerBand + r}")) % bandFoldP
+      }
     }
     val banded = signatures
       .select(col("doc_id"), explode(array(bandExprs: _*)).as("bk"))
@@ -116,12 +128,18 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram (3-word shingle) Jaccard for given candidate pairs:
-    * join shingle sets only for candidates, never all-pairs. Docs are
+  /** n-gram (3-word shingle) Jaccard for given candidate pairs: join
+    * shingle sets only for candidates, never all-pairs. Docs are
     * semi-joined to the candidate ids BEFORE shingling — candidate
     * pairs are a vanishing fraction of the corpus, so materializing
     * shingle arrays corpus-wide (measured at 19% of the whole bench
-    * suite) is wasted work for every non-candidate document.
+    * suite) is wasted work for every non-candidate document. The sets
+    * intersected are the 28-bit shingle HASHES (the same native
+    * [[graft.functions.ShingleHash3]] the signatures use), not shingle
+    * strings — long arrays allocate ~10× less than rebuilt 3-word
+    * strings, and a within-doc hash collision (P ≈ n²/2²⁹ ≈ 6e-6 at 60
+    * words) shifts a jaccard value by at most 1/|union|; the oracle
+    * computes the identical hashed form, so verification stays exact.
     */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
     val ids = pairs.select(col("doc_a").as("doc_id"))
@@ -129,7 +147,7 @@ object Dedup {
       .distinct()
     val sh = docs.join(ids, Seq("doc_id"), "left_semi").select(
       col("doc_id"),
-      array_distinct(TextFunctions.shingles3(col("text"))).as("sh"))
+      array_distinct(graft.functions.TextOps.shingleHashes3(col("text"))).as("sh"))
     pairs
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -141,10 +159,25 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Full MinHash+LSH near-dup pipeline. */
+  /** Full MinHash+LSH near-dup pipeline.
+    *
+    * `materializeCandidates` (default on): the candidate-pair frame is
+    * referenced three times by the verify stage (two id projections +
+    * the pair join), and Spark does not reuse the banding exchanges
+    * across those branches — re-deriving signatures+banding 3× was
+    * measured at ~3× the one-pass cost on a 500k-doc corpus. The pair
+    * set is small BY CONSTRUCTION (it is the thing dedup must
+    * materialize anyway), so an eager localCheckpoint pins it once.
+    * At cluster scale with executor churn, swap for a reliable
+    * checkpoint dir or a staging-table write — same one-materialization
+    * shape.
+    */
   def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.7): DataFrame =
-    jaccardVerify(docs, lshCandidatePairs(minhashSignatures(docs, k), k, bands), threshold)
+      threshold: Double = 0.7, materializeCandidates: Boolean = true): DataFrame = {
+    val cand = lshCandidatePairs(minhashSignatures(docs, k), k, bands)
+    val pairs = if (materializeCandidates) cand.localCheckpoint(true) else cand
+    jaccardVerify(docs, pairs, threshold)
+  }
 
   /** 60-bit SimHash over whitespace tokens with count weights, computed
     * by the native [[graft.functions.SimhashText]] expression in one
@@ -188,11 +221,12 @@ object Dedup {
     val chunks = 4
     val w = bits / chunks
     val mask = (1L << w) - 1
+    // numeric band key: chunk index in the high bits, chunk value below
     val banded = sigs.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until chunks).map(c =>
-        struct(lit(c).as("band"),
-          shiftright(col("simhash"), c * w).bitwiseAND(lit(mask)).as("key"))): _*))
+        lit(c.toLong * (mask + 1)) +
+          shiftright(col("simhash"), c * w).bitwiseAND(lit(mask))): _*))
         .as("bk"))
     pairsFromBuckets(banded, maxBucket, extra = Seq("simhash"))
       .select(col("doc_a"), col("doc_b"),

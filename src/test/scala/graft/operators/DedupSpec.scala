@@ -120,6 +120,30 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((7L, 8L), (7L, 9L), (8L, 9L)), s"got $pairs")
   }
 
+  test("injected-duplicate recall on the seeded corpus (ground-truth measure)") {
+    val n = 2000L
+    val docs = graft.ingest.Synth.documents(spark, n, seed = 42L)
+    // exact dedup finds every injected exact duplicate: n/10 groups of 2
+    val groups = Dedup.exact(docs)
+    assert(groups.count() == n - n / 10)
+    assert(groups.filter(col("dup_count") === 2).count() == n / 10)
+    // minhash LSH: all exact pairs + >=90% of jaccard~0.9 near pairs
+    val found = Dedup.minhashLsh(docs, k = 16, bands = 8, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = (8L until n by 10L).map(i => (i - 2, i)).toSet
+    val nearPairs = (9L until n by 10L).map(i => (i - 2, i)).toSet
+    assert((exactPairs -- found).isEmpty, s"missed exact: ${(exactPairs -- found).take(3)}")
+    val nearRecall = (nearPairs intersect found).size.toDouble / nearPairs.size
+    assert(nearRecall >= 0.9, s"near-dup recall $nearRecall")
+    // nothing unrelated pairs up (threshold 0.8 kills chance collisions)
+    assert((found -- exactPairs -- nearPairs).isEmpty,
+      s"false pairs: ${(found -- exactPairs -- nearPairs).take(3)}")
+    // simhash: exact dups at hamming 0 => found at any maxDist
+    val sh = Dedup.simhashPairs(Dedup.simhash(docs))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exactPairs -- sh).isEmpty, "simhash must find all exact dups")
+  }
+
   test("language id separates real multilingual samples") {
     assert(LangId.detect("The quick brown fox jumps over the lazy dog and runs to the forest") == "en")
     assert(LangId.detect("Le renard brun rapide saute par-dessus le chien paresseux près de la rivière") == "fr")
