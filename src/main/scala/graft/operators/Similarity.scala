@@ -114,32 +114,45 @@ object Similarity {
   }
 
   /** Deterministic k-means training: seeded sample for the initial
-    * centroids, `iters` Lloyd steps computed distributedly (assignment
-    * map-side; the update is a (list, dim)-keyed average — a shuffle of
-    * nlist×dims cells, independent of corpus size).
+    * centroids, `iters` Lloyd steps over a SEEDED TRAINING SAMPLE of at
+    * most `sampleSize` vectors (standard IVF practice — FAISS trains
+    * its coarse quantizer on a sample, not the corpus; Lloyd over the
+    * full corpus would cost `iters` extra full scans at 10^9+ vectors
+    * for no recall benefit). The sample is hash-ordered by (vec_id,
+    * seed), so training is deterministic and, when the corpus is
+    * smaller than `sampleSize`, identical to full-corpus training. The
+    * update is a (list, dim)-keyed average — a shuffle of nlist×dims
+    * cells, independent of sample size.
     */
   private[operators] def trainCentroids(corpus: DataFrame, nlist: Int,
-      seed: Long, iters: Int): Array[Array[Float]] = {
-    var cents: Array[Array[Float]] = corpus
+      seed: Long, iters: Int, sampleSize: Int = 65536): Array[Array[Float]] = {
+    val train = corpus
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id"), lit(seed)))
-      .limit(nlist)
-      .collect()
-      .map(_.getSeq[Float](1).toArray)
-    for (_ <- 1 to iters) {
-      val cells = corpus
-        .select(col("embedding"),
-          VectorOps.centroidArgmaxCol(col("embedding"), cents).as("list_id"))
-        .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(avg(col("v")).as("c"))
+      .limit(math.max(nlist, sampleSize))
+      .select(col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[Array[Float]] = train
+        .limit(nlist)
         .collect()
-      val next = cents.map(_.clone())
-      cells.foreach(r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
-      cents = next
-    }
-    cents
+        .map(_.getSeq[Float](0).toArray)
+      for (_ <- 1 to iters) {
+        val cells = train
+          .select(
+            VectorOps.centroidArgmaxCol(col("embedding"), cents).as("list_id"),
+            col("embedding"))
+          .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("list_id"), col("pos"))
+          .agg(avg(col("v")).as("c"))
+          .collect()
+        val next = cents.map(_.clone())
+        cells.foreach(r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+        cents = next
+      }
+      cents
+    } finally train.unpersist()
   }
 
   /** All pairs above a cosine threshold within a labeled corpus —
