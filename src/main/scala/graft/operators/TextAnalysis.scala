@@ -32,27 +32,33 @@ object TextAnalysis {
       TextOps.fingerprint(col("text"), k = 8, w = 4).as("fp"))
 
   /** Containment candidates: docs sharing ≥ minShared winnowing
-    * fingerprints (explode + self-join on fingerprint value — shuffles
-    * (fp, doc_id) pairs only).
+    * fingerprints, built around ONE shuffle of (f, doc_id): a window
+    * over `f` computes each fingerprint's document frequency, the
+    * df-capped survivors collect into PROVABLY bounded per-fingerprint
+    * arrays (≤ maxDf — the window filter runs first) on the same
+    * partitioning (no second exchange), and pairs explode from the
+    * arrays. The previous self-join formulation shuffled three times
+    * and evaluated the winnowing expression twice.
     *
-    * Skew guard: fingerprints present in more than `maxDf` documents
-    * are dropped before pairing — a fingerprint of a ubiquitous k-gram
-    * ("the fast …") carries no dedup signal but makes the self-join
-    * quadratic in its document frequency (measured: 5× the whole bench
-    * suite's time without the cap). Same idea as stop-word removal in
-    * LSH pipelines; at corpus scale the cap keeps the join linear.
+    * Skew guard (`maxDf`): fingerprints present in more than `maxDf`
+    * documents are dropped before pairing — a fingerprint of a
+    * ubiquitous k-gram ("the fast …") carries no dedup signal but makes
+    * pairing quadratic in its document frequency (measured: 5× the
+    * whole bench suite's time without the cap). Same idea as stop-word
+    * removal in LSH pipelines; at corpus scale the cap keeps the
+    * expansion linear.
     */
   def fingerprintPairs(docs: DataFrame, minShared: Int = 2, maxDf: Int = 20): DataFrame = {
     val fp = fingerprints(docs).select(col("doc_id"), explode(col("fp")).as("f"))
-    val rare = fp.groupBy(col("f")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf && col("df") > 1)
-      .select(col("f"))
-    // no broadcast hint: `rare` is O(|fingerprints|); the join shuffles
-    // on f, which the pairing join needs anyway — AQE picks the strategy
-    val pruned = fp.join(rare, Seq("f"))
-    val a = pruned.withColumnRenamed("doc_id", "doc_a")
-    val b = pruned.withColumnRenamed("doc_id", "doc_b")
-    a.join(b, Seq("f")).filter(col("doc_a") < col("doc_b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
+    fp.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") > 1 && col("df") <= maxDf)
+      .groupBy(col("f"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
