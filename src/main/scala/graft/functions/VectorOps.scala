@@ -45,17 +45,25 @@ object VectorOps {
   /** Random-hyperplane LSH signature: bit j = sign(v · h_j) where h_j is
     * a deterministic pseudo-random unit-free hyperplane derived from
     * (seed, j, dim-index) via SplitMix64 — no stored model, executors
-    * recompute coefficients on the fly (nothing to broadcast).
+    * recompute coefficients on the fly (nothing to broadcast). The
+    * plane matrix is derived ONCE per (seed, bits, dims) and cached
+    * JVM-wide: deriving each coefficient per row (log/cos per element,
+    * bits×dims of them) dominated the signature stage — the cached form
+    * computes identical values with pure multiply-adds.
     */
   def hyperplaneSig(v: ArrayData, bits: Int, seed: Long): Long = {
+    val n = v.numElements()
+    val planes = planeCache.computeIfAbsent((seed, bits, n), key =>
+      Array.tabulate(key._2, key._3)((j, i) =>
+        gauss(key._1 ^ (j.toLong << 32) ^ i.toLong)))
     var sig = 0L
     var j = 0
     while (j < bits) {
+      val h = planes(j)
       var s = 0.0
       var i = 0
-      val n = v.numElements()
       while (i < n) {
-        s += v.getFloat(i).toDouble * gauss(seed ^ (j.toLong << 32) ^ i.toLong)
+        s += v.getFloat(i).toDouble * h(i)
         i += 1
       }
       if (s > 0.0) sig |= (1L << j)
@@ -63,6 +71,9 @@ object VectorOps {
     }
     sig
   }
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
 
   /** Deterministic standard-normal-ish value from a key (SplitMix64 →
     * two uniforms → Box-Muller). Good enough for hyperplane directions.

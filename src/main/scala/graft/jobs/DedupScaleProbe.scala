@@ -42,6 +42,27 @@ object DedupScaleProbe {
         f"simhash_pairs=$tSh%.2fs (${n / tSh}%.0f docs/s, $sh pairs)")
     }
 
+    // embedding near-dup stage: n/4 vectors with injected cosine≈0.995
+    // pairs; bits sized so buckets stay ~30 vectors (corpus/2^bits)
+    val nv = math.max(1000L, n / 4)
+    val bits = math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(nv / 30L))
+    val emb = Synth.embeddings(spark, nv, dims = 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    emb.count()
+    for (r <- 1 to reps) {
+      val (vp, tVp) = timed(
+        graft.operators.Similarity.lshPairsAbove(emb, 0.95, bits = bits, tables = 8).count())
+      println(f"[dedup-probe] rep=$r cores=$cores vecs=$nv bits=$bits " +
+        f"lsh_pairs=$tVp%.2fs (${nv / tVp}%.0f vecs/s, $vp pairs)")
+    }
+    val vFound = graft.operators.Similarity.lshPairsAbove(emb, 0.95, bits = bits, tables = 8)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vWant = (9L until nv by 10L).map(i => (i - 2, i)).toSet
+    println(f"[dedup-probe] cores=$cores vec_recall=${
+      (vWant intersect vFound).size.toDouble / vWant.size}%.4f " +
+      f"vec_extra=${(vFound -- vWant).size}")
+
     // recall vs injected ground truth (exact pairs at id%10==8, near
     // pairs at id%10==9, both anchored at id-2)
     val found = Dedup.minhashLsh(docs, k = 16, bands = 8, threshold = 0.8)

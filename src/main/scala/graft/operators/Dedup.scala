@@ -101,7 +101,12 @@ object Dedup {
     * signatures/embeddings) ride along into the output as `<c>_a/<c>_b`.
     */
   private[operators] def pairsFromBuckets(banded: DataFrame, maxBucket: Int,
-      extra: Seq[String] = Seq.empty): DataFrame = {
+      extra: Seq[String] = Seq.empty,
+      /** false → caller dedupes cross-band repeats itself; use when the
+        * `extra` columns are wide (e.g. embeddings) and a distinct over
+        * them would shuffle the payload — score first, dedupe scalars.
+        */
+      distinctOutput: Boolean = true): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))
     val stat = extra.foldLeft(
       banded
@@ -123,9 +128,9 @@ object Dedup {
       .select(col("rep").as("doc_a") +: col("doc_id").as("doc_b") +:
         extra.flatMap(c => Seq(col(s"rep_$c").as(s"${c}_a"), col(c).as(s"${c}_b"))): _*)
     val outCols = Seq("doc_a", "doc_b") ++ extra.flatMap(c => Seq(s"${c}_a", s"${c}_b"))
-    pairsSmall.select(outCols.map(col): _*)
+    val unioned = pairsSmall.select(outCols.map(col): _*)
       .union(pairsBig.select(outCols.map(col): _*))
-      .distinct()
+    if (distinctOutput) unioned.distinct() else unioned
   }
 
   /** n-gram (3-word shingle) Jaccard for given candidate pairs: join

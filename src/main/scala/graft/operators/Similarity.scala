@@ -196,10 +196,17 @@ object Similarity {
         struct(lit(t).as("t"),
           VectorOps.lshSig(col("embedding"), bits, seed + t * 0x51_7c_c1_b7L).as("sig"))): _*))
         .as("bk"))
-    Dedup.pairsFromBuckets(banded, maxBucket, extra = Seq("embedding"))
+    // score BEFORE deduping cross-table repeats: a distinct over pairs
+    // with both embedding arrays attached would shuffle 2·dims floats
+    // per candidate; scoring map-side and deduping (id_a, id_b, sim)
+    // shuffles 24 bytes (a repeated pair re-scores its cosine k times —
+    // compute is cheap, array shuffle is not)
+    Dedup.pairsFromBuckets(banded, maxBucket, extra = Seq("embedding"),
+        distinctOutput = false)
       .withColumn("sim",
         round(VectorOps.cosineSim(col("embedding_a"), col("embedding_b")), 6))
       .filter(col("sim") >= threshold)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("sim"))
+      .distinct()
   }
 }

@@ -87,6 +87,20 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("lshPairsAbove recall on seeded corpus with injected near-dups") {
+    val n = 5000L
+    val emb2 = graft.ingest.Synth.embeddings(spark, n, dims = 64)
+    // injected pairs have cosine ≈ 0.995 → per-bit p ≈ 0.968,
+    // union over 8 tables of 10 bits ≈ 0.99997; random pairs sit at
+    // 0 ± 1/8, so threshold 0.95 admits ONLY the injected pairs
+    val found = Similarity.lshPairsAbove(emb2, 0.95, bits = 10, tables = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val want = (9L until n by 10L).map(i => (i - 2, i)).toSet
+    val recall = (want intersect found).size.toDouble / want.size
+    assert(recall >= 0.95, s"recall $recall of ${want.size}")
+    assert((found -- want).isEmpty, s"false pairs: ${(found -- want).take(3)}")
+  }
+
   test("LSH pairs: subset of exact pairs, usable recall, no broadcast") {
     val exact = Similarity.cosinePairsAbove(emb, 0.35).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
