@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.{CosineSim, HyperplaneSig, MinhashSigs, ShingleHash3, SimhashText, Winnow}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the engine's native Catalyst expressions,
+  * registered the sanctioned way — `SparkSessionExtensions` via
+  * `spark.sql.extensions=graft.GraftExtensions` — so a SQL-only user
+  * (BI tool, `spark-sql` shell, JDBC gateway) can run the dedup /
+  * similarity / fingerprint pipelines without touching the Scala API:
+  *
+  * {{{
+  *   SELECT a.doc_id, b.doc_id
+  *   FROM   docs a JOIN docs b ON simhash64(a.text, 60) = simhash64(b.text, 60)
+  *   WHERE  a.doc_id < b.doc_id
+  * }}}
+  *
+  * Every function resolves to the SAME codegen'd expression the Column
+  * API uses ([[graft.functions.VectorOps]] / [[graft.functions.TextOps]]),
+  * so plans stay inside WholeStageCodegen either way. Tuning
+  * parameters (bits, k, w, seed) must be integer literals — they are
+  * baked into generated code, mirroring how the Column API takes them
+  * as Scala `Int`s, and a per-row variable value would silently break
+  * LSH bucketing (signatures from different plane matrices are not
+  * comparable).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** (identifier, info, builder) triples — shared by the extension
+    * class and by tests that assert the catalog surface.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn[CosineSim]("cosine_sim", "(a, b) - cosine similarity of two array<float> embeddings") {
+      case Seq(a, b) => CosineSim(a, b)
+    },
+    fn[HyperplaneSig]("lsh_sig",
+      "(vec, bits, seed) - random-hyperplane LSH signature of an array<float> (bits, seed literals)") {
+      case Seq(v, bits, seed) =>
+        HyperplaneSig(v, intLit("lsh_sig", "bits", bits), longLit("lsh_sig", "seed", seed))
+    },
+    fn[SimhashText]("simhash64", "(text, bits) - SimHash of a string (bits <= 63, literal)") {
+      case Seq(t, bits) => SimhashText(t, intLit("simhash64", "bits", bits))
+    },
+    fn[ShingleHash3]("shingle_hash3", "(text) - 28-bit hashes of the text's 3-word shingles") {
+      case Seq(t) => ShingleHash3(t)
+    },
+    fn[MinhashSigs]("minhash_sigs",
+      "(hashes, k) - k universal-hash minhash values of a shingle-hash array (k literal)") {
+      case Seq(h, k) => MinhashSigs(h, intLit("minhash_sigs", "k", k))
+    },
+    fn[Winnow]("winnow", "(text, k, w) - winnowing fingerprint set (k-gram size, window; literals)") {
+      case Seq(t, k, w) =>
+        Winnow(t, intLit("winnow", "k", k), intLit("winnow", "w", w))
+    })
+
+  private def fn[T <: Expression](name: String, usage: String)(
+      build: PartialFunction[Seq[Expression], Expression])(implicit ct: scala.reflect.ClassTag[T])
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    val builder = (args: Seq[Expression]) =>
+      build.applyOrElse(args, (got: Seq[Expression]) =>
+        throw new IllegalArgumentException(
+          s"$name$usage — got ${got.length} argument(s)"))
+    (FunctionIdentifier(name),
+      new ExpressionInfo(ct.runtimeClass.getName, name),
+      builder)
+  }
+
+  private def intLit(fn: String, arg: String, e: Expression): Int =
+    longLit(fn, arg, e).toInt
+
+  private def longLit(fn: String, arg: String, e: Expression): Long = e match {
+    case Literal(v: Byte, _) => v.toLong
+    case Literal(v: Short, _) => v.toLong
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: '$arg' must be an integer literal (it selects the hash family " +
+        s"baked into generated code), got ${other.sql}")
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.functions.{TextOps, VectorOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SQL function surface registered via `spark.sql.extensions`
+  * (`graft.GraftExtensions`): each SQL function must resolve to the
+  * SAME expression the Column API builds, literal-parameter misuse
+  * must fail at analysis, and the catalog must list the functions.
+  */
+class GraftExtensionsSpec extends SparkTestBase {
+
+  /** A second session on the SHARED SparkContext with the extensions
+    * installed (the base suite's session must stay extension-free to
+    * prove the Column API needs no registration). `spark.sql.extensions`
+    * is a STATIC conf consumed at SparkContext creation, which this
+    * JVM's shared context predates — so the spec replays the exact
+    * startup path by hand: resolve the class by NAME, zero-arg
+    * instantiate, apply (what `applyExtensions` does), via the
+    * builder's `withExtensions`. Active/default are restored so other
+    * suites' `getOrCreate` still binds the plain session.
+    */
+  lazy val ext: SparkSession = {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val byName = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    val s = org.apache.spark.sql.classic.SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-ext-test")
+      .withExtensions(byName)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    SparkSession.setDefaultSession(orig)
+    SparkSession.setActiveSession(orig)
+    s
+  }
+
+  test("catalog lists every injected function") {
+    val names = GraftExtensions.functions.map(_._1.funcName).toSet
+    val listed = ext.catalog.listFunctions().collect().map(_.name).toSet
+    val missing = names -- listed
+    assert(missing.isEmpty, s"not in catalog: $missing")
+  }
+
+  test("cosine_sim in SQL == CosineSim via Column API") {
+    val emb = graft.ingest.Synth.embeddings(ext, 200, dims = 32)
+    emb.createOrReplaceTempView("emb_ext")
+    val viaSql = ext.sql(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       cosine_sim(a.embedding, b.embedding) AS sim
+        |FROM emb_ext a JOIN emb_ext b ON a.vec_id + 2 = b.vec_id
+        |WHERE b.vec_id % 10 = 9""".stripMargin)
+    val viaCol = {
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a.join(b, col("id_a") + 2 === col("id_b") && col("id_b") % 10 === 9)
+        .select(col("id_a"), col("id_b"),
+          VectorOps.cosineSim(col("ea"), col("eb")).as("sim"))
+    }
+    assertSameRows(viaSql, viaCol)
+    // injected near-pairs really are near — the values are live, not null
+    val sims = viaSql.select("sim").collect().map(_.getDouble(0))
+    assert(sims.nonEmpty && sims.forall(_ > 0.9), s"expected near-dup sims, got ${sims.take(3).mkString(",")}")
+  }
+
+  test("text functions in SQL == Column API (simhash64, shingle_hash3, minhash_sigs, winnow, lsh_sig)") {
+    val docs = graft.ingest.Synth.documents(ext, 100)
+    docs.createOrReplaceTempView("docs_ext")
+    val viaSql = ext.sql(
+      """SELECT doc_id,
+        |       simhash64(text, 60)                      AS sh,
+        |       winnow(text, 8, 4)                       AS fp,
+        |       minhash_sigs(shingle_hash3(text), 16)    AS mh
+        |FROM docs_ext""".stripMargin)
+    val viaCol = docs.select(col("doc_id"),
+      TextOps.simhash(col("text"), 60).as("sh"),
+      TextOps.fingerprint(col("text"), 8, 4).as("fp"),
+      TextOps.minhash(TextOps.shingleHashes3(col("text")), 16).as("mh"))
+    assertSameRows(viaSql, viaCol)
+
+    val emb = graft.ingest.Synth.embeddings(ext, 50, dims = 16)
+    emb.createOrReplaceTempView("emb_sig_ext")
+    val sigSql = ext.sql("SELECT vec_id, lsh_sig(embedding, 20, 7) AS sig FROM emb_sig_ext")
+    val sigCol = emb.select(col("vec_id"),
+      VectorOps.lshSig(col("embedding"), 20, 7L).as("sig"))
+    assertSameRows(sigSql, sigCol)
+  }
+
+  test("non-literal tuning parameter fails analysis with a pointed message") {
+    val docs = graft.ingest.Synth.documents(ext, 5)
+    docs.createOrReplaceTempView("docs_badarg")
+    val e = intercept[Exception] {
+      ext.sql("SELECT simhash64(text, CAST(length(text) AS INT)) FROM docs_badarg").collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+    val arity = intercept[Exception] {
+      ext.sql("SELECT cosine_sim(text) FROM docs_badarg").collect()
+    }
+    assert(arity.getMessage.contains("argument"), arity.getMessage)
+  }
+
+  test("base session (no extensions) does not see the functions; Column API needs no registration") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT simhash64('a b c', 60)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("unresolved")
+      || err.getMessage.toLowerCase.contains("cannot resolve")
+      || err.getMessage.toLowerCase.contains("undefined function"), err.getMessage)
+    // the Column API on the plain session still works
+    import spark.implicits._
+    val one = Seq("a b c d e").toDF("text")
+      .select(TextOps.simhash($"text", 60).as("sh")).collect()
+    assert(one.length == 1)
+  }
+}
