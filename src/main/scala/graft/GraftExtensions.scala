@@ -72,8 +72,16 @@ object GraftExtensions {
       builder)
   }
 
-  private def intLit(fn: String, arg: String, e: Expression): Int =
-    longLit(fn, arg, e).toInt
+  private def intLit(fn: String, arg: String, e: Expression): Int = {
+    val v = longLit(fn, arg, e)
+    if (v < Int.MinValue || v > Int.MaxValue)
+      // silent .toInt truncation would run the query with a DIFFERENT
+      // parameter than written — the exact hazard the literal rule
+      // exists to prevent
+      throw new IllegalArgumentException(
+        s"$fn: '$arg' must be an integer literal in int range, got $v")
+    v.toInt
+  }
 
   private def longLit(fn: String, arg: String, e: Expression): Long = e match {
     case Literal(v: Byte, _) => v.toLong

@@ -43,11 +43,13 @@ object CsvSource {
     * `try_to_timestamp` is laxer (accepts date-only and space-separated
     * forms the reference REJECTS as rows), which would diverge the
     * valid/reject split on malformed feeds; this guard restores the
-    * reference's row-reject contract. Known remaining deviation: zone-
-    * region suffixes like `[Europe/Paris]` are not accepted.
+    * reference's row-reject contract. Offsets accept the full
+    * ISO-8601 offset-id family (`+hh`, `+hh:mm`, `+hh:mm:ss`) exactly
+    * as `ISO_DATE_TIME` does. Known remaining deviation: zone-region
+    * suffixes like `[Europe/Paris]` are not accepted.
     */
   private[ingest] val isoDateTimeRe =
-    """^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}(:\d{2}(\.\d{1,9})?)?(Z|[+-]\d{2}:\d{2})?$"""
+    """^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}(:\d{2}(\.\d{1,9})?)?(Z|[+-]\d{2}(:\d{2}(:\d{2})?)?)?$"""
 
   private val declared = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
@@ -124,6 +126,41 @@ object CsvSource {
     */
   def readDeclared(spark: SparkSession, setting: ConfigModel.CsvSetting): (DataFrame, DataFrame) = {
     import ConfigModel._
+    val (staged, parseFailed, declaredCols) = stagePlan(spark, setting)
+    val outCols = col(s"${stagePrefix}ts").as("timestamp") +:
+      setting.columns.zipWithIndex.map { case (c, i) =>
+        col(s"$stagePrefix$i").as(c.joinKey.getOrElse(c.name))
+      }
+    val valid = staged.filter(!parseFailed).select(outCols: _*)
+    val rejects = staged.filter(parseFailed).select(
+      declaredCols.map(col) :+
+        when(col(s"${stagePrefix}ts").isNull, "bad timestamp")
+          .otherwise("bad typed value").as("reject_reason"): _*)
+    (valid, rejects)
+  }
+
+  /** (validRows, rejectRows) for a declared setting in ONE scan — the
+    * two frames [[readDeclared]] returns are complementary filters over
+    * one staged plan, so counting them separately re-reads and
+    * re-parses every file twice; status/metrics passes (the registry's
+    * per-setting accounting) should use this instead.
+    */
+  def declaredCounts(spark: SparkSession, setting: ConfigModel.CsvSetting): (Long, Long) = {
+    val (staged, parseFailed, _) = stagePlan(spark, setting)
+    val row = staged.agg(
+      count(when(!parseFailed, lit(1))).as("valid"),
+      count(when(parseFailed, lit(1))).as("rejects")).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  private val stagePrefix = "__graft_t_"
+
+  /** Shared staging plan: (staged frame carrying raw + typed columns,
+    * row-reject predicate, declared raw column names).
+    */
+  private def stagePlan(spark: SparkSession, setting: ConfigModel.CsvSetting)
+      : (DataFrame, org.apache.spark.sql.Column, Seq[String]) = {
+    import ConfigModel._
     val tsCol = setting.timestampColumn.getOrElse(
       throw new IllegalArgumentException("setting has no timestamp column"))
     val raw = spark.read
@@ -151,24 +188,37 @@ object CsvSource {
     }
     val outName = (c: CsvColumn) => c.joinKey.getOrElse(c.name)
 
-    val typed = setting.columns.foldLeft(
-      raw.withColumn("timestamp", tsParse(tsCol.name, tsCol.tsFormat))) {
-      (df, c) => df.withColumn(s"_t_${outName(c)}", typedExpr(c))
-    }
+    // Output names must be unambiguous: `timestamp` is the parsed-ts
+    // output, and each column lands at its joinKey-or-name. A raw
+    // column literally named `timestamp` (or a name colliding with
+    // another column's joinKey) would produce two output columns with
+    // one name — fail fast instead of silently shadowing.
+    val outNames = "timestamp" +: setting.columns.map(outName)
+    val dups = outNames.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    require(dups.isEmpty,
+      s"ambiguous output column name(s): ${dups.mkString(", ")} " +
+        "(a column name collides with 'timestamp' or another column's joinKey)")
+
+    // Typed staging happens in ONE select over the raw frame, with
+    // POSITIONAL reserved aliases: every typed expression reads the
+    // original raw columns (a withColumn chain would let a parsed
+    // column shadow a same-named raw column before later expressions
+    // read it), and staged names cannot collide with output names.
+    require(!raw.columns.exists(_.startsWith(stagePrefix)),
+      s"raw csv columns may not start with the reserved prefix $stagePrefix")
+    val staged = raw.select(
+      raw.columns.map(col) ++
+        (tsParse(tsCol.name, tsCol.tsFormat).as(s"${stagePrefix}ts") +:
+          setting.columns.zipWithIndex.map { case (c, i) =>
+            typedExpr(c).as(s"$stagePrefix$i")
+          }): _*)
     // a row is rejected iff its timestamp fails, or any declared value
     // is present (non-null raw) but unparseable (null typed)
-    val parseFailed = setting.columns
-      .filter(_.tpe != CString)
-      .map(c => col(c.name).isNotNull && col(s"_t_${outName(c)}").isNull)
-      .foldLeft(col("timestamp").isNull)(_ || _)
+    val parseFailed = setting.columns.zipWithIndex
+      .filter(_._1.tpe != CString)
+      .map { case (c, i) => col(c.name).isNotNull && col(s"$stagePrefix$i").isNull }
+      .foldLeft(col(s"${stagePrefix}ts").isNull)(_ || _)
 
-    val outCols = col("timestamp") +:
-      setting.columns.map(c => col(s"_t_${outName(c)}").as(outName(c)))
-    val valid = typed.filter(!parseFailed).select(outCols: _*)
-    val rejects = typed.filter(parseFailed).select(
-      declaredCols.map(col) :+
-        when(col("timestamp").isNull, "bad timestamp")
-          .otherwise("bad typed value").as("reject_reason"): _*)
-    (valid, rejects)
+    (staged, parseFailed, declaredCols)
   }
 }

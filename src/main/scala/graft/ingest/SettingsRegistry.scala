@@ -41,9 +41,9 @@ final class SettingsRegistry(
     config.csvSettings.indices.map { i =>
       val result =
         try {
-          val (valid, rejects) = read(spark, i)
-          val v = valid.count()
-          val r = rejects.count()
+          // one scan for both counts — counting the (valid, rejects)
+          // frames separately re-reads and re-parses every file twice
+          val (v, r) = CsvSource.declaredCounts(spark, config.csvSettings(i))
           SettingResult(i, v, r, "COMPLETED")
         } catch {
           case e: Exception =>

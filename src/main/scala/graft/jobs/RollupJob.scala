@@ -43,8 +43,16 @@ final class RollupJob(
       * `status='FAILED' AND retry_count < max`): a partition whose
       * latest lineage is FAILED with this many failed runs is excluded
       * from planning (surfaced via WARNING log + metrics) instead of
-      * retrying forever — clear it by fixing the input and letting a
-      * run commit COMPLETED lineage, which supersedes the poison row.
+      * retrying forever. Exclusion means NO run can self-heal it —
+      * recovery is the explicit [[resetPoisoned]] call (the analogue of
+      * the reference operator's manual `row_processing` status reset),
+      * after which the next run plans the partition again. Note the
+      * attribution granularity: a terminal COMMIT failure marks every
+      * partition of that commit batch FAILED (the reference's batched
+      * status UPDATE behaves identically), so a non-partition-specific
+      * fault (disk full) advances the count for the whole batch — the
+      * cap bounds retries of ANY repeated failure; `resetPoisoned` is
+      * the recovery for the healthy majority once the fault is fixed.
       */
     maxCrossRunRetries: Int = 3) {
 
@@ -242,6 +250,26 @@ final class RollupJob(
       }
       results.toSeq
     }
+  }
+
+  /** Manual poison clear — the analogue of the reference operator's
+    * `row_processing` status reset (the only recovery the reference has
+    * for rows FAILED past `max_retries`): appends a RESET lineage row
+    * (retryCount 0) superseding each currently-poisoned partition of
+    * `tier`, so the NEXT run plans them again (RESET is neither FAILED
+    * nor COMPLETED: it clears the poison filter without marking work
+    * done). Returns the partitions reset.
+    */
+  def resetPoisoned(tier: String, jobId: String = "poison-reset"): Seq[String] = {
+    val poisoned = state.failedRetryCounts(tier)
+      .filter(_._2 >= maxCrossRunRetries).keys.toSeq.sorted
+    if (poisoned.nonEmpty) {
+      state.commitLineage(poisoned.map(p => state.LineageRow(
+        tier, p, "RESET", "manual poison reset", 0, 0, jobId, state.nextSeq())))
+      state.log("INFO", tier,
+        s"reset ${poisoned.size} poisoned partition(s): ${poisoned.mkString(",")}", jobId)
+    }
+    poisoned
   }
 
   /** Reference retry policy: `min(base·2^attempt, cap)` backoff

@@ -128,8 +128,17 @@ object Dedup {
       .select(col("rep").as("doc_a") +: col("doc_id").as("doc_b") +:
         extra.flatMap(c => Seq(col(s"rep_$c").as(s"${c}_a"), col(c).as(s"${c}_b"))): _*)
     val outCols = Seq("doc_a", "doc_b") ++ extra.flatMap(c => Seq(s"${c}_a", s"${c}_b"))
+    // doc_a =!= doc_b: a numeric-fold key collision between two bands
+    // of the SAME doc (P ≈ C(bands,2)/2³¹ per doc — expected hits at
+    // 10¹⁰ docs) puts that doc_id in one bucket twice, and the
+    // slice-pairing would emit a (x, x) self-pair that `distinct` does
+    // NOT remove and the oracle's `a.doc_id < b.doc_id` join never
+    // produces. Struct-keyed callers (simhash chunks, per-table LSH
+    // buckets) cannot collide this way; the guard is here so every
+    // caller is safe by construction.
     val unioned = pairsSmall.select(outCols.map(col): _*)
       .union(pairsBig.select(outCols.map(col): _*))
+      .filter(col("doc_a") =!= col("doc_b"))
     if (distinctOutput) unioned.distinct() else unioned
   }
 
@@ -172,15 +181,24 @@ object Dedup {
     * across those branches — re-deriving signatures+banding 3× was
     * measured at ~3× the one-pass cost on a 500k-doc corpus. The pair
     * set is small BY CONSTRUCTION (it is the thing dedup must
-    * materialize anyway), so an eager localCheckpoint pins it once.
-    * At cluster scale with executor churn, swap for a reliable
-    * checkpoint dir or a staging-table write — same one-materialization
-    * shape.
+    * materialize anyway), so it is pinned once with a LAZY
+    * MEMORY_AND_DISK persist: unlike the localCheckpoint this replaces,
+    * nothing runs until an action needs it, and the retained lineage
+    * means a lost executor recomputes the lost blocks instead of
+    * permanently failing the query (localCheckpoint truncates lineage —
+    * documented-unsafe under churn, which made the SAFE mode opt-in on
+    * the one path that claims 100 TB). The cache is never explicitly
+    * unpersisted — it ages out by LRU like any cached frame; callers
+    * running many corpora through one session can unpersist the result's
+    * source themselves.
     */
   def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.7, materializeCandidates: Boolean = true): DataFrame = {
     val cand = lshCandidatePairs(minhashSignatures(docs, k), k, bands)
-    val pairs = if (materializeCandidates) cand.localCheckpoint(true) else cand
+    val pairs =
+      if (materializeCandidates)
+        cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cand
     jaccardVerify(docs, pairs, threshold)
   }
 

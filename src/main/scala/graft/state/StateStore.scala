@@ -43,7 +43,10 @@ final class StateStore(root: String) {
 
   private def loadMaxSeq(): Long = {
     val seqs = for {
-      kind <- Seq("checkpoints", "lineage", "metrics")
+      // every kind that carries a seq — omitting one (the log stream is
+      // written LAST in a run, so it often holds the global max) would
+      // re-issue its seq values after a restart
+      kind <- Seq("checkpoints", "lineage", "metrics", "logs")
       if Files.exists(dir(kind))
       f <- Files.list(dir(kind)).iterator().asScala.toSeq
       line <- Files.readAllLines(f).asScala

@@ -136,6 +136,39 @@ class ConfigValidatorSpec extends SparkTestBase {
     assert(valid.filter(org.apache.spark.sql.functions.col("sensorValue").isNull).count() == 1)
   }
 
+  test("declared read: one-scan counts match the split frames") {
+    val setting = standardSetting(s"$refTests/invalid_data_types_test.csv")
+    val (v, r) = CsvSource.declaredCounts(spark, setting)
+    val (valid, rejects) = CsvSource.readDeclared(spark, setting)
+    assert((v, r) == (valid.count(), rejects.count()), s"got ($v, $r)")
+  }
+
+  test("declared read: ambiguous output names fail fast, not silently shadow") {
+    // a raw data column literally named 'timestamp' (joinKey None →
+    // output name 'timestamp') would collide with the parsed-ts output;
+    // before the single-select staging rework it was silently CLOBBERED
+    // by the parse before its typed expression read it
+    val dir = tmpDir("ambig")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.csv"),
+      "Ts,timestamp,Tag,Value\n1709286400,99,t1,1.5\n".getBytes)
+    val setting = CsvSetting(
+      timestampColumn = Some(CsvColumn("Ts", CTime, tsFormat = CsvSource.Unix)),
+      columns = Seq(
+        CsvColumn("timestamp", CLong),
+        CsvColumn("Tag", CString, Some("sensorTag"), isPathColumn = true),
+        CsvColumn("Value", CDouble, Some("sensorValue"))),
+      filePaths = Seq(s"$dir/a.csv"))
+    val e = intercept[IllegalArgumentException](
+      CsvSource.readDeclared(spark, setting))
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+    // the same raw header used AS the timestamp source stays legal
+    val ok = setting.copy(
+      timestampColumn = Some(CsvColumn("timestamp", CTime, tsFormat = CsvSource.Unix)),
+      columns = setting.columns.tail)
+    val (valid, rejects) = CsvSource.readDeclared(spark, ok)
+    assert(valid.count() == 1 && rejects.count() == 0)
+  }
+
   test("registry: validates once, runs every setting, records status") {
     val stateDir = tmpDir("registry-state")
     val state = new StateStore(stateDir)

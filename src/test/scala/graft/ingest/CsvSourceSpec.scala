@@ -85,9 +85,11 @@ class CsvSourceSpec extends SparkTestBase {
         |c1,3,user,zulu,,2024-03-01T10:00:00Z
         |c1,4,user,minutes-only,,2024-03-01T10:00
         |c1,5,user,date-only,,2024-03-01
-        |c1,6,user,space-form,,2024-03-01 10:00:00""".stripMargin)
+        |c1,6,user,space-form,,2024-03-01 10:00:00
+        |c1,7,user,hour-offset,,2024-03-01T10:00:00+01
+        |c1,8,user,sec-offset,,2024-03-01T10:00:00+01:00:30""".stripMargin)
     val (valid, rejects) = CsvSource.read(spark, path)
-    assert(valid.count() == 5, s"want 5 accepted, got ${valid.count()}")
+    assert(valid.count() == 7, s"want 7 accepted, got ${valid.count()}")
     val rej = rejects.collect().map(r => r.getAs[String]("text") -> r.getAs[String]("reject_reason"))
     assert(rej.toSet == Set("date-only" -> "bad ts", "space-form" -> "bad ts"), s"got ${rej.toSeq}")
     // the offset form lands at the correct UTC instant

@@ -127,9 +127,23 @@ class ResumeSpec extends SparkTestBase {
     assert(healthy.state.metrics.exists(m =>
       m.jobId == "healthy" && m.tier == "1m" && m.failed == counts.size))
 
-    // raising the cap un-poisons: the run processes and COMPLETED
-    // lineage supersedes the FAILED rows
-    val retried = new RollupJob(wh, maxCrossRunRetries = 10)
+    // recovery path: a poisoned partition is EXCLUDED from planning, so
+    // no run can self-heal it — the explicit reset (the reference
+    // operator's manual row_processing status reset) clears the poison
+    // and the next run, at the SAME cap, processes it to COMPLETED
+    val reset = healthy.resetPoisoned("1m", "reset-job")
+    assert(reset.toSet == counts.keySet, s"reset $reset vs poisoned ${counts.keySet}")
+    assert(healthy.resetPoisoned("1m").isEmpty) // idempotent: nothing left
+
+    // a post-reset failure counts from 1 again (not 4): the partitions
+    // stay below the cap, so the subsequent healthy run — still at the
+    // SAME cap — plans and completes them
+    val again = new RollupJob(wh, maxRetries = 0, maxCrossRunRetries = 3)
+    again.commitFault = (tier, _) =>
+      if (tier == "1m") throw new RuntimeException("fresh fault")
+    intercept[RuntimeException](again.run(spark, input, "again"))
+    assert(again.state.failedRetryCounts("1m").values.forall(_ == 1))
+    val retried = new RollupJob(wh, maxCrossRunRetries = 3)
     val res2 = retried.run(spark, input, "retried")
     assert(res2.find(_.tier == "1m").get.rows > 0)
     assert(retried.state.failedRetryCounts("1m").isEmpty)
