@@ -87,6 +87,22 @@ class DedupSpec extends SparkTestBase {
     assert(bad.count() == 0, s"simhash divergence:\n${bad.head(3).mkString("\n")}")
   }
 
+  test("band-key collision putting one doc in a bucket twice emits no self-pair") {
+    import spark.implicits._
+    // simulates a numeric-fold collision: doc 7 lands in bucket 100 via
+    // TWO different bands (same bk value) — small-bucket pairing must
+    // not emit (7,7), and big-bucket star pairing must not emit (1,1)
+    val banded = (Seq((7L, 100L), (7L, 100L), (8L, 100L)) ++
+      (1L to 50L).map(i => (i, 200L)) :+ (1L, 200L)).toDF("doc_id", "bk")
+    val pairs = Dedup.pairsFromBuckets(banded, maxBucket = 10).collect()
+    assert(pairs.forall(r => r.getLong(0) != r.getLong(1)),
+      s"self pair in ${pairs.filter(r => r.getLong(0) == r.getLong(1)).mkString(",")}")
+    // the legitimate pair survives, exactly once
+    assert(pairs.count(r => r.getLong(0) == 7L && r.getLong(1) == 8L) == 1)
+    // star branch: every member of the hot bucket pairs with rep 1
+    assert(pairs.count(_.getLong(0) == 1L) == 49)
+  }
+
   test("hot-bucket guard: 1000 identical docs yield linear star pairs, not n²") {
     val many = spark.range(1000).select(
       col("id").as("doc_id"),
