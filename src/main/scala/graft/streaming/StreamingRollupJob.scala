@@ -12,22 +12,35 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * uses — the streaming sibling of [[graft.jobs.RollupJob]].
   *
   * Append-mode closed windows land per micro-batch as day partitions
-  * via `foreachBatch`; each batch commits a lineage row keyed by its
-  * streaming batchId. Batch commits are IDEMPOTENT on replay: Spark
-  * re-runs a micro-batch after a crash (the streaming checkpoint is
-  * at-least-once into a non-transactional sink), so [[commitBatch]]
-  * first consults lineage — a batch whose id is already COMPLETED is
-  * skipped. The residual window (crash BETWEEN the table commit and
-  * the lineage commit re-appends one batch) is the same commit-ordering
-  * caveat the reference has between its sink insert and its
-  * `row_processing` status UPDATE (`MigrateTask.java:79-111`) and the
-  * batch RollupJob documents for its own tier commit + checkpoint pair;
-  * closing it fully would need the lineage write to ride inside the
-  * table's atomic manifest commit.
+  * via `foreachBatch`; each batch commits a lineage row. Design points,
+  * each load-bearing for a LONG-LIVED stream:
   *
-  * Nothing here caches or collects: a micro-batch of closed windows is
-  * O(windows closed this trigger), already aggregated by the streaming
-  * state store.
+  *  - **Idempotent replay.** Spark re-runs a micro-batch after a crash
+  *    (streaming checkpoints are at-least-once into non-transactional
+  *    sinks), so a batch whose lineage is already COMPLETED is skipped.
+  *    The lineage key scopes the batchId by the CHECKPOINT directory
+  *    name — batchIds are only unique within one checkpoint, so a later
+  *    reprocessing query (fresh checkpoint, ids restarting at 0) does
+  *    not collide with the first query's committed ids.
+  *  - **O(1) per-trigger planning.** The committed set is read from
+  *    lineage ONCE per query start and kept in memory; a trigger does
+  *    not re-scan the (ever-growing) lineage stream. A restart re-reads
+  *    it once, which is exactly when it can have changed.
+  *  - **Empty triggers are free.** Spark invokes foreachBatch on empty
+  *    micro-batches (idle source, watermark not yet passing a window);
+  *    those return without a write job, a manifest version, or a
+  *    lineage row.
+  *  - **Bounded file counts.** Every `compactEvery` committed batches
+  *    the table's fragmented partitions (> maxFiles files) are
+  *    compacted in place — a perpetual stream otherwise accretes one
+  *    file per partition per batch forever.
+  *
+  * The residual window (crash BETWEEN the table commit and the lineage
+  * commit re-appends one batch) is the same commit-ordering caveat the
+  * reference has between its sink insert and its `row_processing`
+  * status UPDATE (`MigrateTask.java:79-111`); closing it fully would
+  * need the lineage write to ride inside the table's atomic manifest
+  * commit.
   */
 object StreamingRollupJob {
 
@@ -35,44 +48,64 @@ object StreamingRollupJob {
 
   /** Start the durable streaming rollup. The caller owns the returned
     * query (awaitTermination / stop); `checkpointDir` must be stable
-    * across restarts — it is the streaming source/state checkpoint that
-    * makes a restarted query resume exactly where it stopped.
+    * across restarts — it is both the streaming state checkpoint AND
+    * the namespace of the sink's idempotence keys.
     */
   def start(spark: SparkSession, inputDir: String, warehouse: String,
       checkpointDir: String, tier: Tier = Tier.M1,
-      watermarkDelay: String = "10 minutes", jobId: String = "stream"): StreamingQuery = {
+      watermarkDelay: String = "10 minutes", jobId: String = "stream",
+      compactEvery: Int = 100, compactMaxFiles: Int = 4): StreamingQuery = {
     val state = new StateStore(s"$warehouse/_state")
     val table = new SnapshotTable(tablePath(warehouse, tier))
+    val scope = batchScope(checkpointDir)
+    // read once per query start; commitBatch maintains it in memory
+    val committed = loadCommitted(state, tier.name)
+    val sinceCompact = new java.util.concurrent.atomic.AtomicInteger(0)
     StreamingRollup.rollup(StreamingRollup.readStream(spark, inputDir), tier, watermarkDelay)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        commitBatch(state, table, batch, id, jobId)
+        val appended = commitBatch(state, table, tier.name, committed, scope, batch, id, jobId)
+        if (appended > 0 && compactEvery > 0 &&
+            sinceCompact.incrementAndGet() >= compactEvery) {
+          sinceCompact.set(0)
+          table.compact(batch.sparkSession, compactMaxFiles)
+          state.log("INFO", tier.name, "compacted streaming table partitions", jobId)
+        }
         ()
       }
       .start()
   }
 
-  private val tierOf = "rollup_stream_(.+)".r
+  /** BatchIds are unique only within one checkpoint — scope lineage
+    * keys by the checkpoint directory NAME so a reprocessing query
+    * (fresh checkpoint) cannot collide with a prior query's ids.
+    */
+  private[streaming] def batchScope(checkpointDir: String): String =
+    checkpointDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
 
-  /** One micro-batch commit: skip if this batchId already has COMPLETED
-    * lineage (crash-replay idempotence), else append the windows as day
-    * partitions and record lineage. Visible for direct testing.
+  /** The already-committed batch partitions of `tier`, read once. */
+  private[streaming] def loadCommitted(state: StateStore, tierName: String)
+      : scala.collection.mutable.Set[String] =
+    scala.collection.mutable.Set.empty[String] ++= state.latestLineage.collect {
+      case ((t, p), r) if t == tierName && r.status == "COMPLETED" => p
+    }
+
+  /** One micro-batch commit: skip empty batches and crash-replayed
+    * batchIds, else append the windows as day partitions and record
+    * lineage. Visible for direct testing.
     */
   private[streaming] def commitBatch(state: StateStore, table: SnapshotTable,
-      batch: DataFrame, batchId: Long, jobId: String): Long = {
-    val tierName = table.root.split('/').last match {
-      case tierOf(t) => t
-      case other => other
-    }
-    val partition = s"batch-$batchId"
-    val already = state.latestLineage.get((tierName, partition))
-      .exists(_.status == "COMPLETED")
-    if (already) {
+      tierName: String, committed: scala.collection.mutable.Set[String],
+      scope: String, batch: DataFrame, batchId: Long, jobId: String): Long = {
+    val partition = s"$scope-batch-$batchId"
+    if (committed.contains(partition)) {
       state.log("WARNING", tierName,
         s"micro-batch $batchId replayed after restart; already committed — skipping", jobId)
       0L
+    } else if (batch.isEmpty) {
+      0L // idle trigger: no write job, no manifest version, no lineage
     } else {
       // appended rows from parquet footer metadata of the files this
       // batch staged (append concatenates prev ++ staged) — no count()
@@ -84,6 +117,7 @@ object StreamingRollupJob {
       state.commitLineage(Seq(state.LineageRow(
         tierName, partition, "COMPLETED", "", 0, appended, jobId,
         state.nextSeq())))
+      committed += partition
       appended
     }
   }

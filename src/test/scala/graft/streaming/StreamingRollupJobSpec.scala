@@ -6,6 +6,7 @@ import graft.model.Tier
 import graft.rollup.Rollup
 import graft.state.StateStore
 import graft.table.SnapshotTable
+import org.apache.spark.sql.functions.lit
 
 class StreamingRollupJobSpec extends SparkTestBase {
 
@@ -36,7 +37,7 @@ class StreamingRollupJobSpec extends SparkTestBase {
     assert(lin.map(_.rows).sum == emitted, s"lineage rows ${lin.map(_.rows).sum} vs $emitted")
   }
 
-  test("micro-batch replay after restart is idempotent: same batchId commits once") {
+  test("micro-batch replay is idempotent; a NEW checkpoint's ids do not collide") {
     import spark.implicits._
     val wh = tmpDir("sj-idem")
     val state = new StateStore(s"$wh/_state")
@@ -46,17 +47,29 @@ class StreamingRollupJobSpec extends SparkTestBase {
       ("c2", java.sql.Timestamp.valueOf("2024-03-01 10:01:00"), 1L, 1L, 0L, 0L, 9L, 9L, 9L))
       .toDF("conv_id", "window_start", "turn_count", "user_turns",
         "assistant_turns", "tool_calls", "char_len_sum", "char_len_min", "char_len_max")
+    val committed = StreamingRollupJob.loadCommitted(state, "1m")
+    val scope = StreamingRollupJob.batchScope("/tmp/ckpts/q1/")
+    assert(scope == "q1")
 
-    val first = StreamingRollupJob.commitBatch(state, table, batch, batchId = 7L, "idem")
+    val first = StreamingRollupJob.commitBatch(state, table, "1m", committed, scope, batch, 7L, "idem")
     assert(first == 2L)
     // crash-replay of the SAME batch id: skipped, logged, no double rows
-    val replay = StreamingRollupJob.commitBatch(state, table, batch, batchId = 7L, "idem")
-    assert(replay == 0L)
+    assert(StreamingRollupJob.commitBatch(state, table, "1m", committed, scope, batch, 7L, "idem") == 0L)
     assert(table.read(spark).count() == 2L)
     assert(state.logs.exists(l =>
       l.level == "WARNING" && l.message.contains("replayed")))
-    // a NEW batch id commits normally
-    assert(StreamingRollupJob.commitBatch(state, table, batch, batchId = 8L, "idem") == 2L)
+    // restart (committed set re-read from lineage) still skips it
+    val reloaded = StreamingRollupJob.loadCommitted(state, "1m")
+    assert(StreamingRollupJob.commitBatch(state, table, "1m", reloaded, scope, batch, 7L, "idem") == 0L)
+    // an empty idle trigger commits nothing: no rows, no snapshot churn
+    val vBefore = table.currentManifest.get.version
+    assert(StreamingRollupJob.commitBatch(state, table, "1m", reloaded, scope,
+      batch.filter(lit(false)), 9L, "idem") == 0L)
+    assert(table.currentManifest.get.version == vBefore)
+    // a SECOND query (fresh checkpoint, batchIds restart at 0) must NOT
+    // be swallowed by the first query's committed ids
+    val scope2 = StreamingRollupJob.batchScope("/tmp/ckpts/q2")
+    assert(StreamingRollupJob.commitBatch(state, table, "1m", reloaded, scope2, batch, 7L, "re") == 2L)
     assert(table.read(spark).count() == 4L)
   }
 }
