@@ -103,6 +103,30 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.count(_.getLong(0) == 1L) == 49)
   }
 
+  test("pairsFromBuckets == naive reference on random buckets (duplicates included)") {
+    import spark.implicits._
+    // property-style pin across seeds: random (doc_id, bk) rows with
+    // deliberate duplicate memberships; expected output derives from the
+    // documented contract — small buckets: all a<b pairs of DISTINCT
+    // ids; hot buckets: (min, member) star pairs
+    for (seed <- Seq(1, 7, 42)) {
+      val rng = new scala.util.Random(seed)
+      val maxBucket = 5
+      val rows = Seq.fill(300)((rng.nextInt(40).toLong, rng.nextInt(25).toLong))
+      val expected = rows.groupBy(_._2).values.flatMap { bucket =>
+        val ids = bucket.map(_._1).distinct.sorted
+        if (bucket.size <= 1) Seq.empty
+        else if (bucket.size <= maxBucket)
+          for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+        else ids.tail.map(d => (ids.head, d))
+      }.toSet
+      val got = Dedup.pairsFromBuckets(rows.toDF("doc_id", "bk"), maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"seed=$seed missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
   test("hot-bucket guard: 1000 identical docs yield linear star pairs, not n²") {
     val many = spark.range(1000).select(
       col("id").as("doc_id"),
