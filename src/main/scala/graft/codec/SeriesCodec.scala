@@ -61,11 +61,17 @@ object SeriesCodec {
 
   private def writeDod(w: BitWriter, dod: Long): Unit = {
     val z = ZigZag.encode(dod)
+    // UNSIGNED bucket compares: |dod| ≥ 2⁶² zigzags past Long.MaxValue
+    // to a NEGATIVE z, which a signed '<' would misroute into the 7-bit
+    // bucket — silently decoding to a different timestamp. Unsigned
+    // ordering sends it to the 64-bit escape, keeping the round-trip
+    // bit-exact for arbitrary deltas as the header doc promises.
+    def ltU(bound: Long) = java.lang.Long.compareUnsigned(z, bound) < 0
     if (dod == 0L) w.writeBit(false)
-    else if (z < (1L << 7)) { w.writeBits(0x2, 2); w.writeBits(z, 7) }
-    else if (z < (1L << 9)) { w.writeBits(0x6, 3); w.writeBits(z, 9) }
-    else if (z < (1L << 12)) { w.writeBits(0xe, 4); w.writeBits(z, 12) }
-    else if (z < (1L << 32)) { w.writeBits(0x1e, 5); w.writeBits(z, 32) }
+    else if (ltU(1L << 7)) { w.writeBits(0x2, 2); w.writeBits(z, 7) }
+    else if (ltU(1L << 9)) { w.writeBits(0x6, 3); w.writeBits(z, 9) }
+    else if (ltU(1L << 12)) { w.writeBits(0xe, 4); w.writeBits(z, 12) }
+    else if (ltU(1L << 32)) { w.writeBits(0x1e, 5); w.writeBits(z, 32) }
     else { w.writeBits(0x1f, 5); w.writeBits(z, 64) }
   }
 

@@ -102,7 +102,13 @@ object CsvSource {
   }
 
   private def tsParse(name: String, fmt: TsFormat) = fmt match {
-    case Unix => timestamp_millis(expr(s"try_cast(`$name` AS long)") * 1000)
+    // try_multiply: under ANSI (Spark 4 default) a plain ×1000 on an
+    // absurd epoch (try_cast succeeds at ~1e18) THROWS and fails the
+    // whole batch — the one thing this path must never do. Overflow →
+    // null → the ROW rejects. Documented deviation: the reference's
+    // `Long.parseLong(v) * 1000` (`CsvColumn.java:121`) silently WRAPS
+    // and accepts a garbage timestamp; rejecting is the safer contract.
+    case Unix => timestamp_millis(expr(s"try_multiply(try_cast(`$name` AS long), 1000L)"))
     case Iso => when(col(name).rlike(isoDateTimeRe), try_to_timestamp(col(name)))
       .otherwise(lit(null).cast("timestamp"))
     case Custom(p) => try_to_timestamp(col(name), lit(p))

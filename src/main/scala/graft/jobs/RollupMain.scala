@@ -77,11 +77,12 @@ object RollupMain {
     val results = job.run(spark, input, jobId)
     val secs = (System.nanoTime() - t0) / 1e9
 
-    val turns = job.state.metrics.filter(m => m.jobId == jobId && m.tier == "1m")
-      .map(_.processed).sum
     results.foreach(r =>
       println(s"[rollup] tier=${r.tier} partitions=${r.partitions.size} rows=${r.rows}"))
-    println(f"[rollup] job=$jobId wall=$secs%.2fs")
+    val turns = job.state.metrics.filter(m => m.jobId == jobId && m.tier == "1m")
+      .map(_.processed).sum
+    println(f"[rollup] job=$jobId wall=$secs%.2fs" +
+      (if (turns > 0) f" committed_1m_rows_per_s=${turns / secs}%.0f" else ""))
     // leveled-log summary (migration_logs analogue): surface WARNING and
     // ERROR rows at job end so rejects/poisoned partitions aren't silent
     val jobLogs = job.state.logs.filter(_.jobId == jobId)

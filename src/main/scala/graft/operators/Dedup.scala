@@ -251,10 +251,13 @@ object Dedup {
         lit(c.toLong * (mask + 1)) +
           shiftright(col("simhash"), c * w).bitwiseAND(lit(mask))): _*))
         .as("bk"))
+    // no second distinct: pairsFromBuckets already dedupes on
+    // (doc_a, doc_b, simhash_a, simhash_b), and the hamming projection
+    // is a function of those — another distinct() would re-shuffle the
+    // whole candidate set for zero semantic effect
     pairsFromBuckets(banded, maxBucket, extra = Seq("simhash"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
   }
 }

@@ -14,8 +14,9 @@ object RefOps {
     * The reference parses strings to typed values (`CsvColumn.java:79-115`)
     * and drops illegal conversions to null without failing the row
     * (`Converter.java:260-264`); narrowing casts get a precision-loss
-    * flag (`Converter.java:166-195`). `try_cast`-style semantics via
-    * ANSI-safe `cast` on non-ANSI session + explicit loss detection.
+    * flag (`Converter.java:166-195`). Every conversion here uses
+    * `try_cast` — Spark 4 sessions default to ANSI, where a plain
+    * `cast` THROWS on overflow/parse failure instead of nulling.
     */
   def typedCast(events: DataFrame): DataFrame =
     events.select(
@@ -26,9 +27,14 @@ object RefOps {
       // (ANSI session: plain cast would throw — try_cast IS the
       // reference's null-on-error, Converter.java:260-264)
       expr("try_cast(event_type AS int)").as("bad_int"),
-      // DOUBLE → INT narrowing + precision-loss flag
-      col("value").cast("int").as("value_int"),
-      (col("value").cast("int").cast("double") =!= col("value")).as("precision_loss"),
+      // DOUBLE → INT narrowing + precision-loss flag. try_cast, not
+      // cast: this session class runs ANSI (Spark 4 default), where a
+      // plain cast of |value| ≥ 2³¹ THROWS instead of the reference's
+      // null-on-error (`Converter.java:260-264`) — overflow now nulls
+      // value_int (a failed conversion, not a loss flag; the flag stays
+      // null-propagating exactly like the oracle's)
+      expr("try_cast(value AS int)").as("value_int"),
+      (expr("try_cast(value AS int)").cast("double") =!= col("value")).as("precision_loss"),
       // DOUBLE → BOOLEAN-ish (reference allows numeric→boolean via != 0)
       (col("value") =!= 0.0).as("value_bool"))
 

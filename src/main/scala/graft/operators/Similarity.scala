@@ -58,15 +58,18 @@ object Similarity {
     }
     val c = bucketed(corpus, "n_id", "n_emb")
     val q = bucketed(queries, "q_id", "q_emb")
-    val cand = c.join(broadcast(q.select(col("bucket"), col("q_id"), col("q_emb"))), Seq("bucket"))
+    // score BEFORE deduping cross-table repeats (same rationale as
+    // lshPairsAbove): dropDuplicates over rows carrying both embedding
+    // arrays shuffles 2·dims floats per candidate; scoring map-side
+    // and deduping the scalar (q_id, n_id, sim) rows shuffles ~24
+    // bytes — a repeated pair re-scores its cosine, compute is cheap
+    val scored = c.join(broadcast(q.select(col("bucket"), col("q_id"), col("q_emb"))), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), col("q_emb"), col("n_emb"))
+      .withColumn("sim", round(VectorOps.cosineSim(col("q_emb"), col("n_emb")), 6))
+      .select(col("q_id"), col("n_id"), col("sim"))
       .dropDuplicates("q_id", "n_id")
-    val scored = cand.withColumn(
-      "sim", round(VectorOps.cosineSim(col("q_emb"), col("n_emb")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     scored
-      .select(col("q_id"), col("n_id"), col("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -26,6 +26,12 @@ object BlockRollup {
     transcripts
       .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
       .withColumn("value", length(col("text")).cast("double"))
+      // null-measurement "hole" tolerance (`IoTDBWriter.java:175-178`):
+      // a null point (text=null → null char_len) is SKIPPED, not
+      // encoded — the typed Pt(Long, Double) aggregator would otherwise
+      // crash the whole tier on one null ('Null value appeared in
+      // non-nullable field'), while the metric tiers shrug it off
+      .filter(col("ts_us").isNotNull && col("value").isNotNull)
       .groupBy(
         col("conv_id"),
         window(col("ts"), tier.windowExpr).getField("start").as("window_start"))

@@ -79,11 +79,19 @@ object StreamingRollupJob {
   }
 
   /** BatchIds are unique only within one checkpoint — scope lineage
-    * keys by the checkpoint directory NAME so a reprocessing query
-    * (fresh checkpoint) cannot collide with a prior query's ids.
+    * keys by the checkpoint directory so a reprocessing query (fresh
+    * checkpoint) cannot collide with a prior query's ids. The scope is
+    * basename + a digest of the FULL normalized path: basenames alone
+    * collide on the common `/run1/checkpoint` vs `/run2/checkpoint`
+    * naming, which would silently skip the second query's batches.
     */
-  private[streaming] def batchScope(checkpointDir: String): String =
-    checkpointDir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last
+  private[streaming] def batchScope(checkpointDir: String): String = {
+    val norm = checkpointDir.replaceAll("[/\\\\]+$", "")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    s"${norm.split("[/\\\\]").last}-$digest"
+  }
 
   /** The already-committed batch partitions of `tier`, read once. */
   private[streaming] def loadCommitted(state: StateStore, tierName: String)

@@ -237,8 +237,7 @@ final class SnapshotTable(val root: String) {
     Files.list(stage).iterator().asScala.toSeq
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("_p="))
       .flatMap { dir =>
-        val part = java.net.URLDecoder.decode(
-          dir.getFileName.toString.stripPrefix("_p="), "UTF-8")
+        val part = unescapePathName(dir.getFileName.toString.stripPrefix("_p="))
         Files.list(dir).iterator().asScala.toSeq
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map { f =>
@@ -248,6 +247,26 @@ final class SnapshotTable(val root: String) {
             FileEntry(f.toString, part, Files.size(f), lo, hi)
           }
       }
+  }
+
+  /** Hive-style path unescape: decode `%XX` sequences ONLY. This is
+    * deliberately NOT `URLDecoder.decode`, which also turns a literal
+    * `+` into a space (Hive path escaping never encodes `+`), so a
+    * partition value containing `+` would be recorded wrong in the
+    * manifest — breaking later overwrite/prune/drop of that partition.
+    */
+  private def unescapePathName(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Clustering-key bounds of one parquet file, from row-group footer
@@ -369,10 +388,17 @@ final class SnapshotTable(val root: String) {
     m
   }
 
-  /** Delete snapshots older than the last `keep` and unlink data files
-    * no retained snapshot references.
+  /** Delete snapshots older than the last `keep`, unlink data files no
+    * retained snapshot references, and VACUUM crash-orphaned staged
+    * files: a write that staged parquet but died before
+    * [[commitManifest]] leaves a `data/stage-*` tree referenced by NO
+    * manifest — without this pass every failed/retried attempt on the
+    * 100 TB path permanently leaks a full staged copy. Only orphans
+    * older than `vacuumGraceMs` are removed, so an IN-FLIGHT
+    * stage-then-commit (single-writer, but expiry may run concurrently
+    * with a write elsewhere in the same process) is never swept.
     */
-  def expireSnapshots(keep: Int = 2): Unit = {
+  def expireSnapshots(keep: Int = 2, vacuumGraceMs: Long = 3600000L): Unit = {
     val cur = currentVersion.getOrElse(return)
     val all = Files.list(snapshotsDir).iterator().asScala.toSeq
       .map(_.getFileName.toString)
@@ -385,5 +411,32 @@ final class SnapshotTable(val root: String) {
     val expiredRefs = expired.map(readManifest).flatMap(_.files.map(_.path)).toSet
     (expiredRefs -- referenced).foreach(p => Files.deleteIfExists(Paths.get(p)))
     expired.foreach(v => Files.deleteIfExists(snapshotsDir.resolve(s"v$v.json")))
+
+    // orphan vacuum: any parquet under data/ that no retained manifest
+    // references and that is older than the grace window
+    val dataDir = Paths.get(root, "data")
+    if (Files.exists(dataDir)) {
+      val cutoff = System.currentTimeMillis() - vacuumGraceMs
+      val walk = Files.walk(dataDir)
+      try {
+        walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .filterNot(p => referenced.contains(p.toString))
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+          .foreach(Files.deleteIfExists(_))
+      } finally walk.close()
+      // prune now-empty stage/partition directories (deepest first)
+      val dirs = Files.walk(dataDir)
+      try {
+        dirs.iterator().asScala.toSeq
+          .filter(p => Files.isDirectory(p) && p != dataDir)
+          .sortBy(-_.getNameCount)
+          .foreach { d =>
+            val ls = Files.list(d)
+            val empty = try !ls.iterator().hasNext finally ls.close()
+            if (empty) Files.deleteIfExists(d)
+          }
+      } finally dirs.close()
+    }
   }
 }

@@ -73,6 +73,18 @@ class CodecSpec extends AnyFunSuite with PropHelpers {
     assert(SeriesCodec.decodeTimestamps(SeriesCodec.encodeTimestamps(ts)).sameElements(ts))
   }
 
+  test("dod >= 2^62 zigzags past Long.MaxValue and still routes to the 64-bit escape") {
+    // zigzag(2^62) wraps NEGATIVE; a signed bucket compare would
+    // misroute it into the 7-bit bucket and silently decode a different
+    // timestamp — the unsigned compare sends it to the escape
+    for (ts <- Seq(
+      Array(0L, 1L << 62, (1L << 62) + 5),
+      Array(0L, Long.MaxValue, Long.MaxValue - 3),
+      Array(Long.MinValue / 2, Long.MaxValue / 2)))
+      assert(SeriesCodec.decodeTimestamps(SeriesCodec.encodeTimestamps(ts)).sameElements(ts),
+        s"corrupted roundtrip for ${ts.toSeq}")
+  }
+
   test("gorilla values roundtrip bit-exactly (NaN payloads, ±Inf, -0.0, denormals)") {
     forAllN(valueSeqGen) { vs =>
       val out = SeriesCodec.decodeValues(SeriesCodec.encodeValues(vs))

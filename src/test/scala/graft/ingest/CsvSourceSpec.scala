@@ -97,6 +97,23 @@ class CsvSourceSpec extends SparkTestBase {
     assert(off.getAs[java.sql.Timestamp]("ts").toInstant.toString == "2024-03-01T09:00:00Z")
   }
 
+  test("absurd unix epoch overflows to a REJECTED row, not a failed batch (ANSI)") {
+    // try_cast('999999999999999999' AS long) succeeds (~1e18) but the
+    // ×1000 overflows long — under Spark 4's default ANSI a plain
+    // multiply THROWS and kills the batch; try_multiply nulls it and
+    // the ROW rejects (documented deviation: the reference's
+    // Long.parseLong(v) * 1000 silently WRAPS to a garbage timestamp)
+    val path = write("overflow",
+      """conv_id,turn_idx,role,text,tool,ts
+        |c1,0,user,ok,,1709286400
+        |c1,1,user,huge,,999999999999999999""".stripMargin)
+    val (valid, rejects) = CsvSource.read(spark, path,
+      CsvSource.Options(tsFormat = CsvSource.Unix))
+    assert(valid.count() == 1, s"got ${valid.count()} valid")
+    val rej = rejects.collect()
+    assert(rej.length == 1 && rej.head.getAs[String]("text") == "huge")
+  }
+
   test("missing optional values tolerated; extra undeclared columns ignored") {
     val path = write("extra",
       """conv_id,turn_idx,role,text,tool,ts,undeclared1,undeclared2

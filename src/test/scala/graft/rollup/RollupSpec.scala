@@ -72,6 +72,21 @@ class RollupSpec extends SparkTestBase {
     assertSameRows(raw, decoded)
   }
 
+  test("null text is a skipped point in blocks, not a tier crash") {
+    import org.apache.spark.sql.functions._
+    // null-measurement hole tolerance (IoTDBWriter.java:175-178): the
+    // typed Pt(Long, Double) aggregator would throw on a null value
+    val withNull = turns.filter(col("ts").isNotNull)
+      .withColumn("text", when(col("turn_idx") % 50 === 0, lit(null: String))
+        .otherwise(col("text")))
+    val decoded = BlockRollup.decode(BlockRollup.encode(withNull, Tier.H1))
+    val raw = withNull.filter(col("text").isNotNull).select(
+      col("conv_id"),
+      col("ts").cast("timestamp_ntz").as("ts"),
+      length(col("text")).cast("double").as("value"))
+    assertSameRows(raw, decoded)
+  }
+
   test("tool freq cascade equals direct") {
     val h1 = Rollup.toolFreq(turns, Tier.H1)
     assertSameRows(Rollup.toolFreq(turns, Tier.D1), Rollup.toolFreqCascade(h1, Tier.D1))

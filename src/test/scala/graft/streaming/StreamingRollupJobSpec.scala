@@ -49,7 +49,12 @@ class StreamingRollupJobSpec extends SparkTestBase {
         "assistant_turns", "tool_calls", "char_len_sum", "char_len_min", "char_len_max")
     val committed = StreamingRollupJob.loadCommitted(state, "1m")
     val scope = StreamingRollupJob.batchScope("/tmp/ckpts/q1/")
-    assert(scope == "q1")
+    assert(scope.startsWith("q1-"))
+    // trailing slash is normalized away; SAME basename under different
+    // parents yields different scopes (the silent-skip collision case)
+    assert(scope == StreamingRollupJob.batchScope("/tmp/ckpts/q1"))
+    assert(StreamingRollupJob.batchScope("/data/run1/checkpoint") !=
+      StreamingRollupJob.batchScope("/data/run2/checkpoint"))
 
     val first = StreamingRollupJob.commitBatch(state, table, "1m", committed, scope, batch, 7L, "idem")
     assert(first == 2L)

@@ -129,4 +129,39 @@ class SnapshotTableSpec extends SparkTestBase {
     t.expireSnapshots(keep = 1)
     assert(t.read(spark).agg(sum("v")).head().getLong(0) == 21L)
   }
+
+  test("partition values with '+' are not corrupted to spaces (Hive unescape, not URL)") {
+    val t = new SnapshotTable(tmpDir("snap-plus"))
+    t.overwritePartitions(df("a+b" -> 1, "x y" -> 2, "p%25c" -> 3), "p")
+    val parts = t.currentManifest.get.files.map(_.partition).toSet
+    assert(parts == Set("a+b", "x y", "p%25c"), s"got $parts")
+    // overwrite of the '+' partition actually replaces it
+    t.overwritePartitions(df("a+b" -> 10), "p")
+    val rows = t.read(spark).collect().map(r => (r.getAs[String]("p_key"), r.getAs[Int]("v"))).toSet
+    assert(rows == Set("a+b" -> 10, "x y" -> 2, "p%25c" -> 3), s"got $rows")
+    // pruned read by the escaped value
+    assert(t.read(spark, Some(Set("a+b"))).count() == 1)
+  }
+
+  test("expireSnapshots vacuums crash-orphaned staged files past the grace window") {
+    val t = new SnapshotTable(tmpDir("snap-vacuum"))
+    t.overwritePartitions(df("a" -> 1), "p")
+    // simulate a crash after stageWrite, before commit: a stage dir
+    // with a parquet no manifest references
+    val orphanDir = java.nio.file.Paths.get(t.root, "data", "stage-orphan", "_p=z")
+    java.nio.file.Files.createDirectories(orphanDir)
+    val orphan = orphanDir.resolve("part-orphan.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    val old = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L)
+    java.nio.file.Files.setLastModifiedTime(orphan, old)
+
+    // within grace: fresh orphans survive (in-flight write protection)
+    t.expireSnapshots(keep = 2, vacuumGraceMs = 86400000L)
+    assert(java.nio.file.Files.exists(orphan))
+    // past grace: orphan and its empty dirs are swept, live data intact
+    t.expireSnapshots(keep = 2, vacuumGraceMs = 3600000L)
+    assert(!java.nio.file.Files.exists(orphan), "orphan should be vacuumed")
+    assert(!java.nio.file.Files.exists(orphanDir.getParent), "empty stage dir pruned")
+    assert(t.read(spark).count() == 1)
+  }
 }
