@@ -103,6 +103,12 @@ class GraftExtensionsSpec extends SparkTestBase {
       ext.sql("SELECT cosine_sim(text) FROM docs_badarg").collect()
     }
     assert(arity.getMessage.contains("argument"), arity.getMessage)
+    // out-of-int-range literal: an analysis error, NOT silent .toInt
+    // truncation to a different tuning parameter
+    val range = intercept[Exception] {
+      ext.sql("SELECT simhash64(text, 4294967356) FROM docs_badarg").collect()
+    }
+    assert(range.getMessage.contains("int range"), range.getMessage)
   }
 
   test("base session (no extensions) does not see the functions; Column API needs no registration") {
