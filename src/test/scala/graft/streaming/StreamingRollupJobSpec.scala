@@ -37,6 +37,49 @@ class StreamingRollupJobSpec extends SparkTestBase {
     assert(lin.map(_.rows).sum == emitted, s"lineage rows ${lin.map(_.rows).sum} vs $emitted")
   }
 
+  test("restart from the same checkpoint continues without duplicating windows") {
+    import org.apache.spark.sql.functions._
+    val in = tmpDir("sj-restart-in")
+    val wh = tmpDir("sj-restart-wh")
+    val ckpt = tmpDir("sj-restart-ckpt")
+    val all = Synth.transcripts(spark, nConvs = 6, avgTurns = 60, seed = 55L).toDF()
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("ts", "conv_id", "turn_idx")))
+    val n = all.count()
+    import scala.jdk.CollectionConverters._
+    // the file stream lists TOP-LEVEL files: stage each half to a temp
+    // dir and move its single part file into the watched dir
+    def drop(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val tmp = tmpDir(s"sj-stage-$tag")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).next()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(in, s"$tag.parquet"))
+    }
+    // first half before the restart, second half after
+    drop(all.filter(col("r") <= n / 2).drop("r"), "a")
+
+    val q1 = StreamingRollupJob.start(spark, in, wh, ckpt, Tier.M1)
+    q1.processAllAvailable(); q1.stop()
+
+    drop(all.filter(col("r") > n / 2).drop("r"), "b")
+    val q2 = StreamingRollupJob.start(spark, in, wh, ckpt, Tier.M1)
+    q2.processAllAvailable(); q2.stop()
+
+    val table = new SnapshotTable(StreamingRollupJob.tablePath(wh, Tier.M1))
+    val stored = table.read(spark).drop("p")
+    // no (conv, window) appears twice — the restart neither re-emitted
+    // nor re-appended anything
+    val dups = stored.groupBy("conv_id", "window_start").count().filter(col("count") > 1)
+    assert(dups.isEmpty, s"duplicated windows: ${dups.head(3).mkString(",")}")
+    // every stored window matches the batch rollup over the FULL input
+    val batch = Rollup.fromRaw(all.drop("r"), Tier.M1)
+      .select(stored.columns.map(col): _*)
+    assert(stored.join(batch, stored.columns, "inner").count() == stored.count(),
+      "stored windows must be batch-identical after restart")
+    assert(stored.count() > 0)
+  }
+
   test("micro-batch replay is idempotent; a NEW checkpoint's ids do not collide") {
     import spark.implicits._
     val wh = tmpDir("sj-idem")
