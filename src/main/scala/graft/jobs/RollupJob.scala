@@ -90,6 +90,10 @@ final class RollupJob(
     // SLOWER than re-scanning parquet (text columns compress badly in
     // the columnar cache). Each pass re-reads the (pushdown-pruned)
     // parquet scan instead — 3-17s per pass. See BENCH/BASELINE.md.
+    // bound planning-read cost on long-lived warehouses: every
+    // completedPartitions/failedRetryCounts call below is latest-wins
+    // over all state files, so compact them first when fragmented
+    state.compactIfNeeded()
     val validated = Transcripts.validate(input)
     val (valid, rejects) = Transcripts.splitValid(validated)
     locally {

@@ -23,8 +23,27 @@ import scala.jdk.CollectionConverters._
   * State volume is O(tiers × partitions), not O(rows) — at 100 TB the
   * partition count is ~10^4-10^5, so driver-side JSON stays trivially
   * small while the data path stays fully distributed.
+  *
+  * **Compaction** ([[compact]]): every read is latest-wins over ALL
+  * commit files ever written, so a long-lived warehouse — especially a
+  * streaming job committing one lineage file per micro-batch — would
+  * accrete O(total-commits) tiny files re-scanned at each planning pass
+  * and each restart (the reference avoids this with an indexed H2
+  * store, `H2DatabaseManager.java:43-86`). Compaction rewrites each
+  * kind into ONE snapshot file: checkpoints/lineage keep only the
+  * latest row per (tier, partition) (their only read semantics);
+  * metrics and logs are append-semantics (sums / human record) so every
+  * row is preserved, just coalesced. Crash-safe without multi-file
+  * atomicity: the snapshot is written (atomic move) under a name whose
+  * seq exceeds every file it absorbed, readers ignore commit files with
+  * name-seq ≤ the newest snapshot's, and only then are the absorbed
+  * files deleted — a crash mid-delete leaves duplicates that are
+  * already invisible.
+  *
+  * Not final so tests can inject commit faults by overriding a commit
+  * method (crash-window specs).
   */
-final class StateStore(root: String) {
+class StateStore(root: String) {
 
   final case class Checkpoint(
       tier: String, partition: String, watermarkUs: Long, status: String,
@@ -63,21 +82,91 @@ final class StateStore(root: String) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
 
-  private def writeLines(kind: String, lines: Seq[String]): Unit = {
-    if (lines.isEmpty) return
+  private def writeFile(kind: String, name: String, lines: Seq[String]): Unit = {
     Files.createDirectories(dir(kind))
-    val name = f"commit-${seqCounter.get()}%012d-${java.util.UUID.randomUUID()}.jsonl"
     val tmp = dir(kind).resolve(s".$name.tmp")
     Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir(kind).resolve(name), StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def readLines(kind: String): Seq[String] =
-    if (!Files.exists(dir(kind))) Seq.empty
-    else Files.list(dir(kind)).iterator().asScala.toSeq
+  private def writeLines(kind: String, lines: Seq[String]): Unit = {
+    if (lines.isEmpty) return
+    // incrementAndGet (not get): file-name seqs are strictly monotone
+    // within a process, so a compaction snapshot's name-seq strictly
+    // bounds every file it absorbed and every later commit exceeds it
+    writeFile(kind,
+      f"commit-${seqCounter.incrementAndGet()}%012d-${java.util.UUID.randomUUID()}.jsonl",
+      lines)
+  }
+
+  private def nameSeq(name: String): Long =
+    name.stripPrefix("commit-").takeWhile(_.isDigit) match {
+      case "" => -1L; case d => d.toLong
+    }
+
+  /** The files a read must scan: the newest compaction snapshot (if
+    * any) plus commit files strictly newer than it. Commit files at or
+    * below the snapshot's name-seq existed when the snapshot was
+    * written (name-seqs are monotone), so their rows are already inside
+    * it — they are deletion debris from a crash mid-[[compact]].
+    */
+  private def effectiveFiles(kind: String): Seq[java.nio.file.Path] = {
+    if (!Files.exists(dir(kind))) return Seq.empty
+    val all = Files.list(dir(kind)).iterator().asScala.toSeq
       .filterNot(_.getFileName.toString.startsWith("."))
-      .sortBy(_.getFileName.toString)
-      .flatMap(f => Files.readAllLines(f).asScala)
+    val compacts = all.filter(_.getFileName.toString.contains("-compact-"))
+    val kept =
+      if (compacts.isEmpty) all
+      else {
+        val best = compacts.maxBy(p =>
+          (nameSeq(p.getFileName.toString), p.getFileName.toString))
+        val cover = nameSeq(best.getFileName.toString)
+        best +: all.filter(p => !p.getFileName.toString.contains("-compact-") &&
+          nameSeq(p.getFileName.toString) > cover)
+      }
+    kept.sortBy(_.getFileName.toString)
+  }
+
+  private def readLines(kind: String): Seq[String] =
+    effectiveFiles(kind).flatMap(f => Files.readAllLines(f).asScala)
+
+  private val kinds = Seq("checkpoints", "lineage", "metrics", "logs")
+
+  /** Rewrite each kind into one snapshot file (see class doc). Safe to
+    * call any time the single writer is not mid-commit.
+    */
+  def compact(): Unit = kinds.foreach(compactKind)
+
+  /** Compact only kinds fragmented into ≥ `minFiles` files — the cheap
+    * periodic form for job entry points and streaming hooks.
+    */
+  def compactIfNeeded(minFiles: Int = 64): Unit =
+    kinds.foreach { k =>
+      if (effectiveFiles(k).size >= minFiles) compactKind(k)
+    }
+
+  private def compactKind(kind: String): Unit = {
+    val files = effectiveFiles(kind)
+    if (files.size < 2 &&
+        !files.exists(f => !f.getFileName.toString.contains("-compact-"))) return
+    val lines = files.flatMap(f => Files.readAllLines(f).asScala)
+    if (lines.isEmpty) return
+    val retained = kind match {
+      case "checkpoints" | "lineage" =>
+        // latest-wins per (tier, partition) — the only read semantics
+        // these kinds have; preserve seq order for determinism
+        lines.groupBy(l => (field(l, "tier"), field(l, "partition")))
+          .map { case (_, vs) => vs.maxBy(l => numField(l, "seq")) }
+          .toSeq.sortBy(l => numField(l, "seq"))
+      case _ => lines // metrics sum, logs are the human record: keep all
+    }
+    val name =
+      f"commit-${seqCounter.incrementAndGet()}%012d-compact-${java.util.UUID.randomUUID()}.jsonl"
+    writeFile(kind, name, retained)
+    // delete absorbed files LAST: a crash here leaves files whose
+    // name-seq ≤ the snapshot's — invisible to effectiveFiles
+    files.foreach(Files.deleteIfExists(_))
+  }
 
   private def field(line: String, name: String): String =
     s""""$name":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(line).map(_.group(1))

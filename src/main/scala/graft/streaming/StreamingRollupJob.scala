@@ -71,6 +71,10 @@ object StreamingRollupJob {
             sinceCompact.incrementAndGet() >= compactEvery) {
           sinceCompact.set(0)
           table.compact(batch.sparkSession, compactMaxFiles)
+          // one lineage file lands per micro-batch — roll the state
+          // store too, or a month-long stream accretes ~10^5 tiny files
+          // re-scanned at every restart and batch-job planning pass
+          state.compactIfNeeded()
           state.log("INFO", tier.name, "compacted streaming table partitions", jobId)
         }
         ()
