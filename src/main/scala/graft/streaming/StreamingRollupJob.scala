@@ -15,17 +15,32 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * via `foreachBatch`; each batch commits a lineage row. Design points,
   * each load-bearing for a LONG-LIVED stream:
   *
-  *  - **Idempotent replay.** Spark re-runs a micro-batch after a crash
-  *    (streaming checkpoints are at-least-once into non-transactional
-  *    sinks), so a batch whose lineage is already COMPLETED is skipped.
-  *    The lineage key scopes the batchId by the CHECKPOINT directory
-  *    name — batchIds are only unique within one checkpoint, so a later
-  *    reprocessing query (fresh checkpoint, ids restarting at 0) does
-  *    not collide with the first query's committed ids.
-  *  - **O(1) per-trigger planning.** The committed set is read from
-  *    lineage ONCE per query start and kept in memory; a trigger does
-  *    not re-scan the (ever-growing) lineage stream. A restart re-reads
-  *    it once, which is exactly when it can have changed.
+  *  - **Exactly-once replay.** Spark re-runs a micro-batch after a
+  *    crash (streaming checkpoints are at-least-once into
+  *    non-transactional sinks), so each batch's idempotence key rides
+  *    INSIDE the table's atomic manifest commit
+  *    ([[graft.table.SnapshotTable.append]] `batchKey`): "batch N's
+  *    files are visible" and "batch N is marked done" are one
+  *    all-or-nothing pointer swap, so there is no ordering window left
+  *    for a crash to re-append a batch. The key scopes the batchId by
+  *    the CHECKPOINT directory name — batchIds are only unique within
+  *    one checkpoint, so a later reprocessing query (fresh checkpoint,
+  *    ids restarting at 0) does not collide with the first query's
+  *    committed ids.
+  *  - **O(1) per-trigger planning.** The committed set is read ONCE per
+  *    query start (manifest batchKeys ∪ streaming lineage) and kept in
+  *    memory; a trigger does not re-scan anything. A restart re-reads
+  *    it once, which is exactly when it can have changed. The manifest
+  *    retains the most recent [[graft.table.SnapshotTable.maxBatchKeys]]
+  *    keys — enough because a replay is always the last uncommitted
+  *    batch of the checkpoint, never hundreds back — while lineage
+  *    (written best-effort AFTER the commit, for observability and as
+  *    the long-tail record) covers everything older.
+  *  - **Namespaced lineage.** Streaming lineage rows use tier key
+  *    `stream_<tier>`, so the batch pipeline's resume planner
+  *    (completedPartitions / failedRetryCounts on `<tier>`) can never
+  *    interleave with the streaming idempotence log in a shared
+  *    warehouse — disjointness is structural, not a naming accident.
   *  - **Empty triggers are free.** Spark invokes foreachBatch on empty
   *    micro-batches (idle source, watermark not yet passing a window);
   *    those return without a write job, a manifest version, or a
@@ -33,14 +48,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *  - **Bounded file counts.** Every `compactEvery` committed batches
   *    the table's fragmented partitions (> maxFiles files) are
   *    compacted in place — a perpetual stream otherwise accretes one
-  *    file per partition per batch forever.
+  *    file per partition per batch forever — and the state store is
+  *    rolled into latest-wins snapshots.
   *
-  * The residual window (crash BETWEEN the table commit and the lineage
-  * commit re-appends one batch) is the same commit-ordering caveat the
-  * reference has between its sink insert and its `row_processing`
-  * status UPDATE (`MigrateTask.java:79-111`); closing it fully would
-  * need the lineage write to ride inside the table's atomic manifest
-  * commit.
+  * A crash between the manifest commit and the lineage write loses only
+  * the OBSERVABILITY row for that batch (the replay skips via the
+  * manifest key and logs a WARNING); it can no longer duplicate data —
+  * the window the reference's insert-then-UPDATE ordering leaves open
+  * (`MigrateTask.java:79-111`) is closed here by the atomic manifest.
   */
 object StreamingRollupJob {
 
@@ -59,7 +74,7 @@ object StreamingRollupJob {
     val table = new SnapshotTable(tablePath(warehouse, tier))
     val scope = batchScope(checkpointDir)
     // read once per query start; commitBatch maintains it in memory
-    val committed = loadCommitted(state, tier.name)
+    val committed = loadCommitted(state, table, tier.name)
     val sinceCompact = new java.util.concurrent.atomic.AtomicInteger(0)
     StreamingRollup.rollup(StreamingRollup.readStream(spark, inputDir), tier, watermarkDelay)
       .writeStream
@@ -94,19 +109,35 @@ object StreamingRollupJob {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map(b => f"$b%02x").mkString
-    s"${norm.split("[/\\\\]").last}-$digest"
+    // sanitize the basename: the scope is a namespace label riding in
+    // JSON manifests and state rows, so keep it to word chars — the
+    // digest of the FULL path carries the uniqueness
+    s"${norm.split("[/\\\\]").last.replaceAll("[^A-Za-z0-9._-]", "_")}-$digest"
   }
 
-  /** The already-committed batch partitions of `tier`, read once. */
-  private[streaming] def loadCommitted(state: StateStore, tierName: String)
-      : scala.collection.mutable.Set[String] =
-    scala.collection.mutable.Set.empty[String] ++= state.latestLineage.collect {
-      case ((t, p), r) if t == tierName && r.status == "COMPLETED" => p
+  /** Streaming lineage tier namespace — structurally disjoint from the
+    * batch planner's tier keys (see class doc).
+    */
+  private[streaming] def streamTier(tierName: String): String = s"stream_$tierName"
+
+  /** The already-committed batch partitions, read once: the manifest's
+    * (bounded, authoritative) recent keys ∪ the (unbounded,
+    * best-effort) streaming lineage record.
+    */
+  private[streaming] def loadCommitted(state: StateStore, table: SnapshotTable,
+      tierName: String): scala.collection.mutable.Set[String] = {
+    val fromLineage = state.latestLineage.collect {
+      case ((t, p), r) if t == streamTier(tierName) && r.status == "COMPLETED" => p
     }
+    val fromManifest = table.currentManifest.map(_.batchKeys).getOrElse(Seq.empty)
+    scala.collection.mutable.Set.empty[String] ++= fromLineage ++= fromManifest
+  }
 
   /** One micro-batch commit: skip empty batches and crash-replayed
-    * batchIds, else append the windows as day partitions and record
-    * lineage. Visible for direct testing.
+    * batchIds, else append the windows as day partitions with the
+    * batch's idempotence key inside the atomic manifest commit, then
+    * record lineage (observability — losing it to a crash is safe).
+    * Visible for direct testing.
     */
   private[streaming] def commitBatch(state: StateStore, table: SnapshotTable,
       tierName: String, committed: scala.collection.mutable.Set[String],
@@ -124,12 +155,12 @@ object StreamingRollupJob {
       // job over the data
       val prevCount = table.currentManifest.map(_.files.size).getOrElse(0)
       val withDay = batch.withColumn("p", date_format(col("window_start"), "yyyy-MM-dd"))
-      val manifest = table.append(withDay, "p")
+      val manifest = table.append(withDay, "p", batchKey = Some(partition))
+      committed += partition // durable from here: the manifest holds the key
       val appended = table.rowCount(batch.sparkSession, manifest.files.drop(prevCount))
       state.commitLineage(Seq(state.LineageRow(
-        tierName, partition, "COMPLETED", "", 0, appended, jobId,
+        streamTier(tierName), partition, "COMPLETED", "", 0, appended, jobId,
         state.nextSeq())))
-      committed += partition
       appended
     }
   }

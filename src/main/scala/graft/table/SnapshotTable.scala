@@ -56,7 +56,17 @@ final class SnapshotTable(val root: String) {
       files: Seq[FileEntry],
       parentVersion: Long,
       /** Clustering-key column whose per-file bounds are tracked ("" = none). */
-      clusterKey: String = "")
+      clusterKey: String = "",
+      /** Idempotence keys of recently committed streaming micro-batches
+        * (most recent last, bounded to [[SnapshotTable.maxBatchKeys]]).
+        * Carried INSIDE the atomic manifest commit so "did batch N
+        * land?" and "are batch N's files visible?" are one fact — the
+        * streaming sink's exactly-once marker (see
+        * [[graft.streaming.StreamingRollupJob]]). The bound is safe
+        * because a replay is always the LAST uncommitted batch of a
+        * checkpoint, never hundreds back.
+        */
+      batchKeys: Seq[String] = Seq.empty)
 
   // --- manifest (de)serialization: tiny hand-rolled JSON, no deps ----
 
@@ -70,7 +80,8 @@ final class SnapshotTable(val root: String) {
     val files = m.files
       .map(f => s"""{"path":"${esc(f.path)}","partition":"${esc(f.partition)}","bytes":${f.bytes},"minKey":"${esc(f.minKey)}","maxKey":"${esc(f.maxKey)}"}""")
       .mkString("[", ",", "]")
-    s"""{"version":${m.version},"partitionCol":"${esc(m.partitionCol)}","clusterKey":"${esc(m.clusterKey)}","parentVersion":${m.parentVersion},"files":$files}"""
+    val keys = m.batchKeys.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
+    s"""{"version":${m.version},"partitionCol":"${esc(m.partitionCol)}","clusterKey":"${esc(m.clusterKey)}","parentVersion":${m.parentVersion},"batchKeys":$keys,"files":$files}"""
   }
 
   private def parseManifest(json: String): Manifest = {
@@ -91,8 +102,13 @@ final class SnapshotTable(val root: String) {
     val clusterKey = // absent in pre-stats manifests
       """"clusterKey":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
         .map(m => unesc(m.group(1))).getOrElse("")
+    val batchKeys = // absent in pre-streaming manifests
+      """"batchKeys":\[((?:[^\]"]|"(?:[^"\\]|\\.)*")*)\]""".r.findFirstMatchIn(json)
+        .map(m => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+          .map(g => unesc(g.group(1))).toSeq)
+        .getOrElse(Seq.empty)
     Manifest(longField("version"), strField(json, "partitionCol"), files,
-      longField("parentVersion"), clusterKey)
+      longField("parentVersion"), clusterKey, batchKeys)
   }
 
   private def unesc(s: String): String = {
@@ -220,9 +236,28 @@ final class SnapshotTable(val root: String) {
 
   // --- write -----------------------------------------------------------
 
+  /** Stage a write and REGISTER the stage directory as in-flight: the
+    * orphan vacuum must never sweep a stage that is still heading for a
+    * commit, no matter how long the (100 TB) write outlives the vacuum
+    * grace window — per-file mtime is not evidence of abandonment.
+    * Callers release the stage (in a finally) once the manifest commit
+    * has succeeded or failed for good.
+    */
   private def stageWrite(df: DataFrame, partitionCol: String,
-      clusterKey: String = "", maxRecordsPerFile: Long = 0L): Seq[FileEntry] = {
+      clusterKey: String = "", maxRecordsPerFile: Long = 0L): (Path, Seq[FileEntry]) = {
     val stage = Paths.get(root, "data", s"stage-${java.util.UUID.randomUUID()}")
+    SnapshotTable.activeStages.add(stage.toString)
+    try stageWriteInto(stage, df, partitionCol, clusterKey, maxRecordsPerFile)
+    catch { case e: Throwable =>
+      // a failed staging job is abandoned here and now — let the vacuum
+      // have it instead of shielding it forever in this process
+      SnapshotTable.activeStages.remove(stage.toString)
+      throw e
+    }
+  }
+
+  private def stageWriteInto(stage: Path, df: DataFrame, partitionCol: String,
+      clusterKey: String, maxRecordsPerFile: Long): (Path, Seq[FileEntry]) = {
     // maxRecordsPerFile = the reference's batchSize knob
     // (`MigrationSettings.java:5`, consumed `MigrateTask.java:99-103`)
     // at the file-commit granularity: bounds the rows a single task
@@ -232,9 +267,9 @@ final class SnapshotTable(val root: String) {
     (if (maxRecordsPerFile > 0)
       writer.option("maxRecordsPerFile", maxRecordsPerFile)
     else writer).parquet(stage.toString)
-    if (!Files.exists(stage)) return Seq.empty
+    if (!Files.exists(stage)) return (stage, Seq.empty)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    Files.list(stage).iterator().asScala.toSeq
+    val entries = Files.list(stage).iterator().asScala.toSeq
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("_p="))
       .flatMap { dir =>
         val part = unescapePathName(dir.getFileName.toString.stripPrefix("_p="))
@@ -247,6 +282,7 @@ final class SnapshotTable(val root: String) {
             FileEntry(f.toString, part, Files.size(f), lo, hi)
           }
       }
+    (stage, entries)
   }
 
   /** Hive-style path unescape: decode `%XX` sequences ONLY. This is
@@ -313,16 +349,19 @@ final class SnapshotTable(val root: String) {
     */
   def overwritePartitions(df: DataFrame, partitionCol: String,
       clusterKey: String = "", maxRecordsPerFile: Long = 0L): Manifest = {
-    val staged = stageWrite(df, partitionCol, clusterKey, maxRecordsPerFile)
-    val touched = staged.map(_.partition).toSet
-    val prev = currentManifest
-    val kept = prev.map(_.files.filterNot(f => touched.contains(f.partition))).getOrElse(Seq.empty)
-    val m = Manifest(
-      prev.map(_.version + 1).getOrElse(0L), partitionCol, kept ++ staged,
-      prev.map(_.version).getOrElse(-1L),
-      if (clusterKey.nonEmpty) clusterKey else prev.map(_.clusterKey).getOrElse(""))
-    commitManifest(m)
-    m
+    val (stage, staged) = stageWrite(df, partitionCol, clusterKey, maxRecordsPerFile)
+    try {
+      val touched = staged.map(_.partition).toSet
+      val prev = currentManifest
+      val kept = prev.map(_.files.filterNot(f => touched.contains(f.partition))).getOrElse(Seq.empty)
+      val m = Manifest(
+        prev.map(_.version + 1).getOrElse(0L), partitionCol, kept ++ staged,
+        prev.map(_.version).getOrElse(-1L),
+        if (clusterKey.nonEmpty) clusterKey else prev.map(_.clusterKey).getOrElse(""),
+        prev.map(_.batchKeys).getOrElse(Seq.empty))
+      commitManifest(m)
+      m
+    } finally SnapshotTable.activeStages.remove(stage.toString)
   }
 
   /** Row count of a set of committed files from parquet FOOTER metadata
@@ -339,17 +378,30 @@ final class SnapshotTable(val root: String) {
     }.sum
   }
 
-  /** Append-only commit (state/lineage/metrics tables). */
-  def append(df: DataFrame, partitionCol: String): Manifest = {
-    val staged = stageWrite(df, partitionCol)
-    val prev = currentManifest
-    val m = Manifest(
-      prev.map(_.version + 1).getOrElse(0L), partitionCol,
-      prev.map(_.files).getOrElse(Seq.empty) ++ staged,
-      prev.map(_.version).getOrElse(-1L),
-      prev.map(_.clusterKey).getOrElse(""))
-    commitManifest(m)
-    m
+  /** Append-only commit. `batchKey`: a streaming micro-batch's
+    * idempotence key, recorded in the SAME atomic manifest commit as
+    * the appended files — the all-or-nothing step that closes the
+    * replay-duplication window a separate post-append marker write
+    * would leave (the reference's insert-then-UPDATE ordering,
+    * `MigrateTask.java:79-111`, has exactly that window).
+    */
+  def append(df: DataFrame, partitionCol: String,
+      batchKey: Option[String] = None,
+      maxBatchKeys: Int = SnapshotTable.maxBatchKeys): Manifest = {
+    val (stage, staged) = stageWrite(df, partitionCol)
+    try {
+      val prev = currentManifest
+      val keys = (prev.map(_.batchKeys).getOrElse(Seq.empty) ++ batchKey)
+        .takeRight(maxBatchKeys)
+      val m = Manifest(
+        prev.map(_.version + 1).getOrElse(0L), partitionCol,
+        prev.map(_.files).getOrElse(Seq.empty) ++ staged,
+        prev.map(_.version).getOrElse(-1L),
+        prev.map(_.clusterKey).getOrElse(""),
+        keys)
+      commitManifest(m)
+      m
+    } finally SnapshotTable.activeStages.remove(stage.toString)
   }
 
   /** Drop whole partitions (tier-expiry retention: raw/fine tiers past
@@ -377,15 +429,19 @@ final class SnapshotTable(val root: String) {
     val byPart = prev.files.groupBy(_.partition)
     val (frag, fine) = byPart.partition(_._2.size > maxFiles)
     if (frag.isEmpty) return prev
-    val rewritten = frag.toSeq.flatMap { case (_, files) =>
-      val df = spark.read.parquet(files.map(_.path): _*).coalesce(1)
-      stageWrite(df, prev.partitionCol, prev.clusterKey)
-    }
-    val m = Manifest(
-      prev.version + 1, prev.partitionCol,
-      fine.values.flatten.toSeq ++ rewritten, prev.version, prev.clusterKey)
-    commitManifest(m)
-    m
+    val stagedAll = scala.collection.mutable.ArrayBuffer[(Path, Seq[FileEntry])]()
+    try {
+      frag.toSeq.foreach { case (_, files) =>
+        val df = spark.read.parquet(files.map(_.path): _*).coalesce(1)
+        stagedAll += stageWrite(df, prev.partitionCol, prev.clusterKey)
+      }
+      val m = Manifest(
+        prev.version + 1, prev.partitionCol,
+        fine.values.flatten.toSeq ++ stagedAll.flatMap(_._2).toSeq, prev.version,
+        prev.clusterKey, prev.batchKeys)
+      commitManifest(m)
+      m
+    } finally stagedAll.foreach(s => SnapshotTable.activeStages.remove(s._1.toString))
   }
 
   /** Delete snapshots older than the last `keep`, unlink data files no
@@ -413,15 +469,25 @@ final class SnapshotTable(val root: String) {
     expired.foreach(v => Files.deleteIfExists(snapshotsDir.resolve(s"v$v.json")))
 
     // orphan vacuum: any parquet under data/ that no retained manifest
-    // references and that is older than the grace window
+    // references and that is older than the grace window. IN-FLIGHT
+    // stages (registered by stageWrite, released after their manifest
+    // commit) are excluded REGARDLESS of age: a 100 TB staging write
+    // easily outlives any mtime grace, and sweeping its early files
+    // would let the subsequent commit publish a manifest referencing
+    // deleted data. The registry is in-process, which matches the
+    // documented single-writer-per-process model; the grace window
+    // still protects against nothing-registered races across processes.
     val dataDir = Paths.get(root, "data")
     if (Files.exists(dataDir)) {
+      val active = SnapshotTable.activeStages.asScala.toSet.map(Paths.get(_: String))
+      def inActiveStage(p: Path): Boolean = active.exists(p.startsWith)
       val cutoff = System.currentTimeMillis() - vacuumGraceMs
       val walk = Files.walk(dataDir)
       try {
         walk.iterator().asScala
           .filter(p => Files.isRegularFile(p))
           .filterNot(p => referenced.contains(p.toString))
+          .filterNot(inActiveStage)
           .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
           .foreach(Files.deleteIfExists(_))
       } finally walk.close()
@@ -430,6 +496,7 @@ final class SnapshotTable(val root: String) {
       try {
         dirs.iterator().asScala.toSeq
           .filter(p => Files.isDirectory(p) && p != dataDir)
+          .filterNot(inActiveStage)
           .sortBy(-_.getNameCount)
           .foreach { d =>
             val ls = Files.list(d)
@@ -439,4 +506,18 @@ final class SnapshotTable(val root: String) {
       } finally dirs.close()
     }
   }
+}
+
+object SnapshotTable {
+  /** Streaming idempotence keys retained per manifest (see
+    * [[SnapshotTable.Manifest.batchKeys]]).
+    */
+  val maxBatchKeys = 256
+
+  /** Stage directories with a write in flight, JVM-wide — the vacuum's
+    * do-not-touch set (single writer per table, but retention may run
+    * concurrently with a write elsewhere in the same process).
+    */
+  private[table] val activeStages: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

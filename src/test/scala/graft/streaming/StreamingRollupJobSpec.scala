@@ -30,11 +30,16 @@ class StreamingRollupJobSpec extends SparkTestBase {
       .select(stored.columns.map(org.apache.spark.sql.functions.col): _*)
     assert(stored.join(batch, stored.columns, "inner").count() == emitted,
       "stored windows must be batch-identical")
-    // lineage rows recorded per committed batch, rows accounted exactly
+    // lineage rows recorded per committed batch under the STREAM
+    // namespace (never the batch planner's tier key), rows exact
     val state = new StateStore(s"$wh/_state")
-    val lin = state.lineage.filter(_.tier == "1m")
+    val lin = state.lineage.filter(_.tier == "stream_1m")
     assert(lin.nonEmpty && lin.forall(_.status == "COMPLETED"))
     assert(lin.map(_.rows).sum == emitted, s"lineage rows ${lin.map(_.rows).sum} vs $emitted")
+    assert(state.lineage.forall(_.tier != "1m"),
+      "streaming must not write into the batch planner's tier namespace")
+    // the manifest carries each batch's idempotence key atomically
+    assert(table.currentManifest.get.batchKeys.nonEmpty)
   }
 
   test("restart from the same checkpoint continues without duplicating windows") {
@@ -90,7 +95,7 @@ class StreamingRollupJobSpec extends SparkTestBase {
       ("c2", java.sql.Timestamp.valueOf("2024-03-01 10:01:00"), 1L, 1L, 0L, 0L, 9L, 9L, 9L))
       .toDF("conv_id", "window_start", "turn_count", "user_turns",
         "assistant_turns", "tool_calls", "char_len_sum", "char_len_min", "char_len_max")
-    val committed = StreamingRollupJob.loadCommitted(state, "1m")
+    val committed = StreamingRollupJob.loadCommitted(state, table, "1m")
     val scope = StreamingRollupJob.batchScope("/tmp/ckpts/q1/")
     assert(scope.startsWith("q1-"))
     // trailing slash is normalized away; SAME basename under different
@@ -106,8 +111,8 @@ class StreamingRollupJobSpec extends SparkTestBase {
     assert(table.read(spark).count() == 2L)
     assert(state.logs.exists(l =>
       l.level == "WARNING" && l.message.contains("replayed")))
-    // restart (committed set re-read from lineage) still skips it
-    val reloaded = StreamingRollupJob.loadCommitted(state, "1m")
+    // restart (committed set re-read from manifest ∪ lineage) still skips it
+    val reloaded = StreamingRollupJob.loadCommitted(state, table, "1m")
     assert(StreamingRollupJob.commitBatch(state, table, "1m", reloaded, scope, batch, 7L, "idem") == 0L)
     // an empty idle trigger commits nothing: no rows, no snapshot churn
     val vBefore = table.currentManifest.get.version
@@ -119,5 +124,64 @@ class StreamingRollupJobSpec extends SparkTestBase {
     val scope2 = StreamingRollupJob.batchScope("/tmp/ckpts/q2")
     assert(StreamingRollupJob.commitBatch(state, table, "1m", reloaded, scope2, batch, 7L, "re") == 2L)
     assert(table.read(spark).count() == 4L)
+  }
+
+  test("crash between table commit and lineage write does NOT duplicate the batch on replay") {
+    import spark.implicits._
+    val wh = tmpDir("sj-crash")
+    // inject the crash exactly in the old at-least-once window: after
+    // the manifest commit, before the lineage row lands
+    class CrashingStore(root: String) extends StateStore(root) {
+      @volatile var boom = true
+      override def commitLineage(rows: Seq[LineageRow]): Unit = {
+        if (boom && rows.exists(_.tier.startsWith("stream_")))
+          throw new RuntimeException("crash before lineage")
+        super.commitLineage(rows)
+      }
+    }
+    val state = new CrashingStore(s"$wh/_state")
+    val table = new SnapshotTable(s"$wh/rollup_stream_1m")
+    val batch = Seq(
+      ("c1", java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), 3L, 2L, 1L, 0L, 30L, 5L, 15L))
+      .toDF("conv_id", "window_start", "turn_count", "user_turns",
+        "assistant_turns", "tool_calls", "char_len_sum", "char_len_min", "char_len_max")
+    val scope = StreamingRollupJob.batchScope("/tmp/ckpts/crash")
+    val committed = StreamingRollupJob.loadCommitted(state, table, "1m")
+    intercept[RuntimeException] {
+      StreamingRollupJob.commitBatch(state, table, "1m", committed, scope, batch, 0L, "c")
+    }
+    assert(table.read(spark).count() == 1L, "the table commit itself succeeded")
+    assert(state.lineage.isEmpty, "the lineage row was lost to the crash")
+    // restart: Spark replays batch 0 with a fresh committed set — the
+    // manifest's atomic batch key must swallow it
+    state.boom = false
+    val reloaded = StreamingRollupJob.loadCommitted(state, table, "1m")
+    assert(StreamingRollupJob.commitBatch(state, table, "1m", reloaded, scope, batch, 0L, "c") == 0L)
+    assert(table.read(spark).count() == 1L, "replay after the crash must not re-append")
+  }
+
+  test("manifest batch keys are bounded; evicted batches stay covered by lineage") {
+    import spark.implicits._
+    val wh = tmpDir("sj-bound")
+    val state = new StateStore(s"$wh/_state")
+    val table = new SnapshotTable(s"$wh/rollup_stream_1m")
+    val row = Seq(("c1", "2024-03-01", 1L))
+      .toDF("conv_id", "p", "turn_count")
+    // append with a small bound stands in for maxBatchKeys batches
+    for (id <- 0 until 5) {
+      table.append(row.drop("p").withColumn("p", lit("2024-03-01")), "p",
+        batchKey = Some(s"s-batch-$id"), maxBatchKeys = 3)
+      state.commitLineage(Seq(state.LineageRow(
+        "stream_1m", s"s-batch-$id", "COMPLETED", "", 0, 1L, "b", state.nextSeq())))
+    }
+    val keys = table.currentManifest.get.batchKeys
+    assert(keys == Seq("s-batch-2", "s-batch-3", "s-batch-4"),
+      s"oldest keys evicted, newest retained: $keys")
+    // a fresh restart still sees EVERY batch as committed: evicted keys
+    // come back through the lineage record
+    val reloaded = StreamingRollupJob.loadCommitted(state, table, "1m")
+    assert((0 until 5).forall(id => reloaded.contains(s"s-batch-$id")))
+    // manifests parse back with their keys after reopen
+    assert(new SnapshotTable(s"$wh/rollup_stream_1m").currentManifest.get.batchKeys == keys)
   }
 }

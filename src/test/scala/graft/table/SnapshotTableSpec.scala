@@ -164,4 +164,39 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(!java.nio.file.Files.exists(orphanDir.getParent), "empty stage dir pruned")
     assert(t.read(spark).count() == 1)
   }
+
+  test("vacuum never sweeps an IN-FLIGHT stage, no matter how old its files are") {
+    val t = new SnapshotTable(tmpDir("snap-inflight"))
+    t.overwritePartitions(df("a" -> 1), "p")
+    // a staged write that has been running LONGER than the grace window
+    // (the 100 TB case): registered as active, files old by mtime
+    val stageDir = java.nio.file.Paths.get(t.root, "data", "stage-inflight")
+    val partDir = stageDir.resolve("_p=z")
+    java.nio.file.Files.createDirectories(partDir)
+    val f = partDir.resolve("part-early.parquet")
+    java.nio.file.Files.write(f, Array[Byte](1, 2, 3))
+    val old = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L)
+    java.nio.file.Files.setLastModifiedTime(f, old)
+    SnapshotTable.activeStages.add(stageDir.toString)
+    try {
+      t.expireSnapshots(keep = 2, vacuumGraceMs = 3600000L)
+      assert(java.nio.file.Files.exists(f),
+        "active stage files must survive the vacuum regardless of age")
+    } finally SnapshotTable.activeStages.remove(stageDir.toString)
+    // once released (commit finished or write abandoned), the vacuum may have it
+    t.expireSnapshots(keep = 2, vacuumGraceMs = 3600000L)
+    assert(!java.nio.file.Files.exists(f))
+  }
+
+  test("manifest batchKeys survive JSON roundtrip including escapes") {
+    val t = new SnapshotTable(tmpDir("snap-keys"))
+    t.append(df("a" -> 1), "p", batchKey = Some("""ck pt"odd\name-1a2b-batch-0"""))
+    t.append(df("a" -> 2), "p", batchKey = Some("plain-batch-1"))
+    val reopened = new SnapshotTable(t.root)
+    assert(reopened.currentManifest.get.batchKeys ==
+      Seq("""ck pt"odd\name-1a2b-batch-0""", "plain-batch-1"))
+    // a non-streaming commit preserves the keys untouched
+    t.overwritePartitions(df("a" -> 3), "p")
+    assert(t.currentManifest.get.batchKeys.size == 2)
+  }
 }
