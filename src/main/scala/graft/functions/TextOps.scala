@@ -60,9 +60,15 @@ object TextOps {
     * < 2^57 so the DuckDB oracle mirrors bit-exactly.
     */
   def minhashSigs(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    // empty in → NULL out, matching the composable built-in form
+    // (array_min over transform of an empty array) and the oracle's
+    // list_min — unreachable via shingleHash3 (≥1 hash always), but the
+    // expression is exposed directly as SQL minhash_sigs, where an
+    // empty user array must not band-fold into a valid-looking bucket
+    if (n == 0) return null
     val (as, bs) = minhashCoeffArrays(k)
     val mins = Array.fill(k)(Long.MaxValue)
-    val n = hashes.numElements()
     var j = 0
     while (j < n) {
       val h = hashes.getLong(j)
@@ -79,11 +85,17 @@ object TextOps {
 
   private val coeffCache =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
-  def minhashCoeffArrays(k: Int): (Array[Long], Array[Long]) =
+  def minhashCoeffArrays(k: Int): (Array[Long], Array[Long]) = {
+    // same clear-on-cap bound as VectorOps.planeCache (tiny arrays, but
+    // a long-lived executor should never accrete unbounded state);
+    // checked before the lookup — CHM forbids mutation inside the
+    // mapping function
+    if (coeffCache.size >= 64 && !coeffCache.containsKey(k)) coeffCache.clear()
     coeffCache.computeIfAbsent(k, k2 => {
       val cs = (0 until k2).map(TextFunctions.minhashCoeffs)
       (cs.map(_._1).toArray, cs.map(_._2).toArray)
     })
+  }
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -220,10 +232,15 @@ case class MinhashSigs(child: Expression, k: Int) extends UnaryExpression {
       s"minhash_sigs expects array<bigint>, got $other")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null in → null out (UnaryExpression default) AND empty in → null
+  // out (the static kernel returns null; see TextOps.minhashSigs)
+  override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
     TextOps.minhashSigs(v.asInstanceOf[ArrayData], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.minhashSigs($s, $k)")
+    nullSafeCodeGen(ctx, ev, s => s"""
+      ${ev.value} = graft.functions.TextOps.minhashSigs($s, $k);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
   override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
     copy(child = newChild)
 }
@@ -264,6 +281,13 @@ object LangId {
     "es" -> Seq('ñ', 'á', 'í', 'ó', 'ú', '¿', '¡'),
     "de" -> Seq('ä', 'ö', 'ü', 'ß'))
 
+  /** UTF8String bridge for generated code — [[LangIdText]] calls this
+    * statically, so lang-ID runs inside whole-stage codegen with no UDF
+    * ser/de (the last hot-path-adjacent UDF in the engine before this).
+    */
+  def detectUtf8(text: UTF8String): UTF8String =
+    UTF8String.fromString(detect(text.toString))
+
   def detect(text: String): String = {
     if (text == null || text.isEmpty) return "und"
     val cjk = text.codePoints().filter(cp =>
@@ -285,7 +309,34 @@ object LangId {
     if (bestScore <= 0.0) "und" else best
   }
 
-  /** Column form (UDF — off the hot path; lang-ID runs once per doc). */
+  /** Column form over the native expression (codegen'd). */
+  def col(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+    column(LangIdText(expression(text)))
+  }
+
+  /** Legacy UDF form — kept as the parity reference for [[LangIdText]]
+    * (a Scala closure boxes/unboxes every row; the expression form
+    * stays inside whole-stage codegen).
+    */
   lazy val udf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf((s: String) => detect(s))
+}
+
+/** Native expression: character-n-gram language ID ([[LangId.detect]])
+  * as a single static call from generated code.
+  */
+case class LangIdText(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lang_id expects string, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    LangId.detectUtf8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.LangId.detectUtf8($s)")
+  override protected def withNewChildInternal(newChild: Expression): LangIdText =
+    copy(child = newChild)
 }

@@ -53,9 +53,19 @@ object VectorOps {
     */
   def hyperplaneSig(v: ArrayData, bits: Int, seed: Long): Long = {
     val n = v.numElements()
-    val planes = planeCache.computeIfAbsent((seed, bits, n), key =>
-      Array.tabulate(key._2, key._3)((j, i) =>
-        gauss(key._1 ^ (j.toLong << 32) ^ i.toLong)))
+    val key = (seed, bits, n)
+    // bound the cache: lshPairsAbove derives a fresh seed per table, so
+    // a long-lived executor serving many differently-seeded jobs would
+    // otherwise permanently retain a bits×dims matrix per (seed, bits,
+    // dims) ever seen. Clear-on-cap BEFORE the lookup (never inside the
+    // mapping function — CHM forbids mutating the map there), not LRU:
+    // entries are cheap to recompute and per-ROW lookups must stay
+    // lock-free — an access-ordered LRU would serialize the hot path.
+    if (planeCache.size >= maxCachedPlanes && !planeCache.containsKey(key))
+      planeCache.clear()
+    val planes = planeCache.computeIfAbsent(key, k =>
+      Array.tabulate(k._2, k._3)((j, i) =>
+        gauss(k._1 ^ (j.toLong << 32) ^ i.toLong)))
     var sig = 0L
     var j = 0
     while (j < bits) {
@@ -72,8 +82,13 @@ object VectorOps {
     sig
   }
 
+  /** A typical job touches ≤ tables (8-16) plane matrices; 64 leaves
+    * headroom for several concurrent jobs before the reset.
+    */
+  private val maxCachedPlanes = 64
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
+  private[functions] def cachedPlaneCount: Int = planeCache.size
 
   /** Deterministic standard-normal-ish value from a key (SplitMix64 →
     * two uniforms → Box-Muller). Good enough for hyperplane directions.

@@ -45,8 +45,11 @@ object CsvSource {
     * valid/reject split on malformed feeds; this guard restores the
     * reference's row-reject contract. Offsets accept the full
     * ISO-8601 offset-id family (`+hh`, `+hh:mm`, `+hh:mm:ss`) exactly
-    * as `ISO_DATE_TIME` does. Known remaining deviation: zone-region
-    * suffixes like `[Europe/Paris]` are not accepted.
+    * as `ISO_DATE_TIME` does. DELIBERATE deviation (pinned in
+    * CsvSourceSpec): zone-region suffixes like `[Europe/Paris]` are
+    * rejected — zone rules are a tzdb lookup, not a value property,
+    * and engines on different tzdb versions would normalize the same
+    * row to different instants.
     */
   private[ingest] val isoDateTimeRe =
     """^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}(:\d{2}(\.\d{1,9})?)?(Z|[+-]\d{2}(:\d{2}(:\d{2})?)?)?$"""

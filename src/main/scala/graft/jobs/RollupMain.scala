@@ -95,9 +95,16 @@ object RollupMain {
     opts.get("retention-watermark").foreach { day =>
       val policy = Retention.Policy()
       for (t <- Tier.cascade) {
-        val dropped = Retention.expire(job.tierTable(t), t, day, policy)
+        val dropped = Retention.expire(job.tierTable(t), t.name, day, policy)
         println(s"[retention] tier=${t.name} dropped=${dropped.size}")
       }
+      // the encoded-blocks table is a first-class retention target too:
+      // it outlives raw (long horizon), but its expiry/orphan-vacuum
+      // must still run or the stream of daily block commits accretes
+      // snapshots and crash-orphans forever
+      val droppedBlocks = Retention.expire(
+        job.blocksTable(Tier.H1), Retention.blocksKey, day, policy)
+      println(s"[retention] tier=${Retention.blocksKey} dropped=${droppedBlocks.size}")
     }
     spark.stop()
   }

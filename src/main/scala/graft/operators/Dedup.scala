@@ -187,10 +187,12 @@ object Dedup {
     * means a lost executor recomputes the lost blocks instead of
     * permanently failing the query (localCheckpoint truncates lineage —
     * documented-unsafe under churn, which made the SAFE mode opt-in on
-    * the one path that claims 100 TB). The cache is never explicitly
-    * unpersisted — it ages out by LRU like any cached frame; callers
-    * running many corpora through one session can unpersist the result's
-    * source themselves.
+    * the one path that claims 100 TB). Cache lifecycle is the CALLER's:
+    * the returned frame is lazy, so the pin cannot be released inside
+    * this function — after the consuming action, release it with
+    * `spark.sharedState.cacheManager.clearCache()` (what Bench/Verify
+    * do between queries) or let LRU age it out in a session that keeps
+    * querying the same corpus.
     */
   def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.7, materializeCandidates: Boolean = true): DataFrame = {

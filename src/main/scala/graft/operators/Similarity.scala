@@ -116,30 +116,67 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic k-means training: seeded sample for the initial
-    * centroids, `iters` Lloyd steps over a SEEDED TRAINING SAMPLE of at
-    * most `sampleSize` vectors (standard IVF practice — FAISS trains
-    * its coarse quantizer on a sample, not the corpus; Lloyd over the
-    * full corpus would cost `iters` extra full scans at 10^9+ vectors
-    * for no recall benefit). The sample is hash-ordered by (vec_id,
-    * seed), so training is deterministic and, when the corpus is
-    * smaller than `sampleSize`, identical to full-corpus training. The
-    * update is a (list, dim)-keyed average — a shuffle of nlist×dims
-    * cells, independent of sample size.
+  /** Deterministic hash-threshold training sample: keep the vectors
+    * with `xxhash64(vec_id, seed) mod M < K`, K sized from a cheap
+    * count so the expected sample is ~1.1 × `sampleSize`. Fully
+    * MAP-SIDE — no sort, no per-partition top-k queues, no driver
+    * merge: the `orderBy(hash).limit(n)` form this replaces compiled to
+    * TakeOrderedAndProject, which collects a bounded-but-real top-n
+    * queue from EVERY partition to the driver (~n × partitions rows of
+    * driver traffic at 10^4 partitions). Seed-deterministic: membership
+    * is a pure function of (vec_id, seed). Corpora at or under
+    * `sampleSize` train on everything — identical to full-corpus
+    * training.
+    */
+  private[operators] def trainingSample(corpus: DataFrame, seed: Long,
+      sampleSize: Int): DataFrame = {
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val total = corpus.count()
+    if (total <= sampleSize) base
+    else {
+      val m = 1L << 20
+      val k = math.min(m, math.max(1L, m * 11L / 10L * sampleSize / total))
+      base.filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(m)) < lit(k))
+    }
+  }
+
+  /** Deterministic initial centroids WITHOUT a global sort: each sample
+    * vector hashes into one of `nlist` buckets and the bucket's
+    * min-by-(hash, vec_id) vector seeds that centroid — one partial-agg
+    * shuffle of ≤ nlist rows, well-spread starting points, and a total
+    * order (hash ties broken by vec_id) so reruns pick identical seeds.
+    * Rare empty buckets (tiny corpora) cycle the found seeds.
+    */
+  private[operators] def initCentroids(train: DataFrame, nlist: Int,
+      seed: Long): Array[Array[Float]] = {
+    val rows = train
+      .withColumn("h", xxhash64(col("vec_id"), lit(seed + 0x9e3779b9L)))
+      .groupBy(pmod(col("h"), lit(nlist)).as("b"))
+      .agg(min_by(col("embedding"), struct(col("h"), col("vec_id"))).as("e"))
+      .collect()
+    require(rows.nonEmpty, "initCentroids on an empty corpus")
+    val byBucket = rows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val found = byBucket.toSeq.sortBy(_._1).map(_._2)
+    Array.tabulate(nlist)(i => byBucket.getOrElse(i.toLong, found(i % found.size)))
+  }
+
+  /** Deterministic k-means training: hash-threshold sample for the
+    * training set ([[trainingSample]]), bucket-min seeds for the
+    * initial centroids ([[initCentroids]]), then `iters` Lloyd steps
+    * over the sample (standard IVF practice — FAISS trains its coarse
+    * quantizer on a sample, not the corpus; Lloyd over the full corpus
+    * would cost `iters` extra full scans at 10^9+ vectors for no recall
+    * benefit). The update is a (list, dim)-keyed average — a shuffle of
+    * nlist×dims cells, independent of sample size. Nothing in the
+    * training plan sorts: no TakeOrderedAndProject, no global exchange
+    * beyond the nlist-row aggregations (pinned in PlanShapeSpec).
     */
   private[operators] def trainCentroids(corpus: DataFrame, nlist: Int,
       seed: Long, iters: Int, sampleSize: Int = 65536): Array[Array[Float]] = {
-    val train = corpus
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id"), lit(seed)))
-      .limit(math.max(nlist, sampleSize))
-      .select(col("embedding"))
+    val train = trainingSample(corpus, seed, sampleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var cents: Array[Array[Float]] = train
-        .limit(nlist)
-        .collect()
-        .map(_.getSeq[Float](0).toArray)
+      var cents: Array[Array[Float]] = initCentroids(train, nlist, seed)
       for (_ <- 1 to iters) {
         val cells = train
           .select(

@@ -23,7 +23,7 @@ object TextAnalysis {
   def langId(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      LangId.udf(col("text")).as("lang_pred"),
+      LangId.col(col("text")).as("lang_pred"),
       col("lang").as("lang_label"))
 
   def fingerprints(docs: DataFrame): DataFrame =

@@ -97,6 +97,25 @@ class CsvSourceSpec extends SparkTestBase {
     assert(off.getAs[java.sql.Timestamp]("ts").toInstant.toString == "2024-03-01T09:00:00Z")
   }
 
+  test("zone-region suffix [Europe/Paris] REJECTS (documented deviation from ISO_DATE_TIME)") {
+    // DateTimeFormatter.ISO_DATE_TIME accepts `...+01:00[Europe/Paris]`
+    // (CsvColumn.java:123-126); this engine deliberately rejects the
+    // bracket-suffix family — zone RULES (DST history) are a tzdb
+    // lookup, not a value property, and two engines with different tzdb
+    // versions would normalize the same row to different instants. The
+    // deviation is documented at the isoDateTimeRe definition and
+    // pinned here so the contract is tested, not just commented.
+    val path = write("isozone",
+      """conv_id,turn_idx,role,text,tool,ts
+        |c1,0,user,plain-offset,,2024-03-01T10:00:00+01:00
+        |c1,1,user,zone-region,,2024-03-01T10:00:00+01:00[Europe/Paris]
+        |c1,2,user,zulu-region,,2024-03-01T10:00:00Z[Europe/Paris]""".stripMargin)
+    val (valid, rejects) = CsvSource.read(spark, path)
+    assert(valid.count() == 1, s"only the plain offset form is accepted")
+    val rej = rejects.collect().map(r => r.getAs[String]("text") -> r.getAs[String]("reject_reason"))
+    assert(rej.toSet == Set("zone-region" -> "bad ts", "zulu-region" -> "bad ts"), s"got ${rej.toSeq}")
+  }
+
   test("absurd unix epoch overflows to a REJECTED row, not a failed batch (ANSI)") {
     // try_cast('999999999999999999' AS long) succeeds (~1e18) but the
     // ×1000 overflows long — under Spark 4's default ANSI a plain

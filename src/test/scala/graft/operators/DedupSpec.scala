@@ -192,4 +192,34 @@ class DedupSpec extends SparkTestBase {
     assert(LangId.detect("敏捷的棕色狐狸跳过了懒狗") == "zh")
     assert(LangId.detect("") == "und")
   }
+
+  test("native lang-id expression == UDF form, and stays inside codegen") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val native = TextAnalysis.langId(docs)
+      val viaUdf = docs.select(col("doc_id"), LangId.udf(col("text")).as("lang_pred"),
+        col("lang").as("lang_label"))
+      assert(native.exceptAll(viaUdf).isEmpty && viaUdf.exceptAll(native).isEmpty,
+        "native lang-id must match the UDF reference row for row")
+      // null text → null prediction through the null-safe expression
+      import spark.implicits._
+      val withNull = Seq((1L, null: String, "en")).toDF("doc_id", "text", "lang")
+      assert(TextAnalysis.langId(withNull).head().isNullAt(1))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("minhash_sigs of an empty hash array is NULL (array_min-of-empty parity)") {
+    import spark.implicits._
+    val df = Seq((1L, Seq.empty[Long]), (2L, Seq(5L, 9L)))
+      .toDF("doc_id", "hs")
+      .select(col("doc_id"), TextOps.minhash(col("hs"), 4).as("sig"))
+      .orderBy("doc_id").collect()
+    assert(df(0).isNullAt(1), "empty array must yield NULL, not sentinel minima")
+    assert(!df(1).isNullAt(1) && df(1).getSeq[Long](1).length == 4)
+  }
 }

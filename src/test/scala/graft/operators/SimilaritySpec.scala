@@ -57,6 +57,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(cents.length == 8 && cents.forall(_.nonEmpty))
   }
 
+  test("IVF training plans never sort: map-side sample filter, agg-based init") {
+    // sampleSize below the corpus size so the hash-threshold branch is
+    // the one planned (the branch that replaced orderBy().limit(), whose
+    // TakeOrderedAndProject merged a per-partition top-n queue on the
+    // driver — ~n × partitions rows of driver traffic at scale)
+    val sample = Similarity.trainingSample(emb, seed = 42L, sampleSize = 100)
+    val ps = sample.queryExecution.executedPlan.toString
+    assert(!ps.contains("TakeOrderedAndProject") && !ps.contains("Sort "),
+      s"training sample must be a map-side filter:\n$ps")
+    assert(ps.contains("Filter"), s"expected the hash-threshold filter:\n$ps")
+    val pi = Similarity.initCentroids(sample, 16, 42L)
+    assert(pi.length == 16 && pi.forall(_.nonEmpty))
+    // sample is seed-deterministic and close to the requested size
+    val n1 = sample.count()
+    val n2 = Similarity.trainingSample(emb, 42L, 100).count()
+    assert(n1 == n2 && n1 > 50 && n1 < 200, s"sample size $n1")
+    // at or under sampleSize the whole corpus trains (small-corpus
+    // property: sampling never degrades small inputs)
+    assert(Similarity.trainingSample(emb, 42L, 1000000).count() == emb.count())
+  }
+
   test("threshold pairs are symmetric-free (a<b) and above threshold") {
     val pairs = Similarity.cosinePairsAbove(emb.limit(100), 0.5).collect()
     assert(pairs.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
