@@ -152,6 +152,85 @@ object OracleSqlGen {
        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
        |WHERE sim >= $threshold""".stripMargin
 
+  /** Media-table CTE mirroring [[graft.operators.Multimodal.synthMedia]]
+    * hex digit for hex digit (same md5-of-"seed:id:field" derivation;
+    * see its scaladoc for the shared spec). The payload is carried as a
+    * lowercase HEX STRING — this DuckDB build has no substring/md5 over
+    * BLOB, and hex-space slicing is byte-exact at 2× the offsets.
+    */
+  def mediaCte(n: Int, seed: Long): String = {
+    // max size = 256 + 2047 = 2303 bytes → ≤ 144 md5 blocks
+    val maxBlocks = (256 + 2047 + 15) / 16
+    s"""ids AS (SELECT unnest(range(0, $n)) AS asset_id),
+       |mmeta AS (SELECT asset_id, md5('$seed:' || asset_id || ':meta') AS mh FROM ids),
+       |attrs AS (
+       |  SELECT asset_id, mh,
+       |    CAST(('0x' || substr(mh, 1, 2)) AS BIGINT) % 3 AS kind_idx,
+       |    256 + CAST(('0x' || substr(mh, 3, 3)) AS BIGINT) % 2048 AS size
+       |  FROM mmeta),
+       |blks AS (
+       |  SELECT a.asset_id, b.b
+       |  FROM attrs a JOIN (SELECT unnest(range(0, $maxBlocks)) AS b) b
+       |    ON b.b < (a.size + 15) // 16),
+       |payload AS (
+       |  SELECT k.asset_id,
+       |    substr(string_agg(md5('$seed:' || k.asset_id || ':' || k.b), '' ORDER BY k.b),
+       |           1, CAST(a.size * 2 AS BIGINT)) AS hexdata,
+       |    a.size, a.mh, a.kind_idx
+       |  FROM blks k JOIN attrs a USING (asset_id)
+       |  GROUP BY k.asset_id, a.size, a.mh, a.kind_idx)""".stripMargin
+  }
+
+  /** q30 mirror: byte-bucket sums → polynomial digest + first feature
+    * (see [[graft.operators.Multimodal.extractFeatures]]); the digest
+    * powers M^j mod P are inlined as literals so the whole check is
+    * exact integer arithmetic, and feature_f0 is one double division
+    * cast to REAL — the identical single rounding both engines perform.
+    */
+  def mediaFeatures(n: Int, seed: Long, dims: Int): String = {
+    val m = graft.operators.Multimodal.digestM
+    val p = graft.operators.Multimodal.digestP
+    val powers = Iterator.iterate(1L)(w => w * m % p).take(dims).zipWithIndex
+      .map { case (w, j) => s"($j, $w)" }.mkString(", ")
+    val maxSize = 256 + 2047 + 1
+    s"""WITH ${mediaCte(n, seed)},
+       |bytes AS (
+       |  SELECT p.asset_id, i.i,
+       |    CAST(('0x' || substr(p.hexdata, CAST(i.i*2 + 1 AS BIGINT), 2)) AS BIGINT) AS byte
+       |  FROM payload p JOIN (SELECT unnest(range(0, $maxSize)) AS i) i ON i.i < p.size),
+       |sums AS (
+       |  SELECT asset_id, i % $dims AS j, CAST(SUM(byte) AS BIGINT) AS s
+       |  FROM bytes GROUP BY 1, 2),
+       |dg AS (
+       |  SELECT asset_id, CAST(CAST(SUM(s * w.w) AS HUGEINT) % $p AS BIGINT) AS feature_digest
+       |  FROM sums JOIN (VALUES $powers) AS w(j, w) ON sums.j = w.j
+       |  GROUP BY 1)
+       |SELECT p.asset_id, CAST(p.size AS BIGINT) AS byte_len, dg.feature_digest,
+       |  CAST(s0.s / (255.0 * GREATEST(1, p.size // $dims)) AS REAL) AS feature_f0
+       |FROM payload p
+       |JOIN dg USING (asset_id)
+       |JOIN (SELECT asset_id, s FROM sums WHERE j = 0) s0 USING (asset_id)""".stripMargin
+  }
+
+  /** q31 mirror: video frame slicing in hex space (2× offsets) —
+    * frames/frame_len derive exactly as
+    * [[graft.operators.Multimodal.sampleFrames]] computes them.
+    */
+  def frameSample(n: Int, seed: Long, stride: Int): String =
+    s"""WITH ${mediaCte(n, seed)},
+       |vids AS (
+       |  SELECT asset_id, hexdata, size,
+       |    4 + CAST(('0x' || substr(mh, 6, 2)) AS BIGINT) % 28 AS frames
+       |  FROM payload WHERE kind_idx = 2),
+       |fr AS (
+       |  SELECT v.asset_id, f.f AS frame_idx, v.size // v.frames AS frame_len, v.hexdata
+       |  FROM vids v JOIN (SELECT unnest(range(0, 32)) AS f) f
+       |    ON f.f < v.frames AND f.f % $stride = 0)
+       |SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+       |  substr(hexdata, CAST(frame_idx * frame_len * 2 + 1 AS BIGINT),
+       |         CAST(frame_len * 2 AS BIGINT)) AS frame_hex
+       |FROM fr""".stripMargin
+
   val textStats: String = {
     val stop = graft.functions.TextFunctions.stopwords
       .map(s => s"'$s'").mkString(", ")

@@ -111,17 +111,34 @@ object SparkEntry {
     // multimodal: batched per-partition feature extraction over binary
     // media columns (decode step is a documented deterministic stub —
     // no image/audio codecs in this container; plumbing is real). The
-    // driver row drops the raw array<float> column: its harness sorts
-    // every output column and arrays are unsortable pandas-side — the
-    // scalar norm + md5 digest columns verify the same bytes.
+    // driver row projects the EXACT-ARITHMETIC companions (byte count,
+    // polynomial digest over the integer bucket sums, first feature's
+    // single-rounded float) — the DuckDB oracle reconstructs the media
+    // table and recomputes all three, making q30 hash-exact; the raw
+    // array<float> column stays out (arrays are unsortable in the
+    // harness) and feature_norm/feature_md5 are float-packing digests
+    // no SQL engine mirrors (spec-covered instead).
     "q30_media_features" -> ((s, _) =>
       graft.operators.Multimodal.extractFeatures(
         graft.operators.Multimodal.synthMedia(s, n = 2000), dims = 32)
-        .drop("feature")),
-    // multimodal: video frame sampling via pure binary column algebra
+        .select(
+          org.apache.spark.sql.functions.col("asset_id"),
+          org.apache.spark.sql.functions.col("byte_len"),
+          org.apache.spark.sql.functions.col("feature_digest"),
+          org.apache.spark.sql.functions.col("feature").getItem(0).as("feature_f0"))),
+    // multimodal: video frame sampling via pure binary column algebra.
+    // Frames ride as lowercase hex strings in the driver row (byte-
+    // collision-free image of frame_bytes): the oracle slices the same
+    // hex payload at 2x offsets, so q31 is hash-exact too.
     "q31_frame_sample" -> ((s, _) =>
       graft.operators.Multimodal.sampleFrames(
-        graft.operators.Multimodal.synthMedia(s, n = 2000), stride = 2)),
+        graft.operators.Multimodal.synthMedia(s, n = 2000), stride = 2)
+        .select(
+          org.apache.spark.sql.functions.col("asset_id"),
+          org.apache.spark.sql.functions.col("frame_idx"),
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.hex(
+              org.apache.spark.sql.functions.col("frame_bytes"))).as("frame_hex"))),
     // IVF ANN (k-means coarse quantizer + nprobe lists; recall<1 →
     // rows-only check, recall bounded vs q26 in SimilaritySpec)
     "q32_knn_ivf" -> ((s, dir) => {
@@ -259,8 +276,9 @@ object SparkEntry {
     "q25_simhash_pairs" -> OracleSqlGen.simhashPairs(bits = 60, maxDist = 3),
     "q26_knn_bruteforce" -> OracleSqlGen.knnBruteForce(maxQueryId = 10, k = 5),
     // q27_fingerprint_pairs: winnowing not SQL-expressible → rows-only
-    "q28_cosine_pairs" -> OracleSqlGen.cosinePairs(threshold = 0.35)
+    "q28_cosine_pairs" -> OracleSqlGen.cosinePairs(threshold = 0.35),
     // q29_knn_lsh: recall<1 ANN → rows-only
-    // q30/q31 multimodal: binary synth not SQL-expressible → rows-only
+    "q30_media_features" -> OracleSqlGen.mediaFeatures(n = 2000, seed = 42L, dims = 32),
+    "q31_frame_sample" -> OracleSqlGen.frameSample(n = 2000, seed = 42L, stride = 2)
   )
 }
