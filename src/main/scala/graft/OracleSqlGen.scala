@@ -152,6 +152,32 @@ object OracleSqlGen {
        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
        |WHERE sim >= $threshold""".stripMargin
 
+  /** Connected components over the verified minhash-LSH pair graph —
+    * mirrors [[graft.operators.Dedup.components]]: a recursive
+    * reachability CTE propagates every label along (symmetrized) edges
+    * and the component id is the min reachable doc_id, exactly the
+    * fixpoint the Spark min-label propagation converges to.
+    */
+  private def dedupComponentsCte(k: Int, bands: Int, threshold: Double): String =
+    s"""prs AS (SELECT doc_a, doc_b FROM (${minhashLsh(k, bands, threshold)}) mm),
+       |e AS (SELECT doc_a AS s, doc_b AS d FROM prs
+       |      UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach AS (
+       |  SELECT s AS doc_id, s AS comp FROM e
+       |  UNION
+       |  SELECT e.d, r.comp FROM reach r JOIN e ON r.doc_id = e.s),
+       |cc AS (SELECT doc_id, MIN(comp) AS component FROM reach GROUP BY 1)""".stripMargin
+
+  def dedupClusters(k: Int, bands: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${dedupComponentsCte(k, bands, threshold)}
+       |SELECT doc_id, component FROM cc""".stripMargin
+
+  def dedupCorpus(k: Int, bands: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${dedupComponentsCte(k, bands, threshold)}
+       |SELECT d.doc_id, md5(d.text) AS text_hash
+       |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+       |WHERE cc.component IS NULL OR cc.component = d.doc_id""".stripMargin
+
   /** Media-table CTE mirroring [[graft.operators.Multimodal.synthMedia]]
     * hex digit for hex digit (same md5-of-"seed:id:field" derivation;
     * see its scaladoc for the shared spec). The payload is carried as a

@@ -153,7 +153,24 @@ object SparkEntry {
     // bits=4: tuned to the low 0.35 threshold (see lshPairsAbove doc)
     "q33_cosine_pairs_lsh" -> ((s, dir) =>
       graft.operators.Similarity.lshPairsAbove(
-        s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.35, bits = 4))
+        s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.35, bits = 4)),
+    // near-dup CLUSTERS: connected components (min-label fixpoint) over
+    // the verified minhash-LSH pair graph — oracle mirrors it with a
+    // recursive reachability CTE, so transitive grouping is hash-exact
+    "q34_dedup_clusters" -> ((s, dir) =>
+      graft.operators.Dedup.components(
+        graft.operators.Dedup.minhashLsh(
+          s.read.parquet(s"$dir/documents.parquet"), k = 16, bands = 4, threshold = 0.7))),
+    // the dedup pipeline's terminal operator: corpus minus non-keepers
+    "q35_dedup_corpus" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Dedup.dedupByPairs(docs,
+        graft.operators.Dedup.minhashLsh(docs, k = 16, bands = 4, threshold = 0.7))
+        .select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.col("text")).as("text_hash"))
+    })
   )
 
   private val rollupSelect: String =
@@ -279,6 +296,8 @@ object SparkEntry {
     "q28_cosine_pairs" -> OracleSqlGen.cosinePairs(threshold = 0.35),
     // q29_knn_lsh: recall<1 ANN → rows-only
     "q30_media_features" -> OracleSqlGen.mediaFeatures(n = 2000, seed = 42L, dims = 32),
-    "q31_frame_sample" -> OracleSqlGen.frameSample(n = 2000, seed = 42L, stride = 2)
+    "q31_frame_sample" -> OracleSqlGen.frameSample(n = 2000, seed = 42L, stride = 2),
+    "q34_dedup_clusters" -> OracleSqlGen.dedupClusters(k = 16, bands = 4, threshold = 0.7),
+    "q35_dedup_corpus" -> OracleSqlGen.dedupCorpus(k = 16, bands = 4, threshold = 0.7)
   )
 }

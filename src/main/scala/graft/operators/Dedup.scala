@@ -204,6 +204,80 @@ object Dedup {
     jaccardVerify(docs, pairs, threshold)
   }
 
+  /** Connected components of a near-dup pair graph — the step that
+    * turns pairwise similarity into DEDUP DECISIONS: every doc in a
+    * component is a near-dup of the others (transitively), and the
+    * component id (the component's min doc_id) is the canonical
+    * "keeper". Iterated min-label propagation: `label(x) ← min(label(x),
+    * min over neighbors' labels)` until fixpoint, one edge-join +
+    * min-aggregation shuffle per iteration over the PAIR graph only
+    * (vanishingly small next to the corpus — it is the output dedup
+    * already materializes). Iteration count is bounded by component
+    * diameter: [[pairsFromBuckets]] emits cliques (diameter 1) and
+    * hot-bucket stars (diameter 2), so chains only arise from genuine
+    * transitive near-dup runs; `maxIters` caps adversarial inputs and
+    * non-convergence throws rather than returning a silently split
+    * component. Deterministic: min over ids everywhere.
+    *
+    * Output: (doc_id, component) for every doc incident to a pair.
+    * Singletons are absent — [[dedupByPairs]] treats them as their own
+    * keeper via left join.
+    */
+  def components(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(lvl)
+    // localCheckpoint per iteration: a persist alone keeps the FULL
+    // iterative lineage, whose plan doubles every round (labels appears
+    // under both the propagation join and the convergence check) — by
+    // ~10 iterations planning itself OOMs. Truncation trades lineage
+    // recovery for bounded plans, the standard iterative-graph
+    // trade-off (GraphX checkpoints the same way): on executor loss the
+    // operator fails and a rerun recomputes deterministically, rather
+    // than replaying an exponentially deep lineage.
+    var labels = e
+      .groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("component"))
+      .localCheckpoint(true)
+    try {
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIters) {
+        val viaNbr = e
+          .join(labels.select(col("doc_id").as("dst"), col("component")), "dst")
+          .select(col("src").as("doc_id"), col("component"))
+        val next = labels.union(viaNbr)
+          .groupBy("doc_id").agg(min("component").as("component"))
+          .localCheckpoint(true)
+        val changed = next.join(labels.withColumnRenamed("component", "prev"), "doc_id")
+          .filter(col("component") =!= col("prev")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        it += 1
+      }
+      require(converged,
+        s"components did not converge within $maxIters iterations — " +
+          "component diameter exceeds the cap (raise maxIters)")
+      labels
+    } finally e.unpersist()
+  }
+
+  /** The dedup pipeline's terminal operator: drop every non-keeper of
+    * each near-dup component, keeping the component's min doc_id (and
+    * all singletons). Corpus-side cost is ONE left join against the
+    * (tiny) component map — the corpus itself never shuffles wide
+    * columns.
+    */
+  def dedupByPairs(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val comp = components(pairs, maxIters)
+    docs.join(comp, Seq("doc_id"), "left")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+      .drop("component")
+  }
+
   /** 60-bit SimHash over whitespace tokens with count weights, computed
     * by the native [[graft.functions.SimhashText]] expression in one
     * map pass — NO token shuffle (the declarative groupBy(doc, tok)

@@ -213,6 +213,41 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("components: chains, stars, and cliques resolve to min-id clusters") {
+    import spark.implicits._
+    // chain 1-2-3-7, pair {5,6}, star 8-{9,10} — min-label must cross
+    // the chain transitively (diameter 3 → several iterations)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (1L, 7L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L, 10L -> 8L))
+    // long chain under a tight iteration cap must THROW, not silently
+    // return a split component
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException](Dedup.components(chain, maxIters = 2).collect())
+    assert(Dedup.components(chain, maxIters = 20).collect()
+      .forall(_.getLong(1) == 0L))
+  }
+
+  test("dedupByPairs keeps one doc per near-dup cluster plus all singletons") {
+    import spark.implicits._
+    val corpus = (0L until 8L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 4L), (4L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dedupByPairs(corpus, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 3L, 5L, 7L), s"got $kept")
+    // end-to-end: the full near-dup pipeline dedups the fixture corpus
+    // exactly to its jaccard clusters
+    val piped = Dedup.dedupByPairs(docs, Dedup.minhashLsh(docs, 16, 4, 0.7))
+    val clustered = Dedup.components(Dedup.minhashLsh(docs, 16, 4, 0.7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val nonKeepers = clustered.filter { case (d, c) => d != c }.map(_._1).toSet
+    assert(piped.collect().map(_.getLong(0)).toSet ==
+      docs.collect().map(_.getLong(0)).toSet -- nonKeepers)
+  }
+
   test("minhash_sigs of an empty hash array is NULL (array_min-of-empty parity)") {
     import spark.implicits._
     val df = Seq((1L, Seq.empty[Long]), (2L, Seq(5L, 9L)))
