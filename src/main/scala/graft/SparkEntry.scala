@@ -73,6 +73,25 @@ object SparkEntry {
       graft.operators.RefOps.latestPerKey(s.read.parquet(s"$dir/events.parquet"))),
     "q16_running_counters" -> ((s, dir) =>
       graft.operators.RefOps.runningCounters(transcripts(s, dir))),
+    // as-of join: each turn enriched with its conversation's latest
+    // 1m rollup window started at or before the turn's ts — the
+    // union-sort form (one shuffle, no range join); oracle is DuckDB's
+    // native ASOF JOIN, so tie/latest semantics are pinned cross-engine
+    "q17_asof_enrich" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      val r = Rollup.fromRaw(t, Tier.M1)
+        .select(
+          org.apache.spark.sql.functions.col("conv_id"),
+          org.apache.spark.sql.functions.col("window_start"),
+          org.apache.spark.sql.functions.col("turn_count"),
+          org.apache.spark.sql.functions.col("char_len_sum"))
+      graft.operators.AsofJoin.asofJoin(
+        t.select("conv_id", "turn_idx", "ts"), r, "conv_id", "ts", "window_start")
+    }),
+    // exact interpolated per-window quantiles (percentile ≡ DuckDB
+    // quantile_cont, type-7)
+    "q18_rollup_quantiles" -> ((s, dir) =>
+      Rollup.charLenQuantiles(transcripts(s, dir), Tier.H1)),
     // training-data pipeline operators (documents / embeddings tables)
     "q20_dedup_exact" -> ((s, dir) =>
       graft.operators.Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))),
@@ -282,6 +301,23 @@ object SparkEntry {
         |FROM transcripts
         |WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+    "q17_asof_enrich" -> Transcripts.oracle(
+      """, r AS (
+        |  SELECT conv_id, DATE_TRUNC('minute', ts) AS window_start,
+        |         COUNT(*) AS turn_count,
+        |         CAST(SUM(LENGTH(text)) AS BIGINT) AS char_len_sum
+        |  FROM transcripts GROUP BY 1, 2)
+        |SELECT t.conv_id, t.turn_idx, t.ts,
+        |       r.window_start AS window_start_asof,
+        |       r.turn_count AS turn_count_asof,
+        |       r.char_len_sum AS char_len_sum_asof
+        |FROM transcripts t ASOF JOIN r
+        |  ON t.conv_id = r.conv_id AND t.ts >= r.window_start""".stripMargin),
+    "q18_rollup_quantiles" -> Transcripts.oracle(
+      """SELECT conv_id, DATE_TRUNC('hour', ts) AS window_start,
+        |  ROUND(quantile_cont(LENGTH(text), 0.5), 6) AS char_len_p50,
+        |  ROUND(quantile_cont(LENGTH(text), 0.95), 6) AS char_len_p95
+        |FROM transcripts GROUP BY 1, 2""".stripMargin),
     "q20_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,
         |       COUNT(*) AS dup_count

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — the timeseries enrichment operator: each left row picks
+  * the LATEST right row of the same key with `right.ts <= left.ts`
+  * (state lookup at event time; the classic example joins trades to the
+  * prevailing quote).
+  *
+  * Spark has no asof operator, and the naive formulation
+  * (`l JOIN r ON l.k = r.k AND r.ts <= l.ts` + max-per-left) is a
+  * RANGE join — O(|l|·|r|) per key, quadratic on dense keys. This
+  * implementation is the union-sort form: tag both sides, union them,
+  * sort per key by (ts, side) and carry the latest right payload
+  * forward with `last(ignoreNulls)` — ONE shuffle on the key, linear
+  * work, and the sort is per-key (the same (key, ts) clustering the
+  * tier tables already store, so on warehouse reads the exchange is
+  * the only cost).
+  *
+  * Semantics, pinned by the DuckDB `ASOF JOIN` oracle (q17):
+  *
+  *  - ties (`right.ts == left.ts`) MATCH — the right row sorts before
+  *    the left row at equal ts (`side` tiebreak), so `<=` holds;
+  *  - the right payload rides as ONE struct, so a null payload COLUMN
+  *    never makes `last(ignoreNulls)` skip past the latest right ROW;
+  *  - left rows before any right row get null payload (left-join
+  *    behavior);
+  *  - the right side must be unique per (key, ts) — with duplicates
+  *    "the latest row" is not well-defined (DuckDB picks one
+  *    arbitrarily); callers join against aggregated/rolled-up state,
+  *    which is unique by construction.
+  *
+  * Output: every left column, then each right payload column (all but
+  * key and ts) suffixed `_asof`.
+  */
+object AsofJoin {
+
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(_ == key).toSeq
+    val lCols = left.columns.toSeq
+    val rStruct = struct(payloadCols.map(c => col(c).as(c)): _*)
+    val rTagged = right.select(
+      col(key), col(rightTs).cast("timestamp").as("_t"),
+      lit(0).as("_side"), rStruct.as("_r"))
+    val lTagged = left.select(
+      col(key) +: col(leftTs).cast("timestamp").as("_t") +:
+        lit(1).as("_side") +:
+        lit(null).cast(rTagged.schema("_r").dataType).as("_r") +:
+        lCols.filterNot(_ == key).map(col): _*)
+    // align columns for the union (right side lacks the left payload)
+    val rAligned = lCols.filterNot(_ == key).foldLeft(rTagged) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(lTagged.columns.map(col): _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.union(rAligned)
+      .withColumn("_latest", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(lCols.map(col) ++
+        payloadCols.map(c => col(s"_latest.$c").as(s"${c}_asof")): _*)
+  }
+}

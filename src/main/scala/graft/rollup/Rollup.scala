@@ -164,4 +164,24 @@ object Rollup {
         window(col("window_start"), to.windowExpr).getField("start").as("window_start"),
         col("tool"))
       .agg(sum(col("n")).as("n"))
+
+  /** Exact per-window quantiles of turn length — the distribution
+    * companion the avg/min/max columns can't answer (p95 text length
+    * per conversation-hour). Spark's `percentile` is the EXACT
+    * interpolated aggregate (continuous index p·(n−1), linear
+    * interpolation — the same type-7 definition as DuckDB's
+    * `quantile_cont`, which the oracle uses), not the approximate
+    * sketch; round-6 absorbs the one double-arithmetic step. NOT
+    * cascadable (quantiles don't compose across windows — recompute
+    * per tier from raw, which is why it is a separate table, not a
+    * rollup column).
+    */
+  def charLenQuantiles(transcripts: DataFrame, tier: Tier): DataFrame =
+    transcripts
+      .groupBy(
+        col("conv_id"),
+        window(col("ts"), tier.windowExpr).getField("start").as("window_start"))
+      .agg(
+        expr("round(percentile(length(text), 0.5), 6)").as("char_len_p50"),
+        expr("round(percentile(length(text), 0.95), 6)").as("char_len_p95"))
 }

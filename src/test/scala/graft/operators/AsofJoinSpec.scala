@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val quotes = Seq(
+    ("k1", ts("2024-03-01 10:00:00"), 100L),
+    ("k1", ts("2024-03-01 10:05:00"), 105L),
+    ("k1", ts("2024-03-01 10:10:00"), 110L),
+    ("k2", ts("2024-03-01 10:03:00"), 203L))
+    .toDF("conv_id", "qts", "px")
+
+  private lazy val trades = Seq(
+    ("k1", 1, ts("2024-03-01 09:59:59")), // before any quote → null
+    ("k1", 2, ts("2024-03-01 10:00:00")), // TIE with quote ts → matches it
+    ("k1", 3, ts("2024-03-01 10:07:30")), // between quotes → 10:05
+    ("k1", 4, ts("2024-03-01 11:00:00")), // after last → 10:10
+    ("k2", 5, ts("2024-03-01 10:04:00")), // other key → its own quote
+    ("k3", 6, ts("2024-03-01 10:04:00"))) // key with no right rows → null
+    .toDF("conv_id", "turn_idx", "ts")
+
+  test("asof: latest right row at or before left ts, per key, ties match") {
+    val out = AsofJoin.asofJoin(trades, quotes, "conv_id", "ts", "qts")
+      .orderBy("turn_idx").collect()
+    assert(out.map(r => if (r.isNullAt(4)) -1L else r.getLong(4)).toSeq ==
+      Seq(-1L, 100L, 105L, 110L, 203L, -1L))
+    // the as-of timestamp rides along with the payload
+    assert(out(2).getTimestamp(3) == ts("2024-03-01 10:05:00"))
+    // left columns pass through untouched
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 3, 4, 5, 6))
+  }
+
+  test("asof: a null payload COLUMN does not skip past the latest right ROW") {
+    val q = Seq(
+      ("k1", ts("2024-03-01 10:00:00"), Some(100L)),
+      ("k1", ts("2024-03-01 10:05:00"), None)) // latest row, null column
+      .toDF("conv_id", "qts", "px")
+    val t = Seq(("k1", 1, ts("2024-03-01 10:06:00"))).toDF("conv_id", "turn_idx", "ts")
+    val out = AsofJoin.asofJoin(t, q, "conv_id", "ts", "qts").head()
+    // the latest ROW (10:05) wins even though its px is null — matching
+    // DuckDB ASOF JOIN, which picks rows, not non-null column values
+    assert(out.getTimestamp(3) == ts("2024-03-01 10:05:00"))
+    assert(out.isNullAt(4))
+  }
+
+  test("asof: one shuffle on the key, no range join in the plan") {
+    val out = AsofJoin.asofJoin(trades, quotes, "conv_id", "ts", "qts")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asof must not plan a join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      s"expected union-side exchanges only:\n$plan")
+  }
+}
