@@ -311,7 +311,7 @@ object SparkEntry {
         |       r.window_start AS window_start_asof,
         |       r.turn_count AS turn_count_asof,
         |       r.char_len_sum AS char_len_sum_asof
-        |FROM transcripts t ASOF JOIN r
+        |FROM transcripts t ASOF LEFT JOIN r
         |  ON t.conv_id = r.conv_id AND t.ts >= r.window_start""".stripMargin),
     "q18_rollup_quantiles" -> Transcripts.oracle(
       """SELECT conv_id, DATE_TRUNC('hour', ts) AS window_start,

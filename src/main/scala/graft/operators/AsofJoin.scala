@@ -32,8 +32,10 @@ import org.apache.spark.sql.functions._
   *    arbitrarily); callers join against aggregated/rolled-up state,
   *    which is unique by construction.
   *
-  * Output: every left column, then each right payload column (all but
-  * key and ts) suffixed `_asof`.
+  * Output: every left column, then each right column EXCEPT the key
+  * suffixed `_asof` — the right timestamp is deliberately part of the
+  * payload (`<rightTs>_asof`), since "when was the matched state
+  * observed" is half the point of an as-of lookup.
   */
 object AsofJoin {
 

@@ -253,7 +253,11 @@ object Dedup {
           .localCheckpoint(true)
         val changed = next.join(labels.withColumnRenamed("component", "prev"), "doc_id")
           .filter(col("component") =!= col("prev")).count()
-        labels.unpersist()
+        // no explicit unpersist: localCheckpoint pins at the RDD level,
+        // where Dataset.unpersist is a no-op — superseded iterations
+        // become unreferenced here and the ContextCleaner reclaims
+        // their blocks (label frames are pair-graph-sized, tiny next to
+        // the corpus, so the transient overlap is bounded and small)
         labels = next
         converged = changed == 0
         it += 1

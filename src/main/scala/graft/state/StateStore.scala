@@ -61,17 +61,28 @@ class StateStore(root: String) {
   private val seqCounter = new java.util.concurrent.atomic.AtomicLong(loadMaxSeq())
 
   private def loadMaxSeq(): Long = {
-    val seqs = for {
+    val entries = for {
       // every kind that carries a seq — omitting one (the log stream is
       // written LAST in a run, so it often holds the global max) would
       // re-issue its seq values after a restart
       kind <- Seq("checkpoints", "lineage", "metrics", "logs")
       if Files.exists(dir(kind))
       f <- Files.list(dir(kind)).iterator().asScala.toSeq
+      if !f.getFileName.toString.startsWith(".")
+    } yield f
+    val rowSeqs = for {
+      f <- entries
       line <- Files.readAllLines(f).asScala
       m <- """"seq":(\d+)""".r.findFirstMatchIn(line)
     } yield m.group(1).toLong
-    if (seqs.isEmpty) 0L else seqs.max
+    // file-NAME seqs count too: writeLines/compactKind consume counter
+    // values for names beyond any row seq, and a compaction snapshot
+    // written as the process's LAST act has a name-seq ABOVE every row
+    // inside it — seeding from rows alone would let the next process
+    // issue name-seqs at or below that snapshot's cover, making its
+    // first commits permanently invisible to effectiveFiles
+    val nameSeqs = entries.map(f => nameSeq(f.getFileName.toString))
+    (rowSeqs ++ nameSeqs ++ Seq(0L)).max
   }
 
   def nextSeq(): Long = seqCounter.incrementAndGet()
@@ -135,21 +146,33 @@ class StateStore(root: String) {
   /** Rewrite each kind into one snapshot file (see class doc). Safe to
     * call any time the single writer is not mid-commit.
     */
-  def compact(): Unit = kinds.foreach(compactKind)
+  def compact(): Unit = kinds.foreach(k => compactKind(k, effectiveFiles(k)))
 
   /** Compact only kinds fragmented into ≥ `minFiles` files — the cheap
     * periodic form for job entry points and streaming hooks.
     */
   def compactIfNeeded(minFiles: Int = 64): Unit =
     kinds.foreach { k =>
-      if (effectiveFiles(k).size >= minFiles) compactKind(k)
+      val files = effectiveFiles(k)
+      if (files.size >= minFiles) compactKind(k, files)
     }
 
-  private def compactKind(kind: String): Unit = {
-    val files = effectiveFiles(kind)
-    if (files.size < 2 &&
-        !files.exists(f => !f.getFileName.toString.contains("-compact-"))) return
-    val lines = files.flatMap(f => Files.readAllLines(f).asScala)
+  private def compactKind(kind: String,
+      effective: Seq[java.nio.file.Path]): Unit = {
+    // sweep crash debris FIRST (files below the cover, invisible to
+    // readers since an earlier crash mid-delete) — even when there is
+    // nothing to rewrite, or debris would survive every future
+    // compaction and keep growing the loadMaxSeq startup scan
+    if (Files.exists(dir(kind))) {
+      val eff = effective.toSet
+      Files.list(dir(kind)).iterator().asScala.toSeq
+        .filterNot(eff.contains)
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .foreach(Files.deleteIfExists(_))
+    }
+    if (effective.size < 2 &&
+        !effective.exists(f => !f.getFileName.toString.contains("-compact-"))) return
+    val lines = effective.flatMap(f => Files.readAllLines(f).asScala)
     if (lines.isEmpty) return
     val retained = kind match {
       case "checkpoints" | "lineage" =>
@@ -163,9 +186,10 @@ class StateStore(root: String) {
     val name =
       f"commit-${seqCounter.incrementAndGet()}%012d-compact-${java.util.UUID.randomUUID()}.jsonl"
     writeFile(kind, name, retained)
-    // delete absorbed files LAST: a crash here leaves files whose
-    // name-seq ≤ the snapshot's — invisible to effectiveFiles
-    files.foreach(Files.deleteIfExists(_))
+    // delete the absorbed files LAST: a crash here leaves files whose
+    // name-seq ≤ the snapshot's — invisible to effectiveFiles, swept
+    // by the next compaction's debris pass
+    effective.foreach(Files.deleteIfExists(_))
   }
 
   private def field(line: String, name: String): String =

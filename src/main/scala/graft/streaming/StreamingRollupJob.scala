@@ -126,8 +126,16 @@ object StreamingRollupJob {
     */
   private[streaming] def loadCommitted(state: StateStore, table: SnapshotTable,
       tierName: String): scala.collection.mutable.Set[String] = {
+    val batchKeyShape = ".*-batch-\\d+$".r
     val fromLineage = state.latestLineage.collect {
       case ((t, p), r) if t == streamTier(tierName) && r.status == "COMPLETED" => p
+      // upgrade fallback: warehouses written before the stream_ prefix
+      // recorded batch lineage under the bare tier key — recognize rows
+      // whose partition has the batch-key shape (day-partition keys are
+      // yyyy-MM-dd, structurally disjoint), or the one in-flight batch
+      // at upgrade time would re-append on restart
+      case ((t, p), r) if t == tierName && r.status == "COMPLETED" &&
+        batchKeyShape.matches(p) => p
     }
     val fromManifest = table.currentManifest.map(_.batchKeys).getOrElse(Seq.empty)
     scala.collection.mutable.Set.empty[String] ++= fromLineage ++= fromManifest

@@ -414,7 +414,10 @@ final class SnapshotTable(val root: String) {
     val m = Manifest(
       prev.version + 1, prev.partitionCol,
       prev.files.filterNot(f => partitions.contains(f.partition)),
-      prev.version, prev.clusterKey)
+      prev.version, prev.clusterKey,
+      // batchKeys MUST survive retention: wiping them here would reopen
+      // the streaming replay-duplication window on the next restart
+      prev.batchKeys)
     commitManifest(m)
     m
   }

@@ -106,6 +106,47 @@ class StateStoreSpec extends AnyFunSuite {
     assert(snapshot(s2) == before)
   }
 
+  test("commits after a compact-then-exit restart are visible (name-seq seeding)") {
+    val root = tmp()
+    val s = new StateStore(root)
+    for (i <- 0 until 5)
+      s.commitLineage(Seq(s.LineageRow("t", s"p$i", "COMPLETED", "", 0, 1L, "j", s.nextSeq())))
+    s.commitCheckpoints(Seq(s.Checkpoint("t", "p0", 1L, "COMPLETED", "j", s.nextSeq())))
+    // compaction is the process's LAST act: its snapshot name-seq
+    // exceeds every row seq inside it
+    s.compact()
+    // a restarted process seeded from row seqs alone would write its
+    // first commit under a name-seq at or below the snapshot's cover —
+    // invisible forever
+    val s2 = new StateStore(root)
+    s2.commitCheckpoints(Seq(s2.Checkpoint("t9", "late", 9L, "COMPLETED", "late", s2.nextSeq())))
+    s2.commitLineage(Seq(s2.LineageRow("t9", "late", "COMPLETED", "", 0, 7L, "late", s2.nextSeq())))
+    assert(s2.checkpoints.contains(("t9", "late")), "post-restart commit must be readable")
+    val s3 = new StateStore(root)
+    assert(s3.checkpoints.contains(("t9", "late")))
+    assert(s3.latestLineage.contains(("t9", "late")))
+    // and a further compaction retains it
+    s3.compact()
+    assert(new StateStore(root).checkpoints(("t9", "late")).jobId == "late")
+  }
+
+  test("a later compaction sweeps crash debris below the cover") {
+    val root = tmp()
+    val s = new StateStore(root)
+    writeCommits(s)
+    val lineageDir = Paths.get(root, "lineage")
+    val victim = Files.list(lineageDir).iterator().asScala.toSeq.head
+    val saved = Files.readAllBytes(victim)
+    val savedName = victim.getFileName.toString
+    s.compact()
+    Files.write(lineageDir.resolve(savedName), saved) // crash debris
+    assert(fileCount(root, "lineage") == 2)
+    val before = snapshot(s)
+    s.compact()
+    assert(fileCount(root, "lineage") == 1, "debris must be swept, not immortal")
+    assert(snapshot(s) == before)
+  }
+
   test("compactIfNeeded is a no-op below the threshold and compacts above it") {
     val root = tmp()
     val s = new StateStore(root)

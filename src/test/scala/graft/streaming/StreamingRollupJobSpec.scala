@@ -184,4 +184,21 @@ class StreamingRollupJobSpec extends SparkTestBase {
     // manifests parse back with their keys after reopen
     assert(new SnapshotTable(s"$wh/rollup_stream_1m").currentManifest.get.batchKeys == keys)
   }
+
+  test("legacy lineage under the bare tier key still counts as committed (upgrade path)") {
+    val wh = tmpDir("sj-legacy")
+    val state = new StateStore(s"$wh/_state")
+    val table = new SnapshotTable(s"$wh/rollup_stream_1m")
+    // a warehouse written before the stream_ namespace: batch lineage
+    // under tier '1m', no manifest batchKeys
+    state.commitLineage(Seq(
+      state.LineageRow("1m", "old-ckpt-ab12-batch-41", "COMPLETED", "", 0, 5L, "old", state.nextSeq()),
+      // day-partition rows (the batch planner's) must NOT leak in
+      state.LineageRow("1m", "2024-03-01", "COMPLETED", "", 0, 5L, "old", state.nextSeq())))
+    val committed = StreamingRollupJob.loadCommitted(state, table, "1m")
+    assert(committed.contains("old-ckpt-ab12-batch-41"),
+      "pre-upgrade batch lineage must still suppress its replay")
+    assert(!committed.contains("2024-03-01"),
+      "batch-planner day partitions must not enter the streaming committed set")
+  }
 }

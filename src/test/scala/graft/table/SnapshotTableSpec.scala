@@ -198,5 +198,12 @@ class SnapshotTableSpec extends SparkTestBase {
     // a non-streaming commit preserves the keys untouched
     t.overwritePartitions(df("a" -> 3), "p")
     assert(t.currentManifest.get.batchKeys.size == 2)
+    // retention operations preserve them too — wiping on dropPartitions
+    // would reopen the streaming replay-duplication window
+    t.append(df("b" -> 4), "p")
+    t.dropPartitions(Set("b"))
+    assert(t.currentManifest.get.batchKeys.size == 2, "dropPartitions must keep batchKeys")
+    t.compact(spark, maxFiles = 0)
+    assert(t.currentManifest.get.batchKeys.size == 2, "compact must keep batchKeys")
   }
 }
