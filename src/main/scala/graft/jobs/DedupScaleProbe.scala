@@ -75,6 +75,34 @@ object DedupScaleProbe {
     println(f"[dedup-probe] cores=$cores recall_exact=${recall(exactPairs)}%.4f " +
       f"recall_near=${recall(nearPairs)}%.4f " +
       f"extra_pairs=${(found -- exactPairs -- nearPairs).size}")
+
+    // clustering + keeper dedup over the full pair graph (the terminal
+    // dedup stage): time the component fixpoint and verify the kept
+    // corpus drops exactly one doc per injected pair
+    for (r <- 1 to reps) {
+      val pairs = Dedup.minhashLsh(docs, k = 16, bands = 8, threshold = 0.8)
+      val (kept, tCl) = timed(Dedup.dedupByPairs(docs, pairs).count())
+      println(f"[dedup-probe] rep=$r cores=$cores cluster_dedup=$tCl%.2fs " +
+        f"(${n / tCl}%.0f docs/s, kept=$kept of $n)")
+    }
+    val comp = Dedup.components(
+      Dedup.minhashLsh(docs, k = 16, bands = 8, threshold = 0.8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: driver-side union-find (union-by-min, so
+    // each root is the component's min id) over the same pair set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    found.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val involved = found.flatMap(p => Seq(p._1, p._2))
+    val mismatches = involved.count(d => comp.get(d) != Some(find(d)))
+    println(f"[dedup-probe] cores=$cores clusters=${comp.values.toSet.size} " +
+      f"docs_in_pairs=${involved.size} union_find_mismatches=$mismatches")
     spark.stop()
   }
 }
