@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, HyperplaneSig, MinhashSigs, ShingleHash3, SimhashText, Winnow}
+import graft.functions.{CosineSim, HyperplaneSig, LangIdText, MinhashSigs, ShingleHash3, SimhashText, Winnow}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -54,6 +54,9 @@ object GraftExtensions {
     fn[MinhashSigs]("minhash_sigs",
       "(hashes, k) - k universal-hash minhash values of a shingle-hash array (k literal)") {
       case Seq(h, k) => MinhashSigs(h, intLit("minhash_sigs", "k", k))
+    },
+    fn[LangIdText]("lang_id", "(text) - heuristic language id (en/fr/es/de/zh/und)") {
+      case Seq(t) => LangIdText(t)
     },
     fn[Winnow]("winnow", "(text, k, w) - winnowing fingerprint set (k-gram size, window; literals)") {
       case Seq(t, k, w) =>

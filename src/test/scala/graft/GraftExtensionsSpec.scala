@@ -90,6 +90,11 @@ class GraftExtensionsSpec extends SparkTestBase {
     val sigCol = emb.select(col("vec_id"),
       VectorOps.lshSig(col("embedding"), 20, 7L).as("sig"))
     assertSameRows(sigSql, sigCol)
+
+    val langSql = ext.sql("SELECT doc_id, lang_id(text) AS lang FROM docs_ext")
+    val langCol = docs.select(col("doc_id"),
+      graft.functions.LangId.col(col("text")).as("lang"))
+    assertSameRows(langSql, langCol)
   }
 
   test("non-literal tuning parameter fails analysis with a pointed message") {

@@ -55,4 +55,46 @@ class AsofJoinSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(plan).size <= 2,
       s"expected union-side exchanges only:\n$plan")
   }
+
+  test("asof == naive latest-at-or-before reference on random inputs") {
+    // randomized pin against the O(|l|·|r|) definition the union-sort
+    // form replaces: for each left row, max right ts <= left ts per key
+    val gen = for {
+      nl <- org.scalacheck.Gen.choose(1, 40)
+      nr <- org.scalacheck.Gen.choose(0, 40)
+      ls <- org.scalacheck.Gen.listOfN(nl, for {
+        k <- org.scalacheck.Gen.choose(0, 4)
+        t <- org.scalacheck.Gen.choose(0L, 50L)
+      } yield (s"k$k", t))
+      rs <- org.scalacheck.Gen.listOfN(nr, for {
+        k <- org.scalacheck.Gen.choose(0, 4)
+        t <- org.scalacheck.Gen.choose(0L, 50L)
+      } yield (s"k$k", t))
+    } yield (ls, rs.distinct) // right unique per (key, ts) — the contract
+    new graft.PropHelpers {}.forAllN(gen, n = 25) { case (ls, rs) =>
+      val base = ts("2024-03-01 00:00:00").getTime
+      val left = ls.zipWithIndex.map { case ((k, t), i) =>
+        (k, i, new java.sql.Timestamp(base + t * 60000)) }
+        .toDF("conv_id", "turn_idx", "ts")
+      val right = rs.zipWithIndex.map { case ((k, t), i) =>
+        (k, new java.sql.Timestamp(base + t * 60000), i.toLong) }
+        .toDF("conv_id", "qts", "px")
+      val got = AsofJoin.asofJoin(left, right, "conv_id", "ts", "qts")
+        .collect()
+        .map(r => (r.getInt(1), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .toMap
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val matches = rs.zipWithIndex.filter { case ((rk, rt), _) => rk == k && rt <= t }
+        i -> (if (matches.isEmpty) None
+              else Some(matches.maxBy { case ((_, rt), ri) => (rt, ri) } match {
+                case ((_, rt), _) =>
+                  // latest ts; px of THE row at that ts (unique per key+ts)
+                  rs.zipWithIndex.collectFirst {
+                    case ((rk2, rt2), ri2) if rk2 == k && rt2 == rt => ri2.toLong
+                  }.get
+              }))
+      }.toMap
+      assert(got == want, s"ls=$ls rs=$rs")
+    }
+  }
 }

@@ -231,6 +231,35 @@ class DedupSpec extends SparkTestBase {
       .forall(_.getLong(1) == 0L))
   }
 
+  test("components == union-find reference on random pair graphs") {
+    val gen = for {
+      n <- org.scalacheck.Gen.choose(1, 30)
+      es <- org.scalacheck.Gen.listOfN(n, for {
+        a <- org.scalacheck.Gen.choose(0L, 19L)
+        b <- org.scalacheck.Gen.choose(0L, 19L)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es
+    new graft.PropHelpers {}.forAllN(gen, n = 15) { es =>
+      val pairs = es.toDF("doc_a", "doc_b")
+      val got = Dedup.components(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-by-min union-find: root == component min id
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = es.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(d => d -> find(d)).toMap
+      assert(got == want, s"edges=$es")
+    }
+  }
+
   test("dedupByPairs keeps one doc per near-dup cluster plus all singletons") {
     import spark.implicits._
     val corpus = (0L until 8L).map(i => (i, s"text$i")).toDF("doc_id", "text")
