@@ -175,6 +175,14 @@ object Rollup {
     * cascadable (quantiles don't compose across windows — recompute
     * per tier from raw, which is why it is a separate table, not a
     * rollup column).
+    *
+    * Scale note: exact percentile BUFFERS every value of a group (the
+    * ObjectHashAggregate holds the group's value list, spilling via
+    * the sort-based fallback) — fine here because a group is one
+    * conversation-window (thousands of turns at most), NOT
+    * corpus-sized. For unbounded groups use
+    * [[charLenQuantilesApprox]], whose sketch is O(1/accuracy) per
+    * group regardless of group size.
     */
   def charLenQuantiles(transcripts: DataFrame, tier: Tier): DataFrame =
     transcripts
@@ -184,4 +192,20 @@ object Rollup {
       .agg(
         expr("round(percentile(length(text), 0.5), 6)").as("char_len_p50"),
         expr("round(percentile(length(text), 0.95), 6)").as("char_len_p95"))
+
+  /** The scale sibling of [[charLenQuantiles]]: Spark's
+    * `approx_percentile` (Greenwald-Khanna sketch) — constant state
+    * per group, mergeable map-side, rank error ≤ 1/accuracy. Use when
+    * a group can hold unbounded values (e.g. corpus-wide or per-day
+    * distributions); bounded vs the exact form in RollupSpec.
+    */
+  def charLenQuantilesApprox(transcripts: DataFrame, tier: Tier,
+      accuracy: Int = 10000): DataFrame =
+    transcripts
+      .groupBy(
+        col("conv_id"),
+        window(col("ts"), tier.windowExpr).getField("start").as("window_start"))
+      .agg(
+        expr(s"approx_percentile(length(text), 0.5, $accuracy)").as("char_len_p50"),
+        expr(s"approx_percentile(length(text), 0.95, $accuracy)").as("char_len_p95"))
 }

@@ -91,4 +91,32 @@ class RollupSpec extends SparkTestBase {
     val h1 = Rollup.toolFreq(turns, Tier.H1)
     assertSameRows(Rollup.toolFreq(turns, Tier.D1), Rollup.toolFreqCascade(h1, Tier.D1))
   }
+
+  test("approx quantiles are rank-correct group elements (sketch contract)") {
+    import org.apache.spark.sql.functions._
+    // the sketch's contract is RANK error (≤ 1/accuracy plus the
+    // sketch's integer-rank snap), not value distance — on tiny groups
+    // the p50 legitimately sits an element away from the interpolated
+    // exact value, so assert rank membership, not closeness
+    val approx = Rollup.charLenQuantilesApprox(turns, Tier.D1).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getAs[Number](2).doubleValue(), r.getAs[Number](3).doubleValue())).toMap
+    val groups = turns.select(col("conv_id"),
+        window(col("ts"), graft.model.Tier.D1.windowExpr).getField("start").as("ws"),
+        length(col("text")).as("len"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getTimestamp(1)))
+      .view.mapValues(_.map(_.getInt(2)).sorted).toMap
+    assert(groups.nonEmpty && approx.keySet == groups.keySet)
+    groups.foreach { case (k, vals) =>
+      val (a50, a95) = approx(k)
+      def rankOk(v: Double, p: Double): Boolean = {
+        val target = p * (vals.length - 1)
+        val idxs = vals.zipWithIndex.collect { case (x, i) if x.toDouble == v => i }
+        idxs.nonEmpty && idxs.exists(i => math.abs(i - target) <= 1.0 + vals.length / 1000.0)
+      }
+      assert(rankOk(a50, 0.5), s"$k: p50 $a50 not rank-correct in ${vals.take(20).toSeq}")
+      assert(rankOk(a95, 0.95), s"$k: p95 $a95 not rank-correct (n=${vals.length})")
+    }
+  }
 }
