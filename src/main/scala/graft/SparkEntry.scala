@@ -92,6 +92,10 @@ object SparkEntry {
     // quantile_cont, type-7)
     "q18_rollup_quantiles" -> ((s, dir) =>
       Rollup.charLenQuantiles(transcripts(s, dir), Tier.H1)),
+    // gap-based sessionization (session windows, batch form): sessions
+    // split where the inter-turn gap exceeds 30 minutes
+    "q19_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.summarize(transcripts(s, dir), gapSeconds = 1800L)),
     // training-data pipeline operators (documents / embeddings tables)
     "q20_dedup_exact" -> ((s, dir) =>
       graft.operators.Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))),
@@ -318,6 +322,24 @@ object SparkEntry {
         |  ROUND(quantile_cont(LENGTH(text), 0.5), 6) AS char_len_p50,
         |  ROUND(quantile_cont(LENGTH(text), 0.95), 6) AS char_len_p95
         |FROM transcripts GROUP BY 1, 2""".stripMargin),
+    "q19_sessionize" -> Transcripts.oracle(
+      """, flags AS (
+        |  SELECT conv_id, turn_idx, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |              OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM transcripts
+        |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)),
+        |assigned AS (
+        |  SELECT conv_id, ts,
+        |    CAST(SUM(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM flags)
+        |SELECT conv_id, session_idx,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS turns,
+        |  CAST(EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS DOUBLE) / 1000000.0 AS duration_sec
+        |FROM assigned GROUP BY 1, 2""".stripMargin),
     "q20_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,
         |       COUNT(*) AS dup_count
