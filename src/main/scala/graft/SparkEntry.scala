@@ -96,6 +96,15 @@ object SparkEntry {
     // split where the inter-turn gap exceeds 30 minutes
     "q19_sessionize" -> ((s, dir) =>
       graft.operators.Sessionize.summarize(transcripts(s, dir), gapSeconds = 1800L)),
+    // interval (range) join via grid cells: each turn equi-joined to
+    // the session interval containing it — no quadratic range join;
+    // oracle runs the plain inequality join
+    "q36_interval_join" -> ((s, dir) => {
+      val t = transcripts(s, dir).select("conv_id", "turn_idx", "ts")
+      val sess = graft.operators.Sessionize.summarize(transcripts(s, dir), 1800L)
+      graft.operators.RangeJoin.intervalJoin(
+        t, sess, "conv_id", "ts", "session_start", "session_end")
+    }),
     // training-data pipeline operators (documents / embeddings tables)
     "q20_dedup_exact" -> ((s, dir) =>
       graft.operators.Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))),
@@ -217,6 +226,23 @@ object SparkEntry {
       |FROM transcripts
       |GROUP BY 1, 2""".stripMargin
 
+  /** Session-assignment CTE (30-minute gap, microsecond arithmetic) —
+    * shared by the q19 summary and the q36 interval-join oracle.
+    */
+  private val sessionCte: String =
+    """, flags AS (
+      |  SELECT conv_id, turn_idx, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |              OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns
+      |  FROM transcripts
+      |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)),
+      |assigned AS (
+      |  SELECT conv_id, ts,
+      |    CAST(SUM(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_idx
+      |  FROM flags)""".stripMargin
+
   private def rollupOracle(trunc: String, seconds: Long): String =
     Transcripts.oracle(
       rollupSelect
@@ -322,24 +348,26 @@ object SparkEntry {
         |  ROUND(quantile_cont(LENGTH(text), 0.5), 6) AS char_len_p50,
         |  ROUND(quantile_cont(LENGTH(text), 0.95), 6) AS char_len_p95
         |FROM transcripts GROUP BY 1, 2""".stripMargin),
-    "q19_sessionize" -> Transcripts.oracle(
-      """, flags AS (
-        |  SELECT conv_id, turn_idx, ts,
-        |    CASE WHEN LAG(ts) OVER w IS NULL
-        |              OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns
-        |  FROM transcripts
-        |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)),
-        |assigned AS (
-        |  SELECT conv_id, ts,
-        |    CAST(SUM(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
-        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS session_idx
-        |  FROM flags)
+    "q19_sessionize" -> Transcripts.oracle(sessionCte +
+      """
         |SELECT conv_id, session_idx,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  COUNT(*) AS turns,
         |  CAST(EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS DOUBLE) / 1000000.0 AS duration_sec
         |FROM assigned GROUP BY 1, 2""".stripMargin),
+    "q36_interval_join" -> Transcripts.oracle(sessionCte +
+      """,
+        |sess AS (
+        |  SELECT conv_id, session_idx,
+        |    MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |    COUNT(*) AS turns,
+        |    CAST(EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS DOUBLE) / 1000000.0 AS duration_sec
+        |  FROM assigned GROUP BY 1, 2)
+        |SELECT t.conv_id, t.turn_idx, t.ts, s.session_idx,
+        |       s.session_start, s.session_end, s.turns, s.duration_sec
+        |FROM transcripts t JOIN sess s
+        |  ON t.conv_id = s.conv_id
+        | AND s.session_start <= t.ts AND t.ts <= s.session_end""".stripMargin),
     "q20_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,
         |       COUNT(*) AS dup_count
