@@ -85,24 +85,44 @@ object DedupScaleProbe {
       println(f"[dedup-probe] rep=$r cores=$cores cluster_dedup=$tCl%.2fs " +
         f"(${n / tCl}%.0f docs/s, kept=$kept of $n)")
     }
-    val comp = Dedup.components(
-      Dedup.minhashLsh(docs, k = 16, bands = 8, threshold = 0.8))
+    // components over the SAME collected pair set (no 5th pipeline
+    // run, and no implicit assumption that two independent LSH runs
+    // agree), cross-checked against the driver-side union-find
+    import spark.implicits._
+    val comp = Dedup.components(found.toSeq.toDF("doc_a", "doc_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // independent reference: driver-side union-find (union-by-min, so
-    // each root is the component's min id) over the same pair set
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    found.foreach { case (a, b) =>
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
+    val uf = new UnionFindRef
+    found.foreach { case (a, b) => uf.union(a, b) }
     val involved = found.flatMap(p => Seq(p._1, p._2))
-    val mismatches = involved.count(d => comp.get(d) != Some(find(d)))
+    val mismatches = involved.count(d => comp.get(d) != Some(uf.find(d)))
     println(f"[dedup-probe] cores=$cores clusters=${comp.values.toSet.size} " +
       f"docs_in_pairs=${involved.size} union_find_mismatches=$mismatches")
     spark.stop()
+  }
+}
+
+/** Driver-side union-by-min union-find — the independent reference the
+  * probe and DedupSpec check [[graft.operators.Dedup.components]]
+  * against (union-by-min ⇒ every root is its component's min id, the
+  * same fixpoint min-label propagation converges to). `find` is
+  * ITERATIVE with full path compression: union-by-min alone can build
+  * chain-deep trees, and a recursive find would stack-overflow on a
+  * long transitive near-dup run at probe scale.
+  */
+final class UnionFindRef {
+  private val parent = scala.collection.mutable.Map[Long, Long]()
+
+  def find(x: Long): Long = {
+    var r = x
+    while (parent.getOrElse(r, r) != r) r = parent(r)
+    var c = x
+    while (c != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+    r
+  }
+
+  def union(a: Long, b: Long): Unit = {
+    val ra = find(a)
+    val rb = find(b)
+    if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
   }
 }

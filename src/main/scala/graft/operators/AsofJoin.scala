@@ -41,6 +41,8 @@ object AsofJoin {
 
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String): DataFrame = {
+    TimeArith.requireUtcForNtz(left, leftTs)
+    TimeArith.requireUtcForNtz(right, rightTs)
     val payloadCols = right.columns.filterNot(_ == key).toSeq
     val lCols = left.columns.toSeq
     val rStruct = struct(payloadCols.map(c => col(c).as(c)): _*)

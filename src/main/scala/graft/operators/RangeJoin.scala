@@ -34,15 +34,47 @@ object RangeJoin {
       leftTs: String, startCol: String, endCol: String,
       cellSeconds: Long = 3600L): DataFrame = {
     require(cellSeconds > 0, "cellSeconds must be positive")
+    // fail fast instead of AnalysisException-ing deep inside the plan
+    // (or silently clobbering a caller's column with the internal one):
+    // the unqualified post-join references require disjoint names
+    val shared = left.columns.toSet intersect right.columns.filterNot(_ == key).toSet
+    require(shared.isEmpty,
+      s"intervalJoin: rename shared non-key columns first: ${shared.mkString(", ")}")
+    require(!left.columns.contains("_cell") && !right.columns.contains("_cell"),
+      "intervalJoin: '_cell' is reserved")
+    TimeArith.requireUtcForNtz(left, leftTs)
+    TimeArith.requireUtcForNtz(right, startCol)
     def cellOf(c: org.apache.spark.sql.Column) =
       floor(unix_micros(c.cast("timestamp")) / (cellSeconds * 1000000L))
     val rCols = right.columns.filterNot(_ == key).toSeq
-    val rCells = right.withColumn("_cell",
-      explode(sequence(cellOf(col(startCol)), cellOf(col(endCol)))))
+    // inverted intervals (end < start) match nothing BY DEFINITION —
+    // drop them before cell expansion, or one corrupt year-wide
+    // inverted row explodes to thousands of candidate cells that the
+    // inequality then discards at full shuffle cost
+    val rCells = right.filter(col(startCol) <= col(endCol))
+      .withColumn("_cell",
+        explode(sequence(cellOf(col(startCol)), cellOf(col(endCol)))))
     val lCells = left.withColumn("_cell", cellOf(col(leftTs)))
     lCells.join(rCells, Seq(key, "_cell"))
       .filter(col(startCol) <= col(leftTs) && col(leftTs) <= col(endCol))
       .drop("_cell")
       .select(left.columns.map(col) ++ rCols.map(col): _*)
   }
+}
+
+/** Shared timestamp-arithmetic guard for the timeseries operators. */
+private[operators] object TimeArith {
+  /** Gap/cell arithmetic casts TIMESTAMP_NTZ through the SESSION
+    * timezone; any zone with DST would warp wall-clock differences
+    * across transitions (a 15-minute gap spanning fall-back reads as
+    * 75). The engine pins UTC everywhere — enforce it where the
+    * arithmetic happens instead of relying on a comment.
+    */
+  def requireUtcForNtz(df: DataFrame, c: String): Unit =
+    if (df.schema(c).dataType == org.apache.spark.sql.types.TimestampNTZType) {
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"column '$c' is TIMESTAMP_NTZ and the session timezone is '$tz': " +
+          "timestamp arithmetic on zoneless values requires spark.sql.session.timeZone=UTC")
+    }
 }

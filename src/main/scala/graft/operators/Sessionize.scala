@@ -25,6 +25,7 @@ object Sessionize {
     * `gapSeconds` (a conversation's first turn always opens session 1).
     */
   def assign(transcripts: DataFrame, gapSeconds: Long): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
     val w = Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("turn_idx"))
     // MICROSECOND arithmetic (unix_micros over an explicit timestamp
     // cast — driver parquet is TIMESTAMP_NTZ, which refuses a bare long

@@ -206,6 +206,11 @@ object Rollup {
         col("conv_id"),
         window(col("ts"), tier.windowExpr).getField("start").as("window_start"))
       .agg(
-        expr(s"approx_percentile(length(text), 0.5, $accuracy)").as("char_len_p50"),
-        expr(s"approx_percentile(length(text), 0.95, $accuracy)").as("char_len_p95"))
+        // DOUBLE like the exact sibling: the two forms must stay
+        // schema-compatible so the documented exact→approx migration
+        // doesn't break warehouse appends or downstream readers
+        expr(s"CAST(approx_percentile(length(text), 0.5, $accuracy) AS DOUBLE)")
+          .as("char_len_p50"),
+        expr(s"CAST(approx_percentile(length(text), 0.95, $accuracy) AS DOUBLE)")
+          .as("char_len_p95"))
 }

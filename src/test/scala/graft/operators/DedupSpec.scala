@@ -244,18 +244,12 @@ class DedupSpec extends SparkTestBase {
       val pairs = es.toDF("doc_a", "doc_b")
       val got = Dedup.components(pairs).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      // union-by-min union-find: root == component min id
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      es.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
+      // shared union-by-min union-find reference (root == component
+      // min id) — one implementation, used here and by the scale probe
+      val uf = new graft.jobs.UnionFindRef
+      es.foreach { case (a, b) => uf.union(a, b) }
       val want = es.flatMap(p => Seq(p._1, p._2)).distinct
-        .map(d => d -> find(d)).toMap
+        .map(d => d -> uf.find(d)).toMap
       assert(got == want, s"edges=$es")
     }
   }

@@ -32,6 +32,19 @@ class RangeJoinSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("guards: shared column names fail fast; inverted intervals match nothing") {
+    // shared non-key name would AnalysisException deep in the plan (or
+    // silently clobber) — the operator rejects it up front
+    val clash = intervals.withColumnRenamed("iv", "turn_idx")
+    intercept[IllegalArgumentException](
+      RangeJoin.intervalJoin(events, clash, "conv_id", "ts", "iv_start", "iv_end"))
+    // an inverted (end < start) interval is dropped BEFORE cell
+    // expansion — no matches, and no descending-sequence cell blowup
+    val inverted = Seq(("k1", "X", ts(400), ts(0))).toDF("conv_id", "iv", "iv_start", "iv_end")
+    assert(RangeJoin.intervalJoin(events, inverted, "conv_id", "ts",
+      "iv_start", "iv_end").count() == 0)
+  }
+
   test("interval join plans an equi-join, never a nested-loop range join") {
     val out = RangeJoin.intervalJoin(events, intervals, "conv_id", "ts",
       "iv_start", "iv_end")
