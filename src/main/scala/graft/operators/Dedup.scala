@@ -247,18 +247,26 @@ object Dedup {
       while (!converged && it < maxIters) {
         val viaNbr = e
           .join(labels.select(col("doc_id").as("dst"), col("component")), "dst")
-          .select(col("src").as("doc_id"), col("component"))
-        val next = labels.union(viaNbr)
-          .groupBy("doc_id").agg(min("component").as("component"))
+          .select(col("src").as("doc_id"), col("component"),
+            lit(null).cast("long").as("prev"))
+        // the OLD label rides through the same aggregation (max ignores
+        // the propagation rows' nulls; every doc_id has exactly one
+        // labels row), so convergence is a trivial filter-count on the
+        // checkpointed result instead of a second shuffle join per
+        // iteration
+        val next = labels
+          .select(col("doc_id"), col("component"), col("component").as("prev"))
+          .union(viaNbr)
+          .groupBy("doc_id")
+          .agg(min("component").as("component"), max("prev").as("prev"))
           .localCheckpoint(true)
-        val changed = next.join(labels.withColumnRenamed("component", "prev"), "doc_id")
-          .filter(col("component") =!= col("prev")).count()
+        val changed = next.filter(col("component") =!= col("prev")).count()
         // no explicit unpersist: localCheckpoint pins at the RDD level,
         // where Dataset.unpersist is a no-op — superseded iterations
         // become unreferenced here and the ContextCleaner reclaims
         // their blocks (label frames are pair-graph-sized, tiny next to
         // the corpus, so the transient overlap is bounded and small)
-        labels = next
+        labels = next.select("doc_id", "component")
         converged = changed == 0
         it += 1
       }
