@@ -71,6 +71,9 @@ object SparkEntry {
       graft.operators.RefOps.deviceFanout(transcripts(s, dir))),
     "q15_latest_per_key" -> ((s, dir) =>
       graft.operators.RefOps.latestPerKey(s.read.parquet(s"$dir/events.parquet"))),
+    // top-K per key (heavy-hitters form of q15's top-1)
+    "q37_topk_per_key" -> ((s, dir) =>
+      graft.operators.RefOps.topKPerKey(s.read.parquet(s"$dir/events.parquet"), k = 3)),
     "q16_running_counters" -> ((s, dir) =>
       graft.operators.RefOps.runningCounters(transcripts(s, dir))),
     // as-of join: each turn enriched with its conversation's latest
@@ -324,6 +327,12 @@ object SparkEntry {
     "q15_latest_per_key" ->
       """SELECT user_id, event_id, ts FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "q37_topk_per_key" ->
+      """SELECT user_id, event_id, ts,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS rank
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        |QUALIFY rank <= 3""".stripMargin,
     "q16_running_counters" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx,
         |  COUNT(*) OVER w AS processed_rows,

@@ -121,6 +121,23 @@ object RefOps {
       .select(col("user_id"), col("event_id"), col("ts"))
   }
 
+  /** Top-K per key — the general form of [[latestPerKey]] (top-1): the
+    * k most recent events per user with their rank. Same shape —
+    * row_number over one key exchange; the window's per-partition sort
+    * streams with rank filtering, so memory stays O(run), not O(group),
+    * and the tie-break (ts desc, event_id desc) makes the selection
+    * deterministic. The heavy-hitters pattern every retention/N-best
+    * report uses.
+    */
+  def topKPerKey(events: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("user_id"), col("event_id"), col("ts"), col("rank"))
+  }
+
   /** Op #19 — running counters (`processed_rows += k`,
     * `CsvSettingsDAO.java:72-91`): cumulative sums over the stable
     * per-conversation order.
