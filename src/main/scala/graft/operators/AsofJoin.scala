@@ -45,6 +45,17 @@ object AsofJoin {
     TimeArith.requireUtcForNtz(right, rightTs)
     val payloadCols = right.columns.filterNot(_ == key).toSeq
     val lCols = left.columns.toSeq
+    // fail fast (same contract as RangeJoin.intervalJoin): a caller
+    // column named like an internal one would be silently clobbered
+    // deep in the union plan, and a left column colliding with a
+    // generated <col>_asof name would duplicate in the output
+    val reserved = Seq("_t", "_side", "_r", "_latest")
+    val resClash = (left.columns ++ right.columns).distinct.filter(reserved.contains)
+    require(resClash.isEmpty,
+      s"asofJoin: ${resClash.mkString(", ")} reserved for internal use; rename first")
+    val outClash = payloadCols.map(c => s"${c}_asof").toSet intersect left.columns.toSet
+    require(outClash.isEmpty,
+      s"asofJoin: left column(s) collide with generated output names: ${outClash.mkString(", ")}")
     val rStruct = struct(payloadCols.map(c => col(c).as(c)): _*)
     val rTagged = right.select(
       col(key), col(rightTs).cast("timestamp").as("_t"),
@@ -54,10 +65,14 @@ object AsofJoin {
         lit(1).as("_side") +:
         lit(null).cast(rTagged.schema("_r").dataType).as("_r") +:
         lCols.filterNot(_ == key).map(col): _*)
-    // align columns for the union (right side lacks the left payload)
-    val rAligned = lCols.filterNot(_ == key).foldLeft(rTagged) { (df, c) =>
-      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(lTagged.columns.map(col): _*)
+    // align columns for the union (right side lacks the left payload) —
+    // ONE projection: null-literals for the missing columns in the
+    // target order, instead of O(columns) nested withColumn projections
+    val rTaggedCols = rTagged.columns.toSet
+    val rAligned = rTagged.select(lTagged.columns.toSeq.map { c =>
+      if (rTaggedCols(c)) col(c)
+      else lit(null).cast(left.schema(c).dataType).as(c)
+    }: _*)
 
     val w = Window.partitionBy(col(key))
       .orderBy(col("_t"), col("_side"))

@@ -41,18 +41,42 @@ object RefOps {
   /** [[typedCast]] + precision-loss routing into the leveled log stream
     * (the reference computes the loss flag in `Converter.java:166-195`
     * and logs it at WARNING via `migration_logs`; the bare operator only
-    * computed the column). One extra aggregate over the already-computed
-    * frame — off the hot path, run once per ingest batch.
+    * computed the column). ZERO extra actions: the loss count rides the
+    * caller's OWN first action via `observe()` — a map-side aggregate
+    * inside the existing pass (the previous form ran a separate
+    * `filter(...).count()`, a second full scan of the cast output) — and
+    * a self-unregistering QueryExecutionListener writes the WARNING when
+    * that action completes. Listener delivery is async (Spark's shared
+    * listener bus), so the log row lands shortly AFTER the action
+    * returns — callers needing the row synchronously poll the store
+    * (specs do); a frame that is never acted on never logs.
     */
   def typedCastLogged(events: DataFrame, state: graft.state.StateStore,
       jobId: String): DataFrame = {
     val out = typedCast(events)
-    val lossy = out.filter(col("precision_loss")).count()
-    if (lossy > 0)
-      state.log("WARNING", "ingest",
-        s"$lossy value(s) lost precision in DOUBLE->INT narrowing", jobId)
-    out
+    val name = s"typed_cast_loss_${lossObsSeq.incrementAndGet()}"
+    val spark = events.sparkSession
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get(name).foreach { row =>
+          val lossy = row.getAs[Long]("lossy")
+          if (lossy > 0)
+            state.log("WARNING", "ingest",
+              s"$lossy value(s) lost precision in DOUBLE->INT narrowing", jobId)
+          spark.listenerManager.unregister(this)
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    // count(when(...)) never nulls on an empty frame, unlike sum()
+    out.observe(name, count(when(col("precision_loss"), lit(1))).as("lossy"))
   }
+
+  private val lossObsSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Op #4 — timestamp normalization, both reference formats:
     * UNIX seconds ×1000 → millis (`CsvColumn.java:121`) and ISO-8601

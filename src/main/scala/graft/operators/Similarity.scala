@@ -88,8 +88,9 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-      iters: Int = 3): DataFrame = {
-    val centroids = trainCentroids(corpus, nlist, seed, iters)
+      iters: Int = 3, corpusRows: Option[Long] = None): DataFrame = {
+    val centroids = trainCentroids(corpus, nlist, seed, iters,
+      corpusRows = corpusRows)
 
     // corpus: argmax centroid in ONE pass, computed map-side
     val assigned = corpus.select(
@@ -127,11 +128,16 @@ object Similarity {
     * is a pure function of (vec_id, seed). Corpora at or under
     * `sampleSize` train on everything — identical to full-corpus
     * training.
+    *
+    * `totalHint`: corpus row count, when the caller already knows it
+    * (a [[graft.table.SnapshotTable]] read knows it from parquet
+    * footers via `rowCount` — no Spark job). Absent, ONE count()
+    * action sizes the threshold (metadata-only on parquet sources).
     */
   private[operators] def trainingSample(corpus: DataFrame, seed: Long,
-      sampleSize: Int): DataFrame = {
+      sampleSize: Int, totalHint: Option[Long] = None): DataFrame = {
     val base = corpus.select(col("vec_id"), col("embedding"))
-    val total = corpus.count()
+    val total = totalHint.getOrElse(corpus.count())
     if (total <= sampleSize) base
     else {
       val m = 1L << 20
@@ -172,8 +178,13 @@ object Similarity {
     * beyond the nlist-row aggregations (pinned in PlanShapeSpec).
     */
   private[operators] def trainCentroids(corpus: DataFrame, nlist: Int,
-      seed: Long, iters: Int, sampleSize: Int = 65536): Array[Array[Float]] = {
-    val train = trainingSample(corpus, seed, sampleSize)
+      seed: Long, iters: Int, sampleSize: Int = 65536,
+      corpusRows: Option[Long] = None): Array[Array[Float]] = {
+    // floor the sample at nlist: a sample smaller than nlist makes
+    // initCentroids recycle seeds into duplicate centroids — silent
+    // recall degradation, not an error
+    val train = trainingSample(corpus, seed, math.max(sampleSize, nlist),
+        totalHint = corpusRows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cents: Array[Array[Float]] = initCentroids(train, nlist, seed)

@@ -40,6 +40,15 @@ import scala.jdk.CollectionConverters._
   * files deleted — a crash mid-delete leaves duplicates that are
   * already invisible.
   *
+  * **Writer model: ONE process writes a store root at a time.** Batch
+  * and streaming jobs may share a root SEQUENTIALLY (each seeds its seq
+  * counter from the files on open), never concurrently: compaction's
+  * debris sweep deletes every file not in the effective snapshot cover,
+  * so a second live writer whose counter trails the cover would have
+  * fresh commits first rendered invisible (name-seq ≤ snapshot) and
+  * then deleted. Concurrent DEPLOYMENTS split roots — the lineage
+  * namespace (`stream_<tier>`) separates facts, not writers.
+  *
   * Not final so tests can inject commit faults by overriding a commit
   * method (crash-window specs).
   */

@@ -154,8 +154,16 @@ class ResumeSpec extends SparkTestBase {
     val state = new graft.state.StateStore(tmpDir("state-loss"))
     val events = Seq((1L, 1.5, "x", "{}"), (2L, 2.0, "y", "{}"))
       .toDF("event_id", "value", "event_type", "props")
-    graft.operators.RefOps.typedCastLogged(events, state, "j")
-    val w = state.logs.filter(l => l.level == "WARNING" && l.message.contains("precision"))
+    val out = graft.operators.RefOps.typedCastLogged(events, state, "j")
+    // the loss count rides THIS action (observe) — no action, no log
+    assert(state.logs.forall(_.level != "WARNING"))
+    assert(out.count() == 2)
+    // listener delivery is async on the shared bus: poll briefly
+    def warnings() =
+      state.logs.filter(l => l.level == "WARNING" && l.message.contains("precision"))
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (warnings().isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    val w = warnings()
     assert(w.nonEmpty && w.head.message.startsWith("1 value"))
   }
 

@@ -56,6 +56,17 @@ class AsofJoinSpec extends SparkTestBase {
       s"expected union-side exchanges only:\n$plan")
   }
 
+  test("asof: reserved and colliding column names fail fast") {
+    // same contract as RangeJoin.intervalJoin: refuse inputs that would
+    // be silently clobbered by internal columns or duplicated outputs
+    intercept[IllegalArgumentException](AsofJoin.asofJoin(
+      trades.withColumn("_side", lit(1)), quotes, "conv_id", "ts", "qts"))
+    intercept[IllegalArgumentException](AsofJoin.asofJoin(
+      trades, quotes.withColumn("_r", lit(1)), "conv_id", "ts", "qts"))
+    intercept[IllegalArgumentException](AsofJoin.asofJoin(
+      trades.withColumn("px_asof", lit(0L)), quotes, "conv_id", "ts", "qts"))
+  }
+
   test("asof == naive latest-at-or-before reference on random inputs") {
     // randomized pin against the O(|l|·|r|) definition the union-sort
     // form replaces: for each left row, max right ts <= left ts per key

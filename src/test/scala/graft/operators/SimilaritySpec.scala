@@ -78,6 +78,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.trainingSample(emb, 42L, 1000000).count() == emb.count())
   }
 
+  test("training floors the sample at nlist; row-count hint is sample-identical") {
+    // sampleSize < nlist: without the floor, initCentroids recycles the
+    // tiny sample into duplicate centroids — the floor keeps the seed
+    // pool at least nlist-sized (in expectation)
+    val cents = Similarity.trainCentroids(emb, 32, 42L, iters = 1, sampleSize = 4)
+    assert(cents.length == 32)
+    assert(cents.map(_.toSeq).distinct.length > 4,
+      "floored sample must yield more distinct centroids than the raw sampleSize")
+    // a caller-supplied row count (SnapshotTable manifest fast path)
+    // must pick the IDENTICAL sample as the counted path
+    val a = Similarity.trainingSample(emb, 42L, 100)
+      .collect().map(_.getLong(0)).sorted
+    val b = Similarity.trainingSample(emb, 42L, 100, totalHint = Some(emb.count()))
+      .collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
   test("threshold pairs are symmetric-free (a<b) and above threshold") {
     val pairs = Similarity.cosinePairsAbove(emb.limit(100), 0.5).collect()
     assert(pairs.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
