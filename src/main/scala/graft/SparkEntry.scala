@@ -205,6 +205,23 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.md5(
             org.apache.spark.sql.functions.col("text")).as("text_hash"))
+    }),
+    // the ANN machinery at its EXHAUSTIVE settings — probing every IVF
+    // list / a single all-pass LSH bucket makes the candidate set the
+    // whole corpus, so assignment/probe/rerank must reproduce q26's
+    // brute force EXACTLY (same oracle); only bucketing recall (spec-
+    // bounded) stays outside the hash-exact check
+    "q38_knn_ivf_exhaustive" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.ivfTopK(
+        emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+        k = 5, nlist = 16, nprobe = 16)
+    }),
+    "q39_knn_lsh_exhaustive" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.lshTopK(
+        emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+        k = 5, bits = 0, tables = 1)
     })
   )
 
@@ -393,6 +410,9 @@ object SparkEntry {
     "q30_media_features" -> OracleSqlGen.mediaFeatures(n = 2000, seed = 42L, dims = 32),
     "q31_frame_sample" -> OracleSqlGen.frameSample(n = 2000, seed = 42L, stride = 2),
     "q34_dedup_clusters" -> OracleSqlGen.dedupClusters(k = 16, bands = 4, threshold = 0.7),
-    "q35_dedup_corpus" -> OracleSqlGen.dedupCorpus(k = 16, bands = 4, threshold = 0.7)
+    "q35_dedup_corpus" -> OracleSqlGen.dedupCorpus(k = 16, bands = 4, threshold = 0.7),
+    // exhaustive ANN ≡ brute force — the q26 oracle pins both paths
+    "q38_knn_ivf_exhaustive" -> OracleSqlGen.knnBruteForce(maxQueryId = 10, k = 5),
+    "q39_knn_lsh_exhaustive" -> OracleSqlGen.knnBruteForce(maxQueryId = 10, k = 5)
   )
 }

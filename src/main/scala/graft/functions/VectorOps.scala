@@ -196,7 +196,10 @@ case class CosineSim(left: Expression, right: Expression)
   */
 case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  require(bits > 0 && bits < 64, s"bits must be in [1,63], got $bits")
+  // bits = 0 is the degenerate EXHAUSTIVE mode: an empty signature puts
+  // every vector in one bucket (sig 0), so LSH search/pairing becomes
+  // brute force — the oracle-verifiable setting of the ANN operators
+  require(bits >= 0 && bits < 64, s"bits must be in [0,63], got $bits")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

@@ -44,6 +44,12 @@ object Similarity {
     * Corpus cost: one map pass emitting `tables` (bucket, id) pairs per
     * vector — candidates per query ≈ tables · corpus/2^bits, tuned so
     * that at 10^9 vectors (bits≈16-20) the rerank set stays ~10^4.
+    *
+    * `bits = 0, tables = 1` is the EXHAUSTIVE setting: one all-pass
+    * bucket, so the candidate set is the whole corpus and the result
+    * must equal [[bruteForceTopK]] — the oracle-verifiable mode (q39)
+    * that pins the probe/rerank machinery, leaving only bucketing
+    * recall as the approximate part.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 8, seed: Long = 42L, tables: Int = 8): DataFrame = {

@@ -78,6 +78,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.trainingSample(emb, 42L, 1000000).count() == emb.count())
   }
 
+  test("exhaustive IVF (nprobe=nlist) and LSH (bits=0) reproduce brute force") {
+    // probing every list / one all-pass bucket makes the candidate set
+    // the whole corpus: the approximate machinery must degrade to EXACT
+    // brute force — the q38/q39 driver contract
+    val q = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "sim", "rank")
+        .collect().map(_.toString).sorted.toSeq
+    val brute = rows(Similarity.bruteForceTopK(emb, q, 5))
+    assert(rows(Similarity.ivfTopK(emb, q, 5, nlist = 16, nprobe = 16)) == brute)
+    assert(rows(Similarity.lshTopK(emb, q, 5, bits = 0, tables = 1)) == brute)
+  }
+
   test("training floors the sample at nlist; row-count hint is sample-identical") {
     // sampleSize < nlist: without the floor, initCentroids recycles the
     // tiny sample into duplicate centroids — the floor keeps the seed
