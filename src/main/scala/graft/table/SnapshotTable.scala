@@ -246,14 +246,40 @@ final class SnapshotTable(val root: String) {
   private def stageWrite(df: DataFrame, partitionCol: String,
       clusterKey: String = "", maxRecordsPerFile: Long = 0L): (Path, Seq[FileEntry]) = {
     val stage = Paths.get(root, "data", s"stage-${java.util.UUID.randomUUID()}")
-    SnapshotTable.activeStages.add(stage.toString)
+    registerStage(stage)
     try stageWriteInto(stage, df, partitionCol, clusterKey, maxRecordsPerFile)
     catch { case e: Throwable =>
       // a failed staging job is abandoned here and now — let the vacuum
-      // have it instead of shielding it forever in this process
-      SnapshotTable.activeStages.remove(stage.toString)
+      // have it instead of shielding it forever
+      releaseStage(stage)
       throw e
     }
+  }
+
+  /** Register a stage as in-flight with BOTH protections the vacuum
+    * honors: the in-process registry (same-JVM retention pass) and a
+    * durable sibling marker `<stage>._STARTED` for a vacuum running in
+    * a DIFFERENT process — the plausible 100 TB deployment of an ingest
+    * job and a retention cron as separate spark-submits, where the
+    * other process has no view of this JVM's registry and a staging
+    * write can outlive any mtime grace. The marker is a SIBLING file,
+    * not one inside the stage: the staged parquet write runs in
+    * ErrorIfExists mode and would refuse a pre-populated directory.
+    */
+  private def registerStage(stage: Path): Unit = {
+    Files.createDirectories(stage.getParent)
+    Files.write(SnapshotTable.markerFor(stage), Array.emptyByteArray)
+    SnapshotTable.activeStages.add(stage.toString)
+  }
+
+  /** Release once the manifest commit has succeeded or the write failed
+    * for good: from here the staged files are either referenced by a
+    * manifest (protected by reference) or abandoned (vacuumed after the
+    * grace window).
+    */
+  private def releaseStage(stage: Path): Unit = {
+    Files.deleteIfExists(SnapshotTable.markerFor(stage))
+    SnapshotTable.activeStages.remove(stage.toString)
   }
 
   private def stageWriteInto(stage: Path, df: DataFrame, partitionCol: String,
@@ -361,7 +387,7 @@ final class SnapshotTable(val root: String) {
         prev.map(_.batchKeys).getOrElse(Seq.empty))
       commitManifest(m)
       m
-    } finally SnapshotTable.activeStages.remove(stage.toString)
+    } finally releaseStage(stage)
   }
 
   /** Row count of a set of committed files from parquet FOOTER metadata
@@ -401,7 +427,7 @@ final class SnapshotTable(val root: String) {
         keys)
       commitManifest(m)
       m
-    } finally SnapshotTable.activeStages.remove(stage.toString)
+    } finally releaseStage(stage)
   }
 
   /** Drop whole partitions (tier-expiry retention: raw/fine tiers past
@@ -444,7 +470,7 @@ final class SnapshotTable(val root: String) {
         prev.clusterKey, prev.batchKeys)
       commitManifest(m)
       m
-    } finally stagedAll.foreach(s => SnapshotTable.activeStages.remove(s._1.toString))
+    } finally stagedAll.foreach(s => releaseStage(s._1))
   }
 
   /** Delete snapshots older than the last `keep`, unlink data files no
@@ -456,8 +482,19 @@ final class SnapshotTable(val root: String) {
     * older than `vacuumGraceMs` are removed, so an IN-FLIGHT
     * stage-then-commit (single-writer, but expiry may run concurrently
     * with a write elsewhere in the same process) is never swept.
+    *
+    * `staleMarkerMs`: an in-flight stage is ALSO protected, regardless
+    * of file age, by its durable `_STARTED` sibling marker — the
+    * cross-process shield (a retention cron in a separate spark-submit
+    * sees no in-process registry, and a 100 TB staging write outlives
+    * any reasonable mtime grace). A marker older than `staleMarkerMs`
+    * stops protecting: that is the hard-crash reclamation bound (a
+    * writer killed between staging and commit leaks its stage only
+    * until the marker goes stale). Size it above the longest staging
+    * write the deployment can see; default 7 days.
     */
-  def expireSnapshots(keep: Int = 2, vacuumGraceMs: Long = 3600000L): Unit = {
+  def expireSnapshots(keep: Int = 2, vacuumGraceMs: Long = 3600000L,
+      staleMarkerMs: Long = 7L * 24 * 3600 * 1000): Unit = {
     val cur = currentVersion.getOrElse(return)
     val all = Files.list(snapshotsDir).iterator().asScala.toSeq
       .map(_.getFileName.toString)
@@ -477,20 +514,35 @@ final class SnapshotTable(val root: String) {
     // commit) are excluded REGARDLESS of age: a 100 TB staging write
     // easily outlives any mtime grace, and sweeping its early files
     // would let the subsequent commit publish a manifest referencing
-    // deleted data. The registry is in-process, which matches the
-    // documented single-writer-per-process model; the grace window
-    // still protects against nothing-registered races across processes.
+    // deleted data. Two protection sources: the in-process registry
+    // (same-JVM retention) and the durable `_STARTED` sibling markers
+    // (retention running in a DIFFERENT process), the latter honored
+    // until staleMarkerMs reclaims hard-crashed writers.
     val dataDir = Paths.get(root, "data")
     if (Files.exists(dataDir)) {
-      val active = SnapshotTable.activeStages.asScala.toSet.map(Paths.get(_: String))
+      val now = System.currentTimeMillis()
+      val liveMarkers = {
+        val ls = Files.list(dataDir)
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(SnapshotTable.markerSuffix))
+          .filter(m => Files.getLastModifiedTime(m).toMillis >= now - staleMarkerMs)
+          .toSet
+        finally ls.close()
+      }
+      val active = SnapshotTable.activeStages.asScala.toSet.map(Paths.get(_: String)) ++
+        liveMarkers.map(m => m.resolveSibling(
+          m.getFileName.toString.stripSuffix(SnapshotTable.markerSuffix)))
       def inActiveStage(p: Path): Boolean = active.exists(p.startsWith)
-      val cutoff = System.currentTimeMillis() - vacuumGraceMs
+      val cutoff = now - vacuumGraceMs
       val walk = Files.walk(dataDir)
       try {
         walk.iterator().asScala
           .filter(p => Files.isRegularFile(p))
           .filterNot(p => referenced.contains(p.toString))
           .filterNot(inActiveStage)
+          // a live marker is itself unreferenced — never sweep it, or
+          // the cross-process protection dies with it
+          .filterNot(liveMarkers.contains)
           .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
           .foreach(Files.deleteIfExists(_))
       } finally walk.close()
@@ -519,8 +571,20 @@ object SnapshotTable {
 
   /** Stage directories with a write in flight, JVM-wide — the vacuum's
     * do-not-touch set (single writer per table, but retention may run
-    * concurrently with a write elsewhere in the same process).
+    * concurrently with a write elsewhere in the same process). The
+    * durable `_STARTED` sibling markers carry the same fact across
+    * PROCESS boundaries (see `registerStage`).
     */
   private[table] val activeStages: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[table] val markerSuffix = "._STARTED"
+
+  /** Durable in-flight marker for a stage directory: a SIBLING file
+    * (`data/stage-<uuid>._STARTED`), not a file inside the stage — the
+    * staged parquet write runs in ErrorIfExists mode and would refuse a
+    * pre-populated target directory.
+    */
+  private[table] def markerFor(stage: Path): Path =
+    stage.resolveSibling(stage.getFileName.toString + markerSuffix)
 }

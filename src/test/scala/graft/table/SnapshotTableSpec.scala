@@ -188,6 +188,56 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(!java.nio.file.Files.exists(f))
   }
 
+  test("a SECOND process's vacuum honors the durable _STARTED marker") {
+    // cross-process scenario: ingest job and retention cron as separate
+    // spark-submits — the cron's JVM has NO in-process stage registry,
+    // only the filesystem. Simulated here by hand-building the stage
+    // (so activeStages never saw it) and vacuuming via a FRESH handle.
+    val t = new SnapshotTable(tmpDir("snap-xproc"))
+    t.overwritePartitions(df("a" -> 1), "p")
+    val stageDir = java.nio.file.Paths.get(t.root, "data", "stage-xproc")
+    val partDir = stageDir.resolve("_p=z")
+    java.nio.file.Files.createDirectories(partDir)
+    val f = partDir.resolve("part-early.parquet")
+    java.nio.file.Files.write(f, Array[Byte](1, 2, 3))
+    val old = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L)
+    java.nio.file.Files.setLastModifiedTime(f, old)
+    val marker = java.nio.file.Paths.get(t.root, "data", "stage-xproc._STARTED")
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+
+    // past the mtime grace, different handle, nothing registered: the
+    // marker alone must keep every staged file (and itself) alive
+    new SnapshotTable(t.root).expireSnapshots(keep = 2, vacuumGraceMs = 3600000L)
+    assert(java.nio.file.Files.exists(f),
+      "marker-protected stage files must survive a cross-process vacuum")
+    assert(java.nio.file.Files.exists(marker), "the live marker itself must survive")
+
+    // a STALE marker (hard-crashed writer) stops protecting: stage and
+    // marker are both reclaimed
+    java.nio.file.Files.setLastModifiedTime(marker, old)
+    new SnapshotTable(t.root).expireSnapshots(
+      keep = 2, vacuumGraceMs = 3600000L, staleMarkerMs = 3600000L)
+    assert(!java.nio.file.Files.exists(f), "stale-marker stage must be reclaimed")
+    assert(!java.nio.file.Files.exists(marker), "stale marker must be reclaimed")
+    assert(!java.nio.file.Files.exists(stageDir), "empty stage dir pruned")
+    assert(t.read(spark).count() == 1)
+  }
+
+  test("commits release their durable marker; a crashed write's marker persists") {
+    val t = new SnapshotTable(tmpDir("snap-marker-rel"))
+    t.overwritePartitions(df("a" -> 1), "p")
+    t.append(df("b" -> 2), "p")
+    val dataDir = java.nio.file.Paths.get(t.root, "data")
+    val ls = java.nio.file.Files.list(dataDir)
+    val markers =
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith("._STARTED")).toSeq
+      } finally ls.close()
+    assert(markers.isEmpty, s"committed writes must release markers, found: $markers")
+  }
+
   test("manifest batchKeys survive JSON roundtrip including escapes") {
     val t = new SnapshotTable(tmpDir("snap-keys"))
     t.append(df("a" -> 1), "p", batchKey = Some("""ck pt"odd\name-1a2b-batch-0"""))
