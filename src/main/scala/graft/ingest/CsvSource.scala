@@ -30,7 +30,16 @@ object CsvSource {
   /** epoch SECONDS — multiplied to millis like `CsvColumn.java:121`. */
   case object Unix extends TsFormat
   case object Iso extends TsFormat
-  final case class Custom(pattern: String) extends TsFormat
+  /** Custom-pattern parse. `zone` declares the deployment timezone
+    * whose WALL-CLOCK the pattern-parsed values represent: the
+    * reference zones CUSTOM timestamps with `ZoneId.systemDefault()`
+    * (`CsvColumn.java:128-131`) — an implicit dependency on wherever
+    * the JVM happens to run. This engine makes the zone an explicit
+    * knob (default UTC, the canonical choice of SURVEY.md §7 hard-part
+    * 2): a migration from a non-UTC deployment declares its zone and
+    * gets the reference's instants, deterministically.
+    */
+  final case class Custom(pattern: String, zone: String = "UTC") extends TsFormat
 
   final case class Options(
       delimiter: String = ",",
@@ -45,14 +54,19 @@ object CsvSource {
     * valid/reject split on malformed feeds; this guard restores the
     * reference's row-reject contract. Offsets accept the full
     * ISO-8601 offset-id family (`+hh`, `+hh:mm`, `+hh:mm:ss`) exactly
-    * as `ISO_DATE_TIME` does. DELIBERATE deviation (pinned in
-    * CsvSourceSpec): zone-region suffixes like `[Europe/Paris]` are
-    * rejected — zone rules are a tzdb lookup, not a value property,
-    * and engines on different tzdb versions would normalize the same
-    * row to different instants.
+    * as `ISO_DATE_TIME` does. Zone-REGION suffixes
+    * (`+01:00[Europe/Paris]`) are accepted like `ISO_DATE_TIME`: the
+    * bracket section is stripped and the OFFSET determines the instant
+    * — the offset is always present when a region is (ISO_DATE_TIME
+    * nests the region optional inside the offset optional), so the
+    * value is fully determined without any tzdb lookup. Remaining
+    * micro-deviation (documented, pinned in CsvSourceSpec): the region
+    * NAME is shape-checked, not tzdb-validated — `+01:00[Not/AZone]`
+    * parses here but rejects in the reference; validating names would
+    * tie the valid/reject split to the tzdb version the cluster runs.
     */
   private[ingest] val isoDateTimeRe =
-    """^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}(:\d{2}(\.\d{1,9})?)?(Z|[+-]\d{2}(:\d{2}(:\d{2})?)?)?$"""
+    """^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}(:\d{2}(\.\d{1,9})?)?((Z|[+-]\d{2}(:\d{2}(:\d{2})?)?)(\[[A-Za-z][A-Za-z0-9~/._+-]*\])?)?$"""
 
   private val declared = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
@@ -60,7 +74,18 @@ object CsvSource {
     * Valid side has the canonical `Turn` schema; rejects carry every
     * declared raw column plus a `reject_reason`.
     */
-  def read(spark: SparkSession, path: String, opts: Options = Options()): (DataFrame, DataFrame) = {
+  def read(spark: SparkSession, path: String, opts: Options): (DataFrame, DataFrame) =
+    read(spark, Seq(path), opts)
+
+  def read(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    read(spark, Seq(path), Options())
+
+  /** Multi-path form — a declared setting reads ALL its files in one
+    * scan plan (`CsvSettings.filePaths`, the reference fans these out to
+    * its thread pool; Spark's scheduler owns that parallelism here).
+    */
+  def read(spark: SparkSession, paths: Seq[String],
+      opts: Options = Options()): (DataFrame, DataFrame) = {
     val raw = spark.read
       .option("header", "true")
       .option("sep", opts.delimiter)
@@ -71,7 +96,7 @@ object CsvSource {
       // all columns read as string; typing is explicit below so a bad
       // value rejects the row instead of poisoning inference
       .option("inferSchema", "false")
-      .csv(path)
+      .csv(paths: _*)
 
     val missing = declared.filterNot(raw.columns.contains)
     require(missing.isEmpty,
@@ -112,9 +137,16 @@ object CsvSource {
     // `Long.parseLong(v) * 1000` (`CsvColumn.java:121`) silently WRAPS
     // and accepts a garbage timestamp; rejecting is the safer contract.
     case Unix => timestamp_millis(expr(s"try_multiply(try_cast(`$name` AS long), 1000L)"))
-    case Iso => when(col(name).rlike(isoDateTimeRe), try_to_timestamp(col(name)))
+    case Iso => when(col(name).rlike(isoDateTimeRe),
+        try_to_timestamp(regexp_replace(col(name), """\[[^\]]*\]$""", "")))
       .otherwise(lit(null).cast("timestamp"))
-    case Custom(p) => try_to_timestamp(col(name), lit(p))
+    case Custom(p, zone) =>
+      // fail fast at PLAN time on a bad zone id — under ANSI an invalid
+      // zone inside to_utc_timestamp would kill the batch at run time
+      require(scala.util.Try(java.time.ZoneId.of(zone)).isSuccess,
+        s"invalid timezone id for CUSTOM timestamp format: '$zone'")
+      val parsed = try_to_timestamp(col(name), lit(p))
+      if (zone == "UTC") parsed else to_utc_timestamp(parsed, zone)
   }
 
   /** Config-declared read: the generalized form of [[read]], driven by a

@@ -11,8 +11,15 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   spark-submit --class graft.jobs.RollupMain <jar> \
   *     --warehouse /path/wh [--source synth:<nConvs>:<avgTurns>:<seed>[:hot:<n>:<factor>]
-  *                           | --source events:<sfDir> | --source parquet:<path>]
+  *                           | --source events:<sfDir> | --source parquet:<path>
+  *                           | --source settings:<json>]
   *     [--job-id <id>] [--retention-watermark yyyy-MM-dd]
+  *
+  * `settings:<json>` is the multi-source orchestration (the analogue of
+  * the reference's whole `Main.java:36-60` loop): every setting
+  * declared in the [[graft.ingest.TranscriptSettings]] file runs
+  * ingest → rollup with its own status/metrics rows — see
+  * [[runSettings]].
   *
   * Parallelism comes from the cluster (`--master`/executors), not from
   * this code: the same binary runs `local[8]`, `local[32]`, or a real
@@ -39,6 +46,17 @@ object RollupMain {
         .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (source.startsWith("settings:")) {
+      val results = runSettings(spark, warehouse,
+        source.stripPrefix("settings:"), jobId)
+      results.foreach(r => println(
+        s"[settings] setting=${r.index} status=${r.status} rows_1m=${r.rows1m} " +
+          s"rejects=${r.rejects}" +
+          (if (r.error.nonEmpty) s" error=${r.error}" else "")))
+      spark.stop()
+      return
+    }
 
     val input = source.split(":").toList match {
       case "synth" :: n :: t :: s :: rest =>
@@ -107,6 +125,51 @@ object RollupMain {
       println(s"[retention] tier=${Retention.blocksKey} dropped=${droppedBlocks.size}")
     }
     spark.stop()
+  }
+
+  final case class SettingRun(
+      index: Int, status: String, rows1m: Long, rejects: Long, error: String = "")
+
+  /** Multi-setting orchestration — each declared source runs
+    * ingest → rollup into its OWN sub-warehouse (`<wh>/setting-<i>`),
+    * because tier tables are day-partitioned and
+    * `overwritePartitions` is a per-day REPLACE: two settings sharing
+    * a day would clobber each other's rollups in a shared table (the
+    * reference keeps per-setting sink paths for the same reason).
+    * A top-level orchestration StateStore (`<wh>/_settings_state`)
+    * records one COMPLETED/FAILED lineage row + a metrics row
+    * (valid/reject counts) per setting — the `Main.java:51-60` status
+    * loop — while each sub-warehouse keeps its full per-tier lineage
+    * under its per-setting jobId, so lineage stays disjoint by
+    * construction. A failing setting is recorded FAILED and does NOT
+    * abort the others (reference per-setting isolation).
+    */
+  def runSettings(spark: SparkSession, warehouse: String, cfgPath: String,
+      jobId: String): Seq[SettingRun] = {
+    val settings = graft.ingest.TranscriptSettings.load(cfgPath)
+    val orchestration = new graft.state.StateStore(s"$warehouse/_settings_state")
+    settings.zipWithIndex.map { case (s, i) =>
+      val sid = s"$jobId-s$i"
+      val run =
+        try {
+          val (valid, rejects) = graft.ingest.CsvSource.read(spark, s.paths, s.options)
+          val results = new RollupJob(s"$warehouse/setting-$i").run(spark, valid, sid)
+          val rows = results.find(_.tier == "1m").map(_.rows).getOrElse(0L)
+          // csv-level reject count (bad turn_idx / unparseable ts):
+          // one bounded action on the reject side — the valid side's
+          // accounting already rode the rollup's own planning pass
+          SettingRun(i, "COMPLETED", rows, rejects.count())
+        } catch {
+          case e: Exception =>
+            SettingRun(i, "FAILED", 0, 0, String.valueOf(e.getMessage))
+        }
+      orchestration.commitLineage(Seq(orchestration.LineageRow(
+        "csv_setting", s"setting-$i", run.status, run.error, 0, run.rows1m,
+        sid, orchestration.nextSeq())))
+      orchestration.commitMetrics(Seq(orchestration.MetricsRow(
+        sid, s"csv_setting_$i", run.rows1m, run.rejects, orchestration.nextSeq())))
+      run
+    }
   }
 
   private def parseArgs(args: Array[String]): Map[String, String] =

@@ -60,6 +60,28 @@ class CsvSourceSpec extends SparkTestBase {
     assert(valid.head().getAs[java.sql.Timestamp]("ts").toInstant.toString == "2024-03-01T10:00:00Z")
   }
 
+  test("custom pattern with a declared deployment zone lands at the zone's instant") {
+    // the explicit-knob form of the reference's ZoneId.systemDefault()
+    // (CsvColumn.java:128-131): wall-clock values from a Paris
+    // deployment convert through tzdb rules — +01:00 in winter, +02:00
+    // across the DST switch — instead of being pinned UTC
+    val path = write("customzone",
+      """conv_id,turn_idx,role,text,tool,ts
+        |c1,0,user,winter,,01/03/2024 10:00
+        |c1,1,user,summer,,01/07/2024 10:00""".stripMargin)
+    val (valid, _) = CsvSource.read(spark, path,
+      CsvSource.Options(tsFormat = CsvSource.Custom("dd/MM/yyyy HH:mm", "Europe/Paris")))
+    val byText = valid.collect()
+      .map(r => r.getAs[String]("text") ->
+        r.getAs[java.sql.Timestamp]("ts").toInstant.toString).toMap
+    assert(byText == Map(
+      "winter" -> "2024-03-01T09:00:00Z",
+      "summer" -> "2024-07-01T08:00:00Z"), s"got $byText")
+    // bad zone ids fail at PLAN time, not as task failures mid-batch
+    intercept[IllegalArgumentException](CsvSource.read(spark, path,
+      CsvSource.Options(tsFormat = CsvSource.Custom("dd/MM/yyyy HH:mm", "Not/AZone"))))
+  }
+
   test("invalid values reject the ROW, never the batch (CSVReader.java:199-204)") {
     val path = write("badvals",
       """conv_id,turn_idx,role,text,tool,ts
@@ -97,23 +119,32 @@ class CsvSourceSpec extends SparkTestBase {
     assert(off.getAs[java.sql.Timestamp]("ts").toInstant.toString == "2024-03-01T09:00:00Z")
   }
 
-  test("zone-region suffix [Europe/Paris] REJECTS (documented deviation from ISO_DATE_TIME)") {
+  test("zone-region suffix [Europe/Paris] parses at the OFFSET's instant (ISO_DATE_TIME parity)") {
     // DateTimeFormatter.ISO_DATE_TIME accepts `...+01:00[Europe/Paris]`
-    // (CsvColumn.java:123-126); this engine deliberately rejects the
-    // bracket-suffix family — zone RULES (DST history) are a tzdb
-    // lookup, not a value property, and two engines with different tzdb
-    // versions would normalize the same row to different instants. The
-    // deviation is documented at the isoDateTimeRe definition and
-    // pinned here so the contract is tested, not just commented.
+    // (CsvColumn.java:123-126): the bracket section rides after an
+    // offset-id (so the instant is fully determined by the offset) and
+    // is stripped here — a migration from zoned ISO data ingests the
+    // same rows the reference does. The region NAME is shape-checked
+    // only (documented micro-deviation at isoDateTimeRe: tzdb-
+    // validating names would tie the valid/reject split to the
+    // cluster's tzdb version); a bare bracket with no offset is not an
+    // ISO_DATE_TIME shape and still rejects.
     val path = write("isozone",
       """conv_id,turn_idx,role,text,tool,ts
         |c1,0,user,plain-offset,,2024-03-01T10:00:00+01:00
         |c1,1,user,zone-region,,2024-03-01T10:00:00+01:00[Europe/Paris]
-        |c1,2,user,zulu-region,,2024-03-01T10:00:00Z[Europe/Paris]""".stripMargin)
+        |c1,2,user,zulu-region,,2024-03-01T10:00:00Z[Europe/Paris]
+        |c1,3,user,no-offset-region,,2024-03-01T10:00:00[Europe/Paris]""".stripMargin)
     val (valid, rejects) = CsvSource.read(spark, path)
-    assert(valid.count() == 1, s"only the plain offset form is accepted")
+    val byText = valid.collect()
+      .map(r => r.getAs[String]("text") ->
+        r.getAs[java.sql.Timestamp]("ts").toInstant.toString).toMap
+    assert(byText("zone-region") == "2024-03-01T09:00:00Z",
+      s"region suffix must honor the offset: $byText")
+    assert(byText("zone-region") == byText("plain-offset"))
+    assert(byText("zulu-region") == "2024-03-01T10:00:00Z")
     val rej = rejects.collect().map(r => r.getAs[String]("text") -> r.getAs[String]("reject_reason"))
-    assert(rej.toSet == Set("zone-region" -> "bad ts", "zulu-region" -> "bad ts"), s"got ${rej.toSeq}")
+    assert(rej.toSet == Set("no-offset-region" -> "bad ts"), s"got ${rej.toSeq}")
   }
 
   test("absurd unix epoch overflows to a REJECTED row, not a failed batch (ANSI)") {
