@@ -27,8 +27,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * comparable).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // whole-relation operators ride as TABLE functions + the rule that
+    // expands their placeholder once tables are resolvable — see
+    // graft.plans.GraftRelations for the contract
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
+    ext.injectResolutionRule(graft.plans.GraftRelationRule)
+  }
 }
 
 object GraftExtensions {
@@ -62,6 +68,51 @@ object GraftExtensions {
       case Seq(t, k, w) =>
         Winnow(t, intLit("winnow", "k", k), intLit("winnow", "w", w))
     })
+
+  /** Table-function surface for the relational operators. Each builder
+    * validates arity + literal-ness eagerly (analysis-time errors with
+    * the usage string) and emits a [[graft.plans.GraftRelationCall]]
+    * placeholder for [[graft.plans.GraftRelationRule]] to expand.
+    */
+  val tableFunctions: Seq[(FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    tfn("asof_join",
+      "(left, right, key, left_ts, right_ts) - latest right row at or before each left ts, per key",
+      arities = Set(5)),
+    tfn("interval_join",
+      "(left, right, key, left_ts, start_col, end_col[, cell_seconds]) - events matched to overlapping intervals",
+      arities = Set(6, 7)),
+    tfn("sessionize",
+      "(table, gap_seconds) - per-session summary with gap-based session windows over (conv_id, ts)",
+      arities = Set(2)))
+
+  private def tfn(name: String, usage: String, arities: Set[Int])
+      : (FunctionIdentifier, ExpressionInfo,
+         Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
+    val builder = (args: Seq[Expression]) => {
+      if (!arities.contains(args.length))
+        throw new IllegalArgumentException(
+          s"$name$usage — got ${args.length} argument(s)")
+      graft.plans.GraftRelationCall(name, args.map(strOrIntLit(name, _)))
+    }
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[graft.plans.GraftRelationCall].getName, name),
+      builder)
+  }
+
+  /** Table-function arguments are names/tunables baked into the plan —
+    * string or integer LITERALS only, same rule as the scalar registry.
+    */
+  private def strOrIntLit(fn: String, e: Expression): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case Literal(v: Byte, _) => v.toString
+    case Literal(v: Short, _) => v.toString
+    case Literal(v: Int, _) => v.toString
+    case Literal(v: Long, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: arguments must be string or integer literals " +
+        s"(they name tables/columns baked into the plan), got ${other.sql}")
+  }
 
   private def fn[T <: Expression](name: String, usage: String)(
       build: PartialFunction[Seq[Expression], Expression])(implicit ct: scala.reflect.ClassTag[T])

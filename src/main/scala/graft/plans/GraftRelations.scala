@@ -1,0 +1,67 @@
+package graft.plans
+
+import graft.operators.{AsofJoin, RangeJoin, Sessionize}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** SQL surface for the WHOLE-RELATION operators (as-of join, interval
+  * join, sessionization) — the operators a scalar function registry
+  * cannot carry, exposed to SQL-only clients as TABLE functions:
+  *
+  * {{{
+  *   SELECT * FROM asof_join('trades', 'quotes', 'conv_id', 'ts', 'qts')
+  *   SELECT * FROM interval_join('events', 'windows', 'conv_id', 'ts',
+  *                               'w_start', 'w_end', 3600)
+  *   SELECT * FROM sessionize('transcripts', 1800)
+  * }}}
+  *
+  * Mechanics: the injected table function ([[graft.GraftExtensions]])
+  * only VALIDATES literals and emits a [[GraftRelationCall]]
+  * placeholder — at function-build time the referenced tables are not
+  * resolvable, and these operators need the right side's SCHEMA to
+  * build their plan (asof's payload struct, interval's column fan).
+  * The [[GraftRelationRule]] resolution rule then replaces the
+  * placeholder with the SAME Column-API plan the Scala surface builds
+  * (table names resolve through the session catalog, temp views
+  * included), so SQL and Column clients run identical shapes — one
+  * exchange for asof/sessionize, the grid-cell equi-join for interval.
+  * Names are passed as string literals because table/column identity
+  * is baked into the plan, exactly like the scalar registry's
+  * bits/seed literal rule.
+  */
+final case class GraftRelationCall(fn: String, args: Seq[String]) extends LeafNode {
+  override def output: Seq[Attribute] = Nil
+  override lazy val resolved: Boolean = false
+}
+
+/** Replaces [[GraftRelationCall]] placeholders during resolution. The
+  * replacement subplan is built with the Column API over catalog-
+  * resolved tables and analyzed as a nested query — it contains no
+  * further placeholders, so the rewrite converges in one firing.
+  */
+final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
+    case GraftRelationCall(fn, args) => build(fn, args)
+  }
+
+  private def build(fn: String, args: Seq[String]): LogicalPlan = {
+    val df = fn match {
+      case "asof_join" =>
+        val Seq(l, r, key, lts, rts) = args
+        AsofJoin.asofJoin(session.table(l), session.table(r), key, lts, rts)
+      case "interval_join" =>
+        val cell = if (args.length == 7) args(6).toLong else 3600L
+        val Seq(l, r, key, ts, s, e) = args.take(6)
+        RangeJoin.intervalJoin(session.table(l), session.table(r), key, ts, s, e, cell)
+      case "sessionize" =>
+        val Seq(t, gap) = args
+        Sessionize.summarize(session.table(t), gap.toLong)
+      case other =>
+        throw new IllegalStateException(s"unknown graft relation: $other")
+    }
+    df.queryExecution.analyzed
+  }
+}

@@ -97,6 +97,47 @@ class GraftExtensionsSpec extends SparkTestBase {
     assertSameRows(langSql, langCol)
   }
 
+  test("relational table functions in SQL == Column API (asof_join, interval_join, sessionize)") {
+    val tr = graft.ingest.Synth.transcripts(ext, 5, 30, 7L).toDF()
+    tr.createOrReplaceTempView("tr_ext")
+    val sess = graft.operators.Sessionize.summarize(tr, 1800L)
+    sess.createOrReplaceTempView("sess_ext")
+
+    // sessionize: summary via SQL == summary via Column API
+    assertSameRows(ext.sql("SELECT * FROM sessionize('tr_ext', 1800)"), sess)
+
+    // asof: each turn matched to the latest session_start at or before
+    // it (session starts are unique per conv — the asof contract)
+    val right = sess.select(col("conv_id"), col("session_idx"), col("session_start"))
+    right.createOrReplaceTempView("starts_ext")
+    assertSameRows(
+      ext.sql("SELECT * FROM asof_join('tr_ext', 'starts_ext', 'conv_id', 'ts', 'session_start')"),
+      graft.operators.AsofJoin.asofJoin(tr, right, "conv_id", "ts", "session_start"))
+
+    // interval: turns matched to their session window (the q36 shape),
+    // including the explicit cell_seconds knob
+    assertSameRows(
+      ext.sql("SELECT * FROM interval_join('tr_ext', 'sess_ext', 'conv_id', 'ts', " +
+        "'session_start', 'session_end', 600)"),
+      graft.operators.RangeJoin.intervalJoin(tr, sess, "conv_id", "ts",
+        "session_start", "session_end", 600L))
+
+    // non-literal argument fails analysis with the literal rule message
+    val e = intercept[Exception] {
+      ext.sql("SELECT * FROM sessionize('tr_ext', CAST(rand()*10 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+    // wrong arity points at the usage string
+    val a = intercept[Exception] {
+      ext.sql("SELECT * FROM asof_join('tr_ext', 'starts_ext')").collect()
+    }
+    assert(a.getMessage.contains("argument"), a.getMessage)
+    // the base session does not see the table functions
+    intercept[Exception] {
+      spark.sql("SELECT * FROM sessionize('tr_ext', 1800)").collect()
+    }
+  }
+
   test("non-literal tuning parameter fails analysis with a pointed message") {
     val docs = graft.ingest.Synth.documents(ext, 5)
     docs.createOrReplaceTempView("docs_badarg")
