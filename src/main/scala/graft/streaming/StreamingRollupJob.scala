@@ -149,7 +149,8 @@ object StreamingRollupJob {
     */
   private[streaming] def commitBatch(state: StateStore, table: SnapshotTable,
       tierName: String, committed: scala.collection.mutable.Set[String],
-      scope: String, batch: DataFrame, batchId: Long, jobId: String): Long = {
+      scope: String, batch: DataFrame, batchId: Long, jobId: String,
+      dayCol: String = "window_start"): Long = {
     val partition = s"$scope-batch-$batchId"
     if (committed.contains(partition)) {
       state.log("WARNING", tierName,
@@ -162,7 +163,7 @@ object StreamingRollupJob {
       // batch staged (append concatenates prev ++ staged) — no count()
       // job over the data
       val prevCount = table.currentManifest.map(_.files.size).getOrElse(0)
-      val withDay = batch.withColumn("p", date_format(col("window_start"), "yyyy-MM-dd"))
+      val withDay = batch.withColumn("p", date_format(col(dayCol), "yyyy-MM-dd"))
       val manifest = table.append(withDay, "p", batchKey = Some(partition))
       committed += partition // durable from here: the manifest holds the key
       val appended = table.rowCount(batch.sparkSession, manifest.files.drop(prevCount))
