@@ -36,9 +36,28 @@ object ScaleProbe {
       val tCascade = timed(
         Rollup.cascade(Rollup.cascade(m1, Tier.H1), Tier.D1).count())
       val tBlocks = timed(graft.rollup.BlockRollup.encode(raw, Tier.H1).count())
-      val total = tM1 + tCascade + tBlocks
+      // round-3 operators: sessionize (one conv_id exchange), as-of
+      // against the 1m state (union-sort form), interval join against
+      // the session windows (grid-cell equi-join; its time INCLUDES
+      // recomputing the session-summary input — same plan both sides of
+      // an N-vs-4N pair, so the ratio stays meaningful)
+      val tSess = timed(graft.operators.Sessionize.summarize(raw, 1800L)
+        .agg(count(col("duration_sec"))).head())
+      val asofRight = m1.select(col("conv_id"), col("window_start"), col("turn_count"))
+      // count a PAYLOAD column, not rows: a bare count() lets the
+      // optimizer prune the unused `_latest` window column and elide
+      // the entire asof computation (measured: 0.5 s for 56M rows —
+      // a non-measurement)
+      val tAsof = timed(graft.operators.AsofJoin.asofJoin(
+          raw, asofRight, "conv_id", "ts", "window_start")
+        .agg(count(col("turn_count_asof"))).head())
+      val sess = graft.operators.Sessionize.summarize(raw, 1800L)
+      val tInterval = timed(graft.operators.RangeJoin.intervalJoin(
+        raw, sess, "conv_id", "ts", "session_start", "session_end", 3600L).count())
+      val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval
       println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
-        f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs total=$total%.2fs " +
+        f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs sessionize=$tSess%.2fs " +
+        f"asof=$tAsof%.2fs interval=$tInterval%.2fs total=$total%.2fs " +
         f"throughput=${n / tM1}%.0f turns/s")
       total
     }
