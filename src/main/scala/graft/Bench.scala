@@ -16,8 +16,29 @@ import org.apache.spark.sql.functions.col
   * timed end-to-end, then a rollup-cascade throughput probe on a
   * seeded synthetic transcripts table (turns/sec — the BASELINE.json
   * headline metric).
+  *
+  * Every timing FORCES full evaluation through the noop sink
+  * (`format("noop")` — executes the complete plan, writes nothing).
+  * Rounds 1-3 timed `count()`, which lets Catalyst prune any column
+  * the count doesn't need — for pure-projection queries that elides
+  * the OPERATOR under test (q17's asof window, q12's sha2, q10's
+  * casts measured near-zero; same probe bug fixed in ScaleProbe r4).
+  * r4+ numbers are therefore full-evaluation and NOT comparable to
+  * r1-r3 for map-heavy queries; BENCH/BASELINE.md records a same-
+  * binary both-semantics anchor.
   */
 object Bench {
+
+  /** `SPARK_GRAFT_BENCH_ACTION=count` restores the r1-r3 count()
+    * semantics — kept ONLY for same-phase anchoring against the old
+    * numbers (JVM-to-JVM comparisons on this host are meaningless;
+    * see BENCH/BASELINE.md variance section).
+    */
+  private val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "noop")
+
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    if (action == "count") { df.count(); () }
+    else df.write.format("noop").mode("overwrite").save()
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -41,13 +62,13 @@ object Bench {
     }
 
     // warmup (uncounted): touches scan+window+agg codegen paths
-    SparkEntry.entry(spark).count()
+    force(SparkEntry.entry(spark))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = timed {
-        try fn(spark, sfDir).count()
+        try force(fn(spark, sfDir))
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       }
       // inter-query hygiene: a query's internal persist (e.g. q23's
       // candidate-pair pin) must not ride into the next query's memory
@@ -64,14 +85,14 @@ object Bench {
       hotConvs = math.max(1, convs / 100), hotFactor = 20).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTurns = raw.count()
-    val tM1 = timed(Rollup.fromRaw(raw, Tier.M1).count())
+    val tM1 = timed(force(Rollup.fromRaw(raw, Tier.M1)))
     val m1 = Rollup.fromRaw(raw, Tier.M1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     m1.count()
-    val tH1 = timed(Rollup.cascade(m1, Tier.H1).count())
-    val tD1 = timed(Rollup.cascade(Rollup.cascade(m1, Tier.H1), Tier.D1).count())
-    val tBlocks = timed(graft.rollup.BlockRollup.encode(
-      raw.filter(col("ts").isNotNull), Tier.H1).count())
+    val tH1 = timed(force(Rollup.cascade(m1, Tier.H1)))
+    val tD1 = timed(force(Rollup.cascade(Rollup.cascade(m1, Tier.H1), Tier.D1)))
+    val tBlocks = timed(force(graft.rollup.BlockRollup.encode(
+      raw.filter(col("ts").isNotNull), Tier.H1)))
     raw.unpersist(); m1.unpersist()
     val rollupTps = nTurns / tM1
 
