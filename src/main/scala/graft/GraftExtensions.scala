@@ -78,39 +78,43 @@ object GraftExtensions {
       ExpressionInfo, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
     tfn("asof_join",
       "(left, right, key, left_ts, right_ts) - latest right row at or before each left ts, per key",
-      arities = Set(5)),
+      arities = Set(5), numericArgs = Set.empty),
     tfn("interval_join",
       "(left, right, key, left_ts, start_col, end_col[, cell_seconds]) - events matched to overlapping intervals",
-      arities = Set(6, 7)),
+      arities = Set(6, 7), numericArgs = Set(6)),
     tfn("sessionize",
       "(table, gap_seconds) - per-session summary with gap-based session windows over (conv_id, ts)",
-      arities = Set(2)))
+      arities = Set(2), numericArgs = Set(1)))
 
-  private def tfn(name: String, usage: String, arities: Set[Int])
+  private def tfn(name: String, usage: String, arities: Set[Int],
+      numericArgs: Set[Int])
       : (FunctionIdentifier, ExpressionInfo,
          Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
     val builder = (args: Seq[Expression]) => {
       if (!arities.contains(args.length))
         throw new IllegalArgumentException(
           s"$name$usage — got ${args.length} argument(s)")
-      graft.plans.GraftRelationCall(name, args.map(strOrIntLit(name, _)))
+      // validate numeric positions EAGERLY so a malformed tunable is an
+      // analysis error carrying the usage string, not a bare
+      // NumberFormatException from deep inside the resolution rule
+      val strArgs = args.zipWithIndex.map { case (e, i) =>
+        if (numericArgs.contains(i)) longLit(s"$name$usage", s"arg $i", e).toString
+        else strLit(name, usage, e)
+      }
+      graft.plans.GraftRelationCall(name, strArgs)
     }
     (FunctionIdentifier(name),
       new ExpressionInfo(classOf[graft.plans.GraftRelationCall].getName, name),
       builder)
   }
 
-  /** Table-function arguments are names/tunables baked into the plan —
-    * string or integer LITERALS only, same rule as the scalar registry.
+  /** Table-function name arguments are identifiers baked into the plan —
+    * string LITERALS only, same rule as the scalar registry.
     */
-  private def strOrIntLit(fn: String, e: Expression): String = e match {
+  private def strLit(fn: String, usage: String, e: Expression): String = e match {
     case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
-    case Literal(v: Byte, _) => v.toString
-    case Literal(v: Short, _) => v.toString
-    case Literal(v: Int, _) => v.toString
-    case Literal(v: Long, _) => v.toString
     case other => throw new IllegalArgumentException(
-      s"$fn: arguments must be string or integer literals " +
+      s"$fn$usage: name arguments must be string literals " +
         s"(they name tables/columns baked into the plan), got ${other.sql}")
   }
 

@@ -180,7 +180,11 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Similarity.ivfTopK(
         emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
-        k = 5, nlist = 16, nprobe = 4)
+        k = 5, nlist = 16, nprobe = 4,
+        // footer-metadata row count — the training-sample sizer runs no
+        // count() job (ParquetFooters; driver-side, no Spark job)
+        corpusRows = Some(
+          graft.table.ParquetFooters.rowCount(s, s"$dir/embeddings.parquet")))
     }),
     // broadcast-free LSH near-dup pairs — the scale path for q28
     // (recall<1 → rows-only; recall vs q28 bounded in SimilaritySpec,
@@ -215,7 +219,9 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Similarity.ivfTopK(
         emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
-        k = 5, nlist = 16, nprobe = 16)
+        k = 5, nlist = 16, nprobe = 16,
+        corpusRows = Some(
+          graft.table.ParquetFooters.rowCount(s, s"$dir/embeddings.parquet")))
     }),
     "q39_knn_lsh_exhaustive" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")

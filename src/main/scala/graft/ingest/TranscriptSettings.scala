@@ -83,12 +83,21 @@ object TranscriptSettings {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
+        // full JSON escape set — this file is USER-written json (unlike
+        // the engine-written manifests, whose escaper only ever emits
+        // \" \\ \n \uXXXX): a TSV setting declares {"delimiter": "\t"},
+        // and dropping the backslash would split rows on the letter 't'
         s.charAt(i + 1) match {
           case '"' => sb += '"'; i += 2
           case '\\' => sb += '\\'; i += 2
+          case '/' => sb += '/'; i += 2
           case 'n' => sb += '\n'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 'b' => sb += '\b'; i += 2
+          case 'f' => sb += '\f'; i += 2
           case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
-          case other => sb += other; i += 2
+          case other => fail(s"settings json: unknown escape '\\$other'")
         }
       } else { sb += c; i += 1 }
     }

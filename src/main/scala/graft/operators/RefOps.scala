@@ -42,41 +42,79 @@ object RefOps {
     * (the reference computes the loss flag in `Converter.java:166-195`
     * and logs it at WARNING via `migration_logs`; the bare operator only
     * computed the column). ZERO extra actions: the loss count rides the
-    * caller's OWN first action via `observe()` — a map-side aggregate
-    * inside the existing pass (the previous form ran a separate
-    * `filter(...).count()`, a second full scan of the cast output) — and
-    * a self-unregistering QueryExecutionListener writes the WARNING when
-    * that action completes. Listener delivery is async (Spark's shared
-    * listener bus), so the log row lands shortly AFTER the action
-    * returns — callers needing the row synchronously poll the store
-    * (specs do); a frame that is never acted on never logs.
+    * caller's OWN actions via `observe()` — a map-side aggregate inside
+    * the existing pass (the previous form ran a separate
+    * `filter(...).count()`, a second full scan of the cast output).
+    *
+    * Semantics, matching the reference's per-pass accounting (Converter
+    * flags loss only for rows it actually converts):
+    *
+    *  - EVERY action over the returned frame that observes lossy rows
+    *    writes one WARNING for the rows THAT pass scanned — a partial
+    *    action (`show(5)`, `limit`) logs its partial count, the later
+    *    full write logs the full one (the watcher stays live; it is
+    *    NOT a log-once latch);
+    *  - delivery is async (Spark's shared listener bus): the log row
+    *    lands shortly AFTER the action returns — callers needing it
+    *    synchronously poll the store (specs do);
+    *  - a frame never acted on never logs, and costs one bounded map
+    *    ENTRY, not a listener: the session carries ONE shared
+    *    QueryExecutionListener however many frames are built
+    *    (per-frame listeners would accumulate forever on failed or
+    *    abandoned frames and each run on every query completion).
     */
   def typedCastLogged(events: DataFrame, state: graft.state.StateStore,
       jobId: String): DataFrame = {
     val out = typedCast(events)
-    val name = s"typed_cast_loss_${lossObsSeq.incrementAndGet()}"
+    val name = s"$lossObsPrefix${lossObsSeq.incrementAndGet()}"
+    // clear-on-cap before insert (same pattern as the LSH plane cache):
+    // entries are observation watchers for frames that may never be
+    // acted on — bound them instead of leaking one per abandoned frame.
+    // Clearing drops watchers for OLD frames' future actions; bounded
+    // staleness, documented.
+    if (lossWatchers.size >= maxLossWatchers && !lossWatchers.containsKey(name))
+      lossWatchers.clear()
+    lossWatchers.put(name, (state, jobId))
     val spark = events.sparkSession
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit =
-        qe.observedMetrics.get(name).foreach { row =>
-          val lossy = row.getAs[Long]("lossy")
-          if (lossy > 0)
-            state.log("WARNING", "ingest",
-              s"$lossy value(s) lost precision in DOUBLE->INT narrowing", jobId)
-          spark.listenerManager.unregister(this)
-        }
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          ex: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
+    lossListenerSessions.computeIfAbsent(spark, s => {
+      s.listenerManager.register(lossListener)
+      java.lang.Boolean.TRUE
+    })
     // count(when(...)) never nulls on an empty frame, unlike sum()
     out.observe(name, count(when(col("precision_loss"), lit(1))).as("lossy"))
   }
 
+  private val lossObsPrefix = "typed_cast_loss_"
   private val lossObsSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val maxLossWatchers = 1024
+  private val lossWatchers =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.state.StateStore, String)]()
+  private val lossListenerSessions =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()
+
+  /** The ONE shared listener: reacts only to queries whose observed
+    * metrics carry a live `typed_cast_loss_*` watcher, no-op otherwise.
+    */
+  private object lossListener extends org.apache.spark.sql.util.QueryExecutionListener {
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) =>
+        if (name.startsWith(lossObsPrefix)) {
+          val watcher = lossWatchers.get(name)
+          if (watcher != null) {
+            val (state, jobId) = watcher
+            val lossy = row.getAs[Long]("lossy")
+            if (lossy > 0)
+              state.log("WARNING", "ingest",
+                s"$lossy value(s) lost precision in DOUBLE->INT narrowing", jobId)
+          }
+        }
+      }
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        ex: Exception): Unit = ()
+  }
 
   /** Op #4 — timestamp normalization, both reference formats:
     * UNIX seconds ×1000 → millis (`CsvColumn.java:121`) and ISO-8601

@@ -69,19 +69,37 @@ object StreamingRollupJob {
   def start(spark: SparkSession, inputDir: String, warehouse: String,
       checkpointDir: String, tier: Tier = Tier.M1,
       watermarkDelay: String = "10 minutes", jobId: String = "stream",
-      compactEvery: Int = 100, compactMaxFiles: Int = 4): StreamingQuery = {
-    val state = new StateStore(s"$warehouse/_state")
-    val table = new SnapshotTable(tablePath(warehouse, tier))
+      compactEvery: Int = 100, compactMaxFiles: Int = 4): StreamingQuery =
+    startSink(
+      StreamingRollup.rollup(
+        StreamingRollup.readStream(spark, inputDir), tier, watermarkDelay),
+      new StateStore(s"$warehouse/_state"),
+      new SnapshotTable(tablePath(warehouse, tier)),
+      checkpointDir, tier.name, jobId, compactEvery, compactMaxFiles,
+      dayCol = "window_start")
+
+  /** The shared exactly-once sink harness (used by this job and
+    * [[StreamingSessionJob]] — ONE implementation of the commit/
+    * compaction protocol, so a protocol fix can never apply to one
+    * streaming sink and silently miss the other): per-batch idempotent
+    * commit via [[commitBatch]], then periodic table + state-store
+    * compaction every `compactEvery` committed batches.
+    */
+  private[streaming] def startSink(stream: DataFrame, state: StateStore,
+      table: SnapshotTable, checkpointDir: String, tierName: String,
+      jobId: String, compactEvery: Int, compactMaxFiles: Int,
+      dayCol: String): StreamingQuery = {
     val scope = batchScope(checkpointDir)
     // read once per query start; commitBatch maintains it in memory
-    val committed = loadCommitted(state, table, tier.name)
+    val committed = loadCommitted(state, table, tierName)
     val sinceCompact = new java.util.concurrent.atomic.AtomicInteger(0)
-    StreamingRollup.rollup(StreamingRollup.readStream(spark, inputDir), tier, watermarkDelay)
+    stream
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val appended = commitBatch(state, table, tier.name, committed, scope, batch, id, jobId)
+        val appended = commitBatch(state, table, tierName, committed, scope,
+          batch, id, jobId, dayCol)
         if (appended > 0 && compactEvery > 0 &&
             sinceCompact.incrementAndGet() >= compactEvery) {
           sinceCompact.set(0)
@@ -90,7 +108,7 @@ object StreamingRollupJob {
           // store too, or a month-long stream accretes ~10^5 tiny files
           // re-scanned at every restart and batch-job planning pass
           state.compactIfNeeded()
-          state.log("INFO", tier.name, "compacted streaming table partitions", jobId)
+          state.log("INFO", tierName, "compacted streaming table partitions", jobId)
         }
         ()
       }

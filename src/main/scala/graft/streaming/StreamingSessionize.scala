@@ -120,43 +120,36 @@ object StreamingSessionize {
 /** Durable sink for [[StreamingSessionize]] — the same exactly-once
   * machinery as [[StreamingRollupJob]] (atomic manifest batch keys,
   * O(1) per-trigger planning, `stream_sessions` lineage namespace,
-  * periodic compaction), writing closed sessions as
+  * periodic compaction, ONE shared sink harness —
+  * `StreamingRollupJob.startSink`), writing closed sessions as
   * `session_start`-day partitions of `<warehouse>/sessions_stream`.
+  *
+  * The session job gets its OWN state root
+  * (`<warehouse>/_sessions_state`): a [[graft.state.StateStore]] root
+  * is single-writer (its compaction debris sweep deletes commits a
+  * concurrent writer's trailing seq counter renders invisible — see
+  * the StateStore scaladoc), and the natural deployment runs the
+  * rollup stream and the session stream CONCURRENTLY over one
+  * warehouse. Separate roots make that safe structurally: the lineage
+  * namespace separates facts, the root separates writers.
   */
 object StreamingSessionJob {
 
   def tablePath(warehouse: String): String = s"$warehouse/sessions_stream"
+
+  def statePath(warehouse: String): String = s"$warehouse/_sessions_state"
 
   val tierName = "sessions"
 
   def start(spark: SparkSession, inputDir: String, warehouse: String,
       checkpointDir: String, gapSeconds: Long = 1800L,
       watermarkDelay: String = "10 minutes", jobId: String = "stream-sessions",
-      compactEvery: Int = 100, compactMaxFiles: Int = 4): StreamingQuery = {
-    val state = new graft.state.StateStore(s"$warehouse/_state")
-    val table = new graft.table.SnapshotTable(tablePath(warehouse))
-    val scope = StreamingRollupJob.batchScope(checkpointDir)
-    val committed = StreamingRollupJob.loadCommitted(state, table, tierName)
-    val sinceCompact = new java.util.concurrent.atomic.AtomicInteger(0)
-    StreamingSessionize.sessions(
-        StreamingRollup.readStream(spark, inputDir), gapSeconds, watermarkDelay)
-      .toDF()
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val appended = StreamingRollupJob.commitBatch(
-          state, table, tierName, committed, scope, batch, id, jobId,
-          dayCol = "session_start")
-        if (appended > 0 && compactEvery > 0 &&
-            sinceCompact.incrementAndGet() >= compactEvery) {
-          sinceCompact.set(0)
-          table.compact(batch.sparkSession, compactMaxFiles)
-          state.compactIfNeeded()
-          state.log("INFO", tierName, "compacted streaming session partitions", jobId)
-        }
-        ()
-      }
-      .start()
-  }
+      compactEvery: Int = 100, compactMaxFiles: Int = 4): StreamingQuery =
+    StreamingRollupJob.startSink(
+      StreamingSessionize.sessions(
+        StreamingRollup.readStream(spark, inputDir), gapSeconds, watermarkDelay).toDF(),
+      new graft.state.StateStore(statePath(warehouse)),
+      new graft.table.SnapshotTable(tablePath(warehouse)),
+      checkpointDir, tierName, jobId, compactEvery, compactMaxFiles,
+      dayCol = "session_start")
 }

@@ -396,12 +396,7 @@ final class SnapshotTable(val root: String) {
     */
   def rowCount(spark: SparkSession, files: Seq[FileEntry]): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    files.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.path), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
+    files.map(f => ParquetFooters.fileRowCount(f.path, conf)).sum
   }
 
   /** Append-only commit. `batchKey`: a streaming micro-batch's

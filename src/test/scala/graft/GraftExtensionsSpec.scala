@@ -127,6 +127,18 @@ class GraftExtensionsSpec extends SparkTestBase {
       ext.sql("SELECT * FROM sessionize('tr_ext', CAST(rand()*10 AS INT))").collect()
     }
     assert(e.getMessage.contains("literal"), e.getMessage)
+    // a malformed NUMERIC tunable is an analysis error carrying the
+    // usage string, not a bare NumberFormatException from the rule
+    val n = intercept[Exception] {
+      ext.sql("SELECT * FROM sessionize('tr_ext', '18x0')").collect()
+    }
+    assert(n.getMessage.contains("gap_seconds") && n.getMessage.contains("literal"),
+      n.getMessage)
+    val n2 = intercept[Exception] {
+      ext.sql("SELECT * FROM interval_join('tr_ext', 'sess_ext', 'conv_id', 'ts', " +
+        "'session_start', 'session_end', '1h')").collect()
+    }
+    assert(n2.getMessage.contains("cell_seconds"), n2.getMessage)
     // wrong arity points at the usage string
     val a = intercept[Exception] {
       ext.sql("SELECT * FROM asof_join('tr_ext', 'starts_ext')").collect()

@@ -165,6 +165,13 @@ class ResumeSpec extends SparkTestBase {
     while (warnings().isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
     val w = warnings()
     assert(w.nonEmpty && w.head.message.startsWith("1 value"))
+    // per-PASS accounting (the reference flags loss per converted
+    // batch): a second action over the frame logs a second WARNING —
+    // the watcher is live, not a log-once latch
+    assert(out.count() == 2)
+    val d2 = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (warnings().size < 2 && System.nanoTime() < d2) Thread.sleep(50)
+    assert(warnings().size == 2, s"second pass must log too: ${warnings()}")
   }
 
   test("tier commits write INFO log rows; terminal failures write ERROR") {

@@ -102,5 +102,12 @@ class SettingsMainSpec extends SparkTestBase {
     assert(c.head.tsFormat ==
       graft.ingest.CsvSource.Custom("dd/MM/yyyy HH:mm", "Europe/Paris"))
     assert(c.head.quote == "\"" && c.head.delimiter == ";")
+    // the full JSON escape set: a TSV setting writes "\t" — it must
+    // become a TAB, not the letter 't' (review catch)
+    val tsv = TranscriptSettings.parse(
+      """{"settings": [{"paths": ["t.csv"], "delimiter": "\t"}]}""")
+    assert(tsv.head.delimiter == "\t")
+    intercept[IllegalArgumentException](TranscriptSettings.parse(
+      """{"settings": [{"paths": ["x.csv"], "delimiter": "\q"}]}"""))
   }
 }

@@ -121,7 +121,11 @@ class StreamingSessionizeSpec extends SparkTestBase {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val wh = tmpDir("sess-wh")
-    val state = new graft.state.StateStore(s"$wh/_state")
+    // the session job's OWN state root: the rollup stream and the
+    // session stream run concurrently over one warehouse, and a
+    // StateStore root is single-writer
+    assert(StreamingSessionJob.statePath(wh) != s"$wh/_state")
+    val state = new graft.state.StateStore(StreamingSessionJob.statePath(wh))
     val table = new graft.table.SnapshotTable(StreamingSessionJob.tablePath(wh))
     val committed = StreamingRollupJob.loadCommitted(state, table, StreamingSessionJob.tierName)
 

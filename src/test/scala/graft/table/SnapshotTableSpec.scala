@@ -238,6 +238,16 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(markers.isEmpty, s"committed writes must release markers, found: $markers")
   }
 
+  test("ParquetFooters.rowCount == a Spark count, file and directory paths") {
+    val t = new SnapshotTable(tmpDir("snap-footers"))
+    t.overwritePartitions(df("a" -> 3, "b" -> 2), "p")
+    assert(ParquetFooters.rowCount(spark, t.root) == t.read(spark).count())
+    // the driver testdata shape (a parquet table path) — the q32/q38
+    // training-sample hint path runs NO Spark job
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    assert(ParquetFooters.rowCount(spark, emb) == spark.read.parquet(emb).count())
+  }
+
   test("manifest batchKeys survive JSON roundtrip including escapes") {
     val t = new SnapshotTable(tmpDir("snap-keys"))
     t.append(df("a" -> 1), "p", batchKey = Some("""ck pt"odd\name-1a2b-batch-0"""))
