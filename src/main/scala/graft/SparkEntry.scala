@@ -228,7 +228,15 @@ object SparkEntry {
       graft.operators.Similarity.lshTopK(
         emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
         k = 5, bits = 0, tables = 1)
-    })
+    }),
+    // the banded-pairing KERNEL at its exhaustive setting: one all-pass
+    // bucket, cap above the corpus size — pairsFromBuckets must emit
+    // exactly the a<b all-pairs set, so the q28 oracle pins the
+    // collect/slice-pair/dedup machinery the whole dedup family rides
+    "q40_cosine_pairs_exhaustive" -> ((s, dir) =>
+      graft.operators.Similarity.lshPairsAbove(
+        s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.35,
+        bits = 0, tables = 1, maxBucket = Int.MaxValue))
   )
 
   private val rollupSelect: String =
@@ -419,6 +427,8 @@ object SparkEntry {
     "q35_dedup_corpus" -> OracleSqlGen.dedupCorpus(k = 16, bands = 4, threshold = 0.7),
     // exhaustive ANN ≡ brute force — the q26 oracle pins both paths
     "q38_knn_ivf_exhaustive" -> OracleSqlGen.knnBruteForce(maxQueryId = 10, k = 5),
-    "q39_knn_lsh_exhaustive" -> OracleSqlGen.knnBruteForce(maxQueryId = 10, k = 5)
+    "q39_knn_lsh_exhaustive" -> OracleSqlGen.knnBruteForce(maxQueryId = 10, k = 5),
+    // exhaustive banded pairing ≡ brute-force pairs — the q28 oracle
+    "q40_cosine_pairs_exhaustive" -> OracleSqlGen.cosinePairs(threshold = 0.35)
   )
 }

@@ -89,6 +89,14 @@ class SimilaritySpec extends SparkTestBase {
     val brute = rows(Similarity.bruteForceTopK(emb, q, 5))
     assert(rows(Similarity.ivfTopK(emb, q, 5, nlist = 16, nprobe = 16)) == brute)
     assert(rows(Similarity.lshTopK(emb, q, 5, bits = 0, tables = 1)) == brute)
+    // the banded-pairing kernel, exhaustive: one all-pass bucket with
+    // an uncapped bucket must equal brute-force all-pairs (q40)
+    def pairRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(
+      pairRows(Similarity.lshPairsAbove(emb, 0.35, bits = 0, tables = 1,
+        maxBucket = Int.MaxValue)) ==
+      pairRows(Similarity.cosinePairsAbove(emb, 0.35)))
   }
 
   test("training floors the sample at nlist; row-count hint is sample-identical") {
