@@ -236,7 +236,11 @@ object SparkEntry {
     "q40_cosine_pairs_exhaustive" -> ((s, dir) =>
       graft.operators.Similarity.lshPairsAbove(
         s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.35,
-        bits = 0, tables = 1, maxBucket = Int.MaxValue))
+        bits = 0, tables = 1, maxBucket = Int.MaxValue)),
+    // counter rate with reset recovery — the timeseries derivative
+    // (PromQL rate() analogue) over the events value column
+    "q41_counter_rate" -> ((s, dir) =>
+      graft.operators.RefOps.counterRate(s.read.parquet(s"$dir/events.parquet")))
   )
 
   private val rollupSelect: String =
@@ -429,6 +433,17 @@ object SparkEntry {
     "q38_knn_ivf_exhaustive" -> OracleSqlGen.knnBruteForce(maxQueryId = 10, k = 5),
     "q39_knn_lsh_exhaustive" -> OracleSqlGen.knnBruteForce(maxQueryId = 10, k = 5),
     // exhaustive banded pairing ≡ brute-force pairs — the q28 oracle
-    "q40_cosine_pairs_exhaustive" -> OracleSqlGen.cosinePairs(threshold = 0.35)
+    "q40_cosine_pairs_exhaustive" -> OracleSqlGen.cosinePairs(threshold = 0.35),
+    "q41_counter_rate" ->
+      """SELECT event_id, user_id, ts, value,
+        |  CASE WHEN prev_ts IS NULL THEN NULL
+        |       WHEN EPOCH_US(ts) - EPOCH_US(prev_ts) <= 0 THEN NULL
+        |       ELSE (CASE WHEN value >= prev_value THEN value - prev_value
+        |                  ELSE value END)
+        |            / (CAST(EPOCH_US(ts) - EPOCH_US(prev_ts) AS DOUBLE) / 1000000.0)
+        |  END AS rate_per_sec
+        |FROM (SELECT *, LAG(value) OVER w AS prev_value, LAG(ts) OVER w AS prev_ts
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
   )
 }

@@ -200,6 +200,41 @@ object RefOps {
       .select(col("user_id"), col("event_id"), col("ts"), col("rank"))
   }
 
+  /** Counter rate with reset semantics — the timeseries tier's
+    * derivative operator (the PromQL `rate()` / IoTDB `non_negative_derivative`
+    * analogue) over a cumulative counter column: per key, ordered by
+    * (ts, event_id), the per-second increase since the previous
+    * sample. A counter DROP means the source restarted (the
+    * reference's `processed_rows` counters restart with the process,
+    * `CsvSettingsDAO.java:72-91`); the post-reset value IS the
+    * increase since the reset — the standard monotone-counter recovery
+    * rule. First sample per key and duplicate-timestamp samples yield
+    * null (no interval / zero interval). MICROSECOND arithmetic like
+    * the other time operators, in DOUBLE exactly mirroring the oracle
+    * expression order so the division is bit-identical.
+    *
+    * Shape: ONE exchange on the key; the window's per-partition sort
+    * streams lag + the division — map-side after the exchange, no
+    * second shuffle.
+    */
+  def counterRate(events: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(events, "ts")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dtUs = unix_micros(col("ts").cast("timestamp")) -
+      unix_micros(col("_prev_ts").cast("timestamp"))
+    events
+      .withColumn("_prev_value", lag(col("value"), 1).over(w))
+      .withColumn("_prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("rate_per_sec",
+        when(col("_prev_ts").isNull || dtUs <= 0, lit(null).cast("double"))
+          .otherwise(
+            when(col("value") >= col("_prev_value"), col("value") - col("_prev_value"))
+              .otherwise(col("value")) /
+            (dtUs.cast("double") / lit(1000000.0))))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("rate_per_sec"))
+  }
+
   /** Op #19 — running counters (`processed_rows += k`,
     * `CsvSettingsDAO.java:72-91`): cumulative sums over the stable
     * per-conversation order.
