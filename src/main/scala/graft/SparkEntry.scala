@@ -240,7 +240,11 @@ object SparkEntry {
     // counter rate with reset recovery — the timeseries derivative
     // (PromQL rate() analogue) over the events value column
     "q41_counter_rate" -> ((s, dir) =>
-      graft.operators.RefOps.counterRate(s.read.parquet(s"$dir/events.parquet")))
+      graft.operators.RefOps.counterRate(s.read.parquet(s"$dir/events.parquet"))),
+    // min-max downsampling: per (key, hour) keep the extreme SAMPLES
+    "q42_downsample_minmax" -> ((s, dir) =>
+      graft.operators.RefOps.downsampleMinMax(
+        s.read.parquet(s"$dir/events.parquet")))
   )
 
   private val rollupSelect: String =
@@ -444,6 +448,18 @@ object SparkEntry {
         |  END AS rate_per_sec
         |FROM (SELECT *, LAG(value) OVER w AS prev_value, LAG(ts) OVER w AS prev_ts
         |      FROM events
-        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin,
+    "q42_downsample_minmax" ->
+      """WITH b AS (
+        |  SELECT user_id, DATE_TRUNC('hour', ts) AS window_start,
+        |         event_id, ts, value
+        |  FROM events)
+        |SELECT user_id, window_start, 'min' AS kind, event_id, ts, value FROM b
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, window_start
+        |                           ORDER BY value ASC, event_id ASC) = 1
+        |UNION ALL
+        |SELECT user_id, window_start, 'max' AS kind, event_id, ts, value FROM b
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, window_start
+        |                           ORDER BY value DESC, event_id DESC) = 1""".stripMargin
   )
 }

@@ -235,6 +235,32 @@ object RefOps {
         col("rate_per_sec"))
   }
 
+  /** Min-max downsampling — the timeseries tier's rendering/archive
+    * reducer: per (key, window) keep the extreme SAMPLES (full rows,
+    * not just aggregates — "which event was the spike" survives),
+    * the downsample monitoring systems actually draw. Deterministic
+    * tiebreak by event_id. One partial-aggregated exchange (min_by/
+    * max_by combine map-side), so the reduction is ~2 rows per (key,
+    * window) regardless of input density — the operator that makes a
+    * 10^12-point series renderable.
+    */
+  def downsampleMinMax(events: DataFrame, windowExpr: String = "1 hour"): DataFrame = {
+    TimeArith.requireUtcForNtz(events, "ts")
+    val sample = struct(col("event_id"), col("ts"), col("value"))
+    val agged = events
+      .groupBy(col("user_id"), window(col("ts"), windowExpr).as("w"))
+      .agg(
+        min_by(sample, struct(col("value"), col("event_id"))).as("mn"),
+        max_by(sample, struct(col("value"), col("event_id"))).as("mx"))
+    agged.select(col("user_id"), col("w.start").as("window_start"),
+        explode(array(
+          struct(lit("min").as("kind"), col("mn").as("s")),
+          struct(lit("max").as("kind"), col("mx").as("s")))).as("e"))
+      .select(col("user_id"), col("window_start"), col("e.kind").as("kind"),
+        col("e.s.event_id").as("event_id"), col("e.s.ts").as("ts"),
+        col("e.s.value").as("value"))
+  }
+
   /** Op #19 — running counters (`processed_rows += k`,
     * `CsvSettingsDAO.java:72-91`): cumulative sums over the stable
     * per-conversation order.

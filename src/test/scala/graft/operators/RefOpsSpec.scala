@@ -29,4 +29,27 @@ class RefOpsSpec extends SparkTestBase {
     val plan = RefOps.counterRate(events).queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(plan).size == 1, s"one key exchange expected:\n$plan")
   }
+
+  test("downsampleMinMax: extreme samples per window, deterministic ties") {
+    val events = Seq(
+      (1L, ts("2024-03-01 10:05:00"), 1L, 5.0),
+      (2L, ts("2024-03-01 10:10:00"), 1L, 9.0),
+      (3L, ts("2024-03-01 10:20:00"), 1L, 9.0),  // tie on max value
+      (4L, ts("2024-03-01 10:30:00"), 1L, 5.0),  // tie on min value
+      (5L, ts("2024-03-01 11:05:00"), 1L, 7.0))  // next window: min==max row
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = RefOps.downsampleMinMax(events).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString.take(13),
+        r.getAs[String]("kind")) -> r.getAs[Long]("event_id")).toMap
+    assert(out == Map(
+      ("2024-03-01 10", "min") -> 1L,  // tie → LOWEST event_id
+      ("2024-03-01 10", "max") -> 3L,  // tie → HIGHEST event_id
+      ("2024-03-01 11", "min") -> 5L,
+      ("2024-03-01 11", "max") -> 5L), s"got $out")
+    // partial-aggregated single exchange: map-side combine makes the
+    // shuffle ~2 rows per (key, window) regardless of input density
+    val plan = RefOps.downsampleMinMax(events).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, s"one exchange expected:\n$plan")
+    assert(plan.contains("partial"), s"expected map-side partial agg:\n$plan")
+  }
 }
