@@ -98,7 +98,7 @@ object GraftExtensions {
       // analysis error carrying the usage string, not a bare
       // NumberFormatException from deep inside the resolution rule
       val strArgs = args.zipWithIndex.map { case (e, i) =>
-        if (numericArgs.contains(i)) longLit(s"$name$usage", s"arg $i", e).toString
+        if (numericArgs.contains(i)) numLit(name, usage, e).toString
         else strLit(name, usage, e)
       }
       graft.plans.GraftRelationCall(name, strArgs)
@@ -116,6 +116,26 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$fn$usage: name arguments must be string literals " +
         s"(they name tables/columns baked into the plan), got ${other.sql}")
+  }
+
+  /** Numeric tunables (gap_seconds, cell_seconds): an integer literal,
+    * or a string literal that parses as one — quoted numerics like
+    * `sessionize('t', '1800')` worked before eager validation existed
+    * and stay valid. Errors carry the function's usage string.
+    */
+  private def numLit(fn: String, usage: String, e: Expression): Long = e match {
+    case Literal(v: Byte, _) => v.toLong
+    case Literal(v: Short, _) => v.toLong
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+      try s.toString.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$fn$usage: expected an integer literal, got '$s'")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn$usage: expected an integer literal, got ${other.sql}")
   }
 
   private def fn[T <: Expression](name: String, usage: String)(

@@ -453,7 +453,7 @@ object SparkEntry {
       """WITH b AS (
         |  SELECT user_id, DATE_TRUNC('hour', ts) AS window_start,
         |         event_id, ts, value
-        |  FROM events)
+        |  FROM events WHERE value IS NOT NULL)
         |SELECT user_id, window_start, 'min' AS kind, event_id, ts, value FROM b
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, window_start
         |                           ORDER BY value ASC, event_id ASC) = 1

@@ -96,7 +96,16 @@ object TranscriptSettings {
           case 'r' => sb += '\r'; i += 2
           case 'b' => sb += '\b'; i += 2
           case 'f' => sb += '\f'; i += 2
-          case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case 'u' =>
+            // validate before parsing: a truncated or non-hex (or
+            // signed — parseInt accepts '-') sequence must be the same
+            // pointed settings-json error as every other bad escape
+            if (i + 6 > s.length ||
+                !s.substring(i + 2, i + 6).forall(c =>
+                  ('0' to '9').contains(c) || ('a' to 'f').contains(c) ||
+                  ('A' to 'F').contains(c)))
+              fail(s"settings json: bad \\u escape near '${s.substring(i)}'")
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
           case other => fail(s"settings json: unknown escape '\\$other'")
         }
       } else { sb += c; i += 1 }

@@ -66,20 +66,28 @@ object RefOps {
   def typedCastLogged(events: DataFrame, state: graft.state.StateStore,
       jobId: String): DataFrame = {
     val out = typedCast(events)
-    val name = s"$lossObsPrefix${lossObsSeq.incrementAndGet()}"
-    // clear-on-cap before insert (same pattern as the LSH plane cache):
-    // entries are observation watchers for frames that may never be
-    // acted on — bound them instead of leaking one per abandoned frame.
-    // Clearing drops watchers for OLD frames' future actions; bounded
-    // staleness, documented.
-    if (lossWatchers.size >= maxLossWatchers && !lossWatchers.containsKey(name))
-      lossWatchers.clear()
+    val seq = lossObsSeq.incrementAndGet()
+    val name = s"$lossObsPrefix$seq"
+    // bound the watcher map by evicting only entries OLDER than the
+    // window (seq is embedded in the name) — never clear(): a full
+    // clear would drop watchers for live in-flight frames wholesale,
+    // while age-eviction loses at most the oldest frames' FUTURE
+    // passes (bounded staleness; a frame acted on promptly always logs)
+    if (lossWatchers.size >= maxLossWatchers) {
+      val cutoff = seq - maxLossWatchers
+      lossWatchers.keySet.removeIf(k =>
+        k.stripPrefix(lossObsPrefix).toLong <= cutoff)
+    }
     lossWatchers.put(name, (state, jobId))
     val spark = events.sparkSession
-    lossListenerSessions.computeIfAbsent(spark, s => {
-      s.listenerManager.register(lossListener)
-      java.lang.Boolean.TRUE
-    })
+    // WeakHashMap keys: a stopped/discarded session must not be pinned
+    // forever by this registry (its listener dies with the session)
+    lossListenerSessions.synchronized {
+      if (!lossListenerSessions.containsKey(spark)) {
+        spark.listenerManager.register(lossListener)
+        lossListenerSessions.put(spark, java.lang.Boolean.TRUE)
+      }
+    }
     // count(when(...)) never nulls on an empty frame, unlike sum()
     out.observe(name, count(when(col("precision_loss"), lit(1))).as("lossy"))
   }
@@ -90,7 +98,7 @@ object RefOps {
   private val lossWatchers =
     new java.util.concurrent.ConcurrentHashMap[String, (graft.state.StateStore, String)]()
   private val lossListenerSessions =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()
 
   /** The ONE shared listener: reacts only to queries whose observed
     * metrics carry a live `typed_cast_loss_*` watcher, no-op otherwise.
@@ -247,7 +255,11 @@ object RefOps {
   def downsampleMinMax(events: DataFrame, windowExpr: String = "1 hour"): DataFrame = {
     TimeArith.requireUtcForNtz(events, "ts")
     val sample = struct(col("event_id"), col("ts"), col("value"))
-    val agged = events
+    // null samples carry no magnitude — excluded BEFORE aggregation
+    // (Spark's struct ordering would sort them FIRST and elect a null
+    // row as the window minimum, while SQL's ORDER BY defaults them
+    // LAST; filtering pins one semantics and the oracle mirrors it)
+    val agged = events.filter(col("value").isNotNull)
       .groupBy(col("user_id"), window(col("ts"), windowExpr).as("w"))
       .agg(
         min_by(sample, struct(col("value"), col("event_id"))).as("mn"),

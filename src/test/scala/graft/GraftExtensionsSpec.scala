@@ -127,6 +127,8 @@ class GraftExtensionsSpec extends SparkTestBase {
       ext.sql("SELECT * FROM sessionize('tr_ext', CAST(rand()*10 AS INT))").collect()
     }
     assert(e.getMessage.contains("literal"), e.getMessage)
+    // quoted numerics stay valid (they predate eager validation)
+    assertSameRows(ext.sql("SELECT * FROM sessionize('tr_ext', '1800')"), sess)
     // a malformed NUMERIC tunable is an analysis error carrying the
     // usage string, not a bare NumberFormatException from the rule
     val n = intercept[Exception] {

@@ -109,5 +109,16 @@ class SettingsMainSpec extends SparkTestBase {
     assert(tsv.head.delimiter == "\t")
     intercept[IllegalArgumentException](TranscriptSettings.parse(
       """{"settings": [{"paths": ["x.csv"], "delimiter": "\q"}]}"""))
+    // \u escapes: valid hex roundtrips; truncated / non-hex / signed
+    // sequences are the same pointed settings-json error, never a raw
+    // StringIndexOutOfBounds or a silently wrong char from parseInt('-')
+    val uesc = "\\" + "u0041" // literal A (dodging Scala's lexer)
+    assert(TranscriptSettings.parse(
+      s"""{"settings": [{"paths": ["u.csv"], "delimiter": "$uesc"}]}""")
+      .head.delimiter == "A")
+    for (bad <- Seq("\\u12", "\\uZZZZ", "\\u-001"))
+      assert(intercept[IllegalArgumentException](TranscriptSettings.parse(
+        s"""{"settings": [{"paths": ["x.csv"], "delimiter": "$bad"}]}"""))
+        .getMessage.contains("settings json"), bad)
   }
 }

@@ -52,4 +52,18 @@ class RefOpsSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(plan).size == 1, s"one exchange expected:\n$plan")
     assert(plan.contains("partial"), s"expected map-side partial agg:\n$plan")
   }
+
+  test("downsampleMinMax: null samples carry no magnitude") {
+    // Spark struct ordering sorts nulls FIRST, SQL's ORDER BY defaults
+    // them LAST — the operator excludes them so both agree (and its
+    // oracle mirrors the filter); a window of only nulls disappears
+    val events = Seq(
+      (1L, ts("2024-03-01 10:05:00"), 1L, Some(5.0)),
+      (2L, ts("2024-03-01 10:10:00"), 1L, None),
+      (3L, ts("2024-03-01 11:05:00"), 1L, None))
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = RefOps.downsampleMinMax(events).collect()
+    assert(out.forall(_.getAs[Long]("event_id") == 1L), s"got ${out.toSeq}")
+    assert(out.length == 2) // min and max rows of the one live window
+  }
 }
