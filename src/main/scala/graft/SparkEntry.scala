@@ -244,7 +244,23 @@ object SparkEntry {
     // min-max downsampling: per (key, hour) keep the extreme SAMPLES
     "q42_downsample_minmax" -> ((s, dir) =>
       graft.operators.RefOps.downsampleMinMax(
-        s.read.parquet(s"$dir/events.parquet")))
+        s.read.parquet(s"$dir/events.parquet"))),
+    // FORWARD asof with a staleness bound (pandas merge_asof direction
+    // + tolerance): each turn matched to the EARLIEST 1m window at or
+    // after it, but only within 5 minutes — same one-exchange plan,
+    // mirrored frame; oracle is the naive inequality join
+    "q43_asof_forward_tolerance" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      val r = Rollup.fromRaw(t, Tier.M1)
+        .select(
+          org.apache.spark.sql.functions.col("conv_id"),
+          org.apache.spark.sql.functions.col("window_start"),
+          org.apache.spark.sql.functions.col("turn_count"))
+      graft.operators.AsofJoin.asofJoin(
+        t.select("conv_id", "turn_idx", "ts"), r, "conv_id", "ts", "window_start",
+        direction = graft.operators.AsofJoin.Forward,
+        toleranceSeconds = Some(300L))
+    })
   )
 
   private val rollupSelect: String =
@@ -460,6 +476,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT user_id, window_start, 'max' AS kind, event_id, ts, value FROM b
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, window_start
-        |                           ORDER BY value DESC, event_id DESC) = 1""".stripMargin
+        |                           ORDER BY value DESC, event_id DESC) = 1""".stripMargin,
+    "q43_asof_forward_tolerance" -> Transcripts.oracle(
+      """, r AS (
+        |  SELECT conv_id, DATE_TRUNC('minute', ts) AS window_start,
+        |         COUNT(*) AS turn_count
+        |  FROM transcripts GROUP BY 1, 2),
+        |j AS (
+        |  SELECT t.conv_id, t.turn_idx, t.ts,
+        |         r.window_start AS window_start_asof,
+        |         r.turn_count AS turn_count_asof,
+        |         ROW_NUMBER() OVER (PARTITION BY t.conv_id, t.turn_idx
+        |                            ORDER BY r.window_start ASC) AS rn
+        |  FROM transcripts t LEFT JOIN r
+        |    ON t.conv_id = r.conv_id
+        |   AND r.window_start >= t.ts
+        |   AND EPOCH_US(r.window_start) - EPOCH_US(t.ts) <= 300000000)
+        |SELECT conv_id, turn_idx, ts, window_start_asof, turn_count_asof
+        |FROM j WHERE rn = 1""".stripMargin)
   )
 }

@@ -39,10 +39,30 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Direction of the as-of lookup: `Backward` (default) matches the
+    * LATEST right row with `right.ts <= left.ts`; `Forward` matches
+    * the EARLIEST right row with `right.ts >= left.ts` (the pandas
+    * `merge_asof` direction axis — "next scheduled state" lookups).
+    * Ties match in both directions.
+    */
+  sealed trait Direction
+  case object Backward extends Direction
+  case object Forward extends Direction
+
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      /** [[Backward]] or [[Forward]]. */
+      direction: Direction = Backward,
+      /** Max staleness in seconds (pandas `merge_asof(tolerance=...)`):
+        * a match farther than this from the left ts yields null payload
+        * instead — enforced on the MATCHED row's timestamp after the
+        * union-sort, so the plan shape is unchanged. None = unbounded.
+        */
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     TimeArith.requireUtcForNtz(left, leftTs)
     TimeArith.requireUtcForNtz(right, rightTs)
+    toleranceSeconds.foreach(t =>
+      require(t >= 0, s"asofJoin: tolerance must be non-negative, got $t"))
     val payloadCols = right.columns.filterNot(_ == key).toSeq
     val lCols = left.columns.toSeq
     // fail fast (same contract as RangeJoin.intervalJoin): a caller
@@ -56,13 +76,21 @@ object AsofJoin {
     val outClash = payloadCols.map(c => s"${c}_asof").toSet intersect left.columns.toSet
     require(outClash.isEmpty,
       s"asofJoin: left column(s) collide with generated output names: ${outClash.mkString(", ")}")
+    // tie handling via the side tag: the matching right row must fall
+    // INSIDE the left row's window frame at equal ts — backward frames
+    // look back, so right sorts BEFORE left; forward frames look
+    // ahead, so right sorts AFTER left
+    val (rSide, lSide) = direction match {
+      case Backward => (0, 1)
+      case Forward => (1, 0)
+    }
     val rStruct = struct(payloadCols.map(c => col(c).as(c)): _*)
     val rTagged = right.select(
       col(key), col(rightTs).cast("timestamp").as("_t"),
-      lit(0).as("_side"), rStruct.as("_r"))
+      lit(rSide).as("_side"), rStruct.as("_r"))
     val lTagged = left.select(
       col(key) +: col(leftTs).cast("timestamp").as("_t") +:
-        lit(1).as("_side") +:
+        lit(lSide).as("_side") +:
         lit(null).cast(rTagged.schema("_r").dataType).as("_r") +:
         lCols.filterNot(_ == key).map(col): _*)
     // align columns for the union (right side lacks the left payload) —
@@ -74,12 +102,32 @@ object AsofJoin {
       else lit(null).cast(left.schema(c).dataType).as(c)
     }: _*)
 
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("_t"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ordered = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
+    // backward: latest right row at or before me; forward: earliest at
+    // or after me — same ONE exchange, mirrored frame
+    val (frame, pick) = direction match {
+      case Backward => (
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+        last(col("_r"), ignoreNulls = true))
+      case Forward => (
+        ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+        first(col("_r"), ignoreNulls = true))
+    }
+    val matchedTs = col(s"_latest.$rightTs").cast("timestamp")
+    val withinTolerance = toleranceSeconds match {
+      case None => lit(true)
+      case Some(tol) =>
+        val tolUs = tol * 1000000L
+        val dUs = unix_micros(matchedTs) - unix_micros(col("_t"))
+        direction match {
+          case Backward => -dUs <= tolUs
+          case Forward => dUs <= tolUs
+        }
+    }
     lTagged.union(rAligned)
-      .withColumn("_latest", last(col("_r"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+      .withColumn("_latest", pick.over(frame))
+      .filter(col("_side") === lSide)
+      .withColumn("_latest", when(withinTolerance, col("_latest")))
       .select(lCols.map(col) ++
         payloadCols.map(c => col(s"_latest.$c").as(s"${c}_asof")): _*)
   }

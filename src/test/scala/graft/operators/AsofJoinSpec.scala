@@ -56,6 +56,24 @@ class AsofJoinSpec extends SparkTestBase {
       s"expected union-side exchanges only:\n$plan")
   }
 
+  test("asof forward: earliest at-or-after, ties match; tolerance nulls stale matches") {
+    val out = AsofJoin.asofJoin(trades, quotes, "conv_id", "ts", "qts",
+        direction = AsofJoin.Forward)
+      .orderBy("turn_idx").collect()
+    // 09:59:59→10:00, 10:00 tie→10:00, 10:07:30→10:10, 11:00→none,
+    // k2 10:04→none (its only quote is at 10:03, behind), k3→none
+    assert(out.map(r => if (r.isNullAt(4)) -1L else r.getLong(4)).toSeq ==
+      Seq(100L, 100L, 110L, -1L, -1L, -1L))
+
+    // backward with a 60s staleness bound: the 10:07:30 trade's match
+    // (10:05, 150s stale) nulls out; the tie match (0s) survives
+    val tol = AsofJoin.asofJoin(trades, quotes, "conv_id", "ts", "qts",
+        toleranceSeconds = Some(60L))
+      .orderBy("turn_idx").collect()
+    assert(tol.map(r => if (r.isNullAt(4)) -1L else r.getLong(4)).toSeq ==
+      Seq(-1L, 100L, -1L, -1L, 203L, -1L))
+  }
+
   test("asof: reserved and colliding column names fail fast") {
     // same contract as RangeJoin.intervalJoin: refuse inputs that would
     // be silently clobbered by internal columns or duplicated outputs
@@ -106,6 +124,47 @@ class AsofJoinSpec extends SparkTestBase {
               }))
       }.toMap
       assert(got == want, s"ls=$ls rs=$rs")
+    }
+  }
+
+  test("forward asof with tolerance == naive reference on random inputs") {
+    val gen = for {
+      nl <- org.scalacheck.Gen.choose(1, 40)
+      nr <- org.scalacheck.Gen.choose(0, 40)
+      tol <- org.scalacheck.Gen.choose(0L, 20L) // minutes
+      ls <- org.scalacheck.Gen.listOfN(nl, for {
+        k <- org.scalacheck.Gen.choose(0, 4)
+        t <- org.scalacheck.Gen.choose(0L, 50L)
+      } yield (s"k$k", t))
+      rs <- org.scalacheck.Gen.listOfN(nr, for {
+        k <- org.scalacheck.Gen.choose(0, 4)
+        t <- org.scalacheck.Gen.choose(0L, 50L)
+      } yield (s"k$k", t))
+    } yield (ls, rs.distinct, tol)
+    new graft.PropHelpers {}.forAllN(gen, n = 25) { case (ls, rs, tolMin) =>
+      val base = ts("2024-03-01 00:00:00").getTime
+      val left = ls.zipWithIndex.map { case ((k, t), i) =>
+        (k, i, new java.sql.Timestamp(base + t * 60000)) }
+        .toDF("conv_id", "turn_idx", "ts")
+      val right = rs.zipWithIndex.map { case ((k, t), i) =>
+        (k, new java.sql.Timestamp(base + t * 60000), i.toLong) }
+        .toDF("conv_id", "qts", "px")
+      val got = AsofJoin.asofJoin(left, right, "conv_id", "ts", "qts",
+          direction = AsofJoin.Forward, toleranceSeconds = Some(tolMin * 60L))
+        .collect()
+        .map(r => (r.getInt(1), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .toMap
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val matches = rs.filter { case (rk, rt) => rk == k && rt >= t && rt - t <= tolMin }
+        i -> (if (matches.isEmpty) None
+              else {
+                val rt = matches.map(_._2).min // earliest; unique per (key, ts)
+                rs.zipWithIndex.collectFirst {
+                  case ((rk2, rt2), ri2) if rk2 == k && rt2 == rt => ri2.toLong
+                }
+              })
+      }.toMap
+      assert(got == want, s"ls=$ls rs=$rs tol=$tolMin")
     }
   }
 }
