@@ -77,8 +77,8 @@ object GraftExtensions {
   val tableFunctions: Seq[(FunctionIdentifier,
       ExpressionInfo, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
     tfn("asof_join",
-      "(left, right, key, left_ts, right_ts) - latest right row at or before each left ts, per key",
-      arities = Set(5), numericArgs = Set.empty),
+      "(left, right, key, left_ts, right_ts[, direction[, tolerance_seconds]]) - as-of join per key; direction 'backward' (latest at-or-before, default) or 'forward' (earliest at-or-after); tolerance nulls matches staler than the bound",
+      arities = Set(5, 6, 7), numericArgs = Set(6)),
     tfn("interval_join",
       "(left, right, key, left_ts, start_col, end_col[, cell_seconds]) - events matched to overlapping intervals",
       arities = Set(6, 7), numericArgs = Set(6)),

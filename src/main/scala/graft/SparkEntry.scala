@@ -260,7 +260,11 @@ object SparkEntry {
         t.select("conv_id", "turn_idx", "ts"), r, "conv_id", "ts", "window_start",
         direction = graft.operators.AsofJoin.Forward,
         toleranceSeconds = Some(300L))
-    })
+    }),
+    // LOCF gap-fill: the step-function sibling of q09's linear fill
+    "q44_gapfill_locf" -> ((s, dir) =>
+      graft.gapfill.GapFill.locf(
+        Rollup.fromRaw(transcripts(s, dir), Tier.H1), Tier.H1, "char_len_avg"))
   )
 
   private val rollupSelect: String =
@@ -493,6 +497,25 @@ object SparkEntry {
         |   AND r.window_start >= t.ts
         |   AND EPOCH_US(r.window_start) - EPOCH_US(t.ts) <= 300000000)
         |SELECT conv_id, turn_idx, ts, window_start_asof, turn_count_asof
-        |FROM j WHERE rn = 1""".stripMargin)
+        |FROM j WHERE rn = 1""".stripMargin),
+    "q44_gapfill_locf" -> Transcripts.oracle(
+      """, r AS (
+        |  SELECT conv_id, DATE_TRUNC('hour', ts) AS window_start,
+        |         CAST(SUM(LENGTH(text)) AS BIGINT) * 1.0 / COUNT(*) AS value
+        |  FROM transcripts GROUP BY 1, 2),
+        |p AS (
+        |  SELECT conv_id, window_start, value,
+        |         LEAD(window_start) OVER (PARTITION BY conv_id ORDER BY window_start) AS next_ws
+        |  FROM r),
+        |g AS (
+        |  SELECT conv_id, value,
+        |         UNNEST(generate_series(window_start + INTERVAL 1 HOUR,
+        |                                next_ws - INTERVAL 1 HOUR,
+        |                                INTERVAL 1 HOUR)) AS gs
+        |  FROM p
+        |  WHERE next_ws IS NOT NULL AND next_ws > window_start + INTERVAL 1 HOUR)
+        |SELECT conv_id, window_start, value, FALSE AS filled FROM p
+        |UNION ALL
+        |SELECT conv_id, gs AS window_start, value, TRUE AS filled FROM g""".stripMargin)
   )
 }

@@ -50,8 +50,15 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
   private def build(fn: String, args: Seq[String]): LogicalPlan = {
     val df = fn match {
       case "asof_join" =>
-        val Seq(l, r, key, lts, rts) = args
-        AsofJoin.asofJoin(session.table(l), session.table(r), key, lts, rts)
+        val Seq(l, r, key, lts, rts) = args.take(5)
+        val direction = args.lift(5).getOrElse("backward") match {
+          case "backward" => AsofJoin.Backward
+          case "forward" => AsofJoin.Forward
+          case other => throw new IllegalArgumentException(
+            s"asof_join: direction must be 'backward' or 'forward', got '$other'")
+        }
+        AsofJoin.asofJoin(session.table(l), session.table(r), key, lts, rts,
+          direction, args.lift(6).map(_.toLong))
       case "interval_join" =>
         val cell = if (args.length == 7) args(6).toLong else 3600L
         val Seq(l, r, key, ts, s, e) = args.take(6)

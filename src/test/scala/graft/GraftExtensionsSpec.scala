@@ -113,6 +113,17 @@ class GraftExtensionsSpec extends SparkTestBase {
     assertSameRows(
       ext.sql("SELECT * FROM asof_join('tr_ext', 'starts_ext', 'conv_id', 'ts', 'session_start')"),
       graft.operators.AsofJoin.asofJoin(tr, right, "conv_id", "ts", "session_start"))
+    // the direction + tolerance axes ride through the SQL surface too
+    assertSameRows(
+      ext.sql("SELECT * FROM asof_join('tr_ext', 'starts_ext', 'conv_id', 'ts', " +
+        "'session_start', 'forward', 3600)"),
+      graft.operators.AsofJoin.asofJoin(tr, right, "conv_id", "ts", "session_start",
+        graft.operators.AsofJoin.Forward, Some(3600L)))
+    val dir = intercept[Exception] {
+      ext.sql("SELECT * FROM asof_join('tr_ext', 'starts_ext', 'conv_id', 'ts', " +
+        "'session_start', 'sideways')").collect()
+    }
+    assert(dir.getMessage.contains("backward"), dir.getMessage)
 
     // interval: turns matched to their session window (the q36 shape),
     // including the explicit cell_seconds knob

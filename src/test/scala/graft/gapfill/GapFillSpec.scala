@@ -30,6 +30,22 @@ class GapFillSpec extends SparkTestBase {
     assert(out.count(_.getString(0) == "B") == 1)
   }
 
+  test("locf repeats the previous value across the gap (step semantics)") {
+    import java.sql.Timestamp
+    val rollup = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      ("A", Timestamp.valueOf("2024-01-01 00:03:00"), 40.0)
+    ).toDF("conv_id", "window_start", "char_len_avg")
+    val out = GapFill.locf(rollup, Tier.M1, "char_len_avg")
+      .orderBy("window_start").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", 10.0, false),
+      ("2024-01-01 00:01:00.0", 10.0, true),  // carried forward, not 20
+      ("2024-01-01 00:02:00.0", 10.0, true),  // carried forward, not 30
+      ("2024-01-01 00:03:00.0", 40.0, false)))
+  }
+
   test("idempotent: filling an already-gapless series adds no rows") {
     val rollup = Rollup.fromRaw(
       Synth.transcripts(spark, 10, 30, seed = 5L).toDF(), Tier.H1)
