@@ -118,24 +118,23 @@ object GraftExtensions {
         s"(they name tables/columns baked into the plan), got ${other.sql}")
   }
 
-  /** Numeric tunables (gap_seconds, cell_seconds): an integer literal,
-    * or a string literal that parses as one — quoted numerics like
-    * `sessionize('t', '1800')` worked before eager validation existed
-    * and stay valid. Errors carry the function's usage string.
+  /** Numeric tunables (gap_seconds, cell_seconds, tolerance): an
+    * integer literal, or a string literal that parses as one — quoted
+    * numerics like `sessionize('t', '1800')` worked before eager
+    * validation existed and stay valid. Coercion of the literal forms
+    * is SHARED with the scalar registry ([[intLiteralValue]]) so the
+    * two tunable surfaces can never drift; only the messages differ.
     */
   private def numLit(fn: String, usage: String, e: Expression): Long = e match {
-    case Literal(v: Byte, _) => v.toLong
-    case Literal(v: Short, _) => v.toLong
-    case Literal(v: Int, _) => v.toLong
-    case Literal(v: Long, _) => v
     case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
       try s.toString.trim.toLong
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
           s"$fn$usage: expected an integer literal, got '$s'")
       }
-    case other => throw new IllegalArgumentException(
-      s"$fn$usage: expected an integer literal, got ${other.sql}")
+    case other => intLiteralValue(other).getOrElse(
+      throw new IllegalArgumentException(
+        s"$fn$usage: expected an integer literal, got ${other.sql}"))
   }
 
   private def fn[T <: Expression](name: String, usage: String)(
@@ -161,13 +160,18 @@ object GraftExtensions {
     v.toInt
   }
 
-  private def longLit(fn: String, arg: String, e: Expression): Long = e match {
-    case Literal(v: Byte, _) => v.toLong
-    case Literal(v: Short, _) => v.toLong
-    case Literal(v: Int, _) => v.toLong
-    case Literal(v: Long, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn: '$arg' must be an integer literal (it selects the hash family " +
-        s"baked into generated code), got ${other.sql}")
+  private def longLit(fn: String, arg: String, e: Expression): Long =
+    intLiteralValue(e).getOrElse(
+      throw new IllegalArgumentException(
+        s"$fn: '$arg' must be an integer literal (it selects the hash family " +
+          s"baked into generated code), got ${e.sql}"))
+
+  /** The one shared integer-literal coercion (Byte/Short/Int/Long). */
+  private def intLiteralValue(e: Expression): Option[Long] = e match {
+    case Literal(v: Byte, _) => Some(v.toLong)
+    case Literal(v: Short, _) => Some(v.toLong)
+    case Literal(v: Int, _) => Some(v.toLong)
+    case Literal(v: Long, _) => Some(v)
+    case _ => None
   }
 }

@@ -102,17 +102,22 @@ object AsofJoin {
       else lit(null).cast(left.schema(c).dataType).as(c)
     }: _*)
 
-    val ordered = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
     // backward: latest right row at or before me; forward: earliest at
-    // or after me — same ONE exchange, mirrored frame
-    val (frame, pick) = direction match {
-      case Backward => (
-        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-        last(col("_r"), ignoreNulls = true))
-      case Forward => (
-        ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-        first(col("_r"), ignoreNulls = true))
+    // or after me. BOTH run the same O(n) RUNNING frame
+    // [unboundedPreceding, currentRow] — forward just reverses the sort
+    // (desc _t, desc _side keeps right-before-left at ties, matching
+    // the swapped side tags). A [currentRow, unboundedFollowing] frame
+    // would compile to WindowExec's unbounded-following evaluator,
+    // which RE-aggregates the remaining partition per output row —
+    // O(n²) on dense keys, the exact cliff the union-sort form exists
+    // to avoid (review catch).
+    val ordered = direction match {
+      case Backward => Window.partitionBy(col(key))
+        .orderBy(col("_t").asc, col("_side").asc)
+      case Forward => Window.partitionBy(col(key))
+        .orderBy(col("_t").desc, col("_side").desc)
     }
+    val frame = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedTs = col(s"_latest.$rightTs").cast("timestamp")
     val withinTolerance = toleranceSeconds match {
       case None => lit(true)
@@ -124,10 +129,17 @@ object AsofJoin {
           case Forward => dUs <= tolUs
         }
     }
-    lTagged.union(rAligned)
-      .withColumn("_latest", pick.over(frame))
+    // null-timestamp contract (pandas merge_asof refuses null keys;
+    // this engine defines them away instead of failing the batch):
+    // a right row with null ts is MEANINGLESS state — dropped, or the
+    // nulls-first sort order would make it a universal fallback match;
+    // a left row with null ts passes through with null payload (its
+    // lookup instant does not exist), tolerance or not
+    lTagged.union(rAligned.filter(col("_t").isNotNull))
+      .withColumn("_latest", last(col("_r"), ignoreNulls = true).over(frame))
       .filter(col("_side") === lSide)
-      .withColumn("_latest", when(withinTolerance, col("_latest")))
+      .withColumn("_latest",
+        when(col("_t").isNotNull && withinTolerance, col("_latest")))
       .select(lCols.map(col) ++
         payloadCols.map(c => col(s"_latest.$c").as(s"${c}_asof")): _*)
   }

@@ -74,6 +74,38 @@ class AsofJoinSpec extends SparkTestBase {
       Seq(-1L, 100L, -1L, -1L, 203L, -1L))
   }
 
+  test("asof: null timestamps never match (both directions, tolerance or not)") {
+    val nullQuote = Seq(("k1", null.asInstanceOf[java.sql.Timestamp], 999L))
+      .toDF("conv_id", "qts", "px")
+    val nullTrade = Seq(("k1", 9, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("conv_id", "turn_idx", "ts")
+    for (dir <- Seq[AsofJoin.Direction](AsofJoin.Backward, AsofJoin.Forward);
+         tol <- Seq(None, Some(3600L))) {
+      // a null-ts RIGHT row is meaningless state — nulls-first sorting
+      // would otherwise make it a universal fallback match
+      val viaNullRight = AsofJoin.asofJoin(trades,
+        quotes.union(nullQuote), "conv_id", "ts", "qts", dir, tol).collect()
+      assert(!viaNullRight.exists(r => !r.isNullAt(4) && r.getLong(4) == 999L),
+        s"null-ts right row matched ($dir, $tol)")
+      // a null-ts LEFT row passes through with null payload
+      val viaNullLeft = AsofJoin.asofJoin(trades.union(nullTrade),
+        quotes, "conv_id", "ts", "qts", dir, tol).collect()
+      val nl = viaNullLeft.find(_.getInt(1) == 9).get
+      assert(nl.isNullAt(4), s"null-ts left row must not match ($dir, $tol)")
+    }
+  }
+
+  test("asof forward plans the RUNNING frame, never unbounded-following") {
+    // [currentRow, unboundedFollowing] re-aggregates the remaining
+    // partition per output row — O(n²) on dense keys; forward must be
+    // the reversed-sort running frame instead
+    val plan = AsofJoin.asofJoin(trades, quotes, "conv_id", "ts", "qts",
+      direction = AsofJoin.Forward).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("unboundedfollowing"),
+      s"forward asof must not plan an unbounded-following frame:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+  }
+
   test("asof: reserved and colliding column names fail fast") {
     // same contract as RangeJoin.intervalJoin: refuse inputs that would
     // be silently clobbered by internal columns or duplicated outputs
