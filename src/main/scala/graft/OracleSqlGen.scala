@@ -282,4 +282,35 @@ object OracleSqlGen {
        |  ) / 10.0) AS BIGINT) AS quality_ppm
        |FROM documents""".stripMargin
   }
+
+  /** q27 mirror — winnowing fingerprint pairs: md5-prefix k-gram
+    * hashes (the [[graft.functions.TextOps]] `h28` form), sliding
+    * w-window minimum (docs with fewer than w gram positions take the
+    * global minimum, matching `TextOps.winnow`), distinct fingerprints
+    * per doc, df-capped shared-fingerprint pair counting — the exact
+    * `TextAnalysis.fingerprintPairs` pipeline.
+    */
+  def fingerprintPairs(k: Int, w: Int, minShared: Int, maxDf: Int): String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+       |         CAST('0x' || substr(md5(substr(text, CAST(t.i AS INT), $k)), 1, 7) AS BIGINT) AS h,
+       |         length(text) - $k + 1 AS n
+       |  FROM documents, UNNEST(range(1, length(text) - $k + 2)) AS t(i)
+       |  WHERE length(text) >= $k),
+       |wins AS (
+       |  SELECT doc_id, i, n,
+       |         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m
+       |  FROM pos),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, m AS f FROM wins
+       |  WHERE (n <= $w AND i = 1) OR (n > $w AND i <= n - $w + 1)),
+       |dfed AS (
+       |  SELECT doc_id, f, COUNT(*) OVER (PARTITION BY f) AS df FROM fps),
+       |live AS (SELECT doc_id, f FROM dfed WHERE df > 1 AND df <= $maxDf)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(COUNT(*) AS BIGINT) AS shared
+       |FROM live a JOIN live b ON a.f = b.f AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= $minShared""".stripMargin
 }

@@ -446,7 +446,11 @@ object SparkEntry {
     "q24_simhash" -> OracleSqlGen.simhash(bits = 60),
     "q25_simhash_pairs" -> OracleSqlGen.simhashPairs(bits = 60, maxDist = 3),
     "q26_knn_bruteforce" -> OracleSqlGen.knnBruteForce(maxQueryId = 10, k = 5),
-    // q27_fingerprint_pairs: winnowing not SQL-expressible → rows-only
+    // winnowing became oracle-checkable in r4: the gram hash is the
+    // 28-bit md5 prefix (the h28 the shingle pipeline already mirrors),
+    // so the whole fingerprint-pairs pipeline has a DuckDB twin
+    "q27_fingerprint_pairs" ->
+      OracleSqlGen.fingerprintPairs(k = 8, w = 4, minShared = 2, maxDf = 20),
     "q28_cosine_pairs" -> OracleSqlGen.cosinePairs(threshold = 0.35),
     // q29_knn_lsh: recall<1 ANN → rows-only
     "q30_media_features" -> OracleSqlGen.mediaFeatures(n = 2000, seed = 42L, dims = 32),

@@ -15,26 +15,31 @@ object TextOps {
 
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
-    * SIGMOD 2003): rolling Rabin-Karp hashes of k-char grams, keep the
-    * minimum in each window of w consecutive hashes, distinct + sorted.
-    * Two documents sharing any fingerprint share a k-gram run —
-    * a scalable containment/plagiarism signal.
+    * SIGMOD 2003): hashes of k-char grams, keep the minimum in each
+    * window of w consecutive hashes, distinct + sorted. Two documents
+    * sharing any fingerprint share a k-gram run — a scalable
+    * containment/plagiarism signal.
+    *
+    * The gram hash is the 28-bit md5 prefix (same [[h28]] the shingle
+    * pipeline uses) rather than a rolling Rabin-Karp: Java's wrapping
+    * 64-bit arithmetic has no cross-engine SQL mirror (DuckDB BIGINT
+    * errors on overflow), while the md5 prefix is exactly
+    * `CAST('0x' || substr(md5(gram), 1, 7) AS BIGINT)` — making the
+    * whole fingerprint-pairs pipeline (q27) DuckDB-oracle-checkable,
+    * like q23/q30 before it. ~len md5 calls per doc vs the rolling
+    * hash's O(len) multiplies — fingerprinting is candidate-generation
+    * (run once per doc, map-side), where verifiability buys more than
+    * the constant factor costs.
     */
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
     val s = text.toString
     if (s.length < k) return new GenericArrayData(Array.empty[Long])
     val n = s.length - k + 1
+    val md = md5Local.get()
     val hashes = new Array[Long](n)
-    val B = 1000000007L
-    var h = 0L
-    var pow = 1L
     var i = 0
-    while (i < k) { h = h * B + s.charAt(i); if (i < k - 1) pow *= B; i += 1 }
-    hashes(0) = h
-    i = 1
     while (i < n) {
-      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
-      hashes(i) = h
+      hashes(i) = h28(md, s.substring(i, i + k))
       i += 1
     }
     val out = scala.collection.mutable.SortedSet[Long]()
@@ -111,14 +116,20 @@ object TextOps {
     * md5(word_i + ' ' + word_i+1 + ' ' + word_i+2); texts under 3
     * words collapse to one whole-text shingle.
     */
+  /** First 28 bits of md5 as a Long — the cross-engine hash primitive
+    * (`CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)` in the DuckDB
+    * oracles), shared by the shingle and winnowing pipelines.
+    */
+  private def h28(md: java.security.MessageDigest, str: String): Long = {
+    md.reset()
+    val d = md.digest(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+  }
+
   def shingleHash3(text: UTF8String): ArrayData = {
     val md = md5Local.get()
-    def h28(str: String): Long = {
-      md.reset()
-      val d = md.digest(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
-        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
-    }
+    def h28(str: String): Long = TextOps.h28(md, str)
     val s = text.toString
     // split(" ", -1) keeps empty tokens, matching Spark's split(text,' ')
     // and DuckDB's string_split
