@@ -128,9 +128,13 @@ object SparkEntry {
       graft.operators.Similarity.bruteForceTopK(
         emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), k = 5)
     }),
+    // every tunable pinned EXPLICITLY — the oracle entry repeats the
+    // same four literals, so the coupling is visible at both sites
+    // instead of riding on defaults defined in a third file
     "q27_fingerprint_pairs" -> ((s, dir) =>
       graft.operators.TextAnalysis.fingerprintPairs(
-        s.read.parquet(s"$dir/documents.parquet"), minShared = 2)),
+        s.read.parquet(s"$dir/documents.parquet"),
+        minShared = 2, maxDf = 20, k = 8, w = 4)),
     // embedding-cosine near-dup: all pairs above threshold (brute-force
     // baseline; the LSH-bucketed scale path is q29)
     "q28_cosine_pairs" -> ((s, dir) =>

@@ -30,16 +30,22 @@ object TextOps {
     * hash's O(len) multiplies — fingerprinting is candidate-generation
     * (run once per doc, map-side), where verifiability buys more than
     * the constant factor costs.
+    *
+    * Grams are k CODE POINTS, not k UTF-16 code units: SQL `substr`/
+    * `length` count codepoints, so unit-indexed grams would fingerprint
+    * astral-plane text differently per engine (and split surrogate
+    * pairs into U+FFFD bytes under UTF-8).
     */
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
     val s = text.toString
-    if (s.length < k) return new GenericArrayData(Array.empty[Long])
-    val n = s.length - k + 1
+    val cps = s.codePoints().toArray
+    if (cps.length < k) return new GenericArrayData(Array.empty[Long])
+    val n = cps.length - k + 1
     val md = md5Local.get()
     val hashes = new Array[Long](n)
     var i = 0
     while (i < n) {
-      hashes(i) = h28(md, s.substring(i, i + k))
+      hashes(i) = h28(md, new String(cps, i, k))
       i += 1
     }
     val out = scala.collection.mutable.SortedSet[Long]()
@@ -107,15 +113,6 @@ object TextOps {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** 28-bit base hashes of the 3-word shingles of `text`, in one native
-    * pass (split → shingle → md5 prefix), with NO intermediate Catalyst
-    * string arrays. Bit-identical to the composable built-in form
-    * `shingleHashes(shingles3(text))` — i.e. to the oracle's
-    * `CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT)` — which a
-    * spec asserts: the value is the first 7 hex nibbles of
-    * md5(word_i + ' ' + word_i+1 + ' ' + word_i+2); texts under 3
-    * words collapse to one whole-text shingle.
-    */
   /** First 28 bits of md5 as a Long — the cross-engine hash primitive
     * (`CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)` in the DuckDB
     * oracles), shared by the shingle and winnowing pipelines.
@@ -127,6 +124,15 @@ object TextOps {
       ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
   }
 
+  /** 28-bit base hashes of the 3-word shingles of `text`, in one native
+    * pass (split → shingle → md5 prefix), with NO intermediate Catalyst
+    * string arrays. Bit-identical to the composable built-in form
+    * `shingleHashes(shingles3(text))` — i.e. to the oracle's
+    * `CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT)` — which a
+    * spec asserts: the value is the first 7 hex nibbles of
+    * md5(word_i + ' ' + word_i+1 + ' ' + word_i+2); texts under 3
+    * words collapse to one whole-text shingle.
+    */
   def shingleHash3(text: UTF8String): ArrayData = {
     val md = md5Local.get()
     def h28(str: String): Long = TextOps.h28(md, str)

@@ -26,10 +26,10 @@ object TextAnalysis {
       LangId.col(col("text")).as("lang_pred"),
       col("lang").as("lang_label"))
 
-  def fingerprints(docs: DataFrame): DataFrame =
+  def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
     docs.select(
       col("doc_id"),
-      TextOps.fingerprint(col("text"), k = 8, w = 4).as("fp"))
+      TextOps.fingerprint(col("text"), k, w).as("fp"))
 
   /** Containment candidates: docs sharing ≥ minShared winnowing
     * fingerprints, built around ONE shuffle of (f, doc_id): a window
@@ -48,10 +48,11 @@ object TextAnalysis {
     * removal in LSH pipelines; at corpus scale the cap keeps the
     * expansion linear.
     */
-  def fingerprintPairs(docs: DataFrame, minShared: Int = 2, maxDf: Int = 20): DataFrame = {
-    val fp = fingerprints(docs).select(col("doc_id"), explode(col("fp")).as("f"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
-    fp.withColumn("df", count(lit(1)).over(w))
+  def fingerprintPairs(docs: DataFrame, minShared: Int = 2, maxDf: Int = 20,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val fp = fingerprints(docs, k, w).select(col("doc_id"), explode(col("fp")).as("f"))
+    val byF = org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
+    fp.withColumn("df", count(lit(1)).over(byF))
       .filter(col("df") > 1 && col("df") <= maxDf)
       .groupBy(col("f"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))

@@ -54,6 +54,15 @@ class DedupSpec extends SparkTestBase {
     val fp2 = TextAnalysis.fingerprints(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
     assert(fp == fp2)
+
+    // codepoint-indexed grams: astral-plane text counts like SQL
+    // substr/length (U+1D11E + 7 ASCII = 8 CODE POINTS = exactly one
+    // k=8 gram), so the q27 oracle holds beyond the BMP — unit-indexed
+    // grams would see 9 units and split the surrogate pair
+    import spark.implicits._
+    val astral = Seq((1L, "𝄞" + "abcdefg")).toDF("doc_id", "text")
+    val afp = TextAnalysis.fingerprints(astral).head().getSeq[Long](1)
+    assert(afp.length == 1, s"expected one whole-string gram, got $afp")
   }
 
   test("native minhash == built-in-composed minhash (oracle-parity proof)") {
