@@ -268,7 +268,16 @@ object SparkEntry {
     // LOCF gap-fill: the step-function sibling of q09's linear fill
     "q44_gapfill_locf" -> ((s, dir) =>
       graft.gapfill.GapFill.locf(
-        Rollup.fromRaw(transcripts(s, dir), Tier.H1), Tier.H1, "char_len_avg"))
+        Rollup.fromRaw(transcripts(s, dir), Tier.H1), Tier.H1, "char_len_avg")),
+    // sliding (hopping) window rollup: 1h windows refreshed every 30m
+    "q45_rollup_sliding" -> ((s, dir) =>
+      Rollup.sliding(transcripts(s, dir))),
+    // time-weighted average turn length (irregular-sampling average)
+    "q46_time_weighted_avg" -> ((s, dir) =>
+      graft.operators.RefOps.timeWeightedAvg(transcripts(s, dir))),
+    // rolling z-score outliers over the trailing 10-turn frame
+    "q47_zscore_anomaly" -> ((s, dir) =>
+      graft.operators.RefOps.rollingZscore(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -524,6 +533,57 @@ object SparkEntry {
         |  WHERE next_ws IS NOT NULL AND next_ws > window_start + INTERVAL 1 HOUR)
         |SELECT conv_id, window_start, value, FALSE AS filled FROM p
         |UNION ALL
-        |SELECT conv_id, gs AS window_start, value, TRUE AS filled FROM g""".stripMargin)
+        |SELECT conv_id, gs AS window_start, value, TRUE AS filled FROM g""".stripMargin),
+    // a turn at ts belongs to the w/s = 2 epoch-aligned hour windows
+    // starting at trunc30(ts) and trunc30(ts) - 30m (all arithmetic in
+    // integer µs, mirroring Spark's epoch-aligned window(ts, w, s))
+    "q45_rollup_sliding" -> Transcripts.oracle(
+      """, s AS (
+        |  SELECT t.*,
+        |         MAKE_TIMESTAMP((EPOCH_US(ts) // 1800000000) * 1800000000
+        |                        - o.k * 1800000000) AS window_start
+        |  FROM transcripts t CROSS JOIN (VALUES (0), (1)) o(k))
+        |SELECT conv_id, window_start,
+        |  COUNT(*) AS turn_count,
+        |  COUNT(*) FILTER (WHERE role = 'user') AS user_turns,
+        |  COUNT(tool) AS tool_calls,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS char_len_sum,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) * 1.0 / COUNT(*) AS char_len_avg
+        |FROM s GROUP BY 1, 2""".stripMargin),
+    "q46_time_weighted_avg" -> Transcripts.oracle(
+      """, d AS (
+        |  SELECT conv_id, CAST(LENGTH(text) AS BIGINT) AS char_len,
+        |         EPOCH_US(LEAD(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx))
+        |           - EPOCH_US(ts) AS dt_us
+        |  FROM transcripts)
+        |SELECT conv_id,
+        |  CASE WHEN SUM(dt_us) = 0 THEN NULL
+        |       ELSE CAST(SUM(char_len * dt_us) AS DOUBLE)
+        |            / CAST(SUM(dt_us) AS DOUBLE) END AS twa_char_len
+        |FROM d WHERE dt_us IS NOT NULL GROUP BY 1""".stripMargin),
+    "q47_zscore_anomaly" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, turn_idx, CAST(LENGTH(text) AS BIGINT) AS char_len,
+        |    COUNT(CAST(LENGTH(text) AS BIGINT)) OVER w AS n,
+        |    SUM(CAST(LENGTH(text) AS BIGINT)) OVER w AS s,
+        |    SUM(CAST(LENGTH(text) AS BIGINT) * CAST(LENGTH(text) AS BIGINT)) OVER w AS ss
+        |  FROM transcripts
+        |  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+        |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        |v AS (
+        |  SELECT conv_id, turn_idx, char_len, n, s,
+        |    (CAST(ss AS DOUBLE)
+        |       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0) AS var
+        |  FROM b),
+        |z AS (
+        |  SELECT conv_id, turn_idx, char_len, n, var,
+        |    (CAST(char_len AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / SQRT(CASE WHEN var > 0 THEN var END) AS zval
+        |  FROM v)
+        |SELECT conv_id, turn_idx, char_len,
+        |  CASE WHEN n >= 8 AND var > 0 THEN ROUND(zval, 6) END AS zscore,
+        |  CASE WHEN n >= 8 AND var > 0 THEN (ABS(zval) > 2.0) END AS is_anomaly
+        |FROM z""".stripMargin)
   )
 }

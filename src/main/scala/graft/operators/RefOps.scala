@@ -273,6 +273,86 @@ object RefOps {
         col("e.s.value").as("value"))
   }
 
+  /** Time-weighted average turn length per conversation — the
+    * irregular-sampling average (TimescaleDB `time_weight` analogue):
+    * each turn's length is weighted by how long it "held" (µs until
+    * the next turn in the stable (ts, turn_idx) order); the last turn
+    * carries no duration and is excluded, so a single-turn
+    * conversation yields no row. All weights and products stay BIGINT
+    * (char_len × µs ≈ 5e13 per row — no overflow until ~1e5 such rows
+    * per conversation), so the group sums are EXACT and
+    * order-independent; the one double division happens after
+    * aggregation, making the result hash-stable across engines.
+    * Scale: one window pass (the conv_id exchange) + one partial-
+    * aggregated groupBy on the same key — AQE coalesces the pair.
+    */
+  def timeWeightedAvg(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("turn_idx"))
+    // µs arithmetic over an explicit timestamp cast — the driver parquet
+    // is TIMESTAMP_NTZ, which unix_micros refuses; the session is pinned
+    // UTC so NTZ→LTZ is identity-valued (same idiom as Sessionize)
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    val withDt = transcripts
+      .withColumn("char_len", length(col("text")).cast("long"))
+      .withColumn("dt_us", lead(tsUs, 1).over(w) - tsUs)
+      .filter(col("dt_us").isNotNull)
+    withDt
+      .groupBy(col("conv_id"))
+      .agg(
+        sum(col("char_len") * col("dt_us")).as("_wsum"),
+        sum(col("dt_us")).as("_tsum"))
+      .select(
+        col("conv_id"),
+        // all-zero durations (every turn at the same instant) would be
+        // 0/0 — NaN in Spark, NULL in ANSI SQL; pin NULL
+        when(col("_tsum") === 0, lit(null).cast("double"))
+          .otherwise(col("_wsum").cast("double") / col("_tsum").cast("double"))
+          .as("twa_char_len"))
+  }
+
+  /** Rolling z-score anomaly detection over turn length — flags turns
+    * whose length deviates from the conversation's trailing window
+    * (monitoring-style outlier detection on the timeseries). The
+    * trailing frame EXCLUDES the current row (self-exclusion keeps a
+    * spike from masking itself). mean/variance are derived from EXACT
+    * integer frame sums (n, Σx, Σx²) — the double arithmetic is one
+    * fixed expression over identical integers in both engines, so the
+    * z-score is hash-stable (the Welford-vs-textbook difference that
+    * makes `stddev` windows engine-dependent never arises). Warm-up
+    * rows (frame < `minPoints`) and zero-variance frames yield NULL.
+    * Scale: one conv_id exchange; the frame is O(lookback) per row.
+    */
+  def rollingZscore(transcripts: DataFrame, lookback: Int = 10,
+      minPoints: Int = 8, threshold: Double = 2.0): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2, got $lookback")
+    require(minPoints >= 2 && minPoints <= lookback,
+      s"minPoints must be in [2, lookback], got $minPoints")
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(-lookback, -1)
+    val base = transcripts.select(
+      col("conv_id"), col("turn_idx"),
+      length(col("text")).cast("long").as("char_len"))
+    val framed = base
+      .withColumn("_n", count(col("char_len")).over(w))
+      .withColumn("_s", sum(col("char_len")).over(w))
+      .withColumn("_ss", sum(col("char_len") * col("char_len")).over(w))
+    val n = col("_n").cast("double")
+    val mean = col("_s").cast("double") / n
+    val variance =
+      (col("_ss").cast("double") - col("_s").cast("double") * col("_s").cast("double") / n) /
+        (n - lit(1.0))
+    // sqrt over a null-guarded variance: a (numerically) non-positive
+    // variance must not reach sqrt (NaN vs error across engines)
+    val z = (col("char_len").cast("double") - mean) /
+      sqrt(when(variance > 0, variance))
+    val warm = col("_n") >= minPoints && variance > 0
+    framed.select(
+      col("conv_id"), col("turn_idx"), col("char_len"),
+      when(warm, round(z, 6)).as("zscore"),
+      when(warm, abs(z) > threshold).as("is_anomaly"))
+  }
+
   /** Op #19 — running counters (`processed_rows += k`,
     * `CsvSettingsDAO.java:72-91`): cumulative sums over the stable
     * per-conversation order.

@@ -165,6 +165,33 @@ object Rollup {
         col("tool"))
       .agg(sum(col("n")).as("n"))
 
+  /** Sliding (hopping) window rollup — the continuous-aggregate form
+    * where windows OVERLAP (width > slide), e.g. "turns per trailing
+    * hour, refreshed every 30 minutes". Spark's `window(ts, w, s)`
+    * expands each turn into the w/s epoch-aligned windows containing
+    * it (an Expand node, map-side — no extra shuffle) and then
+    * aggregates with the same single (conv_id, window_start) exchange
+    * as [[fromRaw]]; output volume is w/s × the tumbling tier, which
+    * is why only the cheap decomposable metrics are carried here.
+    * NOT cascadable (overlapping windows don't nest) — always computed
+    * from raw, like the quantile companion.
+    */
+  def sliding(transcripts: DataFrame, windowExpr: String = "1 hour",
+      slideExpr: String = "30 minutes"): DataFrame =
+    transcripts
+      .withColumn("char_len", length(col("text")).cast("long"))
+      .groupBy(
+        col("conv_id"),
+        window(col("ts"), windowExpr, slideExpr).getField("start").as("window_start"))
+      .agg(
+        count(lit(1)).as("turn_count"),
+        count_if(col("role") === "user").as("user_turns"),
+        count(col("tool")).as("tool_calls"),
+        sum(col("char_len")).as("char_len_sum"))
+      .withColumn(
+        "char_len_avg",
+        col("char_len_sum") * lit(1.0) / col("turn_count"))
+
   /** Exact per-window quantiles of turn length — the distribution
     * companion the avg/min/max columns can't answer (p95 text length
     * per conversation-hour). Spark's `percentile` is the EXACT
