@@ -1,0 +1,150 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ingest.Synth
+import graft.rollup.Rollup
+
+/** Specs for the round-4 timeseries additions: sliding (hopping)
+  * window rollup, time-weighted average, and rolling z-score.
+  */
+class TimeseriesOpsSpec extends SparkTestBase {
+
+  private lazy val turns = Synth.transcripts(
+    spark, nConvs = 30, avgTurns = 50, seed = 11L).toDF().cache()
+
+  // ---- sliding rollup ------------------------------------------------
+
+  test("sliding: every turn lands in exactly window/slide overlapping windows") {
+    val total = turns.filter(col("ts").isNotNull).count()
+    val sumCounts = Rollup.sliding(turns)
+      .agg(sum(col("turn_count"))).collect()(0).getLong(0)
+    assert(sumCounts == 2 * total, s"expected ${2 * total}, got $sumCounts")
+  }
+
+  test("sliding equals a brute-force shifted-trunc expansion") {
+    // independent construction: a turn at ts belongs to the hour windows
+    // starting at trunc30(ts) and trunc30(ts) - 30m
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val slideUs = 1800L * 1000000L
+    val brute = turns
+      .filter(col("ts").isNotNull)
+      .withColumn("char_len", length(col("text")).cast("long"))
+      .withColumn("k", explode(array(lit(0L), lit(1L))))
+      .withColumn("window_start",
+        // Synth turns carry LTZ timestamps, so window() yields LTZ here
+        // (the driver parquet path is NTZ; type tracked, values equal)
+        timestamp_micros(us - pmod(us, lit(slideUs)) - col("k") * slideUs))
+      .groupBy(col("conv_id"), col("window_start"))
+      .agg(
+        count(lit(1)).as("turn_count"),
+        count_if(col("role") === "user").as("user_turns"),
+        count(col("tool")).as("tool_calls"),
+        sum(col("char_len")).as("char_len_sum"))
+      .withColumn("char_len_avg", col("char_len_sum") * lit(1.0) / col("turn_count"))
+    assertSameRows(Rollup.sliding(turns), brute)
+  }
+
+  test("sliding with slide == window degenerates to the tumbling rollup") {
+    import graft.model.Tier
+    val slid = Rollup.sliding(turns, "1 hour", "1 hour")
+    val tumb = Rollup.fromRaw(turns, Tier.H1).select(
+      col("conv_id"), col("window_start"), col("turn_count"),
+      col("user_turns"), col("tool_calls"), col("char_len_sum"), col("char_len_avg"))
+    assertSameRows(slid, tumb)
+  }
+
+  // ---- time-weighted average ----------------------------------------
+
+  private def turnsDf(rows: Seq[(String, Int, String, String, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (c, i, r, x, tl, ts) =>
+      (c, i, r, x, tl, if (ts == null) null else Timestamp.valueOf(ts))
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+  }
+
+  test("timeWeightedAvg golden values; last turn carries no weight") {
+    // len 10 holds 10s, len 20 holds 30s, len 30 excluded (no successor)
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "a" * 10, null, "2024-01-01 00:00:00"),
+      ("A", 1, "assistant", "b" * 20, null, "2024-01-01 00:00:10"),
+      ("A", 2, "user", "c" * 30, null, "2024-01-01 00:00:40")))
+    val out = RefOps.timeWeightedAvg(df).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("twa_char_len") == (10.0 * 10 + 20.0 * 30) / 40.0)
+  }
+
+  test("timeWeightedAvg: single-turn conv yields no row; same-instant conv yields NULL") {
+    val df = turnsDf(Seq(
+      ("ONE", 0, "user", "hello", null, "2024-01-01 00:00:00"),
+      ("ZERO", 0, "user", "aa", null, "2024-01-01 00:00:00"),
+      ("ZERO", 1, "user", "bbbb", null, "2024-01-01 00:00:00")))
+    val out = RefOps.timeWeightedAvg(df).collect()
+      .map(r => r.getString(0) -> r.get(1)).toMap
+    assert(!out.contains("ONE"))
+    assert(out("ZERO") == null) // dt sum 0 → NULL, never NaN
+  }
+
+  test("timeWeightedAvg of a constant series is the constant") {
+    val const = turns.filter(col("ts").isNotNull)
+      .withColumn("text", lit("x" * 7))
+    val out = RefOps.timeWeightedAvg(const)
+      .filter(col("twa_char_len").isNotNull)
+    assert(out.count() > 0)
+    assert(out.filter(col("twa_char_len") =!= 7.0).count() == 0)
+  }
+
+  // ---- rolling z-score ----------------------------------------------
+
+  test("rollingZscore: warm-up and zero-variance frames are NULL") {
+    // 9 constant turns: frames reaching minPoints still have var 0
+    val df = turnsDf((0 until 9).map(i =>
+      ("C", i, "user", "xxxx", null, s"2024-01-01 00:00:0$i")))
+    val out = RefOps.rollingZscore(df).collect()
+    assert(out.length == 9)
+    assert(out.forall(r => r.get(3) == null && r.get(4) == null))
+  }
+
+  test("rollingZscore golden value on a hand-computed frame") {
+    // frame = 8 alternating lengths 2,4 (mean 3, sample var 8/7), then a spike
+    val lens = Seq(2, 4, 2, 4, 2, 4, 2, 4, 40)
+    val df = turnsDf(lens.zipWithIndex.map { case (n, i) =>
+      ("C", i, "user", "x" * n, null, s"2024-01-01 00:00:${10 + i}")
+    })
+    val rows = RefOps.rollingZscore(df).collect()
+      .map(r => r.getAs[Int]("turn_idx") -> r).toMap
+    // warm-up: first minPoints frames are short
+    (0 until 8).foreach(i => assert(rows(i).get(3) == null, s"turn $i"))
+    val expected = (40.0 - 3.0) / math.sqrt(8.0 / 7.0)
+    // output is round(z, 6) — compare against the unrounded value with
+    // a tolerance wider than the quantization step
+    assert(math.abs(rows(8).getAs[Double]("zscore") - expected) < 1e-5)
+    assert(rows(8).getAs[Boolean]("is_anomaly"))
+  }
+
+  test("rollingZscore: frame excludes the current row (self-masking guard)") {
+    // if the spike were inside its own frame the z-score would shrink;
+    // verify against an explicit leave-self-out computation
+    val lens = Seq(10, 14, 11, 15, 9, 13, 12, 16, 10, 14, 200)
+    val df = turnsDf(lens.zipWithIndex.map { case (n, i) =>
+      ("C", i, "user", "x" * n, null, s"2024-01-01 00:00:${10 + i}")
+    })
+    val frame = lens.take(10).map(_.toDouble)
+    val mean = frame.sum / frame.length
+    val varS = frame.map(v => (v - mean) * (v - mean)).sum / (frame.length - 1)
+    val expected = (200.0 - mean) / math.sqrt(varS)
+    val got = RefOps.rollingZscore(df).filter(col("turn_idx") === 10)
+      .collect()(0).getAs[Double]("zscore")
+    assert(math.abs(got - expected) < 1e-6)
+  }
+
+  test("rollingZscore rejects invalid parameters") {
+    val df = turnsDf(Seq(("C", 0, "user", "x", null, "2024-01-01 00:00:00")))
+    intercept[IllegalArgumentException](RefOps.rollingZscore(df, lookback = 1))
+    intercept[IllegalArgumentException](RefOps.rollingZscore(df, lookback = 5, minPoints = 6))
+    intercept[IllegalArgumentException](RefOps.rollingZscore(df, minPoints = 1))
+  }
+}
