@@ -269,15 +269,19 @@ object SparkEntry {
     "q44_gapfill_locf" -> ((s, dir) =>
       graft.gapfill.GapFill.locf(
         Rollup.fromRaw(transcripts(s, dir), Tier.H1), Tier.H1, "char_len_avg")),
-    // sliding (hopping) window rollup: 1h windows refreshed every 30m
+    // sliding (hopping) window rollup — tunables pinned explicitly so
+    // the coupling with the oracle's 1800000000 µs literals is visible
     "q45_rollup_sliding" -> ((s, dir) =>
-      Rollup.sliding(transcripts(s, dir))),
+      Rollup.sliding(transcripts(s, dir),
+        windowExpr = "1 hour", slideExpr = "30 minutes")),
     // time-weighted average turn length (irregular-sampling average)
     "q46_time_weighted_avg" -> ((s, dir) =>
       graft.operators.RefOps.timeWeightedAvg(transcripts(s, dir))),
-    // rolling z-score outliers over the trailing 10-turn frame
+    // rolling z-score outliers — same explicit pinning (oracle repeats
+    // 10 PRECEDING / n >= 8 / > 2.0)
     "q47_zscore_anomaly" -> ((s, dir) =>
-      graft.operators.RefOps.rollingZscore(transcripts(s, dir)))
+      graft.operators.RefOps.rollingZscore(transcripts(s, dir),
+        lookback = 10, minPoints = 8, threshold = 2.0))
   )
 
   private val rollupSelect: String =
@@ -535,12 +539,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT conv_id, gs AS window_start, value, TRUE AS filled FROM g""".stripMargin),
     // a turn at ts belongs to the w/s = 2 epoch-aligned hour windows
-    // starting at trunc30(ts) and trunc30(ts) - 30m (all arithmetic in
-    // integer µs, mirroring Spark's epoch-aligned window(ts, w, s))
+    // starting at floor30(ts) and floor30(ts) - 30m, all in integer µs.
+    // Spark's window(ts, w, s) FLOOR-aligns; DuckDB's // truncates
+    // toward zero, so the positive-modulo idiom keeps pre-1970
+    // timestamps aligned identically (same trick as RangeJoin.cellOf)
     "q45_rollup_sliding" -> Transcripts.oracle(
       """, s AS (
         |  SELECT t.*,
-        |         MAKE_TIMESTAMP((EPOCH_US(ts) // 1800000000) * 1800000000
+        |         MAKE_TIMESTAMP(EPOCH_US(ts)
+        |                        - ((EPOCH_US(ts) % 1800000000) + 1800000000) % 1800000000
         |                        - o.k * 1800000000) AS window_start
         |  FROM transcripts t CROSS JOIN (VALUES (0), (1)) o(k))
         |SELECT conv_id, window_start,
@@ -558,7 +565,7 @@ object SparkEntry {
         |  FROM transcripts)
         |SELECT conv_id,
         |  CASE WHEN SUM(dt_us) = 0 THEN NULL
-        |       ELSE CAST(SUM(char_len * dt_us) AS DOUBLE)
+        |       ELSE CAST(SUM(CAST(char_len AS HUGEINT) * dt_us) AS DOUBLE)
         |            / CAST(SUM(dt_us) AS DOUBLE) END AS twa_char_len
         |FROM d WHERE dt_us IS NOT NULL GROUP BY 1""".stripMargin),
     "q47_zscore_anomaly" -> Transcripts.oracle(

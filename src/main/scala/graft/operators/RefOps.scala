@@ -278,10 +278,12 @@ object RefOps {
     * each turn's length is weighted by how long it "held" (µs until
     * the next turn in the stable (ts, turn_idx) order); the last turn
     * carries no duration and is excluded, so a single-turn
-    * conversation yields no row. All weights and products stay BIGINT
-    * (char_len × µs ≈ 5e13 per row — no overflow until ~1e5 such rows
-    * per conversation), so the group sums are EXACT and
-    * order-independent; the one double division happens after
+    * conversation yields no row. Weights and products are summed as
+    * DECIMAL(38,0) — a long sum of char_len × µs overflows at ~30
+    * year-long gaps on 10k-char turns, and this engine runs ANSI mode
+    * where that throws (DuckDB's HUGEINT sum is exact, so the oracle
+    * would diverge exactly when it matters). The group sums are EXACT
+    * and order-independent; the one double division happens after
     * aggregation, making the result hash-stable across engines.
     * Scale: one window pass (the conv_id exchange) + one partial-
     * aggregated groupBy on the same key — AQE coalesces the pair.
@@ -300,8 +302,11 @@ object RefOps {
     withDt
       .groupBy(col("conv_id"))
       .agg(
-        sum(col("char_len") * col("dt_us")).as("_wsum"),
-        sum(col("dt_us")).as("_tsum"))
+        // (10,0)×(20,0) → decimal(31,0) products, summed at (38,0):
+        // exact to 1e38, far past any reachable timestamp arithmetic
+        sum(col("char_len").cast("decimal(10,0)") *
+          col("dt_us").cast("decimal(20,0)")).as("_wsum"),
+        sum(col("dt_us").cast("decimal(20,0)")).as("_tsum"))
       .select(
         col("conv_id"),
         // all-zero durations (every turn at the same instant) would be

@@ -88,6 +88,21 @@ class TimeseriesOpsSpec extends SparkTestBase {
     assert(out("ZERO") == null) // dt sum 0 → NULL, never NaN
   }
 
+  test("timeWeightedAvg survives year-scale gaps on large turns (no ANSI long overflow)") {
+    // one product is 10000 chars × 40 years of µs ≈ 1.3e19 > Long.MAX;
+    // the decimal sum path must stay exact where a long sum would throw
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "a" * 10000, null, "1970-01-01 00:00:00"),
+      ("A", 1, "user", "b" * 5, null, "2010-01-01 00:00:00"),
+      ("A", 2, "user", "c", null, "2010-01-02 00:00:00")))
+    val dt0 = BigInt(Timestamp.valueOf("2010-01-01 00:00:00").getTime) * 1000
+    val dt1 = BigInt(86400L) * 1000000L
+    val expected =
+      (BigDecimal(dt0 * 10000 + dt1 * 5) / BigDecimal(dt0 + dt1)).toDouble
+    val got = RefOps.timeWeightedAvg(df).collect()(0).getAs[Double]("twa_char_len")
+    assert(math.abs(got - expected) < 1e-9 * expected)
+  }
+
   test("timeWeightedAvg of a constant series is the constant") {
     val const = turns.filter(col("ts").isNotNull)
       .withColumn("text", lit("x" * 7))
