@@ -281,7 +281,13 @@ object SparkEntry {
     // 10 PRECEDING / n >= 8 / > 2.0)
     "q47_zscore_anomaly" -> ((s, dir) =>
       graft.operators.RefOps.rollingZscore(transcripts(s, dir),
-        lookback = 10, minPoints = 8, threshold = 2.0))
+        lookback = 10, minPoints = 8, threshold = 2.0)),
+    // Pearson r between turn position and turn length per conversation
+    "q48_drift_corr" -> ((s, dir) =>
+      graft.operators.RefOps.lengthDriftCorr(transcripts(s, dir))),
+    // per-hour turn-length distribution (bucket width pinned = oracle's 50)
+    "q49_len_histogram" -> ((s, dir) =>
+      Rollup.charLenHistogram(transcripts(s, dir), Tier.H1, bucketWidth = 50))
   )
 
   private val rollupSelect: String =
@@ -591,6 +597,41 @@ object SparkEntry {
         |SELECT conv_id, turn_idx, char_len,
         |  CASE WHEN n >= 8 AND var > 0 THEN ROUND(zval, 6) END AS zscore,
         |  CASE WHEN n >= 8 AND var > 0 THEN (ABS(zval) > 2.0) END AS is_anomaly
-        |FROM z""".stripMargin)
+        |FROM z""".stripMargin),
+    // exact integer moments, then ONE fixed double expression — the
+    // same hash-stability idiom as q47 (operand order mirrors Spark)
+    "q48_drift_corr" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, COUNT(*) AS n,
+        |    CAST(SUM(turn_idx) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(SUM(turn_idx * CAST(LENGTH(text) AS BIGINT)) AS BIGINT) AS sxy,
+        |    CAST(SUM(CAST(turn_idx AS BIGINT) * turn_idx) AS BIGINT) AS sxx,
+        |    CAST(SUM(CAST(LENGTH(text) AS BIGINT) * LENGTH(text)) AS BIGINT) AS syy
+        |  FROM transcripts GROUP BY 1),
+        |v AS (
+        |  SELECT conv_id, n,
+        |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov,
+        |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+        |    CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy
+        |  FROM b)
+        |SELECT conv_id, n,
+        |  CASE WHEN n >= 3 AND vx > 0 AND vy > 0
+        |       THEN ROUND(cov / SQRT(vx * vy), 6) END AS drift_corr
+        |FROM v""".stripMargin),
+    // floor-aligned hour windows (q45 idiom); // is floor here because
+    // LENGTH is non-negative
+    "q49_len_histogram" -> Transcripts.oracle(
+      """, h AS (
+        |  SELECT MAKE_TIMESTAMP(EPOCH_US(ts)
+        |           - ((EPOCH_US(ts) % 3600000000) + 3600000000) % 3600000000)
+        |           AS window_start,
+        |         LENGTH(text) // 50 AS bucket
+        |  FROM transcripts)
+        |SELECT window_start, CAST(bucket AS BIGINT) AS bucket,
+        |  COUNT(*) AS cnt,
+        |  CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(SUM(COUNT(*)) OVER (PARTITION BY window_start) AS DOUBLE) AS pct
+        |FROM h GROUP BY 1, 2""".stripMargin)
   )
 }

@@ -358,6 +358,39 @@ object RefOps {
       when(warm, abs(z) > threshold).as("is_anomaly"))
   }
 
+  /** Per-conversation length-drift correlation — Pearson r between
+    * turn position and turn length ("do turns get longer as the
+    * conversation goes on?"). Like [[rollingZscore]], the moments are
+    * EXACT integer group sums (n, Σx, Σy, Σxy, Σx², Σy² — bounded by
+    * ~1e17 for 100k-turn conversations of 10k-char turns, inside Long)
+    * and the correlation is ONE fixed double expression over those
+    * identical integers in both engines, so the result is hash-stable
+    * despite the sqrt. Degenerate groups (n < 3, zero variance on
+    * either axis) pin NULL. Scale: a single partial-aggregated conv_id
+    * exchange; output is one row per conversation.
+    */
+  def lengthDriftCorr(transcripts: DataFrame): DataFrame = {
+    val s = transcripts
+      .select(col("conv_id"),
+        col("turn_idx").cast("long").as("x"),
+        length(col("text")).cast("long").as("y"))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    val cov = n * col("sxy") - col("sx").cast("double") * col("sy")
+    val vx = n * col("sxx") - col("sx").cast("double") * col("sx")
+    val vy = n * col("syy") - col("sy").cast("double") * col("sy")
+    s.select(
+      col("conv_id"), col("n"),
+      when(col("n") >= 3 && vx > 0 && vy > 0,
+        round(cov / sqrt(vx * vy), 6)).as("drift_corr"))
+  }
+
   /** Op #19 — running counters (`processed_rows += k`,
     * `CsvSettingsDAO.java:72-91`): cumulative sums over the stable
     * per-conversation order.

@@ -192,6 +192,29 @@ object Rollup {
         "char_len_avg",
         col("char_len_sum") * lit(1.0) / col("turn_count"))
 
+  /** Fixed-width histogram of turn length per GLOBAL time window — the
+    * distribution tier dashboards heat-map (who sends long messages,
+    * when). Buckets are `floor(char_len / bucketWidth)`; `pct` is the
+    * bucket's share of its window. Scale: one partial-aggregated
+    * (window, bucket) exchange over raw; the share window re-exchanges
+    * only the AGGREGATED frame (windows × buckets rows — O(metadata)),
+    * so the second exchange never sees raw data.
+    */
+  def charLenHistogram(transcripts: DataFrame, tier: Tier = Tier.H1,
+      bucketWidth: Int = 50): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    import org.apache.spark.sql.expressions.{Window => W}
+    transcripts
+      .select(
+        window(col("ts"), tier.windowExpr).getField("start").as("window_start"),
+        floor(length(col("text")).cast("long") / lit(bucketWidth)).as("bucket"))
+      .groupBy(col("window_start"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("pct",
+        col("cnt").cast("double") /
+          sum(col("cnt")).over(W.partitionBy(col("window_start"))))
+  }
+
   /** Exact per-window quantiles of turn length — the distribution
     * companion the avg/min/max columns can't answer (p95 text length
     * per conversation-hour). Spark's `percentile` is the EXACT

@@ -156,6 +156,75 @@ class TimeseriesOpsSpec extends SparkTestBase {
     assert(math.abs(got - expected) < 1e-6)
   }
 
+  // ---- length-drift correlation -------------------------------------
+
+  test("lengthDriftCorr: perfect and degenerate correlations") {
+    val df = turnsDf(
+      // LIN: y = 10 + 3x → r = 1; ANTI: y = 40 - 2x → r = -1
+      (0 until 5).map(i => ("LIN", i, "user", "x" * (10 + 3 * i), null: String,
+        s"2024-01-01 00:00:0$i")) ++
+      (0 until 5).map(i => ("ANTI", i, "user", "x" * (40 - 2 * i), null: String,
+        s"2024-01-01 00:00:0$i")) ++
+      // CONST: zero variance on y → NULL; TWO: n < 3 → NULL
+      (0 until 4).map(i => ("CONST", i, "user", "xxx", null: String,
+        s"2024-01-01 00:00:0$i")) ++
+      (0 until 2).map(i => ("TWO", i, "user", "x" * (i + 1), null: String,
+        s"2024-01-01 00:00:0$i")))
+    val out = RefOps.lengthDriftCorr(df).collect()
+      .map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(out("LIN") == Some(1.0))
+    assert(out("ANTI") == Some(-1.0))
+    assert(out("CONST").isEmpty && out("TWO").isEmpty)
+  }
+
+  test("lengthDriftCorr agrees with Spark's corr aggregate") {
+    val builtin = turns
+      .select(col("conv_id"), col("turn_idx").cast("double").as("x"),
+        length(col("text")).cast("double").as("y"))
+      .groupBy("conv_id").agg(corr(col("x"), col("y")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("r")).toMap
+    val ours = RefOps.lengthDriftCorr(turns).collect()
+      .filter(_.get(2) != null)
+      .map(r => r.getString(0) -> r.getAs[Double]("drift_corr"))
+    assert(ours.nonEmpty)
+    ours.foreach { case (c, r) =>
+      assert(math.abs(r - builtin(c)) < 1e-5, s"$c: $r vs ${builtin(c)}")
+    }
+  }
+
+  // ---- char-length histogram ----------------------------------------
+
+  test("charLenHistogram: counts partition the input and pct sums to 1 per window") {
+    import graft.model.Tier
+    val hist = Rollup.charLenHistogram(turns, Tier.H1, bucketWidth = 50).cache()
+    val total = hist.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    assert(total == turns.filter(col("ts").isNotNull).count())
+    val badPct = hist.groupBy(col("window_start"))
+      .agg(sum(col("pct")).as("p"))
+      .filter(abs(col("p") - 1.0) > 1e-9)
+    assert(badPct.count() == 0)
+    assert(hist.filter(col("bucket") < 0).count() == 0)
+  }
+
+  test("charLenHistogram golden buckets at the boundary") {
+    import graft.model.Tier
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x" * 49, null, "2024-01-01 00:10:00"), // bucket 0
+      ("A", 1, "user", "x" * 50, null, "2024-01-01 00:20:00"), // bucket 1
+      ("B", 0, "user", "x" * 149, null, "2024-01-01 00:30:00"), // bucket 2
+      ("B", 1, "user", "x" * 10, null, "2024-01-01 01:30:00"))) // next window
+    val rows = Rollup.charLenHistogram(df, Tier.H1, bucketWidth = 50).collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[Long]("bucket")) -> (r.getAs[Long]("cnt"), r.getAs[Double]("pct")))
+      .toMap
+    assert(rows(("2024-01-01 00:00:00.0", 0L)) == ((1L, 1.0 / 3)))
+    assert(rows(("2024-01-01 00:00:00.0", 1L)) == ((1L, 1.0 / 3)))
+    assert(rows(("2024-01-01 00:00:00.0", 2L)) == ((1L, 1.0 / 3)))
+    assert(rows(("2024-01-01 01:00:00.0", 0L)) == ((1L, 1.0)))
+    intercept[IllegalArgumentException](
+      Rollup.charLenHistogram(df, Tier.H1, bucketWidth = 0))
+  }
+
   test("rollingZscore rejects invalid parameters") {
     val df = turnsDf(Seq(("C", 0, "user", "x", null, "2024-01-01 00:00:00")))
     intercept[IllegalArgumentException](RefOps.rollingZscore(df, lookback = 1))
