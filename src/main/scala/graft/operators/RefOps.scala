@@ -296,6 +296,11 @@ object RefOps {
     // UTC so NTZ→LTZ is identity-valued (same idiom as Sessionize)
     val tsUs = unix_micros(col("ts").cast("timestamp"))
     val withDt = transcripts
+      // a NULL length is a MISSING sample: drop it before the lead so
+      // the previous turn holds across the gap (the LOCF semantic) —
+      // keeping it would add its duration to the denominator with no
+      // numerator weight, silently deflating the average
+      .filter(col("text").isNotNull)
       .withColumn("char_len", length(col("text")).cast("long"))
       .withColumn("dt_us", lead(tsUs, 1).over(w) - tsUs)
       .filter(col("dt_us").isNotNull)
@@ -374,6 +379,10 @@ object RefOps {
       .select(col("conv_id"),
         col("turn_idx").cast("long").as("x"),
         length(col("text")).cast("long").as("y"))
+      // a NULL length must drop the whole OBSERVATION: null-skipping
+      // sums with a count(*)-style n would mix moments over different
+      // row sets and corrupt r (sign flips included)
+      .filter(col("y").isNotNull)
       .groupBy(col("conv_id"))
       .agg(
         count(lit(1)).as("n"),

@@ -156,7 +156,30 @@ class TimeseriesOpsSpec extends SparkTestBase {
     assert(math.abs(got - expected) < 1e-6)
   }
 
+  test("timeWeightedAvg: a null-text sample is dropped and the prior turn holds across it") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "a" * 10, null, "2024-01-01 00:00:00"),
+      ("A", 1, "user", null, null, "2024-01-01 00:00:10"), // missing sample
+      ("A", 2, "user", "c" * 30, null, "2024-01-01 00:00:40")))
+    // len 10 holds the FULL 40s (LOCF across the hole), len 30 excluded
+    val got = RefOps.timeWeightedAvg(df).collect()(0).getAs[Double]("twa_char_len")
+    assert(got == 10.0)
+  }
+
   // ---- length-drift correlation -------------------------------------
+
+  test("lengthDriftCorr drops null-length observations whole (no moment mixing)") {
+    // y = 10 + 10x plus a trailing null row: r must stay exactly 1,
+    // not a moments-over-different-row-sets artifact
+    val df = turnsDf(
+      (0 until 4).map(i => ("LIN", i, "user", "x" * (10 + 10 * i), null: String,
+        s"2024-01-01 00:00:0$i")) :+
+      ("LIN", 4, "user", null, null, "2024-01-01 00:00:04"))
+    val out = RefOps.lengthDriftCorr(df).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n") == 4L)
+    assert(out(0).getAs[Double]("drift_corr") == 1.0)
+  }
 
   test("lengthDriftCorr: perfect and degenerate correlations") {
     val df = turnsDf(
