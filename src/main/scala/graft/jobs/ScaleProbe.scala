@@ -54,11 +54,25 @@ object ScaleProbe {
       val sess = graft.operators.Sessionize.summarize(raw, 1800L)
       val tInterval = timed(graft.operators.RangeJoin.intervalJoin(
         raw, sess, "conv_id", "ts", "session_start", "session_end", 3600L).count())
-      val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval
+      // round-4 operators, same payload-count idiom: the counted column
+      // is one the optimizer cannot produce without the full plan
+      val tSliding = timed(Rollup.sliding(raw)
+        .agg(count(col("char_len_avg"))).head())
+      val tTwa = timed(graft.operators.RefOps.timeWeightedAvg(raw)
+        .agg(count(col("twa_char_len"))).head())
+      val tZscore = timed(graft.operators.RefOps.rollingZscore(raw)
+        .agg(count(col("zscore"))).head())
+      val tCorr = timed(graft.operators.RefOps.lengthDriftCorr(raw)
+        .agg(count(col("drift_corr"))).head())
+      val tHist = timed(Rollup.charLenHistogram(raw)
+        .agg(count(col("pct"))).head())
+      val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
+        tSliding + tTwa + tZscore + tCorr + tHist
       println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
         f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs sessionize=$tSess%.2fs " +
-        f"asof=$tAsof%.2fs interval=$tInterval%.2fs total=$total%.2fs " +
-        f"throughput=${n / tM1}%.0f turns/s")
+        f"asof=$tAsof%.2fs interval=$tInterval%.2fs sliding=$tSliding%.2fs " +
+        f"twa=$tTwa%.2fs zscore=$tZscore%.2fs corr=$tCorr%.2fs hist=$tHist%.2fs " +
+        f"total=$total%.2fs throughput=${n / tM1}%.0f turns/s")
       total
     }
     println(f"[scale-probe] BEST cores=$cores total=${results.min}%.2fs " +
