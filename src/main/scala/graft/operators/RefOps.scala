@@ -340,13 +340,19 @@ object RefOps {
       s"minPoints must be in [2, lookback], got $minPoints")
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
       .rowsBetween(-lookback, -1)
+    // the square is projected BEFORE the window so all three frame
+    // aggregates land in ONE Window node (an inline char_len*char_len
+    // inside the third agg forces a Project between Window nodes,
+    // which defeats CollapseWindow — measured as a second full frame
+    // pass over every row)
     val base = transcripts.select(
       col("conv_id"), col("turn_idx"),
       length(col("text")).cast("long").as("char_len"))
-    val framed = base
-      .withColumn("_n", count(col("char_len")).over(w))
-      .withColumn("_s", sum(col("char_len")).over(w))
-      .withColumn("_ss", sum(col("char_len") * col("char_len")).over(w))
+      .withColumn("_sq", col("char_len") * col("char_len"))
+    val framed = base.select(col("conv_id"), col("turn_idx"), col("char_len"),
+      count(col("char_len")).over(w).as("_n"),
+      sum(col("char_len")).over(w).as("_s"),
+      sum(col("_sq")).over(w).as("_ss"))
     val n = col("_n").cast("double")
     val mean = col("_s").cast("double") / n
     val variance =

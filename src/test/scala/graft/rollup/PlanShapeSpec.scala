@@ -63,6 +63,42 @@ class PlanShapeSpec extends SparkTestBase {
       s"lshPairsAbove must stay shuffle-shuffle:\n$p")
   }
 
+  test("round-4 timeseries operators: one data exchange each, partial aggs, one Window node") {
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
+    def windows(p: String): Int = "\\+- Window ".r.findAllIn(p).size
+
+    // sliding: Expand (map-side window replication) + ONE exchange
+    val pSliding = plan(Rollup.sliding(turns))
+    assert(exchanges(pSliding) == 1 && pSliding.contains("Expand"),
+      s"sliding must be expand + one exchange:\n$pSliding")
+    assert(pSliding.contains("partial_count"), s"sliding needs map-side combine:\n$pSliding")
+
+    // twa: the groupBy(conv_id) must REUSE the lead-window's conv_id
+    // partitioning — one exchange total, no shuffle between Window and
+    // the final aggregate
+    val pTwa = plan(graft.operators.RefOps.timeWeightedAvg(turns))
+    assert(exchanges(pTwa) == 1, s"twa must reuse the window partitioning:\n$pTwa")
+    assert(pTwa.contains("partial_sum"), s"twa needs partial sums:\n$pTwa")
+
+    // zscore: all three frame aggregates in ONE Window node (the
+    // pre-projected square keeps CollapseWindow applicable)
+    val pZ = plan(graft.operators.RefOps.rollingZscore(turns))
+    assert(exchanges(pZ) == 1, s"zscore must be one exchange:\n$pZ")
+    assert(windows(pZ) == 1, s"zscore frame aggs must collapse into one Window:\n$pZ")
+
+    // corr: one partial-aggregated exchange, no window at all
+    val pCorr = plan(graft.operators.RefOps.lengthDriftCorr(turns))
+    assert(exchanges(pCorr) == 1 && windows(pCorr) == 0,
+      s"corr must be a single partial-agg exchange:\n$pCorr")
+    assert(pCorr.contains("partial_count"), s"corr needs map-side combine:\n$pCorr")
+
+    // histogram: the share window adds its exchange AFTER aggregation —
+    // two exchanges, and the Window sits above the final HashAggregate
+    val pHist = plan(Rollup.charLenHistogram(turns))
+    assert(exchanges(pHist) == 2, s"histogram is agg exchange + share exchange:\n$pHist")
+    assert(pHist.contains("partial_count"), s"histogram needs map-side combine:\n$pHist")
+  }
+
   test("planning-style aggregation prunes the text column from the scan") {
     val dir = tmpDir("planshape-in")
     turns.write.mode("overwrite").parquet(dir)
