@@ -287,7 +287,10 @@ object SparkEntry {
       graft.operators.RefOps.lengthDriftCorr(transcripts(s, dir))),
     // per-hour turn-length distribution (bucket width pinned = oracle's 50)
     "q49_len_histogram" -> ((s, dir) =>
-      Rollup.charLenHistogram(transcripts(s, dir), Tier.H1, bucketWidth = 50))
+      Rollup.charLenHistogram(transcripts(s, dir), Tier.H1, bucketWidth = 50)),
+    // exponential smoothing: ordered-array fold, alpha pinned = oracle's 0.3
+    "q50_ewma" -> ((s, dir) =>
+      graft.operators.RefOps.ewma(transcripts(s, dir), alpha = 0.3))
   )
 
   private val rollupSelect: String =
@@ -632,6 +635,17 @@ object SparkEntry {
         |  COUNT(*) AS cnt,
         |  CAST(COUNT(*) AS DOUBLE)
         |    / CAST(SUM(COUNT(*)) OVER (PARTITION BY window_start) AS DOUBLE) AS pct
-        |FROM h GROUP BY 1, 2""".stripMargin)
+        |FROM h GROUP BY 1, 2""".stripMargin),
+    // the IDENTICAL left fold Spark's aggregate() runs: acc seeds at
+    // the first ordered sample, (1.0 - 0.3) constant-folds to the same
+    // IEEE double in both engines
+    "q50_ewma" -> Transcripts.oracle(
+      """, e AS (
+        |  SELECT conv_id, ts, turn_idx, LENGTH(text) AS len
+        |  FROM transcripts WHERE text IS NOT NULL AND ts IS NOT NULL)
+        |SELECT conv_id, COUNT(*) AS n,
+        |  list_reduce(list(CAST(len AS DOUBLE) ORDER BY ts, turn_idx),
+        |              (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc) AS ewma_char_len
+        |FROM e GROUP BY 1""".stripMargin)
   )
 }

@@ -406,6 +406,40 @@ object RefOps {
         round(cov / sqrt(vx * vy), 6)).as("drift_corr"))
   }
 
+  /** Exponentially-weighted moving average of turn length per
+    * conversation — the inherently SEQUENTIAL recurrence
+    * `acc = α·x + (1−α)·acc` (seeded with the first sample) that no
+    * window frame can express. Computed declaratively: the group's
+    * samples are gathered into one ordered array and folded with
+    * `functions.aggregate` — the exact same fold DuckDB's
+    * `list_reduce` runs, in the same order, with the same
+    * constant-folded `(1.0 − α)` IEEE literal, so the chained float
+    * result is bit-identical across engines. Null text / null ts are
+    * missing samples (dropped, [[timeWeightedAvg]] semantics).
+    * Scale: ONE conv_id exchange; per-group state is the O(turns)
+    * sample array — the same envelope as the Gorilla block aggregator,
+    * bounded by conversation length, NOT for unbounded keys.
+    */
+  def ewma(transcripts: DataFrame, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val grouped = transcripts
+      .filter(col("text").isNotNull && col("ts").isNotNull)
+      .select(col("conv_id"),
+        struct(col("ts"), col("turn_idx"),
+          length(col("text")).cast("double").as("v")).as("p"))
+      .groupBy(col("conv_id"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"),
+        count(lit(1)).as("n"))
+    val vals = expr("transform(ps, p -> p.v)")
+    grouped.select(
+      col("conv_id"), col("n"),
+      aggregate(
+        slice(vals, lit(2), (col("n") - 1).cast("int")),
+        element_at(vals, lit(1)),
+        (acc, x) => lit(alpha) * x + (lit(1.0) - lit(alpha)) * acc)
+        .as("ewma_char_len"))
+  }
+
   /** Op #19 — running counters (`processed_rows += k`,
     * `CsvSettingsDAO.java:72-91`): cumulative sums over the stable
     * per-conversation order.

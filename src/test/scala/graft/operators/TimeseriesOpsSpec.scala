@@ -248,6 +248,45 @@ class TimeseriesOpsSpec extends SparkTestBase {
       Rollup.charLenHistogram(df, Tier.H1, bucketWidth = 0))
   }
 
+  // ---- EWMA ----------------------------------------------------------
+
+  test("ewma golden fold and degenerate cases") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x" * 10, null, "2024-01-01 00:00:00"),
+      ("A", 1, "user", "x" * 20, null, "2024-01-01 00:00:10"),
+      ("A", 2, "user", "x" * 30, null, "2024-01-01 00:00:20"),
+      ("ONE", 0, "user", "x" * 7, null, "2024-01-01 00:00:00"),
+      ("HOLE", 0, "user", "x" * 4, null, "2024-01-01 00:00:00"),
+      ("HOLE", 1, "user", null, null, "2024-01-01 00:00:10"),
+      ("HOLE", 2, "user", "x" * 8, null, null)))
+    val out = RefOps.ewma(df, alpha = 0.3).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Double]("ewma_char_len")))
+      .toMap
+    // acc=10 -> 0.3*20+0.7*10=13 -> 0.3*30+0.7*13=18.1
+    assert(out("A")._1 == 3L && math.abs(out("A")._2 - 18.1) < 1e-12)
+    assert(out("ONE") == ((1L, 7.0)))
+    // null text AND null ts are both missing samples
+    assert(out("HOLE") == ((1L, 4.0)))
+    intercept[IllegalArgumentException](RefOps.ewma(df, alpha = 0.0))
+    intercept[IllegalArgumentException](RefOps.ewma(df, alpha = 1.5))
+  }
+
+  test("ewma equals a driver-side sequential fold on synth data") {
+    val expected = turns.filter(col("ts").isNotNull)
+      .select(col("conv_id"), col("ts"), col("turn_idx"), length(col("text")).cast("double").as("v"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues { rows =>
+        val vs = rows.sortBy(r =>
+          (r.getTimestamp(1).getTime, r.getTimestamp(1).getNanos, r.getInt(2))).map(_.getDouble(3))
+        vs.tail.foldLeft(vs.head)((acc, x) => 0.3 * x + (1.0 - 0.3) * acc)
+      }.toMap
+    val got = RefOps.ewma(turns).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("ewma_char_len")).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    got.foreach { case (c, v) => assert(v == expected(c), s"$c: $v vs ${expected(c)}") }
+  }
+
   test("rollingZscore rejects invalid parameters") {
     val df = turnsDf(Seq(("C", 0, "user", "x", null, "2024-01-01 00:00:00")))
     intercept[IllegalArgumentException](RefOps.rollingZscore(df, lookback = 1))
