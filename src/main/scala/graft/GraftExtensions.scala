@@ -84,10 +84,28 @@ object GraftExtensions {
       arities = Set(6, 7), numericArgs = Set(6)),
     tfn("sessionize",
       "(table, gap_seconds) - per-session summary with gap-based session windows over (conv_id, ts)",
-      arities = Set(2), numericArgs = Set(1)))
+      arities = Set(2), numericArgs = Set(1)),
+    tfn("sliding_rollup",
+      "(table[, window, slide]) - overlapping hopping-window rollup; window/slide are interval strings like '1 hour' (default 1 hour / 30 minutes)",
+      arities = Set(1, 3)),
+    tfn("time_weighted_avg",
+      "(table) - duration-weighted average turn length per conversation",
+      arities = Set(1)),
+    tfn("rolling_zscore",
+      "(table[, lookback, min_points, threshold]) - trailing-frame z-score outlier flags (defaults 10, 8, 2.0)",
+      arities = Set(1, 4), numericArgs = Set(1, 2), doubleArgs = Set(3)),
+    tfn("drift_corr",
+      "(table) - Pearson r between turn position and turn length per conversation",
+      arities = Set(1)),
+    tfn("len_histogram",
+      "(table[, bucket_width]) - per-hour turn-length bucket counts and shares (default width 50)",
+      arities = Set(1, 2), numericArgs = Set(1)),
+    tfn("ewma",
+      "(table[, alpha]) - exponentially-weighted moving average of turn length per conversation (default alpha 0.3)",
+      arities = Set(1, 2), doubleArgs = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
-      numericArgs: Set[Int])
+      numericArgs: Set[Int] = Set.empty, doubleArgs: Set[Int] = Set.empty)
       : (FunctionIdentifier, ExpressionInfo,
          Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
     val builder = (args: Seq[Expression]) => {
@@ -99,6 +117,7 @@ object GraftExtensions {
       // NumberFormatException from deep inside the resolution rule
       val strArgs = args.zipWithIndex.map { case (e, i) =>
         if (numericArgs.contains(i)) numLit(name, usage, e).toString
+        else if (doubleArgs.contains(i)) dblLit(name, usage, e).toString
         else strLit(name, usage, e)
       }
       graft.plans.GraftRelationCall(name, strArgs)
@@ -135,6 +154,27 @@ object GraftExtensions {
     case other => intLiteralValue(other).getOrElse(
       throw new IllegalArgumentException(
         s"$fn$usage: expected an integer literal, got ${other.sql}"))
+  }
+
+  /** Floating tunables (alpha, threshold): any numeric literal —
+    * double/float/decimal/integer — or a string literal that parses as
+    * a double. SQL decimal literals like `0.3` convert via
+    * `Decimal.toDouble`, landing on the same IEEE value as the Scala
+    * `0.3` default, so quoting is never required for fidelity.
+    */
+  private def dblLit(fn: String, usage: String, e: Expression): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Float, _) => v.toDouble
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+      try s.toString.trim.toDouble
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$fn$usage: expected a numeric literal, got '$s'")
+      }
+    case other => intLiteralValue(other).map(_.toDouble).getOrElse(
+      throw new IllegalArgumentException(
+        s"$fn$usage: expected a numeric literal, got ${other.sql}"))
   }
 
   private def fn[T <: Expression](name: String, usage: String)(

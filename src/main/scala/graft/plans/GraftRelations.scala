@@ -1,6 +1,7 @@
 package graft.plans
 
-import graft.operators.{AsofJoin, RangeJoin, Sessionize}
+import graft.operators.{AsofJoin, RangeJoin, RefOps, Sessionize}
+import graft.rollup.Rollup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
@@ -66,6 +67,28 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
       case "sessionize" =>
         val Seq(t, gap) = args
         Sessionize.summarize(session.table(t), gap.toLong)
+      case "sliding_rollup" =>
+        if (args.length == 3)
+          Rollup.sliding(session.table(args(0)), args(1), args(2))
+        else Rollup.sliding(session.table(args(0)))
+      case "time_weighted_avg" =>
+        RefOps.timeWeightedAvg(session.table(args(0)))
+      case "rolling_zscore" =>
+        if (args.length == 4)
+          RefOps.rollingZscore(session.table(args(0)),
+            args(1).toInt, args(2).toInt, args(3).toDouble)
+        else RefOps.rollingZscore(session.table(args(0)))
+      case "drift_corr" =>
+        RefOps.lengthDriftCorr(session.table(args(0)))
+      case "len_histogram" =>
+        if (args.length == 2)
+          Rollup.charLenHistogram(session.table(args(0)),
+            bucketWidth = args(1).toInt)
+        else Rollup.charLenHistogram(session.table(args(0)))
+      case "ewma" =>
+        if (args.length == 2)
+          RefOps.ewma(session.table(args(0)), args(1).toDouble)
+        else RefOps.ewma(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

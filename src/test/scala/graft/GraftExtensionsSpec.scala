@@ -163,6 +163,42 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("round-4 table functions in SQL == Column API (sliding_rollup, twa, zscore, corr, histogram, ewma)") {
+    val tr = graft.ingest.Synth.transcripts(ext, 5, 30, 11L).toDF()
+    tr.createOrReplaceTempView("tr4_ext")
+    assertSameRows(ext.sql("SELECT * FROM sliding_rollup('tr4_ext')"),
+      graft.rollup.Rollup.sliding(tr))
+    assertSameRows(ext.sql("SELECT * FROM sliding_rollup('tr4_ext', '2 hours', '1 hour')"),
+      graft.rollup.Rollup.sliding(tr, "2 hours", "1 hour"))
+    assertSameRows(ext.sql("SELECT * FROM time_weighted_avg('tr4_ext')"),
+      graft.operators.RefOps.timeWeightedAvg(tr))
+    assertSameRows(ext.sql("SELECT * FROM rolling_zscore('tr4_ext')"),
+      graft.operators.RefOps.rollingZscore(tr))
+    assertSameRows(ext.sql("SELECT * FROM rolling_zscore('tr4_ext', 20, 10, 1.5)"),
+      graft.operators.RefOps.rollingZscore(tr, lookback = 20, minPoints = 10, threshold = 1.5))
+    assertSameRows(ext.sql("SELECT * FROM drift_corr('tr4_ext')"),
+      graft.operators.RefOps.lengthDriftCorr(tr))
+    assertSameRows(ext.sql("SELECT * FROM len_histogram('tr4_ext', 25)"),
+      graft.rollup.Rollup.charLenHistogram(tr, bucketWidth = 25))
+    // double tunables: SQL decimal literal 0.5 must land on the same
+    // IEEE double as the Scala literal
+    assertSameRows(ext.sql("SELECT * FROM ewma('tr4_ext', 0.5)"),
+      graft.operators.RefOps.ewma(tr, alpha = 0.5))
+    assertSameRows(ext.sql("SELECT * FROM ewma('tr4_ext')"),
+      graft.operators.RefOps.ewma(tr))
+    // malformed double tunable is an analysis error carrying the usage
+    val d = intercept[Exception] {
+      ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()
+    }
+    assert(d.getMessage.contains("alpha") && d.getMessage.contains("numeric"),
+      d.getMessage)
+    // operator-level require() still surfaces through the SQL path
+    val bad = intercept[Exception] {
+      ext.sql("SELECT * FROM rolling_zscore('tr4_ext', 5, 9, 2.0)").collect()
+    }
+    assert(bad.getMessage.contains("minPoints"), bad.getMessage)
+  }
+
   test("non-literal tuning parameter fails analysis with a pointed message") {
     val docs = graft.ingest.Synth.documents(ext, 5)
     docs.createOrReplaceTempView("docs_badarg")
