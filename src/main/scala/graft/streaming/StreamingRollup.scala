@@ -55,4 +55,31 @@ object StreamingRollup {
         col("turn_count"), col("user_turns"), col("assistant_turns"),
         col("tool_calls"), col("char_len_sum"), col("char_len_min"),
         col("char_len_max"))
+
+  /** Streaming sibling of [[graft.rollup.Rollup.sliding]]: overlapping
+    * hopping windows computed incrementally. Spark keeps one state row
+    * per (conv, window-instance) — w/s instances per key live at once,
+    * all bounded by the same watermark; a row arriving within the
+    * delay updates every window containing it, and append mode emits
+    * each instance exactly once when the watermark passes its end.
+    * Same column set as the batch operator so replayed input produces
+    * frame-identical rows (StreamingRollupSpec pins it).
+    */
+  def sliding(stream: DataFrame, windowExpr: String = "1 hour",
+      slideExpr: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .withColumn("char_len", length(col("text")).cast("long"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("conv_id"), window(col("ts"), windowExpr, slideExpr).as("w"))
+      .agg(
+        count(lit(1)).as("turn_count"),
+        count_if(col("role") === "user").as("user_turns"),
+        count(col("tool")).as("tool_calls"),
+        sum(col("char_len")).as("char_len_sum"))
+      .select(col("conv_id"), col("w.start").as("window_start"),
+        col("turn_count"), col("user_turns"), col("tool_calls"),
+        col("char_len_sum"),
+        (col("char_len_sum") * lit(1.0) / col("turn_count")).as("char_len_avg"))
 }
