@@ -93,19 +93,20 @@ object GraftExtensions {
       arities = Set(1)),
     tfn("rolling_zscore",
       "(table[, lookback, min_points, threshold]) - trailing-frame z-score outlier flags (defaults 10, 8, 2.0)",
-      arities = Set(1, 4), numericArgs = Set(1, 2), doubleArgs = Set(3)),
+      arities = Set(1, 4), intArgs = Set(1, 2), doubleArgs = Set(3)),
     tfn("drift_corr",
       "(table) - Pearson r between turn position and turn length per conversation",
       arities = Set(1)),
     tfn("len_histogram",
       "(table[, bucket_width]) - per-hour turn-length bucket counts and shares (default width 50)",
-      arities = Set(1, 2), numericArgs = Set(1)),
+      arities = Set(1, 2), intArgs = Set(1)),
     tfn("ewma",
       "(table[, alpha]) - exponentially-weighted moving average of turn length per conversation (default alpha 0.3)",
       arities = Set(1, 2), doubleArgs = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
-      numericArgs: Set[Int] = Set.empty, doubleArgs: Set[Int] = Set.empty)
+      numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,
+      doubleArgs: Set[Int] = Set.empty)
       : (FunctionIdentifier, ExpressionInfo,
          Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
     val builder = (args: Seq[Expression]) => {
@@ -114,9 +115,19 @@ object GraftExtensions {
           s"$name$usage — got ${args.length} argument(s)")
       // validate numeric positions EAGERLY so a malformed tunable is an
       // analysis error carrying the usage string, not a bare
-      // NumberFormatException from deep inside the resolution rule
+      // NumberFormatException from deep inside the resolution rule.
+      // intArgs additionally pins the INT range here — the rule's
+      // .toInt on an out-of-range long would be exactly that bare
+      // exception
       val strArgs = args.zipWithIndex.map { case (e, i) =>
         if (numericArgs.contains(i)) numLit(name, usage, e).toString
+        else if (intArgs.contains(i)) {
+          val v = numLit(name, usage, e)
+          if (v < Int.MinValue || v > Int.MaxValue)
+            throw new IllegalArgumentException(
+              s"$name$usage: integer tunable out of int range, got $v")
+          v.toString
+        }
         else if (doubleArgs.contains(i)) dblLit(name, usage, e).toString
         else strLit(name, usage, e)
       }

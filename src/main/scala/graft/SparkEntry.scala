@@ -642,7 +642,8 @@ object SparkEntry {
     "q50_ewma" -> Transcripts.oracle(
       """, e AS (
         |  SELECT conv_id, ts, turn_idx, LENGTH(text) AS len
-        |  FROM transcripts WHERE text IS NOT NULL AND ts IS NOT NULL)
+        |  FROM transcripts
+        |  WHERE text IS NOT NULL AND ts IS NOT NULL AND turn_idx IS NOT NULL)
         |SELECT conv_id, COUNT(*) AS n,
         |  list_reduce(list(CAST(len AS DOUBLE) ORDER BY ts, turn_idx),
         |              (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc) AS ewma_char_len

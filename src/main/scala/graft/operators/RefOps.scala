@@ -423,19 +423,28 @@ object RefOps {
   def ewma(transcripts: DataFrame, alpha: Double = 0.3): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     val grouped = transcripts
-      .filter(col("text").isNotNull && col("ts").isNotNull)
+      // turn_idx participates in the ORDER; a null there would sort
+      // nulls-first in Spark's struct compare but nulls-last in SQL
+      // ORDER BY — drop it with the other missing-sample markers
+      .filter(col("text").isNotNull && col("ts").isNotNull &&
+        col("turn_idx").isNotNull)
       .select(col("conv_id"),
         struct(col("ts"), col("turn_idx"),
           length(col("text")).cast("double").as("v")).as("p"))
       .groupBy(col("conv_id"))
       .agg(sort_array(collect_list(col("p"))).as("ps"),
         count(lit(1)).as("n"))
-    val vals = expr("transform(ps, p -> p.v)")
-    grouped.select(
+    // materialize the values array ONCE: lambda-bearing higher-order
+    // functions are exempt from both subexpression elimination and
+    // CollapseProject's inlining, so this select really runs transform
+    // a single time even though two expressions below consume it
+    val withVals = grouped.select(col("conv_id"), col("n"),
+      expr("transform(ps, p -> p.v)").as("vals"))
+    withVals.select(
       col("conv_id"), col("n"),
       aggregate(
-        slice(vals, lit(2), (col("n") - 1).cast("int")),
-        element_at(vals, lit(1)),
+        slice(col("vals"), lit(2), (col("n") - 1).cast("int")),
+        element_at(col("vals"), lit(1)),
         (acc, x) => lit(alpha) * x + (lit(1.0) - lit(alpha)) * acc)
         .as("ewma_char_len"))
   }

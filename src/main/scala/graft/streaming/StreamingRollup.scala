@@ -62,14 +62,17 @@ object StreamingRollup {
     * all bounded by the same watermark; a row arriving within the
     * delay updates every window containing it, and append mode emits
     * each instance exactly once when the watermark passes its end.
-    * Same column set as the batch operator so replayed input produces
-    * frame-identical rows (StreamingRollupSpec pins it).
+    * Same column set AND same row semantics as the batch operator —
+    * in particular null conv_id aggregates as its own group here too
+    * (unlike [[rollup]], whose durable job filters null keys upstream)
+    * — so replayed input produces frame-identical rows
+    * (StreamingRollupSpec pins it).
     */
   def sliding(stream: DataFrame, windowExpr: String = "1 hour",
       slideExpr: String = "30 minutes",
       watermarkDelay: String = "10 minutes"): DataFrame =
     stream
-      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .filter(col("ts").isNotNull)
       .withColumn("char_len", length(col("text")).cast("long"))
       .withWatermark("ts", watermarkDelay)
       .groupBy(col("conv_id"), window(col("ts"), windowExpr, slideExpr).as("w"))

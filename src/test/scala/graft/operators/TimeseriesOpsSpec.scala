@@ -272,7 +272,10 @@ class TimeseriesOpsSpec extends SparkTestBase {
   }
 
   test("ewma equals a driver-side sequential fold on synth data") {
-    val expected = turns.filter(col("ts").isNotNull)
+    val expected = turns
+      // mirror the operator's full missing-sample filter — getDouble
+      // would silently read a null length as 0.0
+      .filter(col("ts").isNotNull && col("text").isNotNull && col("turn_idx").isNotNull)
       .select(col("conv_id"), col("ts"), col("turn_idx"), length(col("text")).cast("double").as("v"))
       .collect()
       .groupBy(_.getString(0))
