@@ -122,11 +122,8 @@ object GraftExtensions {
       val strArgs = args.zipWithIndex.map { case (e, i) =>
         if (numericArgs.contains(i)) numLit(name, usage, e).toString
         else if (intArgs.contains(i)) {
-          val v = numLit(name, usage, e)
-          if (v < Int.MinValue || v > Int.MaxValue)
-            throw new IllegalArgumentException(
-              s"$name$usage: integer tunable out of int range, got $v")
-          v.toString
+          intRange(numLit(name, usage, e), s"$name$usage: integer tunable")
+            .toString
         }
         else if (doubleArgs.contains(i)) dblLit(name, usage, e).toString
         else strLit(name, usage, e)
@@ -200,14 +197,17 @@ object GraftExtensions {
       builder)
   }
 
-  private def intLit(fn: String, arg: String, e: Expression): Int = {
-    val v = longLit(fn, arg, e)
+  private def intLit(fn: String, arg: String, e: Expression): Int =
+    intRange(longLit(fn, arg, e),
+      s"$fn: '$arg' must be an integer literal in int range")
+
+  /** The ONE int-range guard both tunable surfaces share — silent
+    * .toInt truncation would run the query with a DIFFERENT parameter
+    * than written, the exact hazard the literal rule exists to prevent.
+    */
+  private def intRange(v: Long, onErr: => String): Int = {
     if (v < Int.MinValue || v > Int.MaxValue)
-      // silent .toInt truncation would run the query with a DIFFERENT
-      // parameter than written — the exact hazard the literal rule
-      // exists to prevent
-      throw new IllegalArgumentException(
-        s"$fn: '$arg' must be an integer literal in int range, got $v")
+      throw new IllegalArgumentException(s"$onErr (got $v, out of int range)")
     v.toInt
   }
 

@@ -414,8 +414,13 @@ object RefOps {
     * `functions.aggregate` — the exact same fold DuckDB's
     * `list_reduce` runs, in the same order, with the same
     * constant-folded `(1.0 − α)` IEEE literal, so the chained float
-    * result is bit-identical across engines. Null text / null ts are
-    * missing samples (dropped, [[timeWeightedAvg]] semantics).
+    * result is bit-identical across engines. Null text / null ts /
+    * null turn_idx are missing samples (dropped, [[timeWeightedAvg]]
+    * semantics). Input contract: (conv_id, turn_idx) unique — the
+    * transcripts invariant; on duplicate (ts, turn_idx) keys Spark's
+    * struct sort would tiebreak by VALUE while SQL ORDER BY leaves
+    * ties nondeterministic, so the fold order is only defined when the
+    * key is unique.
     * Scale: ONE conv_id exchange; per-group state is the O(turns)
     * sample array — the same envelope as the Gorilla block aggregator,
     * bounded by conversation length, NOT for unbounded keys.

@@ -64,9 +64,12 @@ object StreamingRollup {
     * each instance exactly once when the watermark passes its end.
     * Same column set AND same row semantics as the batch operator —
     * in particular null conv_id aggregates as its own group here too
-    * (unlike [[rollup]], whose durable job filters null keys upstream)
-    * — so replayed input produces frame-identical rows
-    * (StreamingRollupSpec pins it).
+    * (unlike [[rollup]], which filters null keys ITSELF as the front
+    * end of the durable job — a deliberate asymmetry between the two
+    * operators) — so replayed input produces frame-identical rows.
+    * StreamingRollupSpec pins replay parity including a null-key
+    * group (joined through a sentinel key, since an equi-join would
+    * silently drop null matches).
     */
   def sliding(stream: DataFrame, windowExpr: String = "1 hour",
       slideExpr: String = "30 minutes",

@@ -197,6 +197,13 @@ class GraftExtensionsSpec extends SparkTestBase {
       ext.sql("SELECT * FROM rolling_zscore('tr4_ext', 5, 9, 2.0)").collect()
     }
     assert(bad.getMessage.contains("minPoints"), bad.getMessage)
+    // an out-of-int-range int tunable fails EAGERLY with the usage
+    // string, not as a bare NumberFormatException from the rule's .toInt
+    val range = intercept[Exception] {
+      ext.sql("SELECT * FROM rolling_zscore('tr4_ext', 5000000000, 8, 2.0)").collect()
+    }
+    assert(range.getMessage.contains("int range") &&
+      range.getMessage.contains("lookback"), range.getMessage)
   }
 
   test("non-literal tuning parameter fails analysis with a pointed message") {

@@ -271,6 +271,31 @@ class TimeseriesOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](RefOps.ewma(df, alpha = 1.5))
   }
 
+  test("ewma drops null-turn_idx observations (order-key integrity)") {
+    // turnsDf can't carry a null Int — build with an explicit nullable
+    // schema; the null-turn_idx row has an extreme length so inclusion
+    // under EITHER tiebreak order would visibly shift the fold
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("tool", StringType), StructField("ts", TimestampType)))
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = java.util.Arrays.asList(
+      Row("A", Integer.valueOf(0), "user", "x" * 10, null, t0),
+      Row("A", null, "user", "x" * 999, null, t0),
+      Row("A", Integer.valueOf(1), "user", "x" * 20, null,
+        Timestamp.valueOf("2024-01-01 00:00:10")))
+    val df = spark.createDataFrame(rows, schema)
+    val out = RefOps.ewma(df, alpha = 0.3).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n") == 2L)
+    // mirror the operator's exact float shape: (1.0 - alpha), not a
+    // 0.7 literal (they can differ by an ulp at a round-to-even tie)
+    assert(out(0).getAs[Double]("ewma_char_len") == 0.3 * 20 + (1.0 - 0.3) * 10)
+  }
+
   test("ewma equals a driver-side sequential fold on synth data") {
     val expected = turns
       // mirror the operator's full missing-sample filter — getDouble
