@@ -102,7 +102,10 @@ object GraftExtensions {
       arities = Set(1, 2), intArgs = Set(1)),
     tfn("ewma",
       "(table[, alpha]) - exponentially-weighted moving average of turn length per conversation (default alpha 0.3)",
-      arities = Set(1, 2), doubleArgs = Set(1)))
+      arities = Set(1, 2), doubleArgs = Set(1)),
+    tfn("cusum_changepoint",
+      "(table[, slack, threshold]) - two-sided CUSUM changepoint flags on turn length vs the conversation mean (defaults 1, 3)",
+      arities = Set(1, 3), numericArgs = Set(1, 2)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

@@ -290,7 +290,12 @@ object SparkEntry {
       Rollup.charLenHistogram(transcripts(s, dir), Tier.H1, bucketWidth = 50)),
     // exponential smoothing: ordered-array fold, alpha pinned = oracle's 0.3
     "q50_ewma" -> ((s, dir) =>
-      graft.operators.RefOps.ewma(transcripts(s, dir), alpha = 0.3))
+      graft.operators.RefOps.ewma(transcripts(s, dir), alpha = 0.3)),
+    // two-sided CUSUM changepoint monitor via the max-plus closed form;
+    // slack/threshold pinned = the oracle's n*1 / n*3 literals
+    "q51_cusum_changepoint" -> ((s, dir) =>
+      graft.operators.RefOps.cusumChangepoint(transcripts(s, dir),
+        slack = 1L, threshold = 3L))
   )
 
   private val rollupSelect: String =
@@ -647,6 +652,36 @@ object SparkEntry {
         |SELECT conv_id, COUNT(*) AS n,
         |  list_reduce(list(CAST(len AS DOUBLE) ORDER BY ts, turn_idx),
         |              (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc) AS ewma_char_len
-        |FROM e GROUP BY 1""".stripMargin)
+        |FROM e GROUP BY 1""".stripMargin),
+    // the clamped CUSUM recurrence via its max-plus closed form
+    // s_i = S_i - min(0, running_min(S)); all state is n-scaled exact
+    // longs, the alarm compare is pure-integer, and the single double
+    // division mirrors Spark's operand order (q47 idiom)
+    "q51_cusum_changepoint" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, turn_idx, CAST(LENGTH(text) AS BIGINT) AS char_len
+        |  FROM transcripts WHERE text IS NOT NULL AND turn_idx IS NOT NULL),
+        |s AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY conv_id) AS n,
+        |         SUM(char_len) OVER (PARTITION BY conv_id) AS sx
+        |  FROM b),
+        |d AS (
+        |  SELECT *, n * char_len - sx - n * 1 AS dpos,
+        |         sx - n * char_len - n * 1 AS dneg
+        |  FROM s),
+        |c AS (
+        |  SELECT *, SUM(dpos) OVER w AS cp, SUM(dneg) OVER w AS cn
+        |  FROM d WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+        |                      ROWS UNBOUNDED PRECEDING)),
+        |m AS (
+        |  SELECT *, cp - LEAST(0, MIN(cp) OVER w) AS spos,
+        |         cn - LEAST(0, MIN(cn) OVER w) AS sneg
+        |  FROM c WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+        |                      ROWS UNBOUNDED PRECEDING))
+        |SELECT conv_id, turn_idx, char_len,
+        |  ROUND(CAST(spos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum_pos,
+        |  ROUND(CAST(sneg AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum_neg,
+        |  (spos > n * 3 OR sneg > n * 3) AS is_change
+        |FROM m""".stripMargin)
   )
 }

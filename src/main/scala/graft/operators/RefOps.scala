@@ -454,6 +454,82 @@ object RefOps {
         .as("ewma_char_len"))
   }
 
+  /** CUSUM changepoint detection over turn length per conversation —
+    * the classic two-sided Page cumulative-sum monitor
+    * `s⁺ᵢ = max(0, s⁺ᵢ₋₁ + (xᵢ − μ − k))`,
+    * `s⁻ᵢ = max(0, s⁻ᵢ₋₁ + (μ − xᵢ − k))` with the whole-series mean
+    * as the target μ (retrospective changepoint detection) and an
+    * alarm when either side exceeds `threshold`.
+    *
+    * The clamped recurrence looks inherently sequential, but it has
+    * the standard max-plus closed form
+    * `s⁺ᵢ = Sᵢ − min(0, min_{j≤i} Sⱼ)` over the plain cumulative sum
+    * `Sᵢ = Σ_{t≤i} dₜ` — a running sum plus a running min, both plain
+    * window frames, NO fold needed (unlike [[ewma]], whose recurrence
+    * has no such form). All state is integer, scaled by n to keep the
+    * mean exact: `dᵢ = n·xᵢ − Σx − n·k`, so s⁺/s⁻ are EXACT longs in
+    * both engines and the only doubles are one final division and the
+    * alarm compare stays pure-integer (`s > n·threshold`) — the
+    * hash-stability idiom of [[rollingZscore]]. Bounds: the scaled
+    * cumsum is ≤ n²·max_len, inside Long for million-turn
+    * conversations of 10k-char turns (~1e16).
+    *
+    * Null text / null turn_idx drop the whole observation
+    * ([[lengthDriftCorr]] semantics: a missing sample must not shift
+    * the mean or occupy a position in the recurrence). Fold order is
+    * defined by the transcripts (conv_id, turn_idx) uniqueness
+    * invariant, as in [[ewma]].
+    *
+    * Scale: ONE conv_id exchange — the unordered total-frame window
+    * and the two ordered running frames share the partitioning, so the
+    * three Window nodes plan over a single shuffle with one sort.
+    * Frames are O(1) state per row; nothing is collected.
+    */
+  def cusumChangepoint(transcripts: DataFrame, slack: Long = 1L,
+      threshold: Long = 3L): DataFrame = {
+    require(slack >= 0L, s"slack must be >= 0, got $slack")
+    require(threshold > 0L, s"threshold must be > 0, got $threshold")
+    // the totals are order-independent, but declaring them on the SAME
+    // (partition, order) spec as the running frames — with an
+    // unbounded-both-ways frame — lets every Window node share ONE
+    // sort; a bare partitionBy would satisfy its ordering with a
+    // conv_id-only sort and force a second (conv_id, turn_idx) sort
+    // for the running frames (measured: two Sort nodes)
+    val wAll = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = transcripts
+      .filter(col("text").isNotNull && col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"),
+        length(col("text")).cast("long").as("char_len"))
+    val deltas = base.select(
+      col("conv_id"), col("turn_idx"), col("char_len"),
+      count(lit(1)).over(wAll).as("_n"),
+      sum(col("char_len")).over(wAll).as("_sx"))
+      .select(col("conv_id"), col("turn_idx"), col("char_len"), col("_n"),
+        (col("_n") * col("char_len") - col("_sx") - col("_n") * lit(slack))
+          .as("_dpos"),
+        (col("_sx") - col("_n") * col("char_len") - col("_n") * lit(slack))
+          .as("_dneg"))
+    val cums = deltas.select(
+      col("conv_id"), col("turn_idx"), col("char_len"), col("_n"),
+      sum(col("_dpos")).over(wRun).as("_cp"),
+      sum(col("_dneg")).over(wRun).as("_cn"))
+    val clamped = cums.select(
+      col("conv_id"), col("turn_idx"), col("char_len"), col("_n"),
+      (col("_cp") - least(lit(0L), min(col("_cp")).over(wRun))).as("_spos"),
+      (col("_cn") - least(lit(0L), min(col("_cn")).over(wRun))).as("_sneg"))
+    clamped.select(
+      col("conv_id"), col("turn_idx"), col("char_len"),
+      round(col("_spos").cast("double") / col("_n").cast("double"), 6)
+        .as("cusum_pos"),
+      round(col("_sneg").cast("double") / col("_n").cast("double"), 6)
+        .as("cusum_neg"),
+      (col("_spos") > col("_n") * lit(threshold) ||
+        col("_sneg") > col("_n") * lit(threshold)).as("is_change"))
+  }
+
   /** Op #19 — running counters (`processed_rows += k`,
     * `CsvSettingsDAO.java:72-91`): cumulative sums over the stable
     * per-conversation order.

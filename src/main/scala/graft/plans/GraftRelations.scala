@@ -89,6 +89,11 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         if (args.length == 2)
           RefOps.ewma(session.table(args(0)), args(1).toDouble)
         else RefOps.ewma(session.table(args(0)))
+      case "cusum_changepoint" =>
+        if (args.length == 3)
+          RefOps.cusumChangepoint(session.table(args(0)),
+            args(1).toLong, args(2).toLong)
+        else RefOps.cusumChangepoint(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

@@ -186,6 +186,15 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.RefOps.ewma(tr, alpha = 0.5))
     assertSameRows(ext.sql("SELECT * FROM ewma('tr4_ext')"),
       graft.operators.RefOps.ewma(tr))
+    assertSameRows(ext.sql("SELECT * FROM cusum_changepoint('tr4_ext')"),
+      graft.operators.RefOps.cusumChangepoint(tr))
+    assertSameRows(ext.sql("SELECT * FROM cusum_changepoint('tr4_ext', 0, 5)"),
+      graft.operators.RefOps.cusumChangepoint(tr, slack = 0L, threshold = 5L))
+    // operator-level require() surfaces through the SQL path
+    val cb = intercept[Exception] {
+      ext.sql("SELECT * FROM cusum_changepoint('tr4_ext', -1, 3)").collect()
+    }
+    assert(cb.getMessage.contains("slack"), cb.getMessage)
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

@@ -321,4 +321,88 @@ class TimeseriesOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](RefOps.rollingZscore(df, lookback = 5, minPoints = 6))
     intercept[IllegalArgumentException](RefOps.rollingZscore(df, minPoints = 1))
   }
+
+  // ---- CUSUM changepoint ----------------------------------------------
+
+  test("cusum golden step-change values; both sides drift on a step") {
+    // lengths 10×4 then 30×4: mean is exactly 20, slack 1, so
+    // d⁺ = x−21 ∈ {−11, +9} and d⁻ = 19−x ∈ {+9, −11}. The negative
+    // side accumulates FIRST (first half below the retrospective
+    // mean), then decays — the monitor flags the shift from both ends
+    val df = turnsDf((0 until 8).map(i =>
+      ("A", i, "user", "x" * (if (i < 4) 10 else 30), null,
+        s"2024-01-01 00:00:0$i")))
+    val out = RefOps.cusumChangepoint(df, slack = 1L, threshold = 3L)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getAs[Double]("cusum_pos"), r.getAs[Double]("cusum_neg"),
+          r.getAs[Boolean]("is_change")))).toMap
+    val expPos = Seq(0.0, 0.0, 0.0, 0.0, 9.0, 18.0, 27.0, 36.0)
+    val expNeg = Seq(9.0, 18.0, 27.0, 36.0, 25.0, 14.0, 3.0, 0.0)
+    (0 until 8).foreach { i =>
+      assert(out(i)._1 == expPos(i), s"pos@$i: ${out(i)._1}")
+      assert(out(i)._2 == expNeg(i), s"neg@$i: ${out(i)._2}")
+      assert(out(i)._3 == (expPos(i) > 3.0 || expNeg(i) > 3.0), s"flag@$i")
+    }
+    intercept[IllegalArgumentException](RefOps.cusumChangepoint(df, slack = -1L))
+    intercept[IllegalArgumentException](RefOps.cusumChangepoint(df, threshold = 0L))
+  }
+
+  test("cusum closed form equals a driver-side clamped recurrence on synth data") {
+    // independent construction: run the clamped recurrence directly in
+    // scaled-integer space (d = n·x − Σx − n·k, clamp at 0) and derive
+    // the same rounded division the operator emits
+    val raw = turns
+      .filter(col("text").isNotNull && col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), length(col("text")).cast("long"))
+      .collect()
+      .groupBy(_.getString(0))
+    val expected = raw.view.mapValues { rows =>
+      val xs = rows.sortBy(_.getInt(1)).map(r => (r.getInt(1), r.getLong(2)))
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum
+      var sp = 0L; var sn = 0L
+      xs.map { case (ti, x) =>
+        sp = math.max(0L, sp + (n * x - sx - n * 1L))
+        sn = math.max(0L, sn + (sx - n * x - n * 1L))
+        // mirror the operator's exact float shape: IEEE division first,
+        // THEN decimal rounding of that double (Spark's Round on
+        // DoubleType rounds the decimal repr of the double, HALF_UP)
+        def div6(s: Long) = BigDecimal(s.toDouble / n.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        ti -> ((div6(sp), div6(sn), sp > n * 3L || sn > n * 3L))
+      }.toMap
+    }.toMap
+    val got = RefOps.cusumChangepoint(turns).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getAs[Double]("cusum_pos"), r.getAs[Double]("cusum_neg"),
+          r.getAs[Boolean]("is_change"))))
+    assert(got.nonEmpty && got.length == expected.values.map(_.size).sum)
+    // the monitor must actually fire somewhere on this synth input —
+    // an all-false column would leave the alarm path untested
+    assert(got.exists(_._2._3))
+    got.foreach { case ((c, ti), v) =>
+      assert(v == expected(c)(ti), s"$c@$ti: $v vs ${expected(c)(ti)}")
+    }
+  }
+
+  test("cusum drops null text / null turn_idx observations whole") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("tool", StringType), StructField("ts", TimestampType)))
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // the dropped rows carry extreme lengths: leaking either into the
+    // mean or the recurrence would visibly shift every output
+    val rows = java.util.Arrays.asList(
+      Row("A", Integer.valueOf(0), "user", "x" * 10, null, t0),
+      Row("A", Integer.valueOf(1), "user", null, null, t0),
+      Row("A", null, "user", "x" * 999, null, t0),
+      Row("A", Integer.valueOf(2), "user", "x" * 30, null, t0))
+    val out = RefOps.cusumChangepoint(spark.createDataFrame(rows, schema))
+      .collect().map(r => r.getInt(1) -> r.getAs[Double]("cusum_pos")).toMap
+    // surviving pair: mean 20, slack 1 → s⁺ = [0, 9]
+    assert(out == Map(0 -> 0.0, 2 -> 9.0))
+  }
 }

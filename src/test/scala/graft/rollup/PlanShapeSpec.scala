@@ -97,6 +97,16 @@ class PlanShapeSpec extends SparkTestBase {
     val pHist = plan(Rollup.charLenHistogram(turns))
     assert(exchanges(pHist) == 2, s"histogram is agg exchange + share exchange:\n$pHist")
     assert(pHist.contains("partial_count"), s"histogram needs map-side combine:\n$pHist")
+
+    // cusum: the total-frame window and the two dependent running
+    // frames (cumsum, then running min OF the cumsum) all share the
+    // conv_id partitioning — three Window nodes, ONE exchange, one sort
+    val pCusum = plan(graft.operators.RefOps.cusumChangepoint(turns))
+    assert(exchanges(pCusum) == 1, s"cusum must be one exchange:\n$pCusum")
+    assert(windows(pCusum) == 3,
+      s"cusum is total + cumsum + running-min Window nodes:\n$pCusum")
+    assert("Sort ".r.findAllIn(pCusum).size == 1,
+      s"the dependent running frames must share one sort:\n$pCusum")
   }
 
   test("planning-style aggregation prunes the text column from the scan") {
