@@ -487,8 +487,16 @@ object RefOps {
     */
   def cusumChangepoint(transcripts: DataFrame, slack: Long = 1L,
       threshold: Long = 3L): DataFrame = {
-    require(slack >= 0L, s"slack must be >= 0, got $slack")
-    require(threshold > 0L, s"threshold must be > 0, got $threshold")
+    // both tunables are in CHAR units (turn lengths); the 1e6 cap keeps
+    // every n-scaled product inside the documented Long envelope
+    // (n²·(max_len + slack) ≲ 1e18 for million-turn conversations) —
+    // without it a huge SQL literal would surface as a bare ANSI
+    // ARITHMETIC_OVERFLOW mid-query instead of an analysis-time error
+    val cap = 1000000L
+    require(slack >= 0L && slack <= cap,
+      s"slack must be in [0, $cap] (char units), got $slack")
+    require(threshold > 0L && threshold <= cap,
+      s"threshold must be in (0, $cap] (char units), got $threshold")
     // the totals are order-independent, but declaring them on the SAME
     // (partition, order) spec as the running frames — with an
     // unbounded-both-ways frame — lets every Window node share ONE

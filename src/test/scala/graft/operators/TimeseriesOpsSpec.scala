@@ -345,6 +345,12 @@ class TimeseriesOpsSpec extends SparkTestBase {
     }
     intercept[IllegalArgumentException](RefOps.cusumChangepoint(df, slack = -1L))
     intercept[IllegalArgumentException](RefOps.cusumChangepoint(df, threshold = 0L))
+    // over-cap tunables must be an analysis-time error, not a bare
+    // ANSI overflow from the n-scaled products mid-query
+    intercept[IllegalArgumentException](
+      RefOps.cusumChangepoint(df, slack = 1000001L))
+    intercept[IllegalArgumentException](
+      RefOps.cusumChangepoint(df, threshold = Long.MaxValue / 2))
   }
 
   test("cusum closed form equals a driver-side clamped recurrence on synth data") {
