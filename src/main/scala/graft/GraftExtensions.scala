@@ -105,7 +105,13 @@ object GraftExtensions {
       arities = Set(1, 2), doubleArgs = Set(1)),
     tfn("cusum_changepoint",
       "(table[, slack, threshold]) - two-sided CUSUM changepoint flags on turn length vs the conversation mean (defaults 1, 3)",
-      arities = Set(1, 3), numericArgs = Set(1, 2)))
+      arities = Set(1, 3), numericArgs = Set(1, 2)),
+    tfn("lag_autocorr",
+      "(table[, lag]) - lag-k serial correlation of turn length per conversation (default lag 1)",
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("mad_outliers",
+      "(table[, threshold]) - MAD modified z-score outlier flags on turn length (default cutoff 3.5)",
+      arities = Set(1, 2), doubleArgs = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

@@ -295,7 +295,13 @@ object SparkEntry {
     // slack/threshold pinned = the oracle's n*1 / n*3 literals
     "q51_cusum_changepoint" -> ((s, dir) =>
       graft.operators.RefOps.cusumChangepoint(transcripts(s, dir),
-        slack = 1L, threshold = 3L))
+        slack = 1L, threshold = 3L)),
+    // lag-1 serial correlation of turn lengths (exact integer moments)
+    "q52_lag_autocorr" -> ((s, dir) =>
+      graft.operators.RefOps.lagAutocorr(transcripts(s, dir), lagK = 1)),
+    // MAD modified z-score outliers; cutoff pinned = the oracle's 3.5
+    "q53_mad_outliers" -> ((s, dir) =>
+      graft.operators.RefOps.madOutliers(transcripts(s, dir), threshold = 3.5))
   )
 
   private val rollupSelect: String =
@@ -682,6 +688,55 @@ object SparkEntry {
         |  ROUND(CAST(spos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum_pos,
         |  ROUND(CAST(sneg AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum_neg,
         |  (spos > n * 3 OR sneg > n * 3) AS is_change
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin),
+    // serial correlation over lagged pairs: exact integer moments then
+    // one fixed double expression (the q48 idiom over LAG pairs)
+    "q52_lag_autocorr" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, turn_idx, CAST(LENGTH(text) AS BIGINT) AS y
+        |  FROM transcripts WHERE text IS NOT NULL AND turn_idx IS NOT NULL),
+        |p AS (
+        |  SELECT conv_id,
+        |         LAG(y, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS x, y
+        |  FROM b),
+        |m AS (
+        |  SELECT conv_id, COUNT(*) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM p WHERE x IS NOT NULL GROUP BY 1)
+        |SELECT conv_id, n_pairs,
+        |  CASE WHEN n_pairs >= 3
+        |        AND CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        |        AND CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+        |       THEN ROUND((CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |            / SQRT((CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |                 * (CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        |  END AS autocorr
+        |FROM m""".stripMargin),
+    // median/MAD are exact type-7 interpolations (quantile_cont ≡
+    // Spark percentile, the q18 guarantee); the z mirrors Spark's
+    // operand order exactly
+    "q53_mad_outliers" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, turn_idx, CAST(LENGTH(text) AS BIGINT) AS char_len
+        |  FROM transcripts WHERE text IS NOT NULL AND turn_idx IS NOT NULL),
+        |m AS (
+        |  SELECT *, quantile_cont(char_len, 0.5)
+        |              OVER (PARTITION BY conv_id) AS med
+        |  FROM b),
+        |a AS (
+        |  SELECT *, quantile_cont(ABS(CAST(char_len AS DOUBLE) - med), 0.5)
+        |              OVER (PARTITION BY conv_id) AS mad
+        |  FROM m)
+        |SELECT conv_id, turn_idx, char_len,
+        |  CASE WHEN mad > 0
+        |       THEN ROUND(0.6745 * (CAST(char_len AS DOUBLE) - med) / mad, 6)
+        |  END AS robust_z,
+        |  CASE WHEN mad > 0
+        |       THEN ABS(0.6745 * (CAST(char_len AS DOUBLE) - med) / mad) > 3.5
+        |  END AS is_outlier
+        |FROM a""".stripMargin)
   )
 }

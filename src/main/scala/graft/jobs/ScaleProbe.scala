@@ -70,14 +70,18 @@ object ScaleProbe {
         .agg(count(col("ewma_char_len"))).head())
       val tCusum = timed(graft.operators.RefOps.cusumChangepoint(raw)
         .agg(count(col("cusum_pos"))).head())
+      val tAc = timed(graft.operators.RefOps.lagAutocorr(raw)
+        .agg(count(col("autocorr"))).head())
+      val tMad = timed(graft.operators.RefOps.madOutliers(raw)
+        .agg(count(col("robust_z"))).head())
       val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
-        tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum
+        tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc + tMad
       println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
         f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs sessionize=$tSess%.2fs " +
         f"asof=$tAsof%.2fs interval=$tInterval%.2fs sliding=$tSliding%.2fs " +
         f"twa=$tTwa%.2fs zscore=$tZscore%.2fs corr=$tCorr%.2fs hist=$tHist%.2fs " +
-        f"ewma=$tEwma%.2fs cusum=$tCusum%.2fs total=$total%.2fs " +
-        f"throughput=${n / tM1}%.0f turns/s")
+        f"ewma=$tEwma%.2fs cusum=$tCusum%.2fs autocorr=$tAc%.2fs mad=$tMad%.2fs " +
+        f"total=$total%.2fs throughput=${n / tM1}%.0f turns/s")
       total
     }
     println(f"[scale-probe] BEST cores=$cores total=${results.min}%.2fs " +

@@ -538,6 +538,82 @@ object RefOps {
         col("_sneg") > col("_n") * lit(threshold)).as("is_change"))
   }
 
+  /** Lag-k autocorrelation of turn length per conversation — the
+    * serial-correlation estimator `corr(xₜ, xₜ₋ₖ)` over the valid
+    * pairs ("is a long turn followed by a long turn?"), the Pearson
+    * form over lagged pairs rather than the textbook ACF (which shares
+    * one mean/variance across lags; the pair form keeps every moment a
+    * plain integer sum — the [[lengthDriftCorr]] exactness idiom, no
+    * decimal widening needed since products stay ≤ max_len², ~1e8).
+    * The lag window and the moment aggregation share the conv_id
+    * partitioning — ONE exchange ([[timeWeightedAvg]] plan shape).
+    * Degenerate groups (fewer than 3 pairs, zero variance on either
+    * side) pin NULL; null text / null turn_idx drop the whole
+    * observation BEFORE pairing, so the lag spans the gap (the
+    * missing-sample semantics of the sibling operators).
+    */
+  def lagAutocorr(transcripts: DataFrame, lagK: Int = 1): DataFrame = {
+    require(lagK >= 1 && lagK <= 100000,
+      s"lagK must be in [1, 100000], got $lagK")
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val pairs = transcripts
+      .filter(col("text").isNotNull && col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"),
+        length(col("text")).cast("long").as("y"))
+      .withColumn("x", lag(col("y"), lagK).over(w))
+      .filter(col("x").isNotNull)
+    val m = pairs.groupBy(col("conv_id")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n_pairs").cast("double")
+    val cov = n * col("sxy") - col("sx").cast("double") * col("sy")
+    val vx = n * col("sxx") - col("sx").cast("double") * col("sx")
+    val vy = n * col("syy") - col("sy").cast("double") * col("sy")
+    m.select(
+      col("conv_id"), col("n_pairs"),
+      when(col("n_pairs") >= 3 && vx > 0 && vy > 0,
+        round(cov / sqrt(vx * vy), 6)).as("autocorr"))
+  }
+
+  /** MAD-based robust outlier flags on turn length per conversation —
+    * the Iglewicz-Hoaglin modified z-score
+    * `z = 0.6745·(x − median) / MAD` with the standard 3.5 cutoff: the
+    * robust sibling of [[rollingZscore]] (a single genuine spike
+    * cannot inflate the scale estimate and mask itself, which a
+    * mean/stddev monitor is vulnerable to). Median and MAD are exact
+    * type-7 interpolations over integers (values land on quarters at
+    * worst — exact binary fractions, identical in both engines, the
+    * q18 percentile ≡ quantile_cont guarantee), and the z is ONE fixed
+    * double expression over them. Zero-MAD groups (over half the turns
+    * at the median length) pin NULL.
+    * Scale: two dependent percentile Window nodes (the second consumes
+    * the first's median) sharing ONE unordered conv_id exchange — no
+    * sort at all; percentile state is a per-group buffer bounded by
+    * conversation length, the block-aggregator envelope.
+    */
+  def madOutliers(transcripts: DataFrame, threshold: Double = 3.5): DataFrame = {
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
+    val wAll = Window.partitionBy(col("conv_id"))
+    val withMed = transcripts
+      .filter(col("text").isNotNull && col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"),
+        length(col("text")).cast("long").as("char_len"))
+      .withColumn("_med", percentile(col("char_len"), lit(0.5)).over(wAll))
+    val withMad = withMed
+      .withColumn("_mad",
+        percentile(abs(col("char_len").cast("double") - col("_med")), lit(0.5))
+          .over(wAll))
+    val z = lit(0.6745) * (col("char_len").cast("double") - col("_med")) /
+      col("_mad")
+    withMad.select(
+      col("conv_id"), col("turn_idx"), col("char_len"),
+      when(col("_mad") > 0, round(z, 6)).as("robust_z"),
+      when(col("_mad") > 0, abs(z) > lit(threshold)).as("is_outlier"))
+  }
+
   /** Op #19 — running counters (`processed_rows += k`,
     * `CsvSettingsDAO.java:72-91`): cumulative sums over the stable
     * per-conversation order.

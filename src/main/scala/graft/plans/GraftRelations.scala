@@ -94,6 +94,14 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
           RefOps.cusumChangepoint(session.table(args(0)),
             args(1).toLong, args(2).toLong)
         else RefOps.cusumChangepoint(session.table(args(0)))
+      case "lag_autocorr" =>
+        if (args.length == 2)
+          RefOps.lagAutocorr(session.table(args(0)), args(1).toInt)
+        else RefOps.lagAutocorr(session.table(args(0)))
+      case "mad_outliers" =>
+        if (args.length == 2)
+          RefOps.madOutliers(session.table(args(0)), args(1).toDouble)
+        else RefOps.madOutliers(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

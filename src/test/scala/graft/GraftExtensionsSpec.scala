@@ -195,6 +195,14 @@ class GraftExtensionsSpec extends SparkTestBase {
       ext.sql("SELECT * FROM cusum_changepoint('tr4_ext', -1, 3)").collect()
     }
     assert(cb.getMessage.contains("slack"), cb.getMessage)
+    assertSameRows(ext.sql("SELECT * FROM lag_autocorr('tr4_ext')"),
+      graft.operators.RefOps.lagAutocorr(tr))
+    assertSameRows(ext.sql("SELECT * FROM lag_autocorr('tr4_ext', 2)"),
+      graft.operators.RefOps.lagAutocorr(tr, lagK = 2))
+    assertSameRows(ext.sql("SELECT * FROM mad_outliers('tr4_ext')"),
+      graft.operators.RefOps.madOutliers(tr))
+    assertSameRows(ext.sql("SELECT * FROM mad_outliers('tr4_ext', 2.5)"),
+      graft.operators.RefOps.madOutliers(tr, threshold = 2.5))
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

@@ -391,6 +391,125 @@ class TimeseriesOpsSpec extends SparkTestBase {
     }
   }
 
+  // ---- lag autocorrelation ---------------------------------------------
+
+  test("lagAutocorr golden: perfect alternation is -1, monotone ramp is +1") {
+    val df = turnsDf(
+      (0 until 6).map(i => ("ALT", i, "user",
+        "x" * (if (i % 2 == 0) 10 else 20), null, "2024-01-01 00:00:00")) ++
+      (0 until 5).map(i => ("RAMP", i, "user",
+        "x" * (10 + 10 * i), null, "2024-01-01 00:00:00")) ++
+      (0 until 5).map(i => ("CONST", i, "user", "x" * 7, null,
+        "2024-01-01 00:00:00")) ++
+      (0 until 3).map(i => ("TINY", i, "user", "x" * (7 + i), null,
+        "2024-01-01 00:00:00")))
+    val out = RefOps.lagAutocorr(df).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_pairs"),
+        Option(r.getAs[java.lang.Double]("autocorr")))).toMap
+    assert(out("ALT") == ((5L, Some(java.lang.Double.valueOf(-1.0)))))
+    assert(out("RAMP") == ((4L, Some(java.lang.Double.valueOf(1.0)))))
+    // zero variance and too-few-pairs both pin NULL
+    assert(out("CONST") == ((4L, None)))
+    assert(out("TINY") == ((2L, None)))
+    intercept[IllegalArgumentException](RefOps.lagAutocorr(df, lagK = 0))
+    intercept[IllegalArgumentException](RefOps.lagAutocorr(df, lagK = 100001))
+  }
+
+  test("lagAutocorr equals Spark's own corr over the lag pairs; gaps pair across") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val pairs = turns
+      .filter(col("text").isNotNull && col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"),
+        length(col("text")).cast("double").as("y"))
+      .withColumn("x", lag(col("y"), 1).over(w))
+      .filter(col("x").isNotNull)
+    val expected = pairs.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n"), corr(col("x"), col("y")).as("r"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.getAs[java.lang.Double]("r")))).toMap
+    val got = RefOps.lagAutocorr(turns).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_pairs"),
+        Option(r.getAs[java.lang.Double]("autocorr")))).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    got.foreach { case (c, (n, a)) =>
+      val (en, er) = expected(c)
+      assert(n == en, s"$c pairs: $n vs $en")
+      (a, er) match {
+        case (Some(av), Some(ev)) =>
+          // corr is Welford-based and unrounded; the exact-moment form
+          // is rounded at scale 6 — agree to half-ulp-of-round plus
+          // float tolerance (the operator's own cross-engine guarantee
+          // is the integer moments, not this cross-check)
+          assert(math.abs(av - ev) < 6e-7, s"$c: $av vs $ev")
+        case (None, _) => // operator pins NULL where corr may emit NaN/1.0
+        case other => fail(s"$c: $other")
+      }
+    }
+  }
+
+  test("madOutliers golden: median, MAD, modified z and the 3.5 cutoff") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x" * 1, null, "2024-01-01 00:00:00"),
+      ("A", 1, "user", "x" * 2, null, "2024-01-01 00:00:00"),
+      ("A", 2, "user", "x" * 3, null, "2024-01-01 00:00:00"),
+      ("A", 3, "user", "x" * 4, null, "2024-01-01 00:00:00"),
+      ("A", 4, "user", "x" * 100, null, "2024-01-01 00:00:00"),
+      // even count: median interpolates to 2.0, MAD to 1.0
+      ("E", 0, "user", "x" * 1, null, "2024-01-01 00:00:00"),
+      ("E", 1, "user", "x" * 3, null, "2024-01-01 00:00:00"),
+      // >half at the median: MAD is 0, everything pins NULL
+      ("Z", 0, "user", "x" * 5, null, "2024-01-01 00:00:00"),
+      ("Z", 1, "user", "x" * 5, null, "2024-01-01 00:00:00"),
+      ("Z", 2, "user", "x" * 5, null, "2024-01-01 00:00:00"),
+      ("Z", 3, "user", "x" * 9, null, "2024-01-01 00:00:00")))
+    val out = RefOps.madOutliers(df).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((Option(r.getAs[java.lang.Double]("robust_z")),
+          Option(r.getAs[java.lang.Boolean]("is_outlier"))))).toMap
+    // A: median 3, absdev [2,1,0,1,97], MAD 1
+    assert(out(("A", 2)) == ((Some(0.0), Some(false))))
+    assert(out(("A", 4)) ==
+      ((Some(BigDecimal(0.6745 * 97.0 / 1.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble), Some(true))))
+    assert(out(("E", 0)) == ((Some(-0.6745), Some(false))))
+    assert(out(("E", 1)) == ((Some(0.6745), Some(false))))
+    (0 until 4).foreach(i => assert(out(("Z", i)) == ((None, None)), s"Z@$i"))
+    intercept[IllegalArgumentException](RefOps.madOutliers(df, threshold = 0.0))
+  }
+
+  test("madOutliers equals a driver-side type-7 median/MAD on synth data") {
+    val raw = turns
+      .filter(col("text").isNotNull && col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), length(col("text")).cast("long"))
+      .collect().groupBy(_.getString(0))
+    def type7(sorted: Array[Double]): Double = {
+      val pos = (sorted.length - 1) * 0.5
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (frac == 0.0) sorted(lo)
+      else sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+    }
+    val expected = raw.view.mapValues { rows =>
+      val xs = rows.map(r => (r.getInt(1), r.getLong(2)))
+      val med = type7(xs.map(_._2.toDouble).sorted)
+      val mad = type7(xs.map(p => math.abs(p._2.toDouble - med)).sorted)
+      xs.map { case (ti, x) =>
+        ti -> (if (mad > 0)
+          Some(BigDecimal(0.6745 * (x.toDouble - med) / mad)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None)
+      }.toMap
+    }.toMap
+    val got = RefOps.madOutliers(turns).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        Option(r.getAs[java.lang.Double]("robust_z")))
+    assert(got.nonEmpty && got.exists(_._2.isDefined))
+    got.foreach { case ((c, ti), v) =>
+      assert(v == expected(c)(ti), s"$c@$ti: $v vs ${expected(c)(ti)}")
+    }
+  }
+
   test("cusum drops null text / null turn_idx observations whole") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -107,6 +107,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"cusum is total + cumsum + running-min Window nodes:\n$pCusum")
     assert("Sort ".r.findAllIn(pCusum).size == 1,
       s"the dependent running frames must share one sort:\n$pCusum")
+
+    // autocorr: the lag window and the moment groupBy share the
+    // conv_id partitioning (the twa shape) — one exchange
+    val pAc = plan(graft.operators.RefOps.lagAutocorr(turns))
+    assert(exchanges(pAc) == 1, s"autocorr must reuse the window partitioning:\n$pAc")
+    assert(windows(pAc) == 1, s"autocorr is one lag Window:\n$pAc")
+
+    // mad: two dependent percentile windows (MAD consumes the median)
+    // over ONE unordered conv_id exchange and one partition-grouping sort
+    val pMad = plan(graft.operators.RefOps.madOutliers(turns))
+    assert(exchanges(pMad) == 1, s"mad must be one exchange:\n$pMad")
+    assert(windows(pMad) == 2, s"mad is median + MAD Window nodes:\n$pMad")
   }
 
   test("planning-style aggregation prunes the text column from the scan") {
