@@ -389,21 +389,34 @@ object RefOps {
       // sums with a count(*)-style n would mix moments over different
       // row sets and corrupt r (sign flips included)
       .filter(col("y").isNotNull)
-      .groupBy(col("conv_id"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-    val n = col("n").cast("double")
+    pearsonFromMoments(s, nName = "n", outName = "drift_corr")
+  }
+
+  /** Shared guarded Pearson pipeline over a (conv_id, x:long, y:long)
+    * frame — the exactness-critical formula [[lengthDriftCorr]] and
+    * [[lagAutocorr]] both rely on: exact integer group moments
+    * (n, Σx, Σy, Σxy, Σx², Σy²), then ONE fixed double expression whose
+    * operand order both operators' DuckDB oracles mirror verbatim.
+    * Degenerate groups (n < 3, zero variance on either axis) pin NULL.
+    * Any change here changes BOTH operators' cross-engine hash
+    * guarantees — keep the oracle SQL in SparkEntry in lockstep.
+    */
+  private def pearsonFromMoments(xy: DataFrame, nName: String,
+      outName: String): DataFrame = {
+    val m = xy.groupBy(col("conv_id")).agg(
+      count(lit(1)).as(nName),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col(nName).cast("double")
     val cov = n * col("sxy") - col("sx").cast("double") * col("sy")
     val vx = n * col("sxx") - col("sx").cast("double") * col("sx")
     val vy = n * col("syy") - col("sy").cast("double") * col("sy")
-    s.select(
-      col("conv_id"), col("n"),
-      when(col("n") >= 3 && vx > 0 && vy > 0,
-        round(cov / sqrt(vx * vy), 6)).as("drift_corr"))
+    m.select(
+      col("conv_id"), col(nName),
+      when(col(nName) >= 3 && vx > 0 && vy > 0,
+        round(cov / sqrt(vx * vy), 6)).as(outName))
   }
 
   /** Exponentially-weighted moving average of turn length per
@@ -562,20 +575,7 @@ object RefOps {
         length(col("text")).cast("long").as("y"))
       .withColumn("x", lag(col("y"), lagK).over(w))
       .filter(col("x").isNotNull)
-    val m = pairs.groupBy(col("conv_id")).agg(
-      count(lit(1)).as("n_pairs"),
-      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"))
-    val n = col("n_pairs").cast("double")
-    val cov = n * col("sxy") - col("sx").cast("double") * col("sy")
-    val vx = n * col("sxx") - col("sx").cast("double") * col("sx")
-    val vy = n * col("syy") - col("sy").cast("double") * col("sy")
-    m.select(
-      col("conv_id"), col("n_pairs"),
-      when(col("n_pairs") >= 3 && vx > 0 && vy > 0,
-        round(cov / sqrt(vx * vy), 6)).as("autocorr"))
+    pearsonFromMoments(pairs, nName = "n_pairs", outName = "autocorr")
   }
 
   /** MAD-based robust outlier flags on turn length per conversation —
@@ -590,9 +590,11 @@ object RefOps {
     * double expression over them. Zero-MAD groups (over half the turns
     * at the median length) pin NULL.
     * Scale: two dependent percentile Window nodes (the second consumes
-    * the first's median) sharing ONE unordered conv_id exchange — no
-    * sort at all; percentile state is a per-group buffer bounded by
-    * conversation length, the block-aggregator envelope.
+    * the first's median) sharing ONE conv_id exchange and one
+    * partition-grouping sort (WindowExec needs rows clustered by the
+    * partition key even with no order keys); percentile state is a
+    * per-group buffer bounded by conversation length, the
+    * block-aggregator envelope.
     */
   def madOutliers(transcripts: DataFrame, threshold: Double = 3.5): DataFrame = {
     require(threshold > 0.0, s"threshold must be > 0, got $threshold")

@@ -194,7 +194,10 @@ class GraftExtensionsSpec extends SparkTestBase {
     val cb = intercept[Exception] {
       ext.sql("SELECT * FROM cusum_changepoint('tr4_ext', -1, 3)").collect()
     }
-    assert(cb.getMessage.contains("slack"), cb.getMessage)
+    // assert the require's distinctive text, not just "slack" — the
+    // tfn usage string also contains "slack", which would satisfy a
+    // bare contains() even for an analysis-layer arity/literal error
+    assert(cb.getMessage.contains("slack must be in"), cb.getMessage)
     assertSameRows(ext.sql("SELECT * FROM lag_autocorr('tr4_ext')"),
       graft.operators.RefOps.lagAutocorr(tr))
     assertSameRows(ext.sql("SELECT * FROM lag_autocorr('tr4_ext', 2)"),
