@@ -111,7 +111,13 @@ object GraftExtensions {
       arities = Set(1, 2), intArgs = Set(1)),
     tfn("mad_outliers",
       "(table[, threshold]) - MAD modified z-score outlier flags on turn length (default cutoff 3.5)",
-      arities = Set(1, 2), doubleArgs = Set(1)))
+      arities = Set(1, 2), doubleArgs = Set(1)),
+    tfn("turn_gap_stats",
+      "(table) - inter-arrival gap distribution per conversation (n, p50, p95, max in microseconds)",
+      arities = Set(1)),
+    tfn("spearman_drift",
+      "(table) - Spearman rank correlation between turn position and turn length per conversation",
+      arities = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

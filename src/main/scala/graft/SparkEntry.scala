@@ -301,7 +301,13 @@ object SparkEntry {
       graft.operators.RefOps.lagAutocorr(transcripts(s, dir), lagK = 1)),
     // MAD modified z-score outliers; cutoff pinned = the oracle's 3.5
     "q53_mad_outliers" -> ((s, dir) =>
-      graft.operators.RefOps.madOutliers(transcripts(s, dir), threshold = 3.5))
+      graft.operators.RefOps.madOutliers(transcripts(s, dir), threshold = 3.5)),
+    // inter-arrival gap distribution (exact p50/p95/max in µs)
+    "q54_turn_gap_stats" -> ((s, dir) =>
+      graft.operators.RefOps.turnGapStats(transcripts(s, dir))),
+    // Spearman rank drift: Pearson over doubled tie-averaged ranks
+    "q55_spearman_drift" -> ((s, dir) =>
+      graft.operators.RefOps.spearmanDrift(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -737,6 +743,50 @@ object SparkEntry {
         |  CASE WHEN mad > 0
         |       THEN ABS(0.6745 * (CAST(char_len AS DOUBLE) - med) / mad) > 3.5
         |  END AS is_outlier
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin),
+    // the q46 lead-diff over (ts, turn_idx) order; quantile_cont over
+    // integer µs ≡ Spark percentile (the q18 guarantee)
+    "q54_turn_gap_stats" -> Transcripts.oracle(
+      """, g AS (
+        |  SELECT conv_id,
+        |         LEAD(EPOCH_US(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+        |           - EPOCH_US(ts) AS dt_us
+        |  FROM transcripts WHERE ts IS NOT NULL AND turn_idx IS NOT NULL)
+        |SELECT conv_id, COUNT(*) AS n_gaps,
+        |  quantile_cont(dt_us, 0.5) AS gap_p50_us,
+        |  quantile_cont(dt_us, 0.95) AS gap_p95_us,
+        |  CAST(MAX(dt_us) AS BIGINT) AS gap_max_us
+        |FROM g WHERE dt_us IS NOT NULL GROUP BY 1""".stripMargin),
+    // doubled ranks keep every moment an exact long; tie-averaged
+    // length rank = 2·RANK + peers − 1; the final expression mirrors
+    // q48's operand order exactly
+    "q55_spearman_drift" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, turn_idx, CAST(LENGTH(text) AS BIGINT) AS char_len
+        |  FROM transcripts WHERE text IS NOT NULL AND turn_idx IS NOT NULL),
+        |r AS (
+        |  SELECT conv_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+        |         AS BIGINT) * 2 AS x,
+        |    CAST(RANK() OVER (PARTITION BY conv_id ORDER BY char_len)
+        |         AS BIGINT) * 2
+        |      + COUNT(*) OVER (PARTITION BY conv_id, char_len) - 1 AS y
+        |  FROM b),
+        |m AS (
+        |  SELECT conv_id, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT conv_id, n,
+        |  CASE WHEN n >= 3
+        |        AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        |        AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+        |       THEN ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |            / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |                 * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        |  END AS spearman_corr
+        |FROM m""".stripMargin)
   )
 }

@@ -616,6 +616,78 @@ object RefOps {
       when(col("_mad") > 0, abs(z) > lit(threshold)).as("is_outlier"))
   }
 
+  /** Inter-arrival (turn-gap) distribution per conversation — n_gaps,
+    * p50/p95 and max of the successor time delta in microseconds: the
+    * cadence profile ("how bursty is this conversation?") that the
+    * tumbling rollup's turn_count-per-window only coarsely implies.
+    * Gaps are the [[timeWeightedAvg]] lead-diff (a null ts or null
+    * turn_idx is a missing sample, dropped whole, so the gap spans it);
+    * single-turn conversations carry no gap and yield no row. Both
+    * quantiles come from ONE `percentile` array call — one sort buffer
+    * per group, not two — and are exact type-7 interpolations over
+    * integer microseconds (the q18 ≡ quantile_cont guarantee).
+    * Scale: the lead window and the aggregation share the conv_id
+    * partitioning — ONE exchange (the twa plan shape); percentile
+    * state is bounded by conversation length.
+    */
+  def turnGapStats(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    // order by the PROJECTED µs value (unix_micros is monotone in ts,
+    // so (_us, turn_idx) ≡ (ts, turn_idx) ordering) — ts itself is
+    // pruned before the window
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("_us"), col("turn_idx"))
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    val gaps = transcripts
+      .filter(col("ts").isNotNull && col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), tsUs.as("_us"))
+      .withColumn("dt_us", lead(col("_us"), 1).over(w) - col("_us"))
+      .filter(col("dt_us").isNotNull)
+    gaps.groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        percentile(col("dt_us"), array(lit(0.5), lit(0.95))).as("_q"),
+        max(col("dt_us")).as("gap_max_us"))
+      .select(col("conv_id"), col("n_gaps"),
+        col("_q").getItem(0).as("gap_p50_us"),
+        col("_q").getItem(1).as("gap_p95_us"),
+        col("gap_max_us"))
+  }
+
+  /** Spearman rank correlation between turn position and turn length
+    * per conversation — the rank-based (outlier-robust) sibling of
+    * [[lengthDriftCorr]]: one 10k-char turn cannot dominate the trend
+    * signal. Spearman IS Pearson over ranks, so this reuses
+    * [[pearsonFromMoments]] verbatim: position ranks are row numbers
+    * (unique by the (conv_id, turn_idx) invariant) and length ranks
+    * are tie-AVERAGED (`rank + (peers−1)/2`, the standard fractional
+    * rank), both DOUBLED so every rank is an exact integer and the
+    * moments stay plain long sums. Envelope: Σ(2rx·2ry) ≤ 4n³ —
+    * inside Long for million-turn conversations. The peers count uses
+    * a RANGE current-row frame (all rows tied on the order key), which
+    * shares the length-rank window's (conv_id, char_len) sort instead
+    * of forcing a second exchange on (conv_id, char_len).
+    * Scale: ONE conv_id exchange, two sorts (position order, length
+    * order), then the moment groupBy reuses the partitioning.
+    */
+  def spearmanDrift(transcripts: DataFrame): DataFrame = {
+    val wIdx = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val wLen = Window.partitionBy(col("conv_id")).orderBy(col("char_len"))
+    val wPeers = Window.partitionBy(col("conv_id")).orderBy(col("char_len"))
+      .rangeBetween(Window.currentRow, Window.currentRow)
+    val ranked = transcripts
+      .filter(col("text").isNotNull && col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"),
+        length(col("text")).cast("long").as("char_len"))
+      .select(col("conv_id"),
+        // 2·row_number: doubled position rank (ties impossible)
+        (row_number().over(wIdx).cast("long") * 2L).as("x"),
+        // 2·(rank + (peers−1)/2) = 2·rank + peers − 1: doubled
+        // tie-averaged length rank, exact integers throughout
+        (rank().over(wLen).cast("long") * 2L +
+          count(lit(1)).over(wPeers) - 1L).as("y"))
+    pearsonFromMoments(ranked, nName = "n", outName = "spearman_corr")
+  }
+
   /** Op #19 — running counters (`processed_rows += k`,
     * `CsvSettingsDAO.java:72-91`): cumulative sums over the stable
     * per-conversation order.

@@ -102,6 +102,10 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         if (args.length == 2)
           RefOps.madOutliers(session.table(args(0)), args(1).toDouble)
         else RefOps.madOutliers(session.table(args(0)))
+      case "turn_gap_stats" =>
+        RefOps.turnGapStats(session.table(args(0)))
+      case "spearman_drift" =>
+        RefOps.spearmanDrift(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

@@ -206,6 +206,10 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.RefOps.madOutliers(tr))
     assertSameRows(ext.sql("SELECT * FROM mad_outliers('tr4_ext', 2.5)"),
       graft.operators.RefOps.madOutliers(tr, threshold = 2.5))
+    assertSameRows(ext.sql("SELECT * FROM turn_gap_stats('tr4_ext')"),
+      graft.operators.RefOps.turnGapStats(tr))
+    assertSameRows(ext.sql("SELECT * FROM spearman_drift('tr4_ext')"),
+      graft.operators.RefOps.spearmanDrift(tr))
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

@@ -484,11 +484,11 @@ class TimeseriesOpsSpec extends SparkTestBase {
       .select(col("conv_id"), col("turn_idx"), length(col("text")).cast("long"))
       .collect().groupBy(_.getString(0))
     def type7(sorted: Array[Double]): Double = {
+      // Spark Percentile's linear-combination form (see turnGapStats spec)
       val pos = (sorted.length - 1) * 0.5
       val lo = pos.toInt
-      val frac = pos - lo
-      if (frac == 0.0) sorted(lo)
-      else sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+      if (pos == lo) sorted(lo)
+      else (lo + 1 - pos) * sorted(lo) + (pos - lo) * sorted(lo + 1)
     }
     val expected = raw.view.mapValues { rows =>
       val xs = rows.map(r => (r.getInt(1), r.getLong(2)))
@@ -508,6 +508,123 @@ class TimeseriesOpsSpec extends SparkTestBase {
     got.foreach { case ((c, ti), v) =>
       assert(v == expected(c)(ti), s"$c@$ti: $v vs ${expected(c)(ti)}")
     }
+  }
+
+  // ---- turn-gap stats --------------------------------------------------
+
+  test("turnGapStats golden: exact quantiles, gap spans missing samples, single turn drops") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "a", null, "2024-01-01 00:00:00"),
+      ("A", 1, "user", "b", null, "2024-01-01 00:00:10"),
+      ("A", 2, "user", "c", null, "2024-01-01 00:00:40"),
+      ("ONE", 0, "user", "d", null, "2024-01-01 00:00:00"),
+      ("HOLE", 0, "user", "e", null, "2024-01-01 00:00:00"),
+      ("HOLE", 1, "user", "f", null, null),
+      ("HOLE", 2, "user", "g", null, "2024-01-01 00:00:40")))
+    val out = RefOps.turnGapStats(df).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_gaps"),
+        r.getAs[Double]("gap_p50_us"), r.getAs[Double]("gap_p95_us"),
+        r.getAs[Long]("gap_max_us")))).toMap
+    // A: gaps [10s, 30s] → p50 = 10e6 + 0.5·20e6, p95 = 10e6 + 0.95·20e6
+    assert(out("A") == ((2L, 2.0e7, 2.9e7, 30000000L)))
+    // the null-ts turn is a missing sample: ONE gap spanning it
+    assert(out("HOLE") == ((1L, 4.0e7, 4.0e7, 40000000L)))
+    assert(!out.contains("ONE"))
+  }
+
+  test("turnGapStats equals a driver-side type-7 quantile on synth data") {
+    def type7(sorted: Array[Double], q: Double): Double = {
+      // Spark's Percentile evaluates the LINEAR-COMBINATION form
+      // (hi−pos)·lo + (pos−lo)·hi, which differs from lo+frac·(hi−lo)
+      // in the last ulps — mirror it exactly
+      val pos = (sorted.length - 1) * q
+      val lo = pos.toInt
+      if (pos == lo) sorted(lo)
+      else (lo + 1 - pos) * sorted(lo) + (pos - lo) * sorted(lo + 1)
+    }
+    val raw = turns
+      .filter(col("ts").isNotNull && col("turn_idx").isNotNull)
+      .select(col("conv_id"), unix_micros(col("ts").cast("timestamp")),
+        col("turn_idx"))
+      .collect().groupBy(_.getString(0))
+    val expected = raw.view.mapValues { rows =>
+      val us = rows.sortBy(r => (r.getLong(1), r.getInt(2))).map(_.getLong(1))
+      us.sliding(2).filter(_.length == 2).map(p => p(1) - p(0)).toArray
+    }.filter(_._2.nonEmpty).mapValues { gaps =>
+      val s = gaps.map(_.toDouble).sorted
+      (gaps.length.toLong, type7(s, 0.5), type7(s, 0.95), gaps.max)
+    }.toMap
+    val got = RefOps.turnGapStats(turns).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_gaps"),
+        r.getAs[Double]("gap_p50_us"), r.getAs[Double]("gap_p95_us"),
+        r.getAs[Long]("gap_max_us")))).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    got.foreach { case (c, v) => assert(v == expected(c), s"$c: $v vs ${expected(c)}") }
+  }
+
+  // ---- Spearman drift ---------------------------------------------------
+
+  test("spearmanDrift golden: monotone is ±1 even with outliers; ties average") {
+    val df = turnsDf(
+      (0 until 5).map(i => ("UP", i, "user", "x" * (10 + i), null,
+        "2024-01-01 00:00:00")) ++
+      (0 until 5).map(i => ("DOWN", i, "user", "x" * (20 - i), null,
+        "2024-01-01 00:00:00")) ++
+      // monotone with a huge last value: Pearson < 1, Spearman exactly 1
+      (0 until 5).map(i => ("OUT", i, "user",
+        "x" * (if (i == 4) 5000 else 10 + i), null, "2024-01-01 00:00:00")) ++
+      // lengths [10, 10, 20]: tie-averaged ranks [1.5, 1.5, 3] vs
+      // positions [1, 2, 3] → the known 0.866025 value
+      Seq(("TIE", 0, "user", "x" * 10, null, "2024-01-01 00:00:00"),
+        ("TIE", 1, "user", "x" * 10, null, "2024-01-01 00:00:00"),
+        ("TIE", 2, "user", "x" * 20, null, "2024-01-01 00:00:00")) ++
+      (0 until 4).map(i => ("CONST", i, "user", "x" * 7, null,
+        "2024-01-01 00:00:00")))
+    val out = RefOps.spearmanDrift(df).collect()
+      .map(r => r.getString(0) ->
+        Option(r.getAs[java.lang.Double]("spearman_corr")).map(_.doubleValue)).toMap
+    assert(out("UP").contains(1.0))
+    assert(out("DOWN").contains(-1.0))
+    assert(out("OUT").contains(1.0))
+    assert(out("TIE").contains(0.866025))
+    // all-tied lengths: zero rank variance pins NULL
+    assert(out("CONST").isEmpty)
+  }
+
+  test("spearmanDrift equals a driver-side fractional-rank Pearson on synth data") {
+    val raw = turns
+      .filter(col("text").isNotNull && col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), length(col("text")).cast("long"))
+      .collect().groupBy(_.getString(0))
+    val expected = raw.view.mapValues { rows =>
+      val xs = rows.sortBy(_.getInt(1)).map(_.getLong(2))
+      val n = xs.length.toLong
+      // doubled ranks, mirroring the operator: x = 2·position,
+      // y = 2·minRank + peers − 1
+      val sortedVals = xs.sorted
+      val minRank = sortedVals.zipWithIndex.reverse.map { case (v, i) => v -> (i + 1L) }.toMap
+      val peers = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val pts = xs.zipWithIndex.map { case (v, i) =>
+        ((i + 1L) * 2L, minRank(v) * 2L + peers(v) - 1L)
+      }
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val nd = n.toDouble
+      val cov = nd * sxy - sx.toDouble * sy
+      val vx = nd * sxx - sx.toDouble * sx
+      val vy = nd * syy - sy.toDouble * sy
+      if (n >= 3 && vx > 0 && vy > 0)
+        Some(BigDecimal(cov / math.sqrt(vx * vy))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }.toMap
+    val got = RefOps.spearmanDrift(turns).collect()
+      .map(r => r.getString(0) ->
+        Option(r.getAs[java.lang.Double]("spearman_corr")).map(_.doubleValue)).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    got.foreach { case (c, v) => assert(v == expected(c), s"$c: $v vs ${expected(c)}") }
   }
 
   test("cusum drops null text / null turn_idx observations whole") {

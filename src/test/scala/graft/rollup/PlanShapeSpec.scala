@@ -119,6 +119,19 @@ class PlanShapeSpec extends SparkTestBase {
     val pMad = plan(graft.operators.RefOps.madOutliers(turns))
     assert(exchanges(pMad) == 1, s"mad must be one exchange:\n$pMad")
     assert(windows(pMad) == 2, s"mad is median + MAD Window nodes:\n$pMad")
+
+    // turn gaps: lead window + quantile groupBy on the shared conv_id
+    // partitioning (the twa shape)
+    val pGap = plan(graft.operators.RefOps.turnGapStats(turns))
+    assert(exchanges(pGap) == 1, s"gap stats must reuse the window partitioning:\n$pGap")
+
+    // spearman: position-rank and length-rank windows plus the moment
+    // groupBy all on ONE conv_id exchange; the peers count must share
+    // the length-rank Window node (RANGE current-row frame), not force
+    // a (conv_id, char_len) exchange
+    val pSp = plan(graft.operators.RefOps.spearmanDrift(turns))
+    assert(exchanges(pSp) == 1, s"spearman must be one exchange:\n$pSp")
+    assert(windows(pSp) == 2, s"spearman is position + length-rank Window nodes:\n$pSp")
   }
 
   test("planning-style aggregation prunes the text column from the scan") {
