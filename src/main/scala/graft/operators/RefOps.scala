@@ -624,8 +624,17 @@ object RefOps {
     * turn_idx is a missing sample, dropped whole, so the gap spans it);
     * single-turn conversations carry no gap and yield no row. Both
     * quantiles come from ONE `percentile` array call — one sort buffer
-    * per group, not two — and are exact type-7 interpolations over
-    * integer microseconds (the q18 ≡ quantile_cont guarantee).
+    * per group, not two — and are emitted as RAW doubles, which pins
+    * the interpolator's formula across engines: Spark's Percentile and
+    * DuckDB's quantile_cont both evaluate the linear-combination form
+    * `(hi−pos)·lo + (pos−lo)·hi` (measured bit-identical over random
+    * integer-µs inputs; the offset form `lo + frac·(hi−lo)` differs in
+    * the last ulp on ~11% of cases — a DuckDB interpolator change
+    * would surface here first, NOT in the 6dp-rounded q18/q53).
+    * Rounding would not help at this magnitude: at 1e8 µs with 6dp,
+    * Spark's decimal-repr HALF_UP and DuckDB's float-space ROUND
+    * themselves disagree (measured), so the raw pin is the stricter
+    * AND the stabler contract.
     * Scale: the lead window and the aggregation share the conv_id
     * partitioning — ONE exchange (the twa plan shape); percentile
     * state is bounded by conversation length.
@@ -672,8 +681,9 @@ object RefOps {
   def spearmanDrift(transcripts: DataFrame): DataFrame = {
     val wIdx = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
     val wLen = Window.partitionBy(col("conv_id")).orderBy(col("char_len"))
-    val wPeers = Window.partitionBy(col("conv_id")).orderBy(col("char_len"))
-      .rangeBetween(Window.currentRow, Window.currentRow)
+    // derived from wLen so the two specs CANNOT drift apart — they must
+    // stay identical for the shared-sort single-exchange plan shape
+    val wPeers = wLen.rangeBetween(Window.currentRow, Window.currentRow)
     val ranked = transcripts
       .filter(col("text").isNotNull && col("turn_idx").isNotNull)
       .select(col("conv_id"), col("turn_idx"),
