@@ -117,7 +117,10 @@ object GraftExtensions {
       arities = Set(1)),
     tfn("spearman_drift",
       "(table) - Spearman rank correlation between turn position and turn length per conversation",
-      arities = Set(1)))
+      arities = Set(1)),
+    tfn("holt_smooth",
+      "(table[, alpha, beta]) - Holt level+trend smoothing of turn length with one-step forecast (defaults 0.3, 0.2)",
+      arities = Set(1, 3), doubleArgs = Set(1, 2)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

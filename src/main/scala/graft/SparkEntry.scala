@@ -307,7 +307,11 @@ object SparkEntry {
       graft.operators.RefOps.turnGapStats(transcripts(s, dir))),
     // Spearman rank drift: Pearson over doubled tie-averaged ranks
     "q55_spearman_drift" -> ((s, dir) =>
-      graft.operators.RefOps.spearmanDrift(transcripts(s, dir)))
+      graft.operators.RefOps.spearmanDrift(transcripts(s, dir))),
+    // Holt level+trend smoothing; alpha/beta pinned = oracle's 0.3/0.2
+    "q56_holt_smooth" -> ((s, dir) =>
+      graft.operators.RefOps.holtSmooth(transcripts(s, dir),
+        alpha = 0.3, beta = 0.2))
   )
 
   private val rollupSelect: String =
@@ -787,6 +791,34 @@ object SparkEntry {
         |            / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
         |                 * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
         |  END AS spearman_corr
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin),
+    // the Holt recurrence as a recursive CTE — one step per row with
+    // the IDENTICAL double expressions Spark's struct fold evaluates
+    // (list_reduce is unusable here: DuckDB mutates a struct
+    // accumulator field-by-field in place, so the trend lambda would
+    // see the already-updated level). The Transcripts.oracle wrapper
+    // owns the top-level WITH, so RECURSIVE is declared in a nested
+    // subquery CTE, which DuckDB lets reference the outer CTEs.
+    "q56_holt_smooth" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, CAST(LENGTH(text) AS DOUBLE) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+        |    COUNT(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM transcripts WHERE text IS NOT NULL AND turn_idx IS NOT NULL)
+        |SELECT conv_id, n, l AS holt_level, t AS holt_trend,
+        |       l + t AS holt_forecast
+        |FROM (
+        |  WITH RECURSIVE step AS (
+        |    SELECT conv_id, rn, n, v AS l, CAST(0 AS DOUBLE) AS t
+        |    FROM b WHERE rn = 1
+        |    UNION ALL
+        |    SELECT nx.conv_id, nx.rn, nx.n,
+        |      0.3 * nx.v + (1.0 - 0.3) * (s.l + s.t) AS l,
+        |      0.2 * ((0.3 * nx.v + (1.0 - 0.3) * (s.l + s.t)) - s.l)
+        |        + (1.0 - 0.2) * s.t AS t
+        |    FROM step s JOIN b nx
+        |      ON nx.conv_id = s.conv_id AND nx.rn = s.rn + 1)
+        |  SELECT * FROM step)
+        |WHERE rn = n""".stripMargin)
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -696,6 +696,59 @@ object RefOps {
         (rank().over(wLen).cast("long") * 2L +
           count(lit(1)).over(wPeers) - 1L).as("y"))
     pearsonFromMoments(ranked, nName = "n", outName = "spearman_corr")
+  }
+
+  /** Holt double-exponential (level + trend) smoothing of turn length
+    * per conversation — the trend-aware sibling of [[ewma]]:
+    * `l = α·x + (1−α)·(l+b)`, `b = β·(l' − l) + (1−β)·b`, seeded
+    * `l₀ = x₀, b₀ = 0`, emitting the final level/trend and the
+    * one-step forecast `l + b`. Like ewma the recurrence is inherently
+    * sequential, folded over one ordered array per group — but the
+    * state is a STRUCT, and DuckDB's `list_reduce` mutates a struct
+    * accumulator field-by-field IN PLACE (measured: the `b` lambda
+    * expression observes the already-updated `l`), so the oracle is a
+    * recursive CTE instead — one recurrence row per step with the
+    * identical double expressions, which IS bit-exact (the fold order
+    * and operand shapes match; `l'` is recomputed inside the `b`
+    * expression in both engines). Order is the canonical (conv_id,
+    * turn_idx) invariant; null text / null turn_idx drop the whole
+    * observation.
+    * Scale: ONE conv_id exchange, O(turns) array per group — the ewma
+    * envelope. The fold runs ONCE: the struct lands in its own
+    * projection (higher-order functions are exempt from
+    * CollapseProject inlining, the ewma materialization idiom) and the
+    * three outputs read its fields.
+    */
+  def holtSmooth(transcripts: DataFrame, alpha: Double = 0.3,
+      beta: Double = 0.2): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(beta > 0.0 && beta <= 1.0, s"beta must be in (0, 1], got $beta")
+    val grouped = transcripts
+      .filter(col("text").isNotNull && col("turn_idx").isNotNull)
+      .select(col("conv_id"),
+        struct(col("turn_idx"),
+          length(col("text")).cast("double").as("v")).as("p"))
+      .groupBy(col("conv_id"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"),
+        count(lit(1)).as("n"))
+    val withVals = grouped.select(col("conv_id"), col("n"),
+      expr("transform(ps, p -> p.v)").as("vals"))
+    def lNew(acc: Column, x: Column): Column =
+      lit(alpha) * x + (lit(1.0) - lit(alpha)) *
+        (acc.getField("l") + acc.getField("b"))
+    val state = aggregate(
+      slice(col("vals"), lit(2), (col("n") - 1).cast("int")),
+      struct(element_at(col("vals"), lit(1)).as("l"), lit(0.0).as("b")),
+      (acc, x) => struct(
+        lNew(acc, x).as("l"),
+        (lit(beta) * (lNew(acc, x) - acc.getField("l")) +
+          (lit(1.0) - lit(beta)) * acc.getField("b")).as("b")))
+    withVals.select(col("conv_id"), col("n"), state.as("_s"))
+      .select(col("conv_id"), col("n"),
+        col("_s").getField("l").as("holt_level"),
+        col("_s").getField("b").as("holt_trend"),
+        (col("_s").getField("l") + col("_s").getField("b"))
+          .as("holt_forecast"))
   }
 
   /** Op #19 — running counters (`processed_rows += k`,

@@ -106,6 +106,11 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         RefOps.turnGapStats(session.table(args(0)))
       case "spearman_drift" =>
         RefOps.spearmanDrift(session.table(args(0)))
+      case "holt_smooth" =>
+        if (args.length == 3)
+          RefOps.holtSmooth(session.table(args(0)),
+            args(1).toDouble, args(2).toDouble)
+        else RefOps.holtSmooth(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

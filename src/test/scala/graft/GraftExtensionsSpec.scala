@@ -210,6 +210,10 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.RefOps.turnGapStats(tr))
     assertSameRows(ext.sql("SELECT * FROM spearman_drift('tr4_ext')"),
       graft.operators.RefOps.spearmanDrift(tr))
+    assertSameRows(ext.sql("SELECT * FROM holt_smooth('tr4_ext')"),
+      graft.operators.RefOps.holtSmooth(tr))
+    assertSameRows(ext.sql("SELECT * FROM holt_smooth('tr4_ext', 0.5, 0.4)"),
+      graft.operators.RefOps.holtSmooth(tr, alpha = 0.5, beta = 0.4))
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

@@ -627,6 +627,63 @@ class TimeseriesOpsSpec extends SparkTestBase {
     got.foreach { case (c, v) => assert(v == expected(c), s"$c: $v vs ${expected(c)}") }
   }
 
+  // ---- Holt smoothing ---------------------------------------------------
+
+  test("holtSmooth golden recurrence and degenerate cases") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x" * 10, null, "2024-01-01 00:00:00"),
+      ("A", 1, "user", "x" * 20, null, "2024-01-01 00:00:10"),
+      ("A", 2, "user", "x" * 15, null, "2024-01-01 00:00:20"),
+      ("ONE", 0, "user", "x" * 7, null, "2024-01-01 00:00:00"),
+      ("HOLE", 0, "user", "x" * 4, null, "2024-01-01 00:00:00"),
+      ("HOLE", 1, "user", null, null, "2024-01-01 00:00:10"),
+      ("HOLE", 2, "user", "x" * 8, null, "2024-01-01 00:00:20")))
+    val out = RefOps.holtSmooth(df, alpha = 0.3, beta = 0.2).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n"),
+        r.getAs[Double]("holt_level"), r.getAs[Double]("holt_trend"),
+        r.getAs[Double]("holt_forecast")))).toMap
+    // hand fold, mirroring the operator's exact float shape
+    var (l, b) = (10.0, 0.0)
+    for (x <- Seq(20.0, 15.0)) {
+      val ln = 0.3 * x + (1.0 - 0.3) * (l + b)
+      val bn = 0.2 * (ln - l) + (1.0 - 0.2) * b
+      l = ln; b = bn
+    }
+    assert(out("A") == ((3L, l, b, l + b)))
+    // single sample: level = the sample, trend = seed 0, forecast = level
+    assert(out("ONE") == ((1L, 7.0, 0.0, 7.0)))
+    // null text is a missing sample: the fold runs over [4, 8]
+    val hl = 0.3 * 8 + (1.0 - 0.3) * (4.0 + 0.0)
+    val hb = 0.2 * (hl - 4.0) + (1.0 - 0.2) * 0.0
+    assert(out("HOLE") == ((2L, hl, hb, hl + hb)))
+    intercept[IllegalArgumentException](RefOps.holtSmooth(df, alpha = 0.0))
+    intercept[IllegalArgumentException](RefOps.holtSmooth(df, beta = 1.5))
+  }
+
+  test("holtSmooth equals a driver-side sequential fold on synth data") {
+    val expected = turns
+      .filter(col("text").isNotNull && col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), length(col("text")).cast("double"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues { rows =>
+        val vs = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        var (l, b) = (vs.head, 0.0)
+        for (x <- vs.tail) {
+          val ln = 0.3 * x + (1.0 - 0.3) * (l + b)
+          val bn = 0.2 * (ln - l) + (1.0 - 0.2) * b
+          l = ln; b = bn
+        }
+        (vs.length.toLong, l, b, l + b)
+      }.toMap
+    val got = RefOps.holtSmooth(turns).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n"),
+        r.getAs[Double]("holt_level"), r.getAs[Double]("holt_trend"),
+        r.getAs[Double]("holt_forecast")))).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    got.foreach { case (c, v) => assert(v == expected(c), s"$c: $v vs ${expected(c)}") }
+  }
+
   test("cusum drops null text / null turn_idx observations whole") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -132,6 +132,13 @@ class PlanShapeSpec extends SparkTestBase {
     val pSp = plan(graft.operators.RefOps.spearmanDrift(turns))
     assert(exchanges(pSp) == 1, s"spearman must be one exchange:\n$pSp")
     assert(windows(pSp) == 2, s"spearman is position + length-rank Window nodes:\n$pSp")
+
+    // holt: one gather exchange, the fold in its own projection so the
+    // three field reads evaluate the aggregate ONCE (the ewma idiom)
+    val pHolt = plan(graft.operators.RefOps.holtSmooth(turns))
+    assert(exchanges(pHolt) == 1, s"holt must be one exchange:\n$pHolt")
+    assert("\\baggregate\\(".r.findAllIn(pHolt).size == 1,
+      s"the holt fold must run once, not per output field:\n$pHolt")
   }
 
   test("planning-style aggregation prunes the text column from the scan") {
