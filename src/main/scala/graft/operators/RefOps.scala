@@ -440,31 +440,50 @@ object RefOps {
     */
   def ewma(transcripts: DataFrame, alpha: Double = 0.3): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
-    val grouped = transcripts
-      // turn_idx participates in the ORDER; a null there would sort
-      // nulls-first in Spark's struct compare but nulls-last in SQL
-      // ORDER BY — drop it with the other missing-sample markers
-      .filter(col("text").isNotNull && col("ts").isNotNull &&
-        col("turn_idx").isNotNull)
-      .select(col("conv_id"),
-        struct(col("ts"), col("turn_idx"),
-          length(col("text")).cast("double").as("v")).as("p"))
-      .groupBy(col("conv_id"))
-      .agg(sort_array(collect_list(col("p"))).as("ps"),
-        count(lit(1)).as("n"))
-    // materialize the values array ONCE: lambda-bearing higher-order
-    // functions are exempt from both subexpression elimination and
-    // CollapseProject's inlining, so this select really runs transform
-    // a single time even though two expressions below consume it
-    val withVals = grouped.select(col("conv_id"), col("n"),
-      expr("transform(ps, p -> p.v)").as("vals"))
-    withVals.select(
+    orderedLenArray(transcripts, byEventTime = true).select(
       col("conv_id"), col("n"),
       aggregate(
         slice(col("vals"), lit(2), (col("n") - 1).cast("int")),
         element_at(col("vals"), lit(1)),
         (acc, x) => lit(alpha) * x + (lit(1.0) - lit(alpha)) * acc)
         .as("ewma_char_len"))
+  }
+
+  /** Shared ordered-array gather for the fold-based smoothers
+    * ([[ewma]], [[holtSmooth]]): per conversation, the turn lengths as
+    * one sorted double array plus the sample count, on ONE conv_id
+    * exchange. Two ordering variants — they are NOT the same
+    * observation set: `byEventTime = true` (ewma) orders by
+    * (ts, turn_idx) and drops null-ts rows; `byEventTime = false`
+    * (holt) orders by the canonical turn_idx invariant alone, so a
+    * null ts is irrelevant and KEPT. In both, null text and null
+    * turn_idx drop the whole observation — turn_idx participates in
+    * the ORDER, and a null there would sort nulls-first in Spark's
+    * struct compare but nulls-last in SQL ORDER BY.
+    * The values array is materialized in its OWN projection:
+    * lambda-bearing higher-order functions are exempt from both
+    * subexpression elimination and CollapseProject's inlining, so
+    * `transform` really runs once even when several downstream
+    * expressions consume `vals`.
+    */
+  private def orderedLenArray(transcripts: DataFrame,
+      byEventTime: Boolean): DataFrame = {
+    val missing =
+      if (byEventTime)
+        col("text").isNotNull && col("ts").isNotNull && col("turn_idx").isNotNull
+      else col("text").isNotNull && col("turn_idx").isNotNull
+    val v = length(col("text")).cast("double").as("v")
+    val key =
+      if (byEventTime) struct(col("ts"), col("turn_idx"), v)
+      else struct(col("turn_idx"), v)
+    transcripts
+      .filter(missing)
+      .select(col("conv_id"), key.as("p"))
+      .groupBy(col("conv_id"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"),
+        count(lit(1)).as("n"))
+      .select(col("conv_id"), col("n"),
+        expr("transform(ps, p -> p.v)").as("vals"))
   }
 
   /** CUSUM changepoint detection over turn length per conversation —
@@ -723,16 +742,6 @@ object RefOps {
       beta: Double = 0.2): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     require(beta > 0.0 && beta <= 1.0, s"beta must be in (0, 1], got $beta")
-    val grouped = transcripts
-      .filter(col("text").isNotNull && col("turn_idx").isNotNull)
-      .select(col("conv_id"),
-        struct(col("turn_idx"),
-          length(col("text")).cast("double").as("v")).as("p"))
-      .groupBy(col("conv_id"))
-      .agg(sort_array(collect_list(col("p"))).as("ps"),
-        count(lit(1)).as("n"))
-    val withVals = grouped.select(col("conv_id"), col("n"),
-      expr("transform(ps, p -> p.v)").as("vals"))
     def lNew(acc: Column, x: Column): Column =
       lit(alpha) * x + (lit(1.0) - lit(alpha)) *
         (acc.getField("l") + acc.getField("b"))
@@ -743,7 +752,8 @@ object RefOps {
         lNew(acc, x).as("l"),
         (lit(beta) * (lNew(acc, x) - acc.getField("l")) +
           (lit(1.0) - lit(beta)) * acc.getField("b")).as("b")))
-    withVals.select(col("conv_id"), col("n"), state.as("_s"))
+    orderedLenArray(transcripts, byEventTime = false)
+      .select(col("conv_id"), col("n"), state.as("_s"))
       .select(col("conv_id"), col("n"),
         col("_s").getField("l").as("holt_level"),
         col("_s").getField("b").as("holt_trend"),

@@ -660,6 +660,30 @@ class TimeseriesOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](RefOps.holtSmooth(df, beta = 1.5))
   }
 
+  test("holtSmooth drops null-turn_idx observations (order-key integrity)") {
+    // same hazard as the ewma sibling spec: a null order key would sort
+    // nulls-first in Spark's struct compare but nulls-last in SQL
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("tool", StringType), StructField("ts", TimestampType)))
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = java.util.Arrays.asList(
+      Row("A", Integer.valueOf(0), "user", "x" * 10, null, t0),
+      // extreme length: leaking in under EITHER tiebreak visibly
+      // shifts the fold seed
+      Row("A", null, "user", "x" * 999, null, t0),
+      Row("A", Integer.valueOf(1), "user", "x" * 20, null, t0))
+    val out = RefOps.holtSmooth(spark.createDataFrame(rows, schema)).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("n") == 2L)
+    val l1 = 0.3 * 20 + (1.0 - 0.3) * (10.0 + 0.0)
+    val b1 = 0.2 * (l1 - 10.0) + (1.0 - 0.2) * 0.0
+    assert(out(0).getAs[Double]("holt_level") == l1)
+    assert(out(0).getAs[Double]("holt_trend") == b1)
+  }
+
   test("holtSmooth equals a driver-side sequential fold on synth data") {
     val expected = turns
       .filter(col("text").isNotNull && col("turn_idx").isNotNull)
