@@ -120,7 +120,13 @@ object GraftExtensions {
       arities = Set(1)),
     tfn("holt_smooth",
       "(table[, alpha, beta]) - Holt level+trend smoothing of turn length with one-step forecast (defaults 0.3, 0.2)",
-      arities = Set(1, 3), doubleArgs = Set(1, 2)))
+      arities = Set(1, 3), doubleArgs = Set(1, 2)),
+    tfn("role_runs",
+      "(table) - run-length encoding of consecutive same-role turns per conversation",
+      arities = Set(1)),
+    tfn("burst_flags",
+      "(table[, window_seconds, min_turns]) - trailing time-window turn counts and burst flags (defaults 300, 5)",
+      arities = Set(1, 3), numericArgs = Set(1, 2)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

@@ -311,7 +311,16 @@ object SparkEntry {
     // Holt level+trend smoothing; alpha/beta pinned = oracle's 0.3/0.2
     "q56_holt_smooth" -> ((s, dir) =>
       graft.operators.RefOps.holtSmooth(transcripts(s, dir),
-        alpha = 0.3, beta = 0.2))
+        alpha = 0.3, beta = 0.2)),
+    // gaps-and-islands run-length encoding of consecutive same-role turns
+    "q57_role_runs" -> ((s, dir) =>
+      graft.operators.RefOps.roleRuns(transcripts(s, dir))),
+    // time-RANGE-frame burst detection; the synth corpus has hour-scale
+    // gaps (median ~7.3 h), so the query pins a 7-day window / 20 turns
+    // to exercise both flag values — the oracle repeats 604800000000 / 20
+    "q58_burst_flags" -> ((s, dir) =>
+      graft.operators.RefOps.burstFlags(transcripts(s, dir),
+        windowSeconds = 604800L, minTurns = 20L))
   )
 
   private val rollupSelect: String =
@@ -819,6 +828,41 @@ object SparkEntry {
         |    FROM step s JOIN b nx
         |      ON nx.conv_id = s.conv_id AND nx.rn = s.rn + 1)
         |  SELECT * FROM step)
-        |WHERE rn = n""".stripMargin)
+        |WHERE rn = n""".stripMargin),
+    // start-flag cumsum over the canonical turn order; first row via
+    // LAG(turn_idx) IS NULL (cannot be confused with a null ROLE), run
+    // break via IS NOT DISTINCT FROM ≡ Spark's <=>
+    "q57_role_runs" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, turn_idx, role, CAST(LENGTH(text) AS BIGINT) AS char_len
+        |  FROM transcripts WHERE turn_idx IS NOT NULL),
+        |f AS (
+        |  SELECT *, CASE WHEN LAG(turn_idx) OVER w IS NOT NULL
+        |                  AND role IS NOT DISTINCT FROM LAG(role) OVER w
+        |            THEN 0 ELSE 1 END AS nw
+        |  FROM b WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+        |r AS (
+        |  SELECT *, CAST(SUM(nw) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |  FROM f)
+        |SELECT conv_id, run_id, role, COUNT(*) AS run_len,
+        |  MIN(turn_idx) AS start_idx, MAX(turn_idx) AS end_idx,
+        |  CAST(SUM(char_len) AS BIGINT) AS char_len_sum
+        |FROM r GROUP BY 1, 2, 3""".stripMargin),
+    // value-based RANGE frame over integer µs — both engines end the
+    // frame at the last order-key peer, so equal-µs ties are symmetric
+    "q58_burst_flags" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, turn_idx, EPOCH_US(ts) AS us
+        |  FROM transcripts WHERE ts IS NOT NULL AND turn_idx IS NOT NULL),
+        |c AS (
+        |  SELECT conv_id, turn_idx,
+        |    COUNT(*) OVER (PARTITION BY conv_id ORDER BY us
+        |                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |      AS burst_count
+        |  FROM b)
+        |SELECT conv_id, turn_idx, burst_count,
+        |  burst_count >= 20 AS is_burst
+        |FROM c""".stripMargin)
   )
 }

@@ -761,6 +761,98 @@ object RefOps {
           .as("holt_forecast"))
   }
 
+  /** Run-length encoding of consecutive same-role turns per
+    * conversation (gaps-and-islands): each maximal run of turns sharing
+    * one role becomes a row carrying its position span, length, and
+    * char mass — the "who is talking, and for how long" structure
+    * (assistant monologues, tool-call bursts) that per-turn rows hide
+    * and the role-count rollups aggregate away. A run breaks on every
+    * role change, with NULL a role value of its own (null-SAFE
+    * comparison: an unattributed turn between two user turns splits
+    * them, two adjacent unattributed turns are one run) — Spark `<=>`
+    * ≡ SQL `IS NOT DISTINCT FROM`, so both engines agree.
+    * Run ids are the classic start-flag cumsum — 1 where the role
+    * differs from its predecessor (the first row detected by
+    * `lag(turn_idx) IS NULL`, which cannot be confused with a null
+    * ROLE), running sum over the canonical turn order — so ids are
+    * 1-based per conversation and the output is exact integers
+    * end-to-end. `char_len_sum` null-skips exactly like the rollup's
+    * SUM (an all-null-text run carries NULL, not 0).
+    * Null turn_idx drops the whole observation (it orders the
+    * recurrence, [[ewma]] doctrine); null text only nulls that turn's
+    * char contribution — the run structure is a ROLE property and must
+    * not shift when a text payload is missing.
+    * Scale: ONE conv_id exchange and one sort — the lag flags and the
+    * running sum share the (conv_id, turn_idx) window spec, and the
+    * per-run groupBy reuses the conv_id partitioning (run_id/role are
+    * conv-local refinements of the key, so HashPartitioning(conv_id)
+    * already clusters them).
+    */
+  def roleRuns(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    transcripts
+      .filter(col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        length(col("text")).cast("long").as("char_len"))
+      .withColumn("_new",
+        when(lag(col("turn_idx"), 1).over(w).isNotNull &&
+          (col("role") <=> lag(col("role"), 1).over(w)), 0L).otherwise(1L))
+      .withColumn("run_id", sum(col("_new")).over(wRun))
+      .groupBy(col("conv_id"), col("run_id"), col("role"))
+      .agg(
+        count(lit(1)).as("run_len"),
+        min(col("turn_idx")).as("start_idx"),
+        max(col("turn_idx")).as("end_idx"),
+        sum(col("char_len")).as("char_len_sum"))
+  }
+
+  /** Time-window burst detection per conversation: for every turn, the
+    * number of turns inside the trailing `windowSeconds` (inclusive)
+    * and a flag once that count reaches `minTurns` — "is the
+    * conversation running hot right now". This is the value-based
+    * RANGE-frame sibling of the row-based rolling frames
+    * ([[rollingZscore]]): the frame is defined by the TIME AXIS, not
+    * by row positions, so irregular sampling is handled exactly — ten
+    * turns inside one minute light up, ten turns spread over an hour
+    * do not, regardless of how many rows either spans.
+    * The frame is `RANGE BETWEEN windowSeconds·10⁶ PRECEDING AND
+    * CURRENT ROW` over integer microseconds. In RANGE mode both
+    * engines end the frame at the last ORDER-KEY PEER, so simultaneous
+    * turns (equal µs) count each other symmetrically and the result is
+    * deterministic under ties with no tiebreaker column — the reason
+    * the sort key is `_us` alone, unlike the positional operators.
+    * All state is integer; the output carries no doubles at all.
+    * Null ts cannot be placed on the time axis and null turn_idx has
+    * no output identity — both drop the whole observation (the family
+    * doctrine). Scale: ONE conv_id exchange, one sort, and the running
+    * RANGE frame holds only the rows inside the burst width, so
+    * per-row state is bounded by burst density, not conversation
+    * length.
+    */
+  def burstFlags(transcripts: DataFrame, windowSeconds: Long = 300L,
+      minTurns: Long = 5L): DataFrame = {
+    // 10-year cap keeps the µs radius (and every frame-bound add the
+    // window evaluator performs) far inside Long — same rationale as
+    // the cusum tunable cap: a wild literal should be an analysis-time
+    // error, not a runtime ANSI overflow
+    val capS = 315360000L
+    require(windowSeconds > 0 && windowSeconds <= capS,
+      s"windowSeconds must be in (0, $capS], got $windowSeconds")
+    require(minTurns > 0 && minTurns <= 1000000000L,
+      s"minTurns must be in (0, 1e9], got $minTurns")
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("_us"))
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    transcripts
+      .filter(col("ts").isNotNull && col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"),
+        unix_micros(col("ts").cast("timestamp")).as("_us"))
+      .withColumn("burst_count", count(lit(1)).over(w))
+      .select(col("conv_id"), col("turn_idx"), col("burst_count"),
+        (col("burst_count") >= minTurns).as("is_burst"))
+  }
+
   /** Op #19 — running counters (`processed_rows += k`,
     * `CsvSettingsDAO.java:72-91`): cumulative sums over the stable
     * per-conversation order.

@@ -111,6 +111,13 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
           RefOps.holtSmooth(session.table(args(0)),
             args(1).toDouble, args(2).toDouble)
         else RefOps.holtSmooth(session.table(args(0)))
+      case "role_runs" =>
+        RefOps.roleRuns(session.table(args(0)))
+      case "burst_flags" =>
+        if (args.length == 3)
+          RefOps.burstFlags(session.table(args(0)),
+            args(1).toLong, args(2).toLong)
+        else RefOps.burstFlags(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

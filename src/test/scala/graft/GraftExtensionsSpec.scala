@@ -214,6 +214,16 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.RefOps.holtSmooth(tr))
     assertSameRows(ext.sql("SELECT * FROM holt_smooth('tr4_ext', 0.5, 0.4)"),
       graft.operators.RefOps.holtSmooth(tr, alpha = 0.5, beta = 0.4))
+    assertSameRows(ext.sql("SELECT * FROM role_runs('tr4_ext')"),
+      graft.operators.RefOps.roleRuns(tr))
+    assertSameRows(ext.sql("SELECT * FROM burst_flags('tr4_ext')"),
+      graft.operators.RefOps.burstFlags(tr))
+    assertSameRows(ext.sql("SELECT * FROM burst_flags('tr4_ext', 600, 3)"),
+      graft.operators.RefOps.burstFlags(tr, windowSeconds = 600L, minTurns = 3L))
+    val bb = intercept[Exception] {
+      ext.sql("SELECT * FROM burst_flags('tr4_ext', 0, 3)").collect()
+    }
+    assert(bb.getMessage.contains("windowSeconds must be in"), bb.getMessage)
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

@@ -728,4 +728,127 @@ class TimeseriesOpsSpec extends SparkTestBase {
     // surviving pair: mean 20, slack 1 → s⁺ = [0, 9]
     assert(out == Map(0 -> 0.0, 2 -> 9.0))
   }
+
+  // ---- role runs --------------------------------------------------------
+
+  test("roleRuns golden: breaks, null-role runs, null-text mass, 1-based ids") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "aa", null, "2024-01-01 00:00:00"),
+      ("A", 1, "user", null, null, "2024-01-01 00:00:01"),
+      ("A", 2, "assistant", "bbb", null, "2024-01-01 00:00:02"),
+      ("A", 3, null, "cccc", null, "2024-01-01 00:00:03"),
+      ("A", 4, null, null, null, "2024-01-01 00:00:04"),
+      ("A", 5, "user", "d", null, "2024-01-01 00:00:05"),
+      // conversation OPENING with a null role: the first-row detection
+      // must ride lag(turn_idx), not lag(role) — else run ids start at 0
+      ("B", 0, null, "xx", null, "2024-01-01 00:00:00"),
+      ("B", 1, null, "y", null, "2024-01-01 00:00:01"),
+      // an all-null-text run carries NULL char mass, not 0
+      ("C", 0, "user", null, null, "2024-01-01 00:00:00")))
+    val got = RefOps.roleRuns(df).collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        ((Option(r.getString(2)), r.getAs[Long]("run_len"),
+          r.getAs[Int]("start_idx"), r.getAs[Int]("end_idx"),
+          Option(r.getAs[java.lang.Long]("char_len_sum")).map(_.longValue)))
+    }.toMap
+    assert(got(("A", 1L)) == ((Some("user"), 2L, 0, 1, Some(2L))))
+    assert(got(("A", 2L)) == ((Some("assistant"), 1L, 2, 2, Some(3L))))
+    // two adjacent unattributed turns are ONE run (null-safe compare)
+    assert(got(("A", 3L)) == ((None, 2L, 3, 4, Some(4L))))
+    assert(got(("A", 4L)) == ((Some("user"), 1L, 5, 5, Some(1L))))
+    assert(got(("B", 1L)) == ((None, 2L, 0, 1, Some(3L))))
+    assert(got(("C", 1L)) == ((Some("user"), 1L, 0, 0, None)))
+    assert(got.size == 6)
+  }
+
+  test("roleRuns reconstructs the conversation: spans tile, roles alternate") {
+    val runs = RefOps.roleRuns(turns).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    val base = turns.filter(col("turn_idx").isNotNull)
+    assert(runs.values.map(_.map(_.getAs[Long]("run_len")).sum).sum == base.count())
+    runs.foreach { case (conv, rs) =>
+      // ids are 1..k dense; spans are contiguous, ordered, non-overlapping
+      assert(rs.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq, conv)
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Int]("end_idx") < b.getAs[Int]("start_idx"),
+            s"$conv: spans overlap")
+          // adjacent runs MUST differ in role, else they were one run
+          assert(Option(a.getString(2)) != Option(b.getString(2)), conv)
+        case _ =>
+      }
+      // run_len equals the span width (no holes inside a conversation:
+      // synth turn_idx is dense)
+      rs.foreach(r => assert(r.getAs[Long]("run_len") ==
+        r.getAs[Int]("end_idx") - r.getAs[Int]("start_idx") + 1L))
+    }
+  }
+
+  test("roleRuns drops null-turn_idx observations whole") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("tool", StringType), StructField("ts", TimestampType)))
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // the dropped row sits between two same-role turns with a DIFFERENT
+    // role: leaking it in would split run 1 into three
+    val rows = java.util.Arrays.asList(
+      Row("A", Integer.valueOf(0), "user", "x" * 10, null, t0),
+      Row("A", null, "assistant", "x" * 999, null, t0),
+      Row("A", Integer.valueOf(1), "user", "x" * 20, null, t0))
+    val out = RefOps.roleRuns(spark.createDataFrame(rows, schema)).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("run_len") == 2L)
+    assert(out(0).getAs[Long]("char_len_sum") == 30L)
+  }
+
+  // ---- burst flags -------------------------------------------------------
+
+  test("burstFlags golden: trailing counts, inclusive boundary, symmetric ties") {
+    val df = turnsDf(Seq(
+      ("E", 0, "user", "a", null, "2024-01-01 00:00:00"),
+      ("E", 1, "user", "b", null, "2024-01-01 00:00:10"),
+      ("E", 2, "user", "c", null, "2024-01-01 00:00:20"),
+      ("E", 3, "user", "d", null, "2024-01-01 00:10:00"),
+      // exactly windowSeconds apart: the frame is INCLUSIVE at the left
+      ("F", 0, "user", "a", null, "2024-01-01 00:00:00"),
+      ("F", 1, "user", "b", null, "2024-01-01 00:05:00"),
+      // equal-µs ties are order-key peers: each counts the other
+      ("G", 0, "user", "a", null, "2024-01-01 00:00:00"),
+      ("G", 1, "user", "b", null, "2024-01-01 00:00:00")))
+    val got = RefOps.burstFlags(df, windowSeconds = 300L, minTurns = 3L)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getAs[Long]("burst_count"), r.getAs[Boolean]("is_burst")))).toMap
+    assert(got(("E", 0)) == ((1L, false)))
+    assert(got(("E", 1)) == ((2L, false)))
+    assert(got(("E", 2)) == ((3L, true)))
+    assert(got(("E", 3)) == ((1L, false)))
+    assert(got(("F", 1)) == ((2L, false)))
+    assert(got(("G", 0)) == ((2L, false)))
+    assert(got(("G", 1)) == ((2L, false)))
+  }
+
+  test("burstFlags equals a driver-side brute count on synth data; null ts drops") {
+    val ws = 600L
+    val rows = turns
+      .filter(col("ts").isNotNull && col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"),
+        unix_micros(col("ts").cast("timestamp")))
+      .collect().groupBy(_.getString(0))
+    val expected = rows.toSeq.flatMap { case (conv, rs) =>
+      val us = rs.map(_.getLong(2))
+      rs.map { r =>
+        val t = r.getLong(2)
+        (conv, r.getInt(1)) -> us.count(u => u >= t - ws * 1000000L && u <= t).toLong
+      }
+    }
+    val got = RefOps.burstFlags(turns, windowSeconds = ws, minTurns = 4L)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        r.getAs[Long]("burst_count")).toMap
+    assert(got == expected.toMap && got.nonEmpty)
+    intercept[IllegalArgumentException](RefOps.burstFlags(turns, windowSeconds = 0L))
+    intercept[IllegalArgumentException](RefOps.burstFlags(turns, minTurns = 0L))
+  }
 }

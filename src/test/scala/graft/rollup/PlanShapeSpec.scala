@@ -139,6 +139,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges(pHolt) == 1, s"holt must be one exchange:\n$pHolt")
     assert("\\baggregate\\(".r.findAllIn(pHolt).size == 1,
       s"the holt fold must run once, not per output field:\n$pHolt")
+
+    // role runs: lag flags + running-sum windows share the
+    // (conv_id, turn_idx) spec, and the per-run groupBy reuses the
+    // conv_id partitioning — ONE exchange, one sort
+    val pRuns = plan(graft.operators.RefOps.roleRuns(turns))
+    assert(exchanges(pRuns) == 1, s"role runs must be one exchange:\n$pRuns")
+    assert("Sort ".r.findAllIn(pRuns).size == 1,
+      s"the flag and cumsum windows must share one sort:\n$pRuns")
+
+    // burst flags: a single RANGE-frame window — one exchange, one sort
+    val pBurst = plan(graft.operators.RefOps.burstFlags(turns))
+    assert(exchanges(pBurst) == 1, s"burst flags must be one exchange:\n$pBurst")
+    assert(windows(pBurst) == 1, s"burst flags is one RANGE Window:\n$pBurst")
   }
 
   test("planning-style aggregation prunes the text column from the scan") {
