@@ -817,10 +817,16 @@ class TimeseriesOpsSpec extends SparkTestBase {
       ("F", 1, "user", "b", null, "2024-01-01 00:05:00"),
       // equal-µs ties are order-key peers: each counts the other
       ("G", 0, "user", "a", null, "2024-01-01 00:00:00"),
-      ("G", 1, "user", "b", null, "2024-01-01 00:00:00")))
+      ("G", 1, "user", "b", null, "2024-01-01 00:00:00"),
+      // a null-ts turn has no place on the time axis: dropped WHOLE —
+      // were it kept it would yield an output row AND (under any
+      // null-ordering) shift a neighbor's count past the flag line
+      ("E", 9, "user", "z", null, null)))
     val got = RefOps.burstFlags(df, windowSeconds = 300L, minTurns = 3L)
       .collect().map(r => (r.getString(0), r.getInt(1)) ->
         ((r.getAs[Long]("burst_count"), r.getAs[Boolean]("is_burst")))).toMap
+    assert(!got.contains(("E", 9)), "null-ts row must drop whole")
+    assert(got.size == 8)
     assert(got(("E", 0)) == ((1L, false)))
     assert(got(("E", 1)) == ((2L, false)))
     assert(got(("E", 2)) == ((3L, true)))
@@ -830,7 +836,7 @@ class TimeseriesOpsSpec extends SparkTestBase {
     assert(got(("G", 1)) == ((2L, false)))
   }
 
-  test("burstFlags equals a driver-side brute count on synth data; null ts drops") {
+  test("burstFlags equals a driver-side brute count on synth data; tunable guards") {
     val ws = 600L
     val rows = turns
       .filter(col("ts").isNotNull && col("turn_idx").isNotNull)
