@@ -126,7 +126,13 @@ object GraftExtensions {
       arities = Set(1)),
     tfn("burst_flags",
       "(table[, window_seconds, min_turns]) - trailing time-window turn counts and burst flags (defaults 300, 5)",
-      arities = Set(1, 3), numericArgs = Set(1, 2)))
+      arities = Set(1, 3), numericArgs = Set(1, 2)),
+    tfn("tool_diversity",
+      "(table) - Simpson diversity and effective tool count of per-conversation tool usage",
+      arities = Set(1)),
+    tfn("role_transitions",
+      "(table) - corpus-level role-to-successor transition counts and row shares",
+      arities = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

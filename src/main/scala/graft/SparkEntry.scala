@@ -320,7 +320,13 @@ object SparkEntry {
     // to exercise both flag values — the oracle repeats 604800000000 / 20
     "q58_burst_flags" -> ((s, dir) =>
       graft.operators.RefOps.burstFlags(transcripts(s, dir),
-        windowSeconds = 604800L, minTurns = 20L))
+        windowSeconds = 604800L, minTurns = 20L)),
+    // Simpson (not Shannon: ln() is 1-ulp engine-divergent, see scaladoc)
+    "q59_tool_diversity" -> ((s, dir) =>
+      graft.operators.RefOps.toolDiversity(transcripts(s, dir))),
+    // corpus-level role→successor Markov counts + row-normalized shares
+    "q60_role_transitions" -> ((s, dir) =>
+      graft.operators.RefOps.roleTransitions(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -863,6 +869,40 @@ object SparkEntry {
         |  FROM b)
         |SELECT conv_id, turn_idx, burst_count,
         |  burst_count >= 20 AS is_burst
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin),
+    // exact integer moments (Σc, Σc²), then one fixed double expression
+    // per output mirroring Spark's operand order
+    "q59_tool_diversity" -> Transcripts.oracle(
+      """, c AS (
+        |  SELECT conv_id, tool, COUNT(*) AS c
+        |  FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2),
+        |m AS (
+        |  SELECT conv_id, COUNT(*) AS n_tools,
+        |    CAST(SUM(c) AS BIGINT) AS n_tool_calls,
+        |    CAST(SUM(c * c) AS BIGINT) AS ss
+        |  FROM c GROUP BY 1)
+        |SELECT conv_id, n_tools, n_tool_calls,
+        |  ROUND(1.0 - CAST(ss AS DOUBLE)
+        |    / (CAST(n_tool_calls AS DOUBLE) * n_tool_calls), 6) AS simpson_diversity,
+        |  ROUND(CAST(n_tool_calls AS DOUBLE) * n_tool_calls
+        |    / CAST(ss AS DOUBLE), 6) AS effective_tools
+        |FROM m""".stripMargin),
+    // successor existence via LEAD(turn_idx) — a null LEAD(role) with a
+    // live successor is a real transition into an unattributed turn
+    "q60_role_transitions" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, turn_idx, role
+        |  FROM transcripts WHERE turn_idx IS NOT NULL),
+        |p AS (
+        |  SELECT role, LEAD(role) OVER w AS next_role,
+        |         LEAD(turn_idx) OVER w AS nx
+        |  FROM b WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+        |g AS (
+        |  SELECT role, next_role, COUNT(*) AS cnt
+        |  FROM p WHERE nx IS NOT NULL GROUP BY 1, 2)
+        |SELECT role, next_role, cnt,
+        |  CAST(cnt AS DOUBLE)
+        |    / CAST(SUM(cnt) OVER (PARTITION BY role) AS DOUBLE) AS share
+        |FROM g""".stripMargin)
   )
 }

@@ -84,16 +84,21 @@ object ScaleProbe {
         .agg(count(col("char_len_sum"))).head())
       val tBurst = timed(graft.operators.RefOps.burstFlags(raw)
         .agg(count(col("burst_count"))).head())
+      val tDiv = timed(graft.operators.RefOps.toolDiversity(raw)
+        .agg(count(col("simpson_diversity"))).head())
+      val tTrans = timed(graft.operators.RefOps.roleTransitions(raw)
+        .agg(count(col("share"))).head())
       val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
-        tMad + tGap + tSp + tHolt + tRuns + tBurst
+        tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans
       println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
         f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs sessionize=$tSess%.2fs " +
         f"asof=$tAsof%.2fs interval=$tInterval%.2fs sliding=$tSliding%.2fs " +
         f"twa=$tTwa%.2fs zscore=$tZscore%.2fs corr=$tCorr%.2fs hist=$tHist%.2fs " +
         f"ewma=$tEwma%.2fs cusum=$tCusum%.2fs autocorr=$tAc%.2fs mad=$tMad%.2fs " +
         f"gaps=$tGap%.2fs spearman=$tSp%.2fs holt=$tHolt%.2fs " +
-        f"roleruns=$tRuns%.2fs burst=$tBurst%.2fs total=$total%.2fs " +
+        f"roleruns=$tRuns%.2fs burst=$tBurst%.2fs diversity=$tDiv%.2fs " +
+        f"transitions=$tTrans%.2fs total=$total%.2fs " +
         f"throughput=${n / tM1}%.0f turns/s")
       total
     }

@@ -853,6 +853,88 @@ object RefOps {
         (col("burst_count") >= minTurns).as("is_burst"))
   }
 
+  /** Tool-usage concentration per conversation — Simpson diversity
+    * `1 − Σcᵢ²/n²` over the per-tool call counts, plus the inverse-
+    * Simpson "effective number of tools" `n²/Σcᵢ²` (the Hill number of
+    * order 2): 0 / 1.0 when one tool dominates completely, approaching
+    * `1 − 1/k` / `k` when k tools share the calls evenly — "does this
+    * conversation lean on one tool or spread across its toolbox".
+    * Simpson, NOT Shannon, deliberately: entropy needs `ln`, and Java's
+    * `Math.log` vs DuckDB's `std::log` differ by 1 ulp on 6 of the
+    * first 300k integers (measured: first at 9170), so a Shannon
+    * entropy can never be hash-exact across engines — Simpson's
+    * moments are plain integer sums and the two outputs are ONE fixed
+    * double expression each, the [[pearsonFromMoments]] exactness
+    * idiom. Long envelope: Σcᵢ² ≤ n², inside Long for 3-billion-call
+    * conversations.
+    * Conversations with zero tool calls yield no row (no toolbox, no
+    * diversity — NULL columns would poison downstream averages);
+    * null tool is the no-call marker ([[Rollup]]'s `count(tool)`
+    * semantics), not a tool name.
+    * Scale: the per-(conv, tool) count exchanges with MAP-SIDE partial
+    * aggregation — at 10¹² turns the shuffle moves pre-collapsed
+    * (conv, tool, count) triples, far below the raw-row volume a
+    * conv_id repartition would move — then the per-conv reduction
+    * exchanges only those triples (the q49 histogram two-exchange
+    * shape: one real, one metadata-scale).
+    */
+  def toolDiversity(transcripts: DataFrame): DataFrame = {
+    val n = col("n_tool_calls").cast("double")
+    transcripts
+      .filter(col("tool").isNotNull)
+      .select(col("conv_id"), col("tool"))
+      .groupBy(col("conv_id"), col("tool"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_tools"),
+        sum(col("c")).as("n_tool_calls"),
+        sum(col("c") * col("c")).as("_ss"))
+      .select(col("conv_id"), col("n_tools"), col("n_tool_calls"),
+        round(lit(1.0) - col("_ss").cast("double") / (n * col("n_tool_calls")), 6)
+          .as("simpson_diversity"),
+        round(n * col("n_tool_calls") / col("_ss").cast("double"), 6)
+          .as("effective_tools"))
+  }
+
+  /** Corpus-level role transition matrix — counts and row-normalized
+    * shares of `role → successor role` over the canonical turn order:
+    * the first-order Markov structure of the dialogue ("what follows a
+    * tool turn?") that per-conversation rollups cannot see.
+    * Successor existence is detected via `lead(turn_idx)` — turn_idx
+    * is non-null by the observation filter, so a null there means NO
+    * next row (the conversation's last turn, which contributes no
+    * pair), while a null `lead(role)` with a live successor is a real
+    * transition INTO an unattributed turn. Conflating the two (the
+    * naive `lead(role) IS NOT NULL` filter) would silently drop every
+    * transition into a null role.
+    * Counts are exact longs; each share is ONE division of a count by
+    * its row total, both cast to double in a fixed shape, identical in
+    * both engines (the q49 pct idiom). Null turn_idx drops the whole
+    * observation (order key); role stays as-is on both sides of the
+    * pair.
+    * Scale: ONE full-data conv_id exchange for the lead window; the
+    * transition groupBy (map-side partial) and the row-total window
+    * then move only |roles|² rows — metadata-scale exchanges, the q49
+    * share shape.
+    */
+  def roleTransitions(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    transcripts
+      .filter(col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("role"))
+      .select(col("role"),
+        lead(col("role"), 1).over(w).as("next_role"),
+        lead(col("turn_idx"), 1).over(w).as("_nx"))
+      .filter(col("_nx").isNotNull)
+      .groupBy(col("role"), col("next_role"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("role"), col("next_role"), col("cnt"),
+        (col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy(col("role"))).cast("double"))
+          .as("share"))
+  }
+
   /** Op #19 — running counters (`processed_rows += k`,
     * `CsvSettingsDAO.java:72-91`): cumulative sums over the stable
     * per-conversation order.

@@ -118,6 +118,10 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
           RefOps.burstFlags(session.table(args(0)),
             args(1).toLong, args(2).toLong)
         else RefOps.burstFlags(session.table(args(0)))
+      case "tool_diversity" =>
+        RefOps.toolDiversity(session.table(args(0)))
+      case "role_transitions" =>
+        RefOps.roleTransitions(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

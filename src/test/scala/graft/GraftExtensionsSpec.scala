@@ -224,6 +224,10 @@ class GraftExtensionsSpec extends SparkTestBase {
       ext.sql("SELECT * FROM burst_flags('tr4_ext', 0, 3)").collect()
     }
     assert(bb.getMessage.contains("windowSeconds must be in"), bb.getMessage)
+    assertSameRows(ext.sql("SELECT * FROM tool_diversity('tr4_ext')"),
+      graft.operators.RefOps.toolDiversity(tr))
+    assertSameRows(ext.sql("SELECT * FROM role_transitions('tr4_ext')"),
+      graft.operators.RefOps.roleTransitions(tr))
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

@@ -857,4 +857,90 @@ class TimeseriesOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](RefOps.burstFlags(turns, windowSeconds = 0L))
     intercept[IllegalArgumentException](RefOps.burstFlags(turns, minTurns = 0L))
   }
+
+  // ---- tool diversity ----------------------------------------------------
+
+  test("toolDiversity golden: moments, dominance, even spread, no-tool convs") {
+    val df = turnsDf(Seq(
+      // tools [a, a, b]: n=3, Σc²=5 → simpson 1−5/9, effective 9/5
+      ("A", 0, "user", "x", "a", "2024-01-01 00:00:00"),
+      ("A", 1, "user", "x", "a", "2024-01-01 00:00:01"),
+      ("A", 2, "user", "x", "b", "2024-01-01 00:00:02"),
+      // single tool, many calls: zero diversity, one effective tool
+      ("B", 0, "user", "x", "t", "2024-01-01 00:00:00"),
+      ("B", 1, "user", "x", "t", "2024-01-01 00:00:01"),
+      // two tools, one call each: simpson 1−1/2, effective exactly 2
+      ("C", 0, "user", "x", "p", "2024-01-01 00:00:00"),
+      ("C", 1, "user", "x", "q", "2024-01-01 00:00:01"),
+      // no tool calls at all → NO row (null tool is the no-call marker)
+      ("D", 0, "user", "x", null, "2024-01-01 00:00:00")))
+    val got = RefOps.toolDiversity(df).collect().map(r =>
+      r.getString(0) -> ((r.getAs[Long]("n_tools"), r.getAs[Long]("n_tool_calls"),
+        r.getAs[Double]("simpson_diversity"), r.getAs[Double]("effective_tools")))).toMap
+    assert(got("A") == ((2L, 3L, BigDecimal(1.0 - 5.0 / 9.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 1.8)))
+    assert(got("B") == ((1L, 2L, 0.0, 1.0)))
+    assert(got("C") == ((2L, 2L, 0.5, 2.0)))
+    assert(!got.contains("D") && got.size == 3)
+  }
+
+  test("toolDiversity equals driver-side exact moments on synth data") {
+    val raw = turns.filter(col("tool").isNotNull)
+      .select(col("conv_id"), col("tool")).collect()
+      .groupBy(_.getString(0))
+    val expected = raw.view.mapValues { rows =>
+      val cs = rows.groupBy(_.getString(1)).values.map(_.length.toLong)
+      val n = cs.sum
+      val ss = cs.map(c => c * c).sum
+      def r6(d: Double) =
+        BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (cs.size.toLong, n, r6(1.0 - ss.toDouble / (n.toDouble * n)),
+        r6(n.toDouble * n / ss.toDouble))
+    }.toMap
+    val got = RefOps.toolDiversity(turns).collect().map(r =>
+      r.getString(0) -> ((r.getAs[Long]("n_tools"), r.getAs[Long]("n_tool_calls"),
+        r.getAs[Double]("simpson_diversity"), r.getAs[Double]("effective_tools")))).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    got.foreach { case (c, v) => assert(v == expected(c), s"$c: $v vs ${expected(c)}") }
+  }
+
+  // ---- role transitions ----------------------------------------------------
+
+  test("roleTransitions golden: null-role transitions kept, last turns excluded") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x", null, "2024-01-01 00:00:00"),
+      ("A", 1, "assistant", "x", null, "2024-01-01 00:00:01"),
+      ("A", 2, "user", "x", null, "2024-01-01 00:00:02"),
+      // transition INTO and OUT OF an unattributed (null-role) turn —
+      // both must survive the successor-existence filter
+      ("B", 0, "user", "x", null, "2024-01-01 00:00:00"),
+      ("B", 1, null, "x", null, "2024-01-01 00:00:01"),
+      ("B", 2, "user", "x", null, "2024-01-01 00:00:02"),
+      // single-turn conversation: no pair at all
+      ("C", 0, "tool", "x", null, "2024-01-01 00:00:00")))
+    val got = RefOps.roleTransitions(df).collect().map(r =>
+      (Option(r.getString(0)), Option(r.getString(1))) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Double]("share")))).toMap
+    // user row-total = 2 (A2/B2 are LAST turns — no pair): →assistant 1,
+    // →null 1; A1→A2 and B1→B2 close the loops
+    assert(got((Some("user"), Some("assistant"))) == ((1L, 0.5)))
+    assert(got((Some("user"), None)) == ((1L, 0.5)))
+    assert(got((Some("assistant"), Some("user"))) == ((1L, 1.0)))
+    assert(got((None, Some("user"))) == ((1L, 1.0)))
+    assert(got.size == 4)
+  }
+
+  test("roleTransitions: pair mass and per-role share totals on synth data") {
+    val base = turns.filter(col("turn_idx").isNotNull)
+    val nTurns = base.count()
+    val nConvs = base.select(col("conv_id")).distinct().count()
+    val rows = RefOps.roleTransitions(turns).collect()
+    // every non-final turn contributes exactly one pair
+    assert(rows.map(_.getAs[Long]("cnt")).sum == nTurns - nConvs)
+    // shares row-normalize: each role's outgoing shares sum to 1
+    rows.groupBy(r => Option(r.getString(0))).foreach { case (role, rs) =>
+      val s = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"$role: $s")
+    }
+  }
 }

@@ -152,6 +152,22 @@ class PlanShapeSpec extends SparkTestBase {
     val pBurst = plan(graft.operators.RefOps.burstFlags(turns))
     assert(exchanges(pBurst) == 1, s"burst flags must be one exchange:\n$pBurst")
     assert(windows(pBurst) == 1, s"burst flags is one RANGE Window:\n$pBurst")
+
+    // tool diversity: the (conv, tool) count must partially aggregate
+    // MAP-SIDE before its exchange (pre-collapsed triples move, not raw
+    // rows); the per-conv reduction adds the metadata-scale exchange —
+    // the histogram two-exchange shape
+    val pDiv = plan(graft.operators.RefOps.toolDiversity(turns))
+    assert(exchanges(pDiv) == 2, s"diversity is count + reduce exchanges:\n$pDiv")
+    assert(pDiv.contains("partial_count"), s"diversity needs map-side combine:\n$pDiv")
+
+    // role transitions: one full-data conv_id exchange (lead window);
+    // the transition groupBy and the share window are metadata-scale
+    val pTrans = plan(graft.operators.RefOps.roleTransitions(turns))
+    assert(exchanges(pTrans) == 3,
+      s"transitions: lead + pair-agg + share exchanges:\n$pTrans")
+    assert(windows(pTrans) == 2, s"transitions is lead + share windows:\n$pTrans")
+    assert(pTrans.contains("partial_count"), s"pair agg needs map-side combine:\n$pTrans")
   }
 
   test("planning-style aggregation prunes the text column from the scan") {
