@@ -856,7 +856,7 @@ object RefOps {
   /** Tool-usage concentration per conversation — Simpson diversity
     * `1 − Σcᵢ²/n²` over the per-tool call counts, plus the inverse-
     * Simpson "effective number of tools" `n²/Σcᵢ²` (the Hill number of
-    * order 2): 0 / 1.0 when one tool dominates completely, approaching
+    * order 2): 0 / 1.0 when one tool dominates completely, and EXACTLY
     * `1 − 1/k` / `k` when k tools share the calls evenly — "does this
     * conversation lean on one tool or spread across its toolbox".
     * Simpson, NOT Shannon, deliberately: entropy needs `ln`, and Java's
