@@ -132,6 +132,12 @@ object GraftExtensions {
       arities = Set(1)),
     tfn("role_transitions",
       "(table) - corpus-level role-to-successor transition counts and row shares",
+      arities = Set(1)),
+    tfn("tool_vocab_growth",
+      "(table) - per-turn running distinct-tool count per conversation",
+      arities = Set(1)),
+    tfn("hourly_profile",
+      "(table) - corpus turn/tool/char volumes by (day-of-week, hour-of-day) in UTC",
       arities = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],

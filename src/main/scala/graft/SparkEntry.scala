@@ -326,7 +326,13 @@ object SparkEntry {
       graft.operators.RefOps.toolDiversity(transcripts(s, dir))),
     // corpus-level role→successor Markov counts + row-normalized shares
     "q60_role_transitions" -> ((s, dir) =>
-      graft.operators.RefOps.roleTransitions(transcripts(s, dir)))
+      graft.operators.RefOps.roleTransitions(transcripts(s, dir))),
+    // running COUNT(DISTINCT tool) via first-occurrence-flag cumsum
+    "q61_tool_vocab_growth" -> ((s, dir) =>
+      graft.operators.RefOps.toolVocabGrowth(transcripts(s, dir))),
+    // (dow, hour) calendar profile; dow pinned to Spark's 1=Sunday
+    "q62_hourly_profile" -> ((s, dir) =>
+      graft.operators.RefOps.hourlyProfile(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -903,6 +909,36 @@ object SparkEntry {
         |SELECT role, next_role, cnt,
         |  CAST(cnt AS DOUBLE)
         |    / CAST(SUM(cnt) OVER (PARTITION BY role) AS DOUBLE) AS share
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin),
+    // running COUNT(DISTINCT) decomposed into a first-occurrence flag
+    // (row_number over (conv, tool)) cumsummed over the turn order —
+    // non-tool turns flag 0 and keep their row
+    "q61_tool_vocab_growth" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, turn_idx, tool
+        |  FROM transcripts WHERE turn_idx IS NOT NULL),
+        |f AS (
+        |  SELECT conv_id, turn_idx,
+        |    CASE WHEN tool IS NOT NULL AND ROW_NUMBER() OVER (
+        |           PARTITION BY conv_id, tool ORDER BY turn_idx) = 1
+        |         THEN 1 ELSE 0 END AS fst
+        |  FROM b)
+        |SELECT conv_id, turn_idx,
+        |  CAST(SUM(fst) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS distinct_tools_so_far
+        |FROM f""".stripMargin),
+    // Spark dayofweek is 1=Sunday..7=Saturday; DuckDB dow is 0=Sunday —
+    // the +1 pins the convention; avg is the rollup sum*1.0/count idiom
+    "q62_hourly_profile" -> Transcripts.oracle(
+      """SELECT
+        |  CAST(EXTRACT(dow FROM ts) + 1 AS INTEGER) AS dow,
+        |  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+        |  COUNT(*) AS turn_count,
+        |  COUNT(tool) AS tool_calls,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS char_len_sum,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) * 1.0 / COUNT(*) AS char_len_avg
+        |FROM transcripts WHERE ts IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin)
   )
 }

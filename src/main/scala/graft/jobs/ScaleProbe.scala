@@ -88,9 +88,14 @@ object ScaleProbe {
         .agg(count(col("simpson_diversity"))).head())
       val tTrans = timed(graft.operators.RefOps.roleTransitions(raw)
         .agg(count(col("share"))).head())
+      val tVocab = timed(graft.operators.RefOps.toolVocabGrowth(raw)
+        .agg(count(col("distinct_tools_so_far"))).head())
+      val tProf = timed(graft.operators.RefOps.hourlyProfile(raw)
+        .agg(count(col("char_len_avg"))).head())
       val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
-        tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans
+        tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
+        tVocab + tProf
       println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
         f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs sessionize=$tSess%.2fs " +
         f"asof=$tAsof%.2fs interval=$tInterval%.2fs sliding=$tSliding%.2fs " +
@@ -98,8 +103,8 @@ object ScaleProbe {
         f"ewma=$tEwma%.2fs cusum=$tCusum%.2fs autocorr=$tAc%.2fs mad=$tMad%.2fs " +
         f"gaps=$tGap%.2fs spearman=$tSp%.2fs holt=$tHolt%.2fs " +
         f"roleruns=$tRuns%.2fs burst=$tBurst%.2fs diversity=$tDiv%.2fs " +
-        f"transitions=$tTrans%.2fs total=$total%.2fs " +
-        f"throughput=${n / tM1}%.0f turns/s")
+        f"transitions=$tTrans%.2fs vocab=$tVocab%.2fs profile=$tProf%.2fs " +
+        f"total=$total%.2fs throughput=${n / tM1}%.0f turns/s")
       total
     }
     println(f"[scale-probe] BEST cores=$cores total=${results.min}%.2fs " +

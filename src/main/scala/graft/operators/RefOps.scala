@@ -935,6 +935,75 @@ object RefOps {
           .as("share"))
   }
 
+  /** Tool-vocabulary growth curve per conversation: for every turn,
+    * how many DISTINCT tools the conversation has used so far — the
+    * adoption trajectory ("does this agent keep discovering tools or
+    * settle early?") that end-state counts like [[toolDiversity]]'s
+    * n_tools flatten away. The classic two-window form: a
+    * first-occurrence flag (`row_number() = 1` over (conv, tool) in
+    * turn order) cumulatively summed over the conversation — running
+    * COUNT(DISTINCT) is not a window aggregate in either engine, but
+    * this decomposition is exactly equivalent and all-integer.
+    * Non-tool turns (null tool) flag 0 and still emit a row: the curve
+    * is defined at EVERY turn, so downstream joins against other
+    * per-turn signals never gap.
+    * Null turn_idx drops the whole observation (order key, [[ewma]]
+    * doctrine). Scale: the explicit conv_id repartition makes BOTH
+    * window specs and their sorts run on ONE exchange —
+    * HashPartitioning(conv_id) already clusters (conv_id, tool);
+    * without it the planner would exchange on (conv_id, tool) for the
+    * flag and then RE-exchange the full rows on conv_id for the cumsum
+    * (the [[spearmanDrift]] one-exchange-two-sorts shape).
+    */
+  def toolVocabGrowth(transcripts: DataFrame): DataFrame = {
+    val wTool = Window.partitionBy(col("conv_id"), col("tool"))
+      .orderBy(col("turn_idx"))
+    val wRun = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    transcripts
+      .filter(col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("tool"))
+      .repartition(col("conv_id"))
+      .withColumn("_first",
+        when(col("tool").isNotNull && row_number().over(wTool) === 1, 1L)
+          .otherwise(0L))
+      .select(col("conv_id"), col("turn_idx"),
+        sum(col("_first")).over(wRun).as("distinct_tools_so_far"))
+  }
+
+  /** Corpus-level seasonality profile — turn volume, tool-call volume,
+    * and char mass by (day-of-week, hour-of-day) in UTC: the calendar
+    * heartbeat ("weekday mornings are chatty, weekend nights are
+    * tool-heavy") that conversation-keyed rollups cannot express
+    * because it aggregates ACROSS conversations by wall-clock cell.
+    * Day-of-week is Spark's `dayofweek` convention (1 = Sunday …
+    * 7 = Saturday); the oracle mirrors with `EXTRACT(dow) + 1`
+    * (DuckDB counts 0 = Sunday). All counts/sums are exact integers;
+    * the average is the rollup's `sum · 1.0 / count` idiom (null text
+    * null-skips the sum but holds its slot in the count, exactly like
+    * `char_len_avg` in the 1m tier).
+    * Null ts has no calendar cell — dropped whole; turn_idx is not
+    * consumed at all, so its nullness is irrelevant here (this is the
+    * one family operator keyed by wall-clock, not by turn order).
+    * Scale: aggregation with map-side combine onto AT MOST 168 cells —
+    * the exchange moves 168 partial rows per mapper regardless of
+    * corpus size; the profile of 2.5 × 10¹² turns shuffles kilobytes.
+    */
+  def hourlyProfile(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    transcripts
+      .filter(col("ts").isNotNull)
+      .groupBy(
+        dayofweek(col("ts")).as("dow"),
+        hour(col("ts")).as("hod"))
+      .agg(
+        count(lit(1)).as("turn_count"),
+        count(col("tool")).as("tool_calls"),
+        sum(length(col("text")).cast("long")).as("char_len_sum"))
+      .withColumn("char_len_avg",
+        col("char_len_sum") * lit(1.0) / col("turn_count"))
+  }
+
   /** Op #19 — running counters (`processed_rows += k`,
     * `CsvSettingsDAO.java:72-91`): cumulative sums over the stable
     * per-conversation order.

@@ -122,6 +122,10 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         RefOps.toolDiversity(session.table(args(0)))
       case "role_transitions" =>
         RefOps.roleTransitions(session.table(args(0)))
+      case "tool_vocab_growth" =>
+        RefOps.toolVocabGrowth(session.table(args(0)))
+      case "hourly_profile" =>
+        RefOps.hourlyProfile(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

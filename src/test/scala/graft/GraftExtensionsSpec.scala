@@ -228,6 +228,10 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.RefOps.toolDiversity(tr))
     assertSameRows(ext.sql("SELECT * FROM role_transitions('tr4_ext')"),
       graft.operators.RefOps.roleTransitions(tr))
+    assertSameRows(ext.sql("SELECT * FROM tool_vocab_growth('tr4_ext')"),
+      graft.operators.RefOps.toolVocabGrowth(tr))
+    assertSameRows(ext.sql("SELECT * FROM hourly_profile('tr4_ext')"),
+      graft.operators.RefOps.hourlyProfile(tr))
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

@@ -930,6 +930,73 @@ class TimeseriesOpsSpec extends SparkTestBase {
     assert(got.size == 4)
   }
 
+  test("toolVocabGrowth golden: steps on first use only, defined at every turn") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x", null, "2024-01-01 00:00:00"),
+      ("A", 1, "user", "x", "search", "2024-01-01 00:00:01"),
+      ("A", 2, "user", "x", "search", "2024-01-01 00:00:02"),
+      ("A", 3, "user", "x", "calc", "2024-01-01 00:00:03"),
+      ("A", 4, "user", "x", null, "2024-01-01 00:00:04"),
+      ("A", 5, "user", "x", "search", "2024-01-01 00:00:05"),
+      ("B", 0, "user", "x", null, "2024-01-01 00:00:00")))
+    val got = RefOps.toolVocabGrowth(df).collect().map(r =>
+      (r.getString(0), r.getInt(1)) -> r.getAs[Long]("distinct_tools_so_far")).toMap
+    assert(got == Map(
+      ("A", 0) -> 0L, ("A", 1) -> 1L, ("A", 2) -> 1L,
+      ("A", 3) -> 2L, ("A", 4) -> 2L, ("A", 5) -> 2L,
+      ("B", 0) -> 0L))
+  }
+
+  test("toolVocabGrowth: monotone, ends at the distinct count, rows preserved") {
+    val got = RefOps.toolVocabGrowth(turns).collect()
+      .groupBy(_.getString(0))
+    val base = turns.filter(col("turn_idx").isNotNull)
+    assert(got.values.map(_.length.toLong).sum == base.count())
+    val endStates = base.filter(col("tool").isNotNull)
+      .groupBy(col("conv_id"))
+      .agg(countDistinct(col("tool")).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (conv, rows) =>
+      val curve = rows.sortBy(_.getInt(1)).map(_.getAs[Long]("distinct_tools_so_far"))
+      curve.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b && b <= a + 1, s"$conv: non-step jump")
+        case _ =>
+      }
+      assert(curve.last == endStates.getOrElse(conv, 0L), conv)
+    }
+  }
+
+  test("hourlyProfile golden: cells, dow convention, null text/ts handling") {
+    val df = turnsDf(Seq(
+      // 2024-01-01 is a Monday → Spark dayofweek = 2
+      ("A", 0, "user", "aaaa", "t1", "2024-01-01 09:15:00"),
+      ("A", 1, "user", "bb", null, "2024-01-01 09:45:00"),
+      // null text holds its count slot but adds no chars
+      ("B", 0, "user", null, "t2", "2024-01-01 09:59:59"),
+      // Sunday → dow 1; different hour cell
+      ("C", 0, "user", "cc", null, "2024-01-07 23:00:00"),
+      // null ts: no calendar cell, dropped whole
+      ("D", 0, "user", "zzzz", "t3", null)))
+    val got = RefOps.hourlyProfile(df).collect().map(r =>
+      (r.getInt(0), r.getInt(1)) -> ((r.getAs[Long]("turn_count"),
+        r.getAs[Long]("tool_calls"), r.getAs[Long]("char_len_sum"),
+        r.getAs[Double]("char_len_avg")))).toMap
+    assert(got((2, 9)) == ((3L, 2L, 6L, 2.0)))
+    assert(got((1, 23)) == ((1L, 0L, 2L, 2.0)))
+    assert(got.size == 2)
+  }
+
+  test("hourlyProfile cells partition the corpus and bound at 168") {
+    val rows = RefOps.hourlyProfile(turns).collect()
+    assert(rows.length <= 168)
+    assert(rows.map(_.getAs[Long]("turn_count")).sum ==
+      turns.filter(col("ts").isNotNull).count())
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= 7)
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 23)
+    }
+  }
+
   test("roleTransitions: pair mass and per-role share totals on synth data") {
     val base = turns.filter(col("turn_idx").isNotNull)
     val nTurns = base.count()

@@ -168,6 +168,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"transitions: lead + pair-agg + share exchanges:\n$pTrans")
     assert(windows(pTrans) == 2, s"transitions is lead + share windows:\n$pTrans")
     assert(pTrans.contains("partial_count"), s"pair agg needs map-side combine:\n$pTrans")
+
+    // vocab growth: the explicit conv_id repartition serves BOTH window
+    // specs — one exchange, two sorts (the spearman shape); without it
+    // the cumsum would re-exchange the full rows on conv_id
+    val pVocab = plan(graft.operators.RefOps.toolVocabGrowth(turns))
+    assert(exchanges(pVocab) == 1, s"vocab growth must be one exchange:\n$pVocab")
+    assert(windows(pVocab) == 2, s"vocab growth is flag + cumsum windows:\n$pVocab")
+
+    // hourly profile: ONE exchange onto ≤168 cells with map-side combine
+    val pProf = plan(graft.operators.RefOps.hourlyProfile(turns))
+    assert(exchanges(pProf) == 1, s"profile must be one tiny exchange:\n$pProf")
+    assert(pProf.contains("partial_count"), s"profile needs map-side combine:\n$pProf")
   }
 
   test("planning-style aggregation prunes the text column from the scan") {
