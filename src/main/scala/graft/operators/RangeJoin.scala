@@ -77,4 +77,19 @@ private[operators] object TimeArith {
         s"column '$c' is TIMESTAMP_NTZ and the session timezone is '$tz': " +
           "timestamp arithmetic on zoneless values requires spark.sql.session.timeZone=UTC")
     }
+
+  /** The stricter guard for CALENDAR-FIELD extraction (dayofweek, hour):
+    * unlike epoch-µs arithmetic — timezone-independent on TimestampType,
+    * which is why [[requireUtcForNtz]] only fires for NTZ — field
+    * extraction reads the SESSION zone for BOTH timestamp types. An
+    * operator whose contract says "in UTC" must pin the session zone
+    * unconditionally or silently emit local-time cells.
+    */
+  def requireUtcForCalendar(df: DataFrame, c: String): Unit = {
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"calendar-field extraction on '$c' is session-timezone-dependent " +
+        s"for every timestamp type and the session timezone is '$tz': " +
+        "this operator's UTC contract requires spark.sql.session.timeZone=UTC")
+  }
 }

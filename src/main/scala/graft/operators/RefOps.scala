@@ -985,12 +985,15 @@ object RefOps {
     * Null ts has no calendar cell — dropped whole; turn_idx is not
     * consumed at all, so its nullness is irrelevant here (this is the
     * one family operator keyed by wall-clock, not by turn order).
+    * Unlike the µs-arithmetic siblings, field extraction reads the
+    * session zone for EVERY timestamp type — hence the unconditional
+    * [[TimeArith.requireUtcForCalendar]] guard, not the NTZ-only one.
     * Scale: aggregation with map-side combine onto AT MOST 168 cells —
     * the exchange moves 168 partial rows per mapper regardless of
     * corpus size; the profile of 2.5 × 10¹² turns shuffles kilobytes.
     */
   def hourlyProfile(transcripts: DataFrame): DataFrame = {
-    TimeArith.requireUtcForNtz(transcripts, "ts")
+    TimeArith.requireUtcForCalendar(transcripts, "ts")
     transcripts
       .filter(col("ts").isNotNull)
       .groupBy(

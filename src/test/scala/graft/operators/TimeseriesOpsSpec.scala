@@ -947,6 +947,27 @@ class TimeseriesOpsSpec extends SparkTestBase {
       ("B", 0) -> 0L))
   }
 
+  test("toolVocabGrowth drops null-turn_idx observations whole") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("tool", StringType), StructField("ts", TimestampType)))
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // the dropped row is the FIRST use of a tool later reused: leaking
+    // it in would emit an extra output row AND make turn 1 the SECOND
+    // occurrence of 'search', visibly flattening the curve
+    val rows = java.util.Arrays.asList(
+      Row("A", Integer.valueOf(0), "user", "x", null, t0),
+      Row("A", null, "user", "x", "search", t0),
+      Row("A", Integer.valueOf(1), "user", "x", "search", t0))
+    val out = RefOps.toolVocabGrowth(spark.createDataFrame(rows, schema))
+      .collect().map(r => r.getInt(1) -> r.getAs[Long]("distinct_tools_so_far"))
+      .toMap
+    assert(out == Map(0 -> 0L, 1 -> 1L))
+  }
+
   test("toolVocabGrowth: monotone, ends at the distinct count, rows preserved") {
     val got = RefOps.toolVocabGrowth(turns).collect()
       .groupBy(_.getString(0))
@@ -967,16 +988,25 @@ class TimeseriesOpsSpec extends SparkTestBase {
   }
 
   test("hourlyProfile golden: cells, dow convention, null text/ts handling") {
-    val df = turnsDf(Seq(
+    // timestamps built from INSTANTS, not Timestamp.valueOf: valueOf
+    // parses in the JVM default zone, and this is the one golden test
+    // asserting raw UTC calendar fields — it must not depend on the
+    // developer machine's zone (the session zone is pinned UTC by
+    // SparkTestBase; the JVM zone is not pinned by anything)
+    import spark.implicits._
+    def at(iso: String): Timestamp =
+      Timestamp.from(java.time.Instant.parse(iso))
+    val df = Seq(
       // 2024-01-01 is a Monday → Spark dayofweek = 2
-      ("A", 0, "user", "aaaa", "t1", "2024-01-01 09:15:00"),
-      ("A", 1, "user", "bb", null, "2024-01-01 09:45:00"),
+      ("A", 0, "user", "aaaa", "t1", at("2024-01-01T09:15:00Z")),
+      ("A", 1, "user", "bb", null, at("2024-01-01T09:45:00Z")),
       // null text holds its count slot but adds no chars
-      ("B", 0, "user", null, "t2", "2024-01-01 09:59:59"),
+      ("B", 0, "user", null, "t2", at("2024-01-01T09:59:59Z")),
       // Sunday → dow 1; different hour cell
-      ("C", 0, "user", "cc", null, "2024-01-07 23:00:00"),
+      ("C", 0, "user", "cc", null, at("2024-01-07T23:00:00Z")),
       // null ts: no calendar cell, dropped whole
-      ("D", 0, "user", "zzzz", "t3", null)))
+      ("D", 0, "user", "zzzz", "t3", null: Timestamp))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
     val got = RefOps.hourlyProfile(df).collect().map(r =>
       (r.getInt(0), r.getInt(1)) -> ((r.getAs[Long]("turn_count"),
         r.getAs[Long]("tool_calls"), r.getAs[Long]("char_len_sum"),
@@ -984,6 +1014,18 @@ class TimeseriesOpsSpec extends SparkTestBase {
     assert(got((2, 9)) == ((3L, 2L, 6L, 2.0)))
     assert(got((1, 23)) == ((1L, 0L, 2L, 2.0)))
     assert(got.size == 2)
+  }
+
+  test("hourlyProfile refuses a non-UTC session (calendar fields read the zone)") {
+    // field extraction is session-zone-dependent for EVERY timestamp
+    // type — the guard must fire even for plain TimestampType, where
+    // the µs-arithmetic operators' NTZ-only check stays silent
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException](RefOps.hourlyProfile(turns))
+      assert(e.getMessage.contains("session-timezone-dependent"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
   test("hourlyProfile cells partition the corpus and bound at 168") {
