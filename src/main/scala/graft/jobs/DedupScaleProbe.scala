@@ -18,7 +18,9 @@ object DedupScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 100000L
     val reps = if (args.length > 1) args(1).toInt else 3
-    val spark = SparkSession.builder().appName("graft-dedup-scale-probe").getOrCreate()
+    val spark = SparkSession.builder().appName("graft-dedup-scale-probe")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cores = spark.sparkContext.defaultParallelism
 

@@ -17,7 +17,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val input = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
-    val spark = SparkSession.builder().appName("graft-scale-probe").getOrCreate()
+    val spark = SparkSession.builder().appName("graft-scale-probe")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cores = spark.sparkContext.defaultParallelism
 

@@ -15,7 +15,9 @@ object WriteProbe {
   def main(args: Array[String]): Unit = {
     val input = args(0)
     val rounds = if (args.length > 1) args(1).toInt else 2
-    val spark = SparkSession.builder().appName("graft-write-probe").getOrCreate()
+    val spark = SparkSession.builder().appName("graft-write-probe")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val raw = spark.read.parquet(input.split(","): _*)

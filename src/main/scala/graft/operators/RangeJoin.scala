@@ -73,7 +73,7 @@ private[operators] object TimeArith {
   def requireUtcForNtz(df: DataFrame, c: String): Unit =
     if (df.schema(c).dataType == org.apache.spark.sql.types.TimestampNTZType) {
       val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-      require(tz == "UTC",
+      require(isUtc(tz),
         s"column '$c' is TIMESTAMP_NTZ and the session timezone is '$tz': " +
           "timestamp arithmetic on zoneless values requires spark.sql.session.timeZone=UTC")
     }
@@ -87,9 +87,21 @@ private[operators] object TimeArith {
     */
   def requireUtcForCalendar(df: DataFrame, c: String): Unit = {
     val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-    require(tz == "UTC",
+    require(isUtc(tz),
       s"calendar-field extraction on '$c' is session-timezone-dependent " +
         s"for every timestamp type and the session timezone is '$tz': " +
         "this operator's UTC contract requires spark.sql.session.timeZone=UTC")
   }
+
+  /** Zone-ID-aware UTC check: a bare string equality would reject
+    * 'Etc/UTC' — the JVM default on many hosts and therefore Spark's
+    * default session zone — crashing jobs that ARE running in UTC
+    * (measured: an unpinned spark-submit on this host reports
+    * 'Etc/UTC'). Any zone that normalizes to the zero fixed offset
+    * (UTC, Etc/UTC, GMT, Z, +00:00) has identical extraction rules.
+    * Unknown zone ids fail closed.
+    */
+  private def isUtc(tz: String): Boolean =
+    try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+    catch { case _: java.time.DateTimeException => false }
 }

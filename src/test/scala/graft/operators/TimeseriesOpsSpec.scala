@@ -1025,6 +1025,14 @@ class TimeseriesOpsSpec extends SparkTestBase {
       spark.conf.set("spark.sql.session.timeZone", "America/New_York")
       val e = intercept[IllegalArgumentException](RefOps.hourlyProfile(turns))
       assert(e.getMessage.contains("session-timezone-dependent"), e.getMessage)
+      // semantically-UTC aliases must PASS: Spark's default session zone
+      // is the JVM zone, which reports 'Etc/UTC' on UTC hosts — a bare
+      // string equality crashed the XL ScaleProbe on exactly that
+      // (measured); any zero-fixed-offset zone has identical rules
+      for (alias <- Seq("Etc/UTC", "GMT", "Z", "+00:00")) {
+        spark.conf.set("spark.sql.session.timeZone", alias)
+        assert(RefOps.hourlyProfile(turns).columns.contains("dow"), alias)
+      }
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
