@@ -138,7 +138,16 @@ object GraftExtensions {
       arities = Set(1)),
     tfn("hourly_profile",
       "(table) - corpus turn/tool/char volumes by (day-of-week, hour-of-day) in UTC",
-      arities = Set(1)))
+      arities = Set(1)),
+    tfn("ohlc_candles",
+      "(table[, window_seconds]) - open/high/low/close turn-length candles per tumbling window (default 3600)",
+      arities = Set(1, 2), numericArgs = Set(1)),
+    tfn("daily_deltas",
+      "(table) - day-over-day turn-count deltas per conversation vs the previous observed day",
+      arities = Set(1)),
+    tfn("gap_report",
+      "(table[, min_gap_seconds]) - inter-arrival gaps longer than the threshold with bounding turns (default 1800)",
+      arities = Set(1, 2), numericArgs = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

@@ -332,7 +332,18 @@ object SparkEntry {
       graft.operators.RefOps.toolVocabGrowth(transcripts(s, dir))),
     // (dow, hour) calendar profile; dow pinned to Spark's 1=Sunday
     "q62_hourly_profile" -> ((s, dir) =>
-      graft.operators.RefOps.hourlyProfile(transcripts(s, dir)))
+      graft.operators.RefOps.hourlyProfile(transcripts(s, dir))),
+    // OHLC candles over turn length; hour windows, all-integer output
+    "q63_ohlc_candles" -> ((s, dir) =>
+      graft.operators.SeriesOps.ohlcCandles(transcripts(s, dir),
+        windowSeconds = 3600L)),
+    // day-over-day turn-count deltas vs the previous OBSERVED day
+    "q64_daily_deltas" -> ((s, dir) =>
+      graft.operators.SeriesOps.dailyDeltas(transcripts(s, dir))),
+    // missing-data gaps > 30 min; the row-level sibling of q19
+    "q65_gap_report" -> ((s, dir) =>
+      graft.operators.SeriesOps.gapReport(transcripts(s, dir),
+        minGapSeconds = 1800L))
   )
 
   private val rollupSelect: String =
@@ -939,6 +950,50 @@ object SparkEntry {
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS char_len_sum,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) * 1.0 / COUNT(*) AS char_len_avg
         |FROM transcripts WHERE ts IS NOT NULL
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin),
+    // ARG_MIN/ARG_MAX over the unique turn_idx key ≡ Spark min_by/max_by;
+    // window_start is the q45 µs-floor MAKE_TIMESTAMP mirror
+    "q63_ohlc_candles" -> Transcripts.oracle(
+      """SELECT conv_id,
+        |  MAKE_TIMESTAMP(EPOCH_US(ts)
+        |    - ((EPOCH_US(ts) % 3600000000) + 3600000000) % 3600000000)
+        |    AS window_start,
+        |  COUNT(*) AS n_samples,
+        |  ARG_MIN(CAST(LENGTH(text) AS BIGINT), turn_idx) AS open_len,
+        |  CAST(MAX(LENGTH(text)) AS BIGINT) AS high_len,
+        |  CAST(MIN(LENGTH(text)) AS BIGINT) AS low_len,
+        |  ARG_MAX(CAST(LENGTH(text) AS BIGINT), turn_idx) AS close_len,
+        |  CAST(MAX(LENGTH(text)) - MIN(LENGTH(text)) AS BIGINT) AS hl_range
+        |FROM transcripts
+        |WHERE ts IS NOT NULL AND turn_idx IS NOT NULL AND text IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin),
+    // prev day = previous OBSERVED day (LAG over the sparse series);
+    // pct is one fixed-shape division of the two exact counts
+    "q64_daily_deltas" -> Transcripts.oracle(
+      """, d AS (
+        |  SELECT conv_id,
+        |    MAKE_TIMESTAMP(EPOCH_US(ts)
+        |      - ((EPOCH_US(ts) % 86400000000) + 86400000000) % 86400000000)
+        |      AS day_start,
+        |    COUNT(*) AS turn_count
+        |  FROM transcripts WHERE ts IS NOT NULL GROUP BY 1, 2)
+        |SELECT conv_id, day_start, turn_count,
+        |  LAG(turn_count) OVER w AS prev_count,
+        |  turn_count - LAG(turn_count) OVER w AS delta,
+        |  ROUND(CAST(turn_count - LAG(turn_count) OVER w AS DOUBLE)
+        |    / CAST(LAG(turn_count) OVER w AS DOUBLE), 6) AS pct_change
+        |FROM d WINDOW w AS (PARTITION BY conv_id ORDER BY day_start)""".stripMargin),
+    // (ts, turn_idx) order = the q19 session time axis; strict > bound
+    "q65_gap_report" -> Transcripts.oracle(
+      """, p AS (
+        |  SELECT conv_id, turn_idx, ts,
+        |    LEAD(ts) OVER w AS next_ts,
+        |    LEAD(turn_idx) OVER w AS next_idx
+        |  FROM transcripts WHERE ts IS NOT NULL AND turn_idx IS NOT NULL
+        |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
+        |SELECT conv_id, turn_idx AS from_idx, next_idx AS to_idx,
+        |  ts AS gap_start, next_ts AS gap_end,
+        |  EPOCH_US(next_ts) - EPOCH_US(ts) AS gap_us
+        |FROM p WHERE EPOCH_US(next_ts) - EPOCH_US(ts) > 1800000000""".stripMargin)
   )
 }

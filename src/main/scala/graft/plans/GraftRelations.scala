@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.operators.{AsofJoin, RangeJoin, RefOps, Sessionize}
+import graft.operators.{AsofJoin, RangeJoin, RefOps, SeriesOps, Sessionize}
 import graft.rollup.Rollup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Attribute
@@ -126,6 +126,16 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         RefOps.toolVocabGrowth(session.table(args(0)))
       case "hourly_profile" =>
         RefOps.hourlyProfile(session.table(args(0)))
+      case "ohlc_candles" =>
+        if (args.length == 2)
+          SeriesOps.ohlcCandles(session.table(args(0)), args(1).toLong)
+        else SeriesOps.ohlcCandles(session.table(args(0)))
+      case "daily_deltas" =>
+        SeriesOps.dailyDeltas(session.table(args(0)))
+      case "gap_report" =>
+        if (args.length == 2)
+          SeriesOps.gapReport(session.table(args(0)), args(1).toLong)
+        else SeriesOps.gapReport(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

@@ -232,6 +232,16 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.RefOps.toolVocabGrowth(tr))
     assertSameRows(ext.sql("SELECT * FROM hourly_profile('tr4_ext')"),
       graft.operators.RefOps.hourlyProfile(tr))
+    assertSameRows(ext.sql("SELECT * FROM ohlc_candles('tr4_ext')"),
+      graft.operators.SeriesOps.ohlcCandles(tr))
+    assertSameRows(ext.sql("SELECT * FROM ohlc_candles('tr4_ext', 900)"),
+      graft.operators.SeriesOps.ohlcCandles(tr, windowSeconds = 900L))
+    assertSameRows(ext.sql("SELECT * FROM daily_deltas('tr4_ext')"),
+      graft.operators.SeriesOps.dailyDeltas(tr))
+    assertSameRows(ext.sql("SELECT * FROM gap_report('tr4_ext')"),
+      graft.operators.SeriesOps.gapReport(tr))
+    assertSameRows(ext.sql("SELECT * FROM gap_report('tr4_ext', 600)"),
+      graft.operators.SeriesOps.gapReport(tr, minGapSeconds = 600L))
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

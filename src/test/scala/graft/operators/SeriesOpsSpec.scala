@@ -1,0 +1,164 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ingest.Synth
+
+/** Specs for the series-shape operators: OHLC candles, day-over-day
+  * deltas, and the missing-data gap report.
+  */
+class SeriesOpsSpec extends SparkTestBase {
+
+  private lazy val turns = Synth.transcripts(
+    spark, nConvs = 30, avgTurns = 50, seed = 17L).toDF().cache()
+
+  private def turnsDf(rows: Seq[(String, Int, String, String, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (c, i, r, x, tl, ts) =>
+      (c, i, r, x, tl, if (ts == null) null else Timestamp.valueOf(ts))
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+  }
+
+  // ---- OHLC candles ---------------------------------------------------
+
+  test("ohlcCandles golden: endpoints by turn order, extremes, null doctrine") {
+    val df = turnsDf(Seq(
+      // window 00:00 — open len 10 (idx 0), close len 5 (idx 3),
+      // high 30, low 5; the null-text idx 2 sample is dropped whole
+      ("A", 0, "user", "a" * 10, null, "2024-01-01 00:01:00"),
+      ("A", 1, "assistant", "b" * 30, null, "2024-01-01 00:10:00"),
+      ("A", 2, "user", null, null, "2024-01-01 00:20:00"),
+      ("A", 3, "assistant", "d" * 5, null, "2024-01-01 00:59:59"),
+      // window 01:00 — single sample: open = close = high = low
+      ("A", 4, "user", "e" * 7, null, "2024-01-01 01:00:00"),
+      // unplaceable / unorderable observations drop whole
+      ("A", 5, "user", "f" * 9, null, null),
+      ("B", 0, "user", "g" * 4, null, "2024-01-01 00:30:00")))
+      .withColumn("turn_idx",
+        when(col("conv_id") === "A" && col("turn_idx") === 5,
+          lit(null).cast("int")).otherwise(col("turn_idx")))
+    val out = SeriesOps.ohlcCandles(df).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(out.size == 3)
+    assert(out(("A", "2024-01-01 00:00:00.0")) == ((3L, 10L, 30L, 5L, 5L, 25L)))
+    assert(out(("A", "2024-01-01 01:00:00.0")) == ((1L, 7L, 7L, 7L, 7L, 0L)))
+    assert(out(("B", "2024-01-01 00:00:00.0")) == ((1L, 4L, 4L, 4L, 4L, 0L)))
+  }
+
+  test("ohlcCandles extremes agree with the brute groupBy; endpoints with first/last") {
+    val clean = turns.filter(
+      col("ts").isNotNull && col("turn_idx").isNotNull && col("text").isNotNull)
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val wUs = 3600L * 1000000L
+    val keyed = clean.select(
+      col("conv_id"),
+      timestamp_micros(us - pmod(us, lit(wUs))).as("window_start"),
+      col("turn_idx"),
+      length(col("text")).cast("long").as("char_len"))
+    // independent construction: sort_array over collected (idx, len)
+    // structs — endpoints are the first/last elements, extremes min/max
+    val brute = keyed
+      .groupBy(col("conv_id"), col("window_start"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sort_array(collect_list(struct(col("turn_idx"), col("char_len"))))
+          .as("_s"),
+        max(col("char_len")).as("high_len"),
+        min(col("char_len")).as("low_len"))
+      .select(col("conv_id"), col("window_start"), col("n_samples"),
+        element_at(col("_s"), 1).getField("char_len").as("open_len"),
+        col("high_len"), col("low_len"),
+        element_at(col("_s"), -1).getField("char_len").as("close_len"),
+        (col("high_len") - col("low_len")).as("hl_range"))
+    assertSameRows(SeriesOps.ohlcCandles(turns), brute)
+  }
+
+  test("ohlcCandles rejects invalid window tunables") {
+    intercept[IllegalArgumentException] { SeriesOps.ohlcCandles(turns, 0L) }
+    intercept[IllegalArgumentException] {
+      SeriesOps.ohlcCandles(turns, 400000000L)
+    }
+  }
+
+  // ---- daily deltas ---------------------------------------------------
+
+  test("dailyDeltas golden: sparse-day lag, first-day NULLs, count census") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x", null, "2024-01-01 08:00:00"),
+      ("A", 1, "user", "x", null, "2024-01-01 09:00:00"),
+      ("A", 2, "user", null, null, "2024-01-01 10:00:00"), // null text counts
+      // day 2 absent entirely; day 3 is compared against day 1
+      ("A", 3, "user", "x", null, "2024-01-03 08:00:00"),
+      ("A", 4, "user", "x", null, null), // unplaceable: dropped
+      ("B", 0, "user", "x", null, "2024-01-02 00:00:00")))
+    val out = SeriesOps.dailyDeltas(df).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        (r.getLong(2), Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+      .toMap
+    assert(out.size == 3)
+    assert(out(("A", "2024-01-01 00:00:00.0")) == ((3L, None, None, None)))
+    assert(out(("A", "2024-01-03 00:00:00.0")) ==
+      ((1L, Some(3L), Some(-2L), Some(-0.666667d))))
+    assert(out(("B", "2024-01-02 00:00:00.0")) == ((1L, None, None, None)))
+  }
+
+  test("dailyDeltas: deltas telescope to last-minus-first per conversation") {
+    val d = SeriesOps.dailyDeltas(turns).cache()
+    val sums = d.groupBy(col("conv_id")).agg(
+      sum(col("delta")).as("delta_sum"),
+      max_by(col("turn_count"), col("day_start")).as("last_c"),
+      min_by(col("turn_count"), col("day_start")).as("first_c"),
+      count(lit(1)).as("days"))
+      .collect()
+    assert(sums.nonEmpty)
+    sums.foreach { r =>
+      val expected =
+        if (r.getLong(4) == 1L) null else r.getLong(2) - r.getLong(3)
+      assert(r.get(1) == expected, s"conv ${r.getString(0)}")
+    }
+    // census: per-conv day totals re-add to the placeable turn count
+    val total = d.agg(sum(col("turn_count"))).collect()(0).getLong(0)
+    assert(total == turns.filter(col("ts").isNotNull).count())
+    d.unpersist()
+  }
+
+  // ---- gap report -----------------------------------------------------
+
+  test("gapReport golden: strict threshold, bounding ids, null doctrine") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x", null, "2024-01-01 00:00:00"),
+      ("A", 1, "user", "x", null, "2024-01-01 00:30:00"), // exactly 30m: NOT a gap
+      ("A", 2, "user", "x", null, "2024-01-01 01:00:01"), // 30m1s: gap
+      ("A", 3, "user", "x", null, null), // unplaceable: dropped
+      ("A", 4, "user", "x", null, "2024-01-01 03:00:00"), // gap from idx 2
+      ("B", 0, "user", "x", null, "2024-01-01 00:00:00")))
+    val out = SeriesOps.gapReport(df, minGapSeconds = 1800L).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(5)))
+      .sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq(
+      ("A", 1, 2, 1801000000L),
+      ("A", 2, 4, 7199000000L)))
+  }
+
+  test("gapReport is Sessionize's break set: gaps + 1 == sessions per conv") {
+    val clean = turns.filter(col("ts").isNotNull && col("turn_idx").isNotNull)
+    val gaps = SeriesOps.gapReport(clean, minGapSeconds = 1800L)
+      .groupBy(col("conv_id")).agg(count(lit(1)).as("n_gaps"))
+    val sessions = Sessionize.assign(clean, gapSeconds = 1800L)
+      .groupBy(col("conv_id"))
+      .agg(max(col("session_idx")).as("n_sessions"))
+    val joined = sessions.join(gaps, Seq("conv_id"), "left")
+      .select(col("conv_id"), col("n_sessions"),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + 1L, s"conv ${r.getString(0)}")
+    }
+  }
+}
