@@ -147,7 +147,16 @@ object GraftExtensions {
       arities = Set(1)),
     tfn("gap_report",
       "(table[, min_gap_seconds]) - inter-arrival gaps longer than the threshold with bounding turns (default 1800)",
-      arities = Set(1, 2), numericArgs = Set(1)))
+      arities = Set(1, 2), numericArgs = Set(1)),
+    tfn("paa_sax",
+      "(table[, segments]) - piecewise-aggregate means and 4-letter SAX symbols per conversation (default 8 segments)",
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("theilsen_slope",
+      "(table[, tail_k]) - Theil-Sen robust slope (lower-median of pairwise slopes) over the trailing K turns (default 32)",
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("seasonal_residual",
+      "(table) - corpus hourly turn counts vs their (day-of-week, hour-of-day) baseline with residual and ratio",
+      arities = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

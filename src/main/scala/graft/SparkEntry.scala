@@ -343,7 +343,16 @@ object SparkEntry {
     // missing-data gaps > 30 min; the row-level sibling of q19
     "q65_gap_report" -> ((s, dir) =>
       graft.operators.SeriesOps.gapReport(transcripts(s, dir),
-        minGapSeconds = 1800L))
+        minGapSeconds = 1800L)),
+    // PAA + SAX shape signature; 8 segments, 4-letter alphabet pinned
+    "q66_paa_sax" -> ((s, dir) =>
+      graft.operators.SeriesOps.paaSax(transcripts(s, dir), segments = 8)),
+    // Theil-Sen robust slope over the trailing 32 turns; lower median
+    "q67_theilsen_slope" -> ((s, dir) =>
+      graft.operators.SeriesOps.theilSenSlope(transcripts(s, dir), tailK = 32)),
+    // corpus hourly counts vs their (dow, hod) calendar-cell baseline
+    "q68_seasonal_residual" -> ((s, dir) =>
+      graft.operators.SeriesOps.seasonalResidual(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -994,6 +1003,87 @@ object SparkEntry {
         |SELECT conv_id, turn_idx AS from_idx, next_idx AS to_idx,
         |  ts AS gap_start, next_ts AS gap_end,
         |  EPOCH_US(next_ts) - EPOCH_US(ts) AS gap_us
-        |FROM p WHERE EPOCH_US(next_ts) - EPOCH_US(ts) > 1800000000""".stripMargin)
+        |FROM p WHERE EPOCH_US(next_ts) - EPOCH_US(ts) > 1800000000""".stripMargin),
+    // integer segment index ((rn-1)*8)//n; per-conv population moments
+    // stay longs; paa/mu/var/z are the Spark expressions verbatim
+    "q66_paa_sax" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, turn_idx, CAST(LENGTH(text) AS BIGINT) AS char_len
+        |  FROM transcripts WHERE turn_idx IS NOT NULL AND text IS NOT NULL),
+        |r AS (
+        |  SELECT conv_id, char_len,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+        |    COUNT(*) OVER (PARTITION BY conv_id) AS n,
+        |    CAST(SUM(char_len) OVER (PARTITION BY conv_id) AS BIGINT) AS s,
+        |    CAST(SUM(char_len * char_len) OVER (PARTITION BY conv_id) AS BIGINT) AS ss
+        |  FROM b),
+        |g AS (
+        |  SELECT conv_id, ((rn - 1) * 8) // n AS seg,
+        |    COUNT(*) AS n_in_seg,
+        |    CAST(SUM(char_len) AS BIGINT) AS seg_sum,
+        |    MIN(n) AS cn, MIN(s) AS cs, MIN(ss) AS css
+        |  FROM r GROUP BY 1, 2),
+        |z AS (
+        |  SELECT conv_id, seg, n_in_seg,
+        |    CAST(seg_sum AS DOUBLE) / CAST(n_in_seg AS DOUBLE) AS paa,
+        |    CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) AS mu,
+        |    (CAST(css AS DOUBLE) - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+        |       / CAST(cn AS DOUBLE)) / CAST(cn AS DOUBLE) AS vr
+        |  FROM g),
+        |zz AS (
+        |  SELECT conv_id, seg, n_in_seg, paa,
+        |    CASE WHEN vr > 0 THEN (paa - mu) / SQRT(vr) ELSE 0.0 END AS zval
+        |  FROM z)
+        |SELECT conv_id, seg, n_in_seg,
+        |  ROUND(paa, 6) AS paa, ROUND(zval, 6) AS z,
+        |  CASE WHEN zval < -0.6744897501960817 THEN 'a'
+        |       WHEN zval < 0 THEN 'b'
+        |       WHEN zval < 0.6744897501960817 THEN 'c'
+        |       ELSE 'd' END AS symbol
+        |FROM zz""".stripMargin),
+    // the oracle generates pairs by self-join; the engine by nested
+    // array transforms — same slope multiset, same sorted extraction
+    "q67_theilsen_slope" -> Transcripts.oracle(
+      """, t AS (
+        |  SELECT conv_id, CAST(turn_idx AS BIGINT) AS x,
+        |    CAST(LENGTH(text) AS BIGINT) AS y,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rn
+        |  FROM transcripts WHERE turn_idx IS NOT NULL AND text IS NOT NULL),
+        |tt AS (SELECT conv_id, x, y FROM t WHERE rn <= 32),
+        |p AS (
+        |  SELECT a.conv_id,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM tt a JOIN tt b ON a.conv_id = b.conv_id AND a.x < b.x)
+        |SELECT conv_id, COUNT(*) AS n_pairs,
+        |  ROUND(LIST_SORT(LIST(slope))[CAST((COUNT(*) + 1) // 2 AS INT)], 6)
+        |    AS theil_slope
+        |FROM p GROUP BY 1""".stripMargin),
+    // hour buckets via the µs floor; dow/hod calendar reads of the
+    // aligned bucket (q62 +1 convention); ratio multiplication-first
+    "q68_seasonal_residual" -> Transcripts.oracle(
+      """, h AS (
+        |  SELECT MAKE_TIMESTAMP(EPOCH_US(ts)
+        |      - ((EPOCH_US(ts) % 3600000000) + 3600000000) % 3600000000)
+        |      AS hour_start,
+        |    COUNT(*) AS turn_count
+        |  FROM transcripts WHERE ts IS NOT NULL GROUP BY 1),
+        |hh AS (
+        |  SELECT hour_start, turn_count,
+        |    CAST(EXTRACT(dow FROM hour_start) + 1 AS INTEGER) AS dow,
+        |    CAST(EXTRACT(hour FROM hour_start) AS INTEGER) AS hod
+        |  FROM h),
+        |c AS (
+        |  SELECT dow, hod, COUNT(*) AS cell_windows,
+        |    CAST(SUM(turn_count) AS BIGINT) AS cell_sum
+        |  FROM hh GROUP BY 1, 2)
+        |SELECT hh.hour_start, hh.dow, hh.hod, hh.turn_count, c.cell_windows,
+        |  ROUND(CAST(c.cell_sum AS DOUBLE) / CAST(c.cell_windows AS DOUBLE), 6)
+        |    AS cell_avg,
+        |  ROUND(CAST(hh.turn_count AS DOUBLE)
+        |    - CAST(c.cell_sum AS DOUBLE) / CAST(c.cell_windows AS DOUBLE), 6)
+        |    AS residual,
+        |  ROUND(CAST(hh.turn_count AS DOUBLE) * CAST(c.cell_windows AS DOUBLE)
+        |    / CAST(c.cell_sum AS DOUBLE), 6) AS ratio
+        |FROM hh JOIN c USING (dow, hod)""".stripMargin)
   )
 }

@@ -140,6 +140,193 @@ object SeriesOps {
         round(col("delta").cast("double") / col("prev_count").cast("double"), 6))
   }
 
+  /** PAA + SAX symbolization of the per-conversation turn-length
+    * series (Lin/Keogh et al., "Experiencing SAX", DMKD 2007 — public
+    * method): the series is split into `segments` equal index ranges,
+    * each range reduced to its mean (Piecewise Aggregate
+    * Approximation), and each mean z-scored against the WHOLE
+    * conversation's moments and binned into a 4-letter alphabet at the
+    * standard-normal quartile breakpoints ±0.6744897501960817 and 0 —
+    * the shape signature that makes series comparable by edit distance
+    * and groupable by motif, which no rollup tier preserves.
+    *
+    * Variant pinned here (and mirrored by the oracle): z-normalization
+    * is applied to the SEGMENT MEANS using per-conversation population
+    * moments, not to raw points pre-PAA — this keeps every aggregate an
+    * exact integer sum (n, Σx, Σx² and per-segment count/sum are all
+    * longs) so the only doubles are fixed-shape expressions over
+    * identical integers in both engines: paa = one division, μ = one
+    * division, σ² = the (Σx² − Σx·Σx/n)/n shape, z = one subtract +
+    * one divide. Casts of >2⁵³ products may round — identically in
+    * both engines, which is what hash-exactness needs ([[RefOps]]
+    * family doctrine). A numerically non-positive σ² (constant series)
+    * pins z = 0 → symbol 'c' instead of reaching sqrt/division.
+    *
+    * Segment index is exact integer arithmetic:
+    * `((rank − 1) · segments) div n` over the unique turn_idx order —
+    * no float floor anywhere.
+    *
+    * Null doctrine: the series is the char_len SIGNAL — null text is a
+    * missing sample and drops the observation whole
+    * ([[RefOps.timeWeightedAvg]] semantics); null turn_idx cannot be
+    * ordered and drops; ts plays no part (index-based representation).
+    *
+    * Scale: ONE conv_id exchange — row_number and the two unordered
+    * moment windows share it, and the (conv, seg) groupBy is a
+    * conv-local refinement of the key ([[RefOps.roleRuns]] clustering
+    * argument). Output is ≤ `segments` rows per conversation.
+    */
+  def paaSax(transcripts: DataFrame, segments: Int = 8): DataFrame = {
+    require(segments >= 2 && segments <= 64,
+      s"segments must be in [2, 64], got $segments")
+    val b = 0.6744897501960817 // standard-normal upper quartile
+    val wOrd = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val wAll = Window.partitionBy(col("conv_id"))
+    val base = transcripts
+      .filter(col("turn_idx").isNotNull && col("text").isNotNull)
+      .select(col("conv_id"), col("turn_idx"),
+        length(col("text")).cast("long").as("char_len"))
+      .withColumn("_rn", row_number().over(wOrd).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_s", sum(col("char_len")).over(wAll))
+      .withColumn("_ss", sum(col("char_len") * col("char_len")).over(wAll))
+      .withColumn("seg",
+        expr(s"((_rn - 1) * ${segments}L) div _n"))
+    val g = base
+      .groupBy(col("conv_id"), col("seg"))
+      .agg(
+        count(lit(1)).as("n_in_seg"),
+        sum(col("char_len")).as("_seg_sum"),
+        min(col("_n")).as("_cn"),
+        min(col("_s")).as("_cs"),
+        min(col("_ss")).as("_css"))
+    val paa = col("_seg_sum").cast("double") / col("n_in_seg").cast("double")
+    val mu = col("_cs").cast("double") / col("_cn").cast("double")
+    val variance =
+      (col("_css").cast("double") -
+        col("_cs").cast("double") * col("_cs").cast("double") /
+          col("_cn").cast("double")) / col("_cn").cast("double")
+    val z = when(variance > 0, (paa - mu) / sqrt(variance)).otherwise(lit(0.0))
+    g.select(
+      col("conv_id"), col("seg"), col("n_in_seg"),
+      round(paa, 6).as("paa"),
+      round(z, 6).as("z"),
+      when(z < -b, "a").when(z < 0, "b").when(z < b, "c").otherwise("d")
+        .as("symbol"))
+  }
+
+  /** Theil-Sen robust trend per conversation: the median of all
+    * pairwise slopes `(len_j − len_i)/(idx_j − idx_i)` over the
+    * trailing `tailK` turns of the char_len series — the
+    * breakdown-point-0.29 slope estimator a single pathological turn
+    * cannot drag, where the Pearson-based [[RefOps.lengthDriftCorr]]
+    * only grades association. Tail-limited because the estimator is
+    * inherently O(n²) per key: `tailK = 32` bounds it at 496 slopes
+    * per conversation — the recency-weighted reading a trend monitor
+    * wants anyway — and the cap makes the quadratic structurally
+    * harmless at 10¹² turns (the [[Dedup]] hot-bucket-guard doctrine:
+    * blow-ups are prevented by construction, not by hoping).
+    *
+    * "Median" is the LOWER-median convention — the element at 1-based
+    * position `(m+1) div 2` of the sorted slope list: an EXACT sample
+    * element, deliberately not the interpolated type-7 midpoint,
+    * because averaging two arbitrary doubles is engine-shape-sensitive
+    * while sorting + extraction is bit-exact by construction (each
+    * slope is one long-subtract/long-subtract division, identical in
+    * both engines).
+    *
+    * Pair generation never joins: the tail gathers into ONE sorted
+    * array per conversation ([[RefOps.ewma]] gather envelope, here
+    * ≤ tailK structs) and nested array transforms emit the slopes —
+    * the DuckDB oracle runs an equivalent self-join instead, same
+    * multiset either way. Plan: ONE conv_id exchange shared by the
+    * tail row_number and the gather; no second pass, no join.
+    *
+    * Null doctrine: null text is a missing sample, null turn_idx is
+    * unorderable — both drop whole; ts plays no part. Conversations
+    * with fewer than 2 tail samples have no pairs and yield no row.
+    */
+  def theilSenSlope(transcripts: DataFrame, tailK: Int = 32): DataFrame = {
+    require(tailK >= 2 && tailK <= 1024,
+      s"tailK must be in [2, 1024], got $tailK")
+    val wDesc = Window.partitionBy(col("conv_id")).orderBy(col("x").desc)
+    val tail = transcripts
+      .filter(col("turn_idx").isNotNull && col("text").isNotNull)
+      .select(col("conv_id"), col("turn_idx").cast("long").as("x"),
+        length(col("text")).cast("long").as("y"))
+      .withColumn("_rn", row_number().over(wDesc))
+      .filter(col("_rn") <= tailK)
+    val gathered = tail
+      .groupBy(col("conv_id"))
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("_pts"))
+    // all ordered pairs (i < j) via index-aware nested transforms; each
+    // slope is one fixed-shape double division over exact longs
+    val slopes = flatten(transform(col("_pts"), (a, i) =>
+      transform(
+        slice(col("_pts"), i + lit(2), size(col("_pts")) - i - lit(1)),
+        bpt => (bpt.getField("y") - a.getField("y")).cast("double") /
+          (bpt.getField("x") - a.getField("x")).cast("double"))))
+    gathered
+      .select(col("conv_id"), sort_array(slopes).as("_sl"))
+      .withColumn("n_pairs", size(col("_sl")).cast("long"))
+      .filter(col("n_pairs") >= 1)
+      .select(col("conv_id"), col("n_pairs"),
+        round(element_at(col("_sl"),
+          ((col("n_pairs") + 1L) / 2L).cast("int")), 6).as("theil_slope"))
+  }
+
+  /** Seasonal-baseline residuals over the corpus hourly series: each
+    * observed hour window's turn count against the average for its
+    * (day-of-week, hour-of-day) calendar cell — "is 40k turns a lot
+    * for 3am Sunday?", the question the raw hourly rollup and the
+    * [[RefOps.hourlyProfile]] each answer only half of. The baseline
+    * is the mean count over the OBSERVED windows of the cell (absent
+    * hours are absent, not zero — the sparse-series reading of
+    * [[dailyDeltas]]), and each row carries the cell's window count so
+    * downstream consumers can gate on support.
+    *
+    * residual = count − cell mean; ratio = count/mean, computed in the
+    * multiplication-first shape `count·windows/sum` so both engines run
+    * the identical two-operation expression over exact longs. All
+    * aggregates are longs; dow/hod are calendar FIELD reads of the
+    * hour-aligned window_start (UTC calendar guard, [[RefOps.hourlyProfile]]).
+    *
+    * Null ts drops (time axis); everything else is census counting.
+    *
+    * Scale: the hourly groupBy partial-aggregates map-side into ≤
+    * one row per distinct hour (years of data ≈ tens of thousands of
+    * rows); the ≤168-cell profile is a second metadata-scale aggregate
+    * of THAT frame, and the enrichment join broadcasts the profile —
+    * no full-data exchange beyond the first collapsed one.
+    */
+  def seasonalResidual(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForCalendar(transcripts, "ts")
+    val hourUs = 3600L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val hourly = transcripts
+      .filter(col("ts").isNotNull)
+      .select(timestamp_micros(us - pmod(us, lit(hourUs))).as("hour_start"))
+      .groupBy(col("hour_start"))
+      .agg(count(lit(1)).as("turn_count"))
+      .withColumn("dow", dayofweek(col("hour_start")))
+      .withColumn("hod", hour(col("hour_start")))
+    val profile = hourly
+      .groupBy(col("dow"), col("hod"))
+      .agg(
+        count(lit(1)).as("cell_windows"),
+        sum(col("turn_count")).as("_cell_sum"))
+    val mean = col("_cell_sum").cast("double") / col("cell_windows").cast("double")
+    hourly
+      .join(broadcast(profile), Seq("dow", "hod"))
+      .select(
+        col("hour_start"), col("dow"), col("hod"), col("turn_count"),
+        col("cell_windows"),
+        round(mean, 6).as("cell_avg"),
+        round(col("turn_count").cast("double") - mean, 6).as("residual"),
+        round(col("turn_count").cast("double") * col("cell_windows").cast("double") /
+          col("_cell_sum").cast("double"), 6).as("ratio"))
+  }
+
   /** Missing-data gap report per conversation: one row per
     * inter-arrival gap strictly longer than `minGapSeconds`, carrying
     * the bounding turn ids, the bounding timestamps, and the exact gap

@@ -136,6 +136,16 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         if (args.length == 2)
           SeriesOps.gapReport(session.table(args(0)), args(1).toLong)
         else SeriesOps.gapReport(session.table(args(0)))
+      case "paa_sax" =>
+        if (args.length == 2)
+          SeriesOps.paaSax(session.table(args(0)), args(1).toInt)
+        else SeriesOps.paaSax(session.table(args(0)))
+      case "theilsen_slope" =>
+        if (args.length == 2)
+          SeriesOps.theilSenSlope(session.table(args(0)), args(1).toInt)
+        else SeriesOps.theilSenSlope(session.table(args(0)))
+      case "seasonal_residual" =>
+        SeriesOps.seasonalResidual(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

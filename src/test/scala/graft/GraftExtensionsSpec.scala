@@ -242,6 +242,16 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.SeriesOps.gapReport(tr))
     assertSameRows(ext.sql("SELECT * FROM gap_report('tr4_ext', 600)"),
       graft.operators.SeriesOps.gapReport(tr, minGapSeconds = 600L))
+    assertSameRows(ext.sql("SELECT * FROM paa_sax('tr4_ext')"),
+      graft.operators.SeriesOps.paaSax(tr))
+    assertSameRows(ext.sql("SELECT * FROM paa_sax('tr4_ext', 4)"),
+      graft.operators.SeriesOps.paaSax(tr, segments = 4))
+    assertSameRows(ext.sql("SELECT * FROM theilsen_slope('tr4_ext')"),
+      graft.operators.SeriesOps.theilSenSlope(tr))
+    assertSameRows(ext.sql("SELECT * FROM theilsen_slope('tr4_ext', 8)"),
+      graft.operators.SeriesOps.theilSenSlope(tr, tailK = 8))
+    assertSameRows(ext.sql("SELECT * FROM seasonal_residual('tr4_ext')"),
+      graft.operators.SeriesOps.seasonalResidual(tr))
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

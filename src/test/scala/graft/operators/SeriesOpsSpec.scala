@@ -127,6 +127,166 @@ class SeriesOpsSpec extends SparkTestBase {
     d.unpersist()
   }
 
+  // ---- PAA + SAX ------------------------------------------------------
+
+  test("paaSax golden: balanced segments, z-scores, quartile symbols") {
+    // lens 10,20,30,40: mu=25, population var=125, sigma=11.1803...
+    // seg0 paa=15 -> z=-0.894 -> 'a'; seg1 paa=35 -> z=+0.894 -> 'd'
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "a" * 10, null, "2024-01-01 00:00:00"),
+      ("A", 1, "user", "a" * 20, null, "2024-01-01 00:01:00"),
+      ("A", 2, "user", "a" * 30, null, "2024-01-01 00:02:00"),
+      ("A", 3, "user", "a" * 40, null, "2024-01-01 00:03:00")))
+    val out = SeriesOps.paaSax(df, segments = 2).collect()
+      .map(r => r.getLong(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getString(5)))
+      .toMap
+    assert(out.size == 2)
+    assert(out(0L) == ((2L, 15.0, -0.894427, "a")))
+    assert(out(1L) == ((2L, 35.0, 0.894427, "d")))
+  }
+
+  test("paaSax: constant series pins z=0 and symbol 'c'; null samples drop") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "a" * 7, null, "2024-01-01 00:00:00"),
+      ("A", 1, "user", null, null, "2024-01-01 00:01:00"), // dropped
+      ("A", 2, "user", "a" * 7, null, "2024-01-01 00:02:00"),
+      ("A", 3, "user", "a" * 7, null, "2024-01-01 00:03:00")))
+      .withColumn("turn_idx",
+        when(col("turn_idx") === 3, lit(null).cast("int"))
+          .otherwise(col("turn_idx"))) // dropped too
+    val out = SeriesOps.paaSax(df, segments = 2).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getDouble(4) == 0.0 && r.getString(5) == "c")
+      assert(r.getDouble(3) == 7.0)
+    }
+    assert(out.map(_.getLong(2)).sum == 2L)
+  }
+
+  test("paaSax: segments partition each conversation near-evenly") {
+    val out = SeriesOps.paaSax(turns, segments = 8).cache()
+    val perConv = out.groupBy(col("conv_id")).agg(
+      sum(col("n_in_seg")).as("total"),
+      max(col("n_in_seg")).as("mx"),
+      min(col("n_in_seg")).as("mn"),
+      count(lit(1)).as("segs"),
+      max(col("seg")).as("max_seg"),
+      min(col("seg")).as("min_seg")).collect()
+    val expected = turns
+      .filter(col("turn_idx").isNotNull && col("text").isNotNull)
+      .groupBy(col("conv_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perConv.nonEmpty)
+    perConv.foreach { r =>
+      val n = expected(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) - r.getLong(3) <= 1L, s"uneven split for ${r.getString(0)}")
+      assert(r.getLong(4) == math.min(8L, n))
+      assert(r.getLong(6) == 0L && r.getLong(5) == math.min(8L, n) - 1L)
+    }
+    out.unpersist()
+    intercept[IllegalArgumentException] { SeriesOps.paaSax(turns, 1) }
+    intercept[IllegalArgumentException] { SeriesOps.paaSax(turns, 65) }
+  }
+
+  // ---- Theil-Sen slope ------------------------------------------------
+
+  test("theilSenSlope golden: exact line, outlier robustness, tail window") {
+    // B is y = 3x + 5 exactly; C has one wild outlier the median ignores
+    val df = turnsDf(Seq(
+      ("B", 0, "user", "b" * 5, null, "2024-01-01 00:00:00"),
+      ("B", 1, "user", "b" * 8, null, "2024-01-01 00:01:00"),
+      ("B", 2, "user", "b" * 11, null, "2024-01-01 00:02:00"),
+      ("B", 3, "user", "b" * 14, null, "2024-01-01 00:03:00"),
+      ("C", 0, "user", "c" * 10, null, "2024-01-01 00:00:00"),
+      ("C", 1, "user", "c" * 20, null, "2024-01-01 00:01:00"),
+      ("C", 2, "user", "c" * 30, null, "2024-01-01 00:02:00"),
+      ("C", 3, "user", "c" * 1000, null, "2024-01-01 00:03:00")))
+    val out = SeriesOps.theilSenSlope(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("B") == ((6L, 3.0)))
+    // C slopes sorted: [10, 10, 10, 326.67, 490, 990] -> lower median 10
+    assert(out("C") == ((6L, 10.0)))
+    // tailK=2 keeps only turns 2,3 of B: one pair, slope 3
+    val tail = SeriesOps.theilSenSlope(df, tailK = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(tail("B") == ((1L, 3.0)))
+    intercept[IllegalArgumentException] { SeriesOps.theilSenSlope(df, 1) }
+  }
+
+  test("theilSenSlope equals a self-join brute force on synth data") {
+    val k = 16
+    val base = turns
+      .filter(col("turn_idx").isNotNull && col("text").isNotNull)
+      .select(col("conv_id"), col("turn_idx").cast("long").as("x"),
+        length(col("text")).cast("long").as("y"))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("conv_id")).orderBy(col("x").desc)))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+    val pairs = base.as("a").join(base.as("b"),
+      col("a.conv_id") === col("b.conv_id") && col("a.x") < col("b.x"))
+      .select(col("a.conv_id").as("conv_id"),
+        ((col("b.y") - col("a.y")).cast("double") /
+          (col("b.x") - col("a.x")).cast("double")).as("slope"))
+    val brute = pairs.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sort_array(collect_list(col("slope"))).as("_sl"))
+      .select(col("conv_id"), col("n_pairs"),
+        round(element_at(col("_sl"),
+          ((col("n_pairs") + 1L) / 2L).cast("int")), 6).as("theil_slope"))
+    assertSameRows(SeriesOps.theilSenSlope(turns, tailK = k), brute)
+  }
+
+  // ---- seasonal residual ----------------------------------------------
+
+  test("seasonalResidual golden: cell baseline across weeks, fixed-shape ratio") {
+    // same Monday-05h cell two weeks apart: counts 2 and 4, avg 3
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x", null, "2024-01-01 05:10:00"),
+      ("A", 1, "user", "x", null, "2024-01-01 05:50:00"),
+      ("B", 0, "user", "x", null, "2024-01-08 05:05:00"),
+      ("B", 1, "user", "x", null, "2024-01-08 05:15:00"),
+      ("B", 2, "user", "x", null, "2024-01-08 05:25:00"),
+      ("B", 3, "user", "x", null, "2024-01-08 05:35:00"),
+      // a different cell entirely (Tuesday 06h)
+      ("C", 0, "user", "x", null, "2024-01-02 06:00:00")))
+    val out = SeriesOps.seasonalResidual(df).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toMap
+    assert(out.size == 3)
+    // 2024-01-01 is a Monday: Spark dayofweek = 2
+    assert(out("2024-01-01 05:00:00.0") ==
+      ((2, 5, 2L, 2L, 3.0, -1.0, 0.666667)))
+    assert(out("2024-01-08 05:00:00.0") ==
+      ((2, 5, 4L, 2L, 3.0, 1.0, 1.333333)))
+    assert(out("2024-01-02 06:00:00.0") ==
+      ((3, 6, 1L, 1L, 1.0, 0.0, 1.0)))
+  }
+
+  test("seasonalResidual: residuals cancel and ratios average to 1 per cell") {
+    val out = SeriesOps.seasonalResidual(turns).cache()
+    val cells = out.groupBy(col("dow"), col("hod")).agg(
+      sum(col("residual")).as("rsum"),
+      sum(col("ratio")).as("ratio_sum"),
+      count(lit(1)).as("wins"),
+      min(col("cell_windows")).as("cw")).collect()
+    assert(cells.nonEmpty)
+    cells.foreach { r =>
+      assert(math.abs(r.getDouble(2)) < 1e-4, s"cell ${r.getInt(0)}/${r.getInt(1)}")
+      assert(math.abs(r.getDouble(3) - r.getLong(4)) < 1e-4)
+      assert(r.getLong(4) == r.getLong(5)) // every window of the cell present
+    }
+    // census: window counts re-add to the placeable turn count
+    val total = out.agg(sum(col("turn_count"))).collect()(0).getLong(0)
+    assert(total == turns.filter(col("ts").isNotNull).count())
+    out.unpersist()
+  }
+
   // ---- gap report -----------------------------------------------------
 
   test("gapReport golden: strict threshold, bounding ids, null doctrine") {
