@@ -1015,7 +1015,7 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
         |    COUNT(*) OVER (PARTITION BY conv_id) AS n,
         |    CAST(SUM(char_len) OVER (PARTITION BY conv_id) AS BIGINT) AS s,
-        |    CAST(SUM(char_len * char_len) OVER (PARTITION BY conv_id) AS BIGINT) AS ss
+        |    SUM(char_len * char_len) OVER (PARTITION BY conv_id) AS ss
         |  FROM b),
         |g AS (
         |  SELECT conv_id, ((rn - 1) * 8) // n AS seg,

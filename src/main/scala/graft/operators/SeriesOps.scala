@@ -157,10 +157,17 @@ object SeriesOps {
     * longs) so the only doubles are fixed-shape expressions over
     * identical integers in both engines: paa = one division, μ = one
     * division, σ² = the (Σx² − Σx·Σx/n)/n shape, z = one subtract +
-    * one divide. Casts of >2⁵³ products may round — identically in
-    * both engines, which is what hash-exactness needs ([[RefOps]]
-    * family doctrine). A numerically non-positive σ² (constant series)
-    * pins z = 0 → symbol 'c' instead of reaching sqrt/division.
+    * one divide. Casts of >2⁵³ integers round — identically in both
+    * engines, which is what hash-exactness needs ([[RefOps]] family
+    * doctrine). Long envelope: Σx² would exit Long for ~10⁶-turn
+    * conversations of ~3·10⁶-char texts, where Spark's non-ANSI long
+    * sum wraps SILENTLY while the oracle's HUGEINT sum does not — so
+    * Σx² accumulates in decimal(38,0) (the [[RefOps.timeWeightedAvg]]
+    * overflow idiom; exact to 38 digits, far past any real corpus) and
+    * the oracle keeps DuckDB's native HUGEINT: both cast to double by
+    * round-to-nearest of the same exact integer. A numerically
+    * non-positive σ² (constant series) pins z = 0 → symbol 'c' instead
+    * of reaching sqrt/division.
     *
     * Segment index is exact integer arithmetic:
     * `((rank − 1) · segments) div n` over the unique turn_idx order —
@@ -189,7 +196,9 @@ object SeriesOps {
       .withColumn("_rn", row_number().over(wOrd).cast("long"))
       .withColumn("_n", count(lit(1)).over(wAll))
       .withColumn("_s", sum(col("char_len")).over(wAll))
-      .withColumn("_ss", sum(col("char_len") * col("char_len")).over(wAll))
+      .withColumn("_ss",
+        sum((col("char_len") * col("char_len")).cast("decimal(38,0)"))
+          .over(wAll))
       .withColumn("seg",
         expr(s"((_rn - 1) * ${segments}L) div _n"))
     val g = base
@@ -295,9 +304,10 @@ object SeriesOps {
     *
     * Scale: the hourly groupBy partial-aggregates map-side into ≤
     * one row per distinct hour (years of data ≈ tens of thousands of
-    * rows); the ≤168-cell profile is a second metadata-scale aggregate
-    * of THAT frame, and the enrichment join broadcasts the profile —
-    * no full-data exchange beyond the first collapsed one.
+    * rows); the cell baseline is a WINDOW over (dow, hod) on that
+    * collapsed frame — the [[graft.rollup.Rollup.charLenHistogram]]
+    * denominator idiom: one metadata-scale exchange, no self-join, no
+    * duplicated aggregation subtree.
     */
   def seasonalResidual(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForCalendar(transcripts, "ts")
@@ -310,21 +320,18 @@ object SeriesOps {
       .agg(count(lit(1)).as("turn_count"))
       .withColumn("dow", dayofweek(col("hour_start")))
       .withColumn("hod", hour(col("hour_start")))
-    val profile = hourly
-      .groupBy(col("dow"), col("hod"))
-      .agg(
-        count(lit(1)).as("cell_windows"),
-        sum(col("turn_count")).as("_cell_sum"))
+    val w = Window.partitionBy(col("dow"), col("hod"))
+    val framed = hourly
+      .withColumn("cell_windows", count(lit(1)).over(w))
+      .withColumn("_cell_sum", sum(col("turn_count")).over(w))
     val mean = col("_cell_sum").cast("double") / col("cell_windows").cast("double")
-    hourly
-      .join(broadcast(profile), Seq("dow", "hod"))
-      .select(
-        col("hour_start"), col("dow"), col("hod"), col("turn_count"),
-        col("cell_windows"),
-        round(mean, 6).as("cell_avg"),
-        round(col("turn_count").cast("double") - mean, 6).as("residual"),
-        round(col("turn_count").cast("double") * col("cell_windows").cast("double") /
-          col("_cell_sum").cast("double"), 6).as("ratio"))
+    framed.select(
+      col("hour_start"), col("dow"), col("hod"), col("turn_count"),
+      col("cell_windows"),
+      round(mean, 6).as("cell_avg"),
+      round(col("turn_count").cast("double") - mean, 6).as("residual"),
+      round(col("turn_count").cast("double") * col("cell_windows").cast("double") /
+        col("_cell_sum").cast("double"), 6).as("ratio"))
   }
 
   /** Missing-data gap report per conversation: one row per
