@@ -156,6 +156,18 @@ object GraftExtensions {
       arities = Set(1, 2), intArgs = Set(1)),
     tfn("seasonal_residual",
       "(table) - corpus hourly turn counts vs their (day-of-week, hour-of-day) baseline with residual and ratio",
+      arities = Set(1)),
+    tfn("tool_cooccurrence",
+      "(table) - unordered tool pairs with shared-conversation reach and Jaccard overlap",
+      arities = Set(1)),
+    tfn("heavy_hitters_daily",
+      "(table[, k]) - top-k tools per UTC day by call count with day share (default 3)",
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("response_latency",
+      "(table) - user-to-assistant answer-time profile per conversation (n, p50, p95, max in microseconds)",
+      arities = Set(1)),
+    tfn("cohort_retention",
+      "(table) - first-active-day cohorts by observed age-day with active counts and retention share",
       arities = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],

@@ -352,7 +352,19 @@ object SparkEntry {
       graft.operators.SeriesOps.theilSenSlope(transcripts(s, dir), tailK = 32)),
     // corpus hourly counts vs their (dow, hod) calendar-cell baseline
     "q68_seasonal_residual" -> ((s, dir) =>
-      graft.operators.SeriesOps.seasonalResidual(transcripts(s, dir)))
+      graft.operators.SeriesOps.seasonalResidual(transcripts(s, dir))),
+    // unordered tool pairs by shared-conversation reach + Jaccard
+    "q69_tool_cooccurrence" -> ((s, dir) =>
+      graft.operators.SeriesOps.toolCooccurrence(transcripts(s, dir))),
+    // top-3 tools per UTC day with deterministic name-ascending ties
+    "q70_heavy_hitters_daily" -> ((s, dir) =>
+      graft.operators.SeriesOps.heavyHittersDaily(transcripts(s, dir), k = 3)),
+    // user->assistant answer-time profile (n/p50/p95/max µs per conv)
+    "q71_response_latency" -> ((s, dir) =>
+      graft.operators.SeriesOps.responseLatency(transcripts(s, dir))),
+    // first-active-day cohorts × observed age-day activity grid
+    "q72_cohort_retention" -> ((s, dir) =>
+      graft.operators.SeriesOps.cohortRetention(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -1084,6 +1096,85 @@ object SparkEntry {
         |    AS residual,
         |  ROUND(CAST(hh.turn_count AS DOUBLE) * CAST(c.cell_windows AS DOUBLE)
         |    / CAST(c.cell_sum AS DOUBLE), 6) AS ratio
-        |FROM hh JOIN c USING (dow, hod)""".stripMargin)
+        |FROM hh JOIN c USING (dow, hod)""".stripMargin),
+    // reach = distinct conversations; jaccard denominator stays long
+    "q69_tool_cooccurrence" -> Transcripts.oracle(
+      """, d AS (
+        |  SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL),
+        |rch AS (SELECT tool, COUNT(*) AS convs FROM d GROUP BY 1),
+        |p AS (
+        |  SELECT a.tool AS tool_a, b.tool AS tool_b, COUNT(*) AS convs_both
+        |  FROM d a JOIN d b ON a.conv_id = b.conv_id AND a.tool < b.tool
+        |  GROUP BY 1, 2)
+        |SELECT p.tool_a, p.tool_b, p.convs_both,
+        |  ra.convs AS convs_a, rb.convs AS convs_b,
+        |  ROUND(CAST(p.convs_both AS DOUBLE)
+        |    / CAST(ra.convs + rb.convs - p.convs_both AS DOUBLE), 6) AS jaccard
+        |FROM p
+        |JOIN rch ra ON p.tool_a = ra.tool
+        |JOIN rch rb ON p.tool_b = rb.tool""".stripMargin),
+    // (calls DESC, tool ASC) is a total order -> the k-cutoff is stable
+    "q70_heavy_hitters_daily" -> Transcripts.oracle(
+      """, c AS (
+        |  SELECT MAKE_TIMESTAMP(EPOCH_US(ts)
+        |      - ((EPOCH_US(ts) % 86400000000) + 86400000000) % 86400000000)
+        |      AS day_start,
+        |    tool, COUNT(*) AS calls
+        |  FROM transcripts WHERE ts IS NOT NULL AND tool IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT day_start, tool, calls,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY day_start
+        |                            ORDER BY calls DESC, tool) AS BIGINT) AS rank,
+        |    CAST(SUM(calls) OVER (PARTITION BY day_start) AS BIGINT) AS day_total
+        |  FROM c)
+        |SELECT day_start, rank, tool, calls,
+        |  ROUND(CAST(calls AS DOUBLE) / CAST(day_total AS DOUBLE), 6) AS share
+        |FROM r WHERE rank <= 3""".stripMargin),
+    // nearest following assistant via the reversed-order IGNORE NULLS
+    // carry; quantile_cont over long µs = the q54 percentile guarantee
+    "q71_response_latency" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, turn_idx, role, EPOCH_US(ts) AS us
+        |  FROM transcripts WHERE ts IS NOT NULL AND turn_idx IS NOT NULL),
+        |n AS (
+        |  SELECT conv_id, role, us,
+        |    LAST_VALUE(CASE WHEN role = 'assistant' THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nx
+        |  FROM b),
+        |s AS (
+        |  SELECT conv_id, nx - us AS latency_us FROM n
+        |  WHERE role = 'user' AND nx IS NOT NULL)
+        |SELECT conv_id, COUNT(*) AS n_responses,
+        |  quantile_cont(latency_us, 0.5) AS latency_p50_us,
+        |  quantile_cont(latency_us, 0.95) AS latency_p95_us,
+        |  CAST(MAX(latency_us) AS BIGINT) AS latency_max_us
+        |FROM s GROUP BY 1""".stripMargin),
+    // age in WHOLE days is exact integer division of day-aligned µs
+    "q72_cohort_retention" -> Transcripts.oracle(
+      """, a AS (
+        |  SELECT DISTINCT conv_id,
+        |    EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000) + 86400000000)
+        |      % 86400000000 AS day_us
+        |  FROM transcripts WHERE ts IS NOT NULL),
+        |m AS (
+        |  SELECT conv_id, day_us,
+        |    MIN(day_us) OVER (PARTITION BY conv_id) AS cohort_us
+        |  FROM a),
+        |g AS (
+        |  SELECT MAKE_TIMESTAMP(cohort_us) AS cohort_day,
+        |    (day_us - cohort_us) // 86400000000 AS age_days,
+        |    COUNT(*) AS active_convs
+        |  FROM m GROUP BY 1, 2),
+        |s AS (
+        |  SELECT cohort_day, age_days, active_convs,
+        |    CAST(SUM(CASE WHEN age_days = 0 THEN active_convs END)
+        |      OVER (PARTITION BY cohort_day) AS BIGINT) AS cohort_size
+        |  FROM g)
+        |SELECT cohort_day, age_days, active_convs, cohort_size,
+        |  ROUND(CAST(active_convs AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6)
+        |    AS retention
+        |FROM s""".stripMargin)
   )
 }

@@ -334,6 +334,195 @@ object SeriesOps {
         col("_cell_sum").cast("double"), 6).as("ratio"))
   }
 
+  /** Tool co-occurrence matrix: for every unordered pair of tools, the
+    * number of conversations that used BOTH, each tool's own
+    * conversation reach, and the Jaccard overlap
+    * `both / (a + b − both)` — the association structure ("search and
+    * browse travel together; db stands alone") that per-conversation
+    * diversity ([[RefOps.toolDiversity]]) and per-tool totals cannot
+    * see. Pairs are canonicalized `tool_a < tool_b`; a conversation
+    * contributes once per pair regardless of call counts (reach, not
+    * volume — the distinct projection pins that).
+    *
+    * Counts are exact longs; jaccard is ONE division in the
+    * denominator-first long arithmetic `both / (a + b − both)`, both
+    * sides cast to double in fixed shape ([[RefOps.toolDiversity]]
+    * idiom). Null tool is the no-call marker, never a tool name.
+    *
+    * Scale: the distinct (conv, tool) projection collapses map-side to
+    * reach rows; the self-join exchanges that collapsed frame once on
+    * conv_id and expands to ≤ |toolbox|²/2 rows per conversation
+    * (vocabulary-bounded, the structural-cap doctrine); pair counts and
+    * per-tool reach are then vocabulary-scale aggregates, and the two
+    * reach enrichments broadcast ≤|tools| rows each.
+    */
+  def toolCooccurrence(transcripts: DataFrame): DataFrame = {
+    val d = transcripts
+      .filter(col("tool").isNotNull)
+      .select(col("conv_id"), col("tool"))
+      .distinct()
+    val reach = d.groupBy(col("tool")).agg(count(lit(1)).as("convs"))
+    val pairs = d.as("a")
+      .join(d.as("b"),
+        col("a.conv_id") === col("b.conv_id") && col("a.tool") < col("b.tool"))
+      .groupBy(col("a.tool").as("tool_a"), col("b.tool").as("tool_b"))
+      .agg(count(lit(1)).as("convs_both"))
+    pairs
+      .join(broadcast(reach.select(col("tool").as("tool_a"),
+        col("convs").as("convs_a"))), Seq("tool_a"))
+      .join(broadcast(reach.select(col("tool").as("tool_b"),
+        col("convs").as("convs_b"))), Seq("tool_b"))
+      .select(
+        col("tool_a"), col("tool_b"), col("convs_both"),
+        col("convs_a"), col("convs_b"),
+        round(col("convs_both").cast("double") /
+          (col("convs_a") + col("convs_b") - col("convs_both")).cast("double"),
+          6).as("jaccard"))
+  }
+
+  /** Daily heavy hitters: the top `k` tools of every UTC day by call
+    * count, with rank and share of the day's total tool calls — the
+    * windowed frequency leaderboard ([[RefOps.topKPerKey]] is the
+    * generic rank filter; this is its calendar-windowed, share-carrying
+    * reading for the tool-usage feed). Ties break deterministically by
+    * tool name ascending, so rank, the k-cutoff, and the output set are
+    * total-order stable in both engines.
+    *
+    * Counts are exact longs; share is ONE fixed-shape division of the
+    * tool's count by the day total. Null ts drops (time axis); null
+    * tool is the no-call marker and never ranks.
+    *
+    * Scale: the (day, tool) census partial-aggregates map-side into
+    * vocabulary×days rows; the rank window and the day-total window
+    * share one metadata-scale exchange of that collapsed frame —
+    * nothing full-volume moves after the first partial aggregation.
+    */
+  def heavyHittersDaily(transcripts: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val census = transcripts
+      .filter(col("ts").isNotNull && col("tool").isNotNull)
+      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day_start"),
+        col("tool"))
+      .groupBy(col("day_start"), col("tool"))
+      .agg(count(lit(1)).as("calls"))
+    val wRank = Window.partitionBy(col("day_start"))
+      .orderBy(col("calls").desc, col("tool"))
+    val wDay = Window.partitionBy(col("day_start"))
+    census
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("_day_total", sum(col("calls")).over(wDay))
+      .filter(col("rank") <= k)
+      .select(col("day_start"), col("rank"), col("tool"), col("calls"),
+        round(col("calls").cast("double") / col("_day_total").cast("double"), 6)
+          .as("share"))
+  }
+
+  /** Assistant response latency per conversation: for every user turn,
+    * the time to the NEAREST FOLLOWING assistant turn in canonical turn
+    * order, aggregated to n/p50/p95/max microseconds per conversation —
+    * the agent's answer-time profile, which inter-arrival gaps
+    * ([[RefOps.turnGapStats]]) blur because they pair every adjacent
+    * turn regardless of who spoke. Tool turns and unattributed (null
+    * role) turns sit between the pair without breaking it; a user turn
+    * with no following assistant turn (conversation tail) contributes
+    * no sample.
+    *
+    * "Nearest following" is a descending-order running carry:
+    * `last(assistant ts, ignoreNulls)` over the reversed turn order's
+    * unbounded-preceding frame — the row nearest the current one wins,
+    * and the current row contributes only if it is itself an assistant
+    * turn (it is not: only user rows emit samples). O(1) state per
+    * row, no self-join, no as-of join.
+    *
+    * Latencies are exact µs longs (simultaneous timestamps give 0 —
+    * turn order, not time order, defines the pairing); quantiles are
+    * the exact type-7 `percentile` ≡ `quantile_cont` guarantee over
+    * those longs ([[RefOps.turnGapStats]] idiom, both quantiles from
+    * ONE percentile call). Null ts cannot measure (unplaceable) and
+    * null turn_idx cannot order — both drop the whole observation
+    * before pairing, so a dropped assistant turn passes the baton to
+    * the next one (the gap-spans-missing-samples reading).
+    *
+    * Scale: ONE conv_id exchange, one sort shared by the carry window
+    * and the aggregation; output is one row per conversation with at
+    * least one completed exchange.
+    */
+  def responseLatency(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val wDesc = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    val samples = transcripts
+      .filter(col("ts").isNotNull && col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("role"), tsUs.as("_us"))
+      .withColumn("_next_assistant_us",
+        last(when(col("role") === "assistant", col("_us")), ignoreNulls = true)
+          .over(wDesc))
+      .filter(col("role") === "user" && col("_next_assistant_us").isNotNull)
+      .select(col("conv_id"),
+        (col("_next_assistant_us") - col("_us")).as("latency_us"))
+    samples.groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_responses"),
+        percentile(col("latency_us"), array(lit(0.5), lit(0.95))).as("_q"),
+        max(col("latency_us")).as("latency_max_us"))
+      .select(col("conv_id"), col("n_responses"),
+        col("_q").getItem(0).as("latency_p50_us"),
+        col("_q").getItem(1).as("latency_p95_us"),
+        col("latency_max_us"))
+  }
+
+  /** Cohort retention grid: conversations are cohorted by their first
+    * active UTC day, and each (cohort day, age in days) cell counts the
+    * cohort's conversations active that day plus the retention share —
+    * the product-analytics curve ("how many of Monday's conversations
+    * are still alive on day 3?") that per-day censuses cannot attribute.
+    * Age is measured over OBSERVED activity days (a conversation active
+    * on days 0 and 5 fills cells 0 and 5 — absent days are absent, the
+    * [[dailyDeltas]] sparse reading), and cell (c, 0) is by construction
+    * the cohort size itself, carried onto every row of the cohort so
+    * retention is self-contained.
+    *
+    * All counts are exact longs; age is exact integer µs division
+    * (both operands day-aligned, zero remainder); retention is ONE
+    * fixed-shape division. Null ts drops (time axis).
+    *
+    * Scale: the distinct (conv, day) projection partial-deduplicates
+    * map-side and exchanges conv-day rows once; the cohort-day window
+    * re-exchanges that collapsed frame on conv_id, and the grid
+    * aggregate + cohort-size window move only (days × ages) cells —
+    * every post-first exchange is collapsed-frame or metadata scale.
+    */
+  def cohortRetention(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val active = transcripts
+      .filter(col("ts").isNotNull)
+      .select(col("conv_id"),
+        (us - pmod(us, lit(dayUs))).as("_day_us"))
+      .distinct()
+    val wConv = Window.partitionBy(col("conv_id"))
+    val grid = active
+      .withColumn("_cohort_us", min(col("_day_us")).over(wConv))
+      .select(
+        timestamp_micros(col("_cohort_us")).as("cohort_day"),
+        expr("(_day_us - _cohort_us) div 86400000000").as("age_days"))
+      .groupBy(col("cohort_day"), col("age_days"))
+      .agg(count(lit(1)).as("active_convs"))
+    val wCohort = Window.partitionBy(col("cohort_day"))
+    grid
+      .withColumn("cohort_size",
+        sum(when(col("age_days") === 0L, col("active_convs"))).over(wCohort))
+      .select(col("cohort_day"), col("age_days"), col("active_convs"),
+        col("cohort_size"),
+        round(col("active_convs").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention"))
+  }
+
   /** Missing-data gap report per conversation: one row per
     * inter-arrival gap strictly longer than `minGapSeconds`, carrying
     * the bounding turn ids, the bounding timestamps, and the exact gap

@@ -146,6 +146,16 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         else SeriesOps.theilSenSlope(session.table(args(0)))
       case "seasonal_residual" =>
         SeriesOps.seasonalResidual(session.table(args(0)))
+      case "tool_cooccurrence" =>
+        SeriesOps.toolCooccurrence(session.table(args(0)))
+      case "heavy_hitters_daily" =>
+        if (args.length == 2)
+          SeriesOps.heavyHittersDaily(session.table(args(0)), args(1).toInt)
+        else SeriesOps.heavyHittersDaily(session.table(args(0)))
+      case "response_latency" =>
+        SeriesOps.responseLatency(session.table(args(0)))
+      case "cohort_retention" =>
+        SeriesOps.cohortRetention(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

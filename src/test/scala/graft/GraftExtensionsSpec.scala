@@ -252,6 +252,14 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.SeriesOps.theilSenSlope(tr, tailK = 8))
     assertSameRows(ext.sql("SELECT * FROM seasonal_residual('tr4_ext')"),
       graft.operators.SeriesOps.seasonalResidual(tr))
+    assertSameRows(ext.sql("SELECT * FROM tool_cooccurrence('tr4_ext')"),
+      graft.operators.SeriesOps.toolCooccurrence(tr))
+    assertSameRows(ext.sql("SELECT * FROM heavy_hitters_daily('tr4_ext', 2)"),
+      graft.operators.SeriesOps.heavyHittersDaily(tr, k = 2))
+    assertSameRows(ext.sql("SELECT * FROM response_latency('tr4_ext')"),
+      graft.operators.SeriesOps.responseLatency(tr))
+    assertSameRows(ext.sql("SELECT * FROM cohort_retention('tr4_ext')"),
+      graft.operators.SeriesOps.cohortRetention(tr))
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

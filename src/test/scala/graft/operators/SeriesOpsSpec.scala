@@ -289,6 +289,168 @@ class SeriesOpsSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  // ---- tool co-occurrence ----------------------------------------------
+
+  test("toolCooccurrence golden: reach counts once per conv, jaccard overlap") {
+    // A:{search,calc} B:{search,calc,db} C:{search}; repeats collapse
+    val df = turnsDf(Seq(
+      ("A", 0, "tool", "x", "search", "2024-01-01 00:00:00"),
+      ("A", 1, "tool", "x", "calc", "2024-01-01 00:01:00"),
+      ("A", 2, "tool", "x", "calc", "2024-01-01 00:02:00"), // repeat
+      ("B", 0, "tool", "x", "search", "2024-01-01 00:00:00"),
+      ("B", 1, "tool", "x", "calc", "2024-01-01 00:01:00"),
+      ("B", 2, "tool", "x", "db", "2024-01-01 00:02:00"),
+      ("C", 0, "tool", "x", "search", "2024-01-01 00:00:00"),
+      ("C", 1, "user", "x", null, "2024-01-01 00:01:00"))) // no-call marker
+    val out = SeriesOps.toolCooccurrence(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(out.size == 3)
+    assert(out(("calc", "search")) == ((2L, 2L, 3L, 0.666667)))
+    assert(out(("calc", "db")) == ((1L, 2L, 1L, 0.5)))
+    assert(out(("db", "search")) == ((1L, 1L, 3L, 0.333333)))
+  }
+
+  test("toolCooccurrence: canonical pairs, bounded overlap, exact reach") {
+    val out = SeriesOps.toolCooccurrence(turns).collect()
+    val reach = turns.filter(col("tool").isNotNull)
+      .select(col("conv_id"), col("tool")).distinct()
+      .groupBy(col("tool")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b, both) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b)
+      assert(r.getLong(3) == reach(a) && r.getLong(4) == reach(b))
+      assert(both >= 1 && both <= math.min(reach(a), reach(b)))
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  // ---- daily heavy hitters ----------------------------------------------
+
+  test("heavyHittersDaily golden: count-desc name-asc ties, day share") {
+    val mk = (c: String, i: Int, t: String, m: Int) =>
+      (c, i, "tool", "x", t, f"2024-01-01 00:$m%02d:00")
+    val df = turnsDf(Seq(
+      mk("A", 0, "beta", 0), mk("A", 1, "beta", 1), mk("A", 2, "beta", 2),
+      mk("A", 3, "alpha", 3), mk("A", 4, "alpha", 4), mk("A", 5, "alpha", 5),
+      mk("A", 6, "gamma", 6),
+      // next day: single tool
+      ("B", 0, "tool", "x", "gamma", "2024-01-02 00:00:00")))
+    val out = SeriesOps.heavyHittersDaily(df, k = 2).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out.size == 3)
+    assert(out(("2024-01-01 00:00:00.0", 1L)) == (("alpha", 3L, 0.428571)))
+    assert(out(("2024-01-01 00:00:00.0", 2L)) == (("beta", 3L, 0.428571)))
+    assert(out(("2024-01-02 00:00:00.0", 1L)) == (("gamma", 1L, 1.0)))
+    intercept[IllegalArgumentException] { SeriesOps.heavyHittersDaily(df, 0) }
+  }
+
+  test("heavyHittersDaily: ranks are dense from 1, calls nonincreasing per day") {
+    val out = SeriesOps.heavyHittersDaily(turns, k = 3).cache()
+    val perDay = out.groupBy(col("day_start")).agg(
+      collect_list(struct(col("rank"), col("calls"))).as("rc"),
+      sum(col("share")).as("share_sum"))
+      .collect()
+    assert(perDay.nonEmpty)
+    perDay.foreach { r =>
+      val rc = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+      assert(rc.map(_._1) == (1L to rc.length.toLong))
+      assert(rc.sliding(2).forall(s => s.length < 2 || s(0)._2 >= s(1)._2))
+      assert(r.getDouble(2) <= 1.0 + 1e-9)
+    }
+    out.unpersist()
+  }
+
+  // ---- response latency --------------------------------------------------
+
+  test("responseLatency golden: nearest following assistant, baton on null ts") {
+    val df = turnsDf(Seq(
+      // exchange 1: tool turn sits inside without breaking the pair
+      ("A", 0, "user", "x", null, "2024-01-01 00:00:00"),
+      ("A", 1, "tool", "x", "search", "2024-01-01 00:00:30"),
+      ("A", 2, "assistant", "x", null, "2024-01-01 00:01:40"),
+      // exchange 2: the null-ts assistant is unplaceable; baton passes
+      ("A", 3, "user", "x", null, "2024-01-01 00:10:00"),
+      ("A", 4, "assistant", "x", null, null),
+      ("A", 5, "assistant", "x", null, "2024-01-01 00:15:00"),
+      // tail user turn: no sample
+      ("A", 6, "user", "x", null, "2024-01-01 00:20:00"),
+      // single-exchange conv
+      ("B", 0, "user", "x", null, "2024-01-01 00:00:00"),
+      ("B", 1, "assistant", "x", null, "2024-01-01 00:00:10")))
+    val out = SeriesOps.responseLatency(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    // A: samples 100s and 300s -> p50 = 200s (midpoint), max 300s
+    assert(out("A") == ((2L, 200000000.0, 290000000.0, 300000000L)))
+    assert(out("B") == ((1L, 10000000.0, 10000000.0, 10000000L)))
+  }
+
+  test("responseLatency: sample count and max match a brute self-join") {
+    val base = turns.filter(col("ts").isNotNull && col("turn_idx").isNotNull)
+    val users = base.filter(col("role") === "user")
+      .select(col("conv_id"), col("turn_idx").as("u_idx"),
+        unix_micros(col("ts").cast("timestamp")).as("u_us"))
+    val assistants = base.filter(col("role") === "assistant")
+      .select(col("conv_id"), col("turn_idx").as("a_idx"),
+        unix_micros(col("ts").cast("timestamp")).as("a_us"))
+    val brute = users.join(assistants, Seq("conv_id"))
+      .filter(col("a_idx") > col("u_idx"))
+      .groupBy(col("conv_id"), col("u_idx"), col("u_us"))
+      .agg(min_by(col("a_us"), col("a_idx")).as("a_us"))
+      .select(col("conv_id"), (col("a_us") - col("u_us")).as("latency_us"))
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_responses"), max(col("latency_us")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = SeriesOps.responseLatency(turns).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(got.nonEmpty && got.keySet == brute.keySet)
+    got.foreach { case (c, v) => assert(v == brute(c), s"conv $c") }
+  }
+
+  // ---- cohort retention ---------------------------------------------------
+
+  test("cohortRetention golden: observed-age cells, self-contained size") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x", null, "2024-01-01 08:00:00"),
+      ("A", 1, "user", "x", null, "2024-01-01 09:00:00"), // same day: once
+      ("A", 2, "user", "x", null, "2024-01-03 08:00:00"), // age 2
+      ("B", 0, "user", "x", null, "2024-01-01 23:00:00"),
+      ("C", 0, "user", "x", null, "2024-01-02 00:00:00")))
+    val out = SeriesOps.cohortRetention(df).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out.size == 3)
+    assert(out(("2024-01-01 00:00:00.0", 0L)) == ((2L, 2L, 1.0)))
+    assert(out(("2024-01-01 00:00:00.0", 2L)) == ((1L, 2L, 0.5)))
+    assert(out(("2024-01-02 00:00:00.0", 0L)) == ((1L, 1L, 1.0)))
+  }
+
+  test("cohortRetention: age-0 is full, grid re-adds to conv-day census") {
+    val out = SeriesOps.cohortRetention(turns).cache()
+    assert(out.filter(col("age_days") === 0L && col("retention") =!= 1.0)
+      .count() == 0)
+    val gridTotal = out.agg(sum(col("active_convs"))).collect()(0).getLong(0)
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val convDays = turns.filter(col("ts").isNotNull)
+      .select(col("conv_id"), (us - pmod(us, lit(dayUs))).as("d"))
+      .distinct().count()
+    assert(gridTotal == convDays)
+    val cohortTotal = out.filter(col("age_days") === 0L)
+      .agg(sum(col("active_convs"))).collect()(0).getLong(0)
+    assert(cohortTotal == turns.select(col("conv_id")).distinct().count())
+    out.unpersist()
+  }
+
   // ---- gap report -----------------------------------------------------
 
   test("gapReport golden: strict threshold, bounding ids, null doctrine") {
