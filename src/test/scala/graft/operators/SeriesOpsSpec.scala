@@ -362,7 +362,8 @@ class SeriesOpsSpec extends SparkTestBase {
         .map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
       assert(rc.map(_._1) == (1L to rc.length.toLong))
       assert(rc.sliding(2).forall(s => s.length < 2 || s(0)._2 >= s(1)._2))
-      assert(r.getDouble(2) <= 1.0 + 1e-9)
+      // k shares each rounded HALF_UP to 6 dp can overshoot by k*5e-7
+      assert(r.getDouble(2) <= 1.0 + rc.length * 5e-7)
     }
     out.unpersist()
   }
