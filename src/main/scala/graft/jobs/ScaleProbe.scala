@@ -94,10 +94,32 @@ object ScaleProbe {
         .agg(count(col("distinct_tools_so_far"))).head())
       val tProf = timed(graft.operators.RefOps.hourlyProfile(raw)
         .agg(count(col("char_len_avg"))).head())
+      // continuation-batch operators (q63-q72), same payload-count idiom
+      val tOhlc = timed(graft.operators.SeriesOps.ohlcCandles(raw)
+        .agg(count(col("hl_range"))).head())
+      val tDaily = timed(graft.operators.SeriesOps.dailyDeltas(raw)
+        .agg(count(col("pct_change"))).head())
+      val tGapRep = timed(graft.operators.SeriesOps.gapReport(raw)
+        .agg(count(col("gap_us"))).head())
+      val tSax = timed(graft.operators.SeriesOps.paaSax(raw)
+        .agg(count(col("symbol"))).head())
+      val tTheil = timed(graft.operators.SeriesOps.theilSenSlope(raw)
+        .agg(count(col("theil_slope"))).head())
+      val tSeason = timed(graft.operators.SeriesOps.seasonalResidual(raw)
+        .agg(count(col("ratio"))).head())
+      val tCooc = timed(graft.operators.SeriesOps.toolCooccurrence(raw)
+        .agg(count(col("jaccard"))).head())
+      val tHh = timed(graft.operators.SeriesOps.heavyHittersDaily(raw)
+        .agg(count(col("share"))).head())
+      val tLat = timed(graft.operators.SeriesOps.responseLatency(raw)
+        .agg(count(col("latency_p95_us"))).head())
+      val tCohort = timed(graft.operators.SeriesOps.cohortRetention(raw)
+        .agg(count(col("retention"))).head())
       val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
-        tVocab + tProf
+        tVocab + tProf + tOhlc + tDaily + tGapRep + tSax + tTheil +
+        tSeason + tCooc + tHh + tLat + tCohort
       println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
         f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs sessionize=$tSess%.2fs " +
         f"asof=$tAsof%.2fs interval=$tInterval%.2fs sliding=$tSliding%.2fs " +
@@ -106,6 +128,10 @@ object ScaleProbe {
         f"gaps=$tGap%.2fs spearman=$tSp%.2fs holt=$tHolt%.2fs " +
         f"roleruns=$tRuns%.2fs burst=$tBurst%.2fs diversity=$tDiv%.2fs " +
         f"transitions=$tTrans%.2fs vocab=$tVocab%.2fs profile=$tProf%.2fs " +
+        f"ohlc=$tOhlc%.2fs daily=$tDaily%.2fs gapreport=$tGapRep%.2fs " +
+        f"paasax=$tSax%.2fs theilsen=$tTheil%.2fs seasonal=$tSeason%.2fs " +
+        f"cooc=$tCooc%.2fs heavyhitters=$tHh%.2fs latency=$tLat%.2fs " +
+        f"cohort=$tCohort%.2fs " +
         f"total=$total%.2fs throughput=${n / tM1}%.0f turns/s")
       total
     }

@@ -189,16 +189,19 @@ object SeriesOps {
     val b = 0.6744897501960817 // standard-normal upper quartile
     val wOrd = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
     val wAll = Window.partitionBy(col("conv_id"))
+    // the square is projected BEFORE the windows so the three moment
+    // aggregates land in ONE Window node (the [[RefOps.rollingZscore]]
+    // CollapseWindow guard — an inline product forces a Project between
+    // Window nodes and a second full pass)
     val base = transcripts
       .filter(col("turn_idx").isNotNull && col("text").isNotNull)
       .select(col("conv_id"), col("turn_idx"),
         length(col("text")).cast("long").as("char_len"))
+      .withColumn("_sq", (col("char_len") * col("char_len")).cast("decimal(38,0)"))
       .withColumn("_rn", row_number().over(wOrd).cast("long"))
       .withColumn("_n", count(lit(1)).over(wAll))
       .withColumn("_s", sum(col("char_len")).over(wAll))
-      .withColumn("_ss",
-        sum((col("char_len") * col("char_len")).cast("decimal(38,0)"))
-          .over(wAll))
+      .withColumn("_ss", sum(col("_sq")).over(wAll))
       .withColumn("seg",
         expr(s"((_rn - 1) * ${segments}L) div _n"))
     val g = base

@@ -182,6 +182,75 @@ class PlanShapeSpec extends SparkTestBase {
     assert(pProf.contains("partial_count"), s"profile needs map-side combine:\n$pProf")
   }
 
+  test("continuation-batch operators: exchange budgets hold (q63-q72 scale contracts)") {
+    import graft.operators.SeriesOps
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
+    def windows(p: String): Int = "Window ".r.findAllIn(p).size
+
+    // ohlc: one partial-aggregated (conv, window) exchange, no Window node
+    val pOhlc = plan(SeriesOps.ohlcCandles(turns))
+    assert(exchanges(pOhlc) == 1 && windows(pOhlc) == 0,
+      s"ohlc must be one partial-agg exchange:\n$pOhlc")
+    assert(pOhlc.contains("partial_count"), s"ohlc needs map-side combine:\n$pOhlc")
+
+    // daily deltas: collapsed census exchange + metadata-scale lag exchange
+    val pDaily = plan(SeriesOps.dailyDeltas(turns))
+    assert(exchanges(pDaily) == 2 && windows(pDaily) == 1,
+      s"daily deltas is census exchange + collapsed lag exchange:\n$pDaily")
+    assert(pDaily.contains("partial_count"), s"daily needs map-side combine:\n$pDaily")
+
+    // gap report: ONE conv_id exchange, one lead Window
+    val pGapRep = plan(SeriesOps.gapReport(turns))
+    assert(exchanges(pGapRep) == 1 && windows(pGapRep) == 1,
+      s"gap report must be one exchange:\n$pGapRep")
+
+    // paa/sax: ordered rank window + unordered moment window + the
+    // (conv, seg) groupBy all share ONE conv_id exchange
+    val pSax = plan(SeriesOps.paaSax(turns))
+    assert(exchanges(pSax) == 1, s"paaSax must be one exchange:\n$pSax")
+    assert(windows(pSax) == 2,
+      s"paaSax is rank + moments Window nodes:\n$pSax")
+
+    // theil-sen: tail window + per-conv gather share ONE exchange; the
+    // pair generation is array transforms — NO join of any kind
+    val pTheil = plan(SeriesOps.theilSenSlope(turns))
+    assert(exchanges(pTheil) == 1 && windows(pTheil) == 1,
+      s"theil-sen must be one exchange:\n$pTheil")
+    assert(!pTheil.contains("Join"), s"theil-sen must not join:\n$pTheil")
+
+    // seasonal residual: hourly census exchange + metadata-scale cell window
+    val pSeason = plan(SeriesOps.seasonalResidual(turns))
+    assert(exchanges(pSeason) == 2 && windows(pSeason) == 1,
+      s"seasonal residual is census exchange + cell window exchange:\n$pSeason")
+
+    // co-occurrence: the reach enrichments must BROADCAST (vocabulary-
+    // sized) and nothing may nested-loop-join
+    // (the conv self-join's strategy is data-sized — AQE may broadcast
+    // it too on a small input — so only the floor is pinned)
+    val pCooc = plan(SeriesOps.toolCooccurrence(turns))
+    assert("BroadcastHashJoin".r.findAllIn(pCooc).size >= 2,
+      s"cooccurrence reach joins must broadcast:\n$pCooc")
+    assert(!pCooc.contains("BroadcastNestedLoopJoin"),
+      s"cooccurrence must not BNLJ:\n$pCooc")
+
+    // heavy hitters: (day, tool) census exchange, then rank + day-total
+    // windows on ONE day_start re-exchange of the collapsed frame
+    val pHh = plan(SeriesOps.heavyHittersDaily(turns))
+    assert(exchanges(pHh) == 2 && windows(pHh) == 2,
+      s"heavy hitters is census exchange + shared day window exchange:\n$pHh")
+
+    // response latency: carry window + per-conv aggregate on ONE exchange
+    val pLat = plan(SeriesOps.responseLatency(turns))
+    assert(exchanges(pLat) == 1 && windows(pLat) == 1,
+      s"response latency must be one exchange:\n$pLat")
+
+    // cohort retention: every exchange AFTER the distinct operates on
+    // the collapsed conv-day (or smaller) frame
+    val pCohort = plan(SeriesOps.cohortRetention(turns))
+    assert(exchanges(pCohort) == 4 && windows(pCohort) == 2,
+      s"cohort retention is distinct + cohort window + grid agg + size window:\n$pCohort")
+  }
+
   test("planning-style aggregation prunes the text column from the scan") {
     val dir = tmpDir("planshape-in")
     turns.write.mode("overwrite").parquet(dir)
