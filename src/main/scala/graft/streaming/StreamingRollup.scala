@@ -88,4 +88,32 @@ object StreamingRollup {
         col("turn_count"), col("user_turns"), col("tool_calls"),
         col("char_len_sum"),
         (col("char_len_sum") * lit(1.0) / col("turn_count")).as("char_len_avg"))
+
+  /** Streaming sibling of [[graft.operators.SeriesOps.ohlcCandles]]:
+    * OHLC is fully decomposable — min/max merge trivially and the
+    * open/close endpoints ride min_by/max_by's (value, key) state over
+    * the unique turn_idx order key, so partial states merge exactly and
+    * a late row (within the watermark) can still displace an endpoint.
+    * Same filters, same column set, same all-long output as the batch
+    * operator; epoch-aligned `window()` buckets equal the batch µs
+    * floor. Append mode emits each candle exactly once when the
+    * watermark passes its window end.
+    */
+  def ohlc(stream: DataFrame, windowExpr: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .filter(col("ts").isNotNull && col("turn_idx").isNotNull &&
+        col("text").isNotNull)
+      .withColumn("char_len", length(col("text")).cast("long"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("conv_id"), window(col("ts"), windowExpr).as("w"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        min_by(col("char_len"), col("turn_idx")).as("open_len"),
+        max(col("char_len")).as("high_len"),
+        min(col("char_len")).as("low_len"),
+        max_by(col("char_len"), col("turn_idx")).as("close_len"))
+      .select(col("conv_id"), col("w.start").as("window_start"),
+        col("n_samples"), col("open_len"), col("high_len"), col("low_len"),
+        col("close_len"), (col("high_len") - col("low_len")).as("hl_range"))
 }
