@@ -168,7 +168,16 @@ object GraftExtensions {
       arities = Set(1)),
     tfn("cohort_retention",
       "(table) - first-active-day cohorts by observed age-day with active counts and retention share",
-      arities = Set(1)))
+      arities = Set(1)),
+    tfn("sax_motifs",
+      "(table[, segments]) - SAX shape-signature census with a deterministic exemplar conversation (default 8 segments)",
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("conv_lifecycle",
+      "(table) - per-conversation lifecycle summary (turns, endpoints, span, active days, intensity)",
+      arities = Set(1)),
+    tfn("term_topk",
+      "(table[, k]) - top-k whitespace tokens by corpus frequency with share of token mass (default 50)",
+      arities = Set(1, 2), intArgs = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

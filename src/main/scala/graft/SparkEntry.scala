@@ -364,7 +364,16 @@ object SparkEntry {
       graft.operators.SeriesOps.responseLatency(transcripts(s, dir))),
     // first-active-day cohorts × observed age-day activity grid
     "q72_cohort_retention" -> ((s, dir) =>
-      graft.operators.SeriesOps.cohortRetention(transcripts(s, dir)))
+      graft.operators.SeriesOps.cohortRetention(transcripts(s, dir))),
+    // SAX shape-signature census with a deterministic exemplar
+    "q73_sax_motifs" -> ((s, dir) =>
+      graft.operators.SeriesOps.saxMotifs(transcripts(s, dir), segments = 8)),
+    // whole-life conversation summary (span, active days, intensity)
+    "q74_conv_lifecycle" -> ((s, dir) =>
+      graft.operators.SeriesOps.convLifecycle(transcripts(s, dir))),
+    // vocabulary head: top-50 whitespace tokens with share of mass
+    "q75_term_topk" -> ((s, dir) =>
+      graft.operators.SeriesOps.termTopK(transcripts(s, dir), k = 50))
   )
 
   private val rollupSelect: String =
@@ -387,6 +396,45 @@ object SparkEntry {
       |  COUNT(*) * 1.0 / WSECONDS AS turn_rate
       |FROM transcripts
       |GROUP BY 1, 2""".stripMargin
+
+  /** PAA + SAX CTE chain (8 segments; the SeriesOps.paaSax expressions
+    * verbatim) — shared by the q66 symbolization and the q73 motif
+    * census so the two oracles cannot drift apart.
+    */
+  private val saxCte: String =
+    """, b AS (
+      |  SELECT conv_id, turn_idx, CAST(LENGTH(text) AS BIGINT) AS char_len
+      |  FROM transcripts WHERE turn_idx IS NOT NULL AND text IS NOT NULL),
+      |r AS (
+      |  SELECT conv_id, char_len,
+      |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+      |    COUNT(*) OVER (PARTITION BY conv_id) AS n,
+      |    CAST(SUM(char_len) OVER (PARTITION BY conv_id) AS BIGINT) AS s,
+      |    SUM(char_len * char_len) OVER (PARTITION BY conv_id) AS ss
+      |  FROM b),
+      |g AS (
+      |  SELECT conv_id, ((rn - 1) * 8) // n AS seg,
+      |    COUNT(*) AS n_in_seg,
+      |    CAST(SUM(char_len) AS BIGINT) AS seg_sum,
+      |    MIN(n) AS cn, MIN(s) AS cs, MIN(ss) AS css
+      |  FROM r GROUP BY 1, 2),
+      |z AS (
+      |  SELECT conv_id, seg, n_in_seg,
+      |    CAST(seg_sum AS DOUBLE) / CAST(n_in_seg AS DOUBLE) AS paa,
+      |    CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) AS mu,
+      |    (CAST(css AS DOUBLE) - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+      |       / CAST(cn AS DOUBLE)) / CAST(cn AS DOUBLE) AS vr
+      |  FROM g),
+      |zz AS (
+      |  SELECT conv_id, seg, n_in_seg, paa,
+      |    CASE WHEN vr > 0 THEN (paa - mu) / SQRT(vr) ELSE 0.0 END AS zval
+      |  FROM z)""".stripMargin
+
+  private val saxSymbolCase: String =
+    """CASE WHEN zval < -0.6744897501960817 THEN 'a'
+      |       WHEN zval < 0 THEN 'b'
+      |       WHEN zval < 0.6744897501960817 THEN 'c'
+      |       ELSE 'd' END""".stripMargin
 
   /** Session-assignment CTE (30-minute gap, microsecond arithmetic) —
     * shared by the q19 summary and the q36 interval-join oracle.
@@ -1019,40 +1067,12 @@ object SparkEntry {
     // integer segment index ((rn-1)*8)//n; per-conv population moments
     // stay longs; paa/mu/var/z are the Spark expressions verbatim
     "q66_paa_sax" -> Transcripts.oracle(
-      """, b AS (
-        |  SELECT conv_id, turn_idx, CAST(LENGTH(text) AS BIGINT) AS char_len
-        |  FROM transcripts WHERE turn_idx IS NOT NULL AND text IS NOT NULL),
-        |r AS (
-        |  SELECT conv_id, char_len,
-        |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
-        |    COUNT(*) OVER (PARTITION BY conv_id) AS n,
-        |    CAST(SUM(char_len) OVER (PARTITION BY conv_id) AS BIGINT) AS s,
-        |    SUM(char_len * char_len) OVER (PARTITION BY conv_id) AS ss
-        |  FROM b),
-        |g AS (
-        |  SELECT conv_id, ((rn - 1) * 8) // n AS seg,
-        |    COUNT(*) AS n_in_seg,
-        |    CAST(SUM(char_len) AS BIGINT) AS seg_sum,
-        |    MIN(n) AS cn, MIN(s) AS cs, MIN(ss) AS css
-        |  FROM r GROUP BY 1, 2),
-        |z AS (
-        |  SELECT conv_id, seg, n_in_seg,
-        |    CAST(seg_sum AS DOUBLE) / CAST(n_in_seg AS DOUBLE) AS paa,
-        |    CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) AS mu,
-        |    (CAST(css AS DOUBLE) - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
-        |       / CAST(cn AS DOUBLE)) / CAST(cn AS DOUBLE) AS vr
-        |  FROM g),
-        |zz AS (
-        |  SELECT conv_id, seg, n_in_seg, paa,
-        |    CASE WHEN vr > 0 THEN (paa - mu) / SQRT(vr) ELSE 0.0 END AS zval
-        |  FROM z)
+      saxCte +
+      """
         |SELECT conv_id, seg, n_in_seg,
         |  ROUND(paa, 6) AS paa, ROUND(zval, 6) AS z,
-        |  CASE WHEN zval < -0.6744897501960817 THEN 'a'
-        |       WHEN zval < 0 THEN 'b'
-        |       WHEN zval < 0.6744897501960817 THEN 'c'
-        |       ELSE 'd' END AS symbol
-        |FROM zz""".stripMargin),
+        |  SYMCASE AS symbol
+        |FROM zz""".stripMargin.replace("SYMCASE", saxSymbolCase)),
     // the oracle generates pairs by self-join; the engine by nested
     // array transforms — same slope multiset, same sorted extraction
     "q67_theilsen_slope" -> Transcripts.oracle(
@@ -1175,6 +1195,48 @@ object SparkEntry {
         |SELECT cohort_day, age_days, active_convs, cohort_size,
         |  ROUND(CAST(active_convs AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6)
         |    AS retention
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin),
+    // the shared saxCte keeps q66 and q73 term-for-term identical
+    "q73_sax_motifs" -> Transcripts.oracle(
+      saxCte +
+      """,
+        |sym AS (
+        |  SELECT conv_id, seg, SYMCASE AS symbol FROM zz),
+        |sig AS (
+        |  SELECT conv_id, STRING_AGG(symbol, '' ORDER BY seg) AS sax_signature
+        |  FROM sym GROUP BY 1)
+        |SELECT sax_signature, COUNT(*) AS n_convs,
+        |  MIN(conv_id) AS exemplar_conv
+        |FROM sig GROUP BY 1""".stripMargin.replace("SYMCASE", saxSymbolCase)),
+    // span over observed endpoints; active_days counts observed days
+    "q74_conv_lifecycle" -> Transcripts.oracle(
+      """SELECT conv_id, COUNT(*) AS n_turns,
+        |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        |  CAST(MAX(EPOCH_US(ts)) - MIN(EPOCH_US(ts)) AS BIGINT) AS span_us,
+        |  COUNT(DISTINCT EPOCH_US(ts)
+        |    - ((EPOCH_US(ts) % 86400000000) + 86400000000) % 86400000000)
+        |    AS active_days,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(COUNT(DISTINCT EPOCH_US(ts)
+        |        - ((EPOCH_US(ts) % 86400000000) + 86400000000) % 86400000000)
+        |      AS DOUBLE), 6) AS turns_per_active_day
+        |FROM transcripts WHERE ts IS NOT NULL GROUP BY 1""".stripMargin),
+    // STRING_SPLIT on single spaces = the q02 token_sum convention
+    // (empty fragments from space runs included on both sides)
+    "q75_term_topk" -> Transcripts.oracle(
+      """, tk AS (
+        |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term
+        |  FROM transcripts WHERE text IS NOT NULL),
+        |tc AS (SELECT term, COUNT(*) AS occurrences FROM tk GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(occurrences) AS BIGINT) AS total FROM tc),
+        |top AS (
+        |  SELECT term, occurrences FROM tc
+        |  ORDER BY occurrences DESC, term LIMIT 50)
+        |SELECT
+        |  CAST(ROW_NUMBER() OVER (ORDER BY occurrences DESC, term) AS BIGINT)
+        |    AS rank,
+        |  term, occurrences,
+        |  ROUND(CAST(occurrences AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        |FROM top, tt""".stripMargin)
   )
 }

@@ -526,6 +526,123 @@ object SeriesOps {
           col("cohort_size").cast("double"), 6).as("retention"))
   }
 
+  /** SAX motif grouping: conversations collapsed to their SAX shape
+    * signature (the per-segment symbols of [[paaSax]] concatenated in
+    * segment order) and grouped — "which length-trajectory shapes recur,
+    * and how often?", the motif census that makes 10¹² conversations
+    * browsable by shape ("abcd…d ramps", "dcba…a decays"). Carries the
+    * lexicographically-least conversation id as a deterministic
+    * exemplar for drill-down.
+    *
+    * Everything upstream is [[paaSax]]'s hash-exact machinery; the
+    * signature itself is a pure string fold over the deterministic
+    * (seg, symbol) pairs, so groups and counts are bit-stable. Short
+    * conversations produce short signatures (fewer occupied segments —
+    * the paaSax `((rank−1)·S) div n` layout), which is part of the
+    * signature, not noise: a 2-turn conversation IS a different shape
+    * than an 800-turn one.
+    *
+    * Scale: inherits paaSax's ONE conv_id exchange (the per-conv
+    * signature fold is a conv-refinement groupBy on the same
+    * clustering); the final signature census exchanges ≤ 4^segments
+    * motif rows — metadata scale.
+    */
+  def saxMotifs(transcripts: DataFrame, segments: Int = 8): DataFrame = {
+    val sax = paaSax(transcripts, segments)
+    sax
+      .groupBy(col("conv_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("seg"), col("symbol")))),
+            p => p.getField("symbol")),
+          "").as("sax_signature"))
+      .groupBy(col("sax_signature"))
+      .agg(
+        count(lit(1)).as("n_convs"),
+        min(col("conv_id")).as("exemplar_conv"))
+  }
+
+  /** Conversation lifecycle census: one row per conversation with its
+    * placeable turn count, first/last timestamps, total span in exact
+    * µs, distinct active UTC days, and turns per active day — the
+    * whole-life summary ("a 3-day burst" vs "a 2-month trickle") that
+    * windowed tiers never materialize in one row. The span counts
+    * calendar coverage between observed endpoints; active_days counts
+    * only days with data (the [[cohortRetention]] observed-activity
+    * reading — a conversation alive on days 0 and 5 has span ~5 days
+    * but 2 active days).
+    *
+    * All counts and the span are exact longs; turns_per_active_day is
+    * ONE fixed-shape division. Null ts drops the observation (time
+    * axis — an unplaceable turn has no lifecycle position); role/text/
+    * turn_idx nulls keep their rows (census counting).
+    *
+    * Scale: ONE partial-aggregated conv_id exchange; the distinct-day
+    * count rides the same aggregate (Spark plans count(DISTINCT) via
+    * a map-side Expand on the already-clustered key — no extra
+    * exchange of raw rows). Output is one row per conversation.
+    */
+  def convLifecycle(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    transcripts
+      .filter(col("ts").isNotNull)
+      .select(col("conv_id"), col("ts"), us.as("_us"),
+        (us - pmod(us, lit(dayUs))).as("_day_us"))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        (max(col("_us")) - min(col("_us"))).as("span_us"),
+        countDistinct(col("_day_us")).as("active_days"))
+      .withColumn("turns_per_active_day",
+        round(col("n_turns").cast("double") / col("active_days").cast("double"), 6))
+  }
+
+  /** Corpus term frequency top-k: the `k` most frequent whitespace
+    * tokens across all turn text with count, rank, and share of the
+    * total token mass — the vocabulary head every training-data
+    * pipeline inspects (stopword skew, boilerplate contamination,
+    * tokenizer sanity). Tokenization is the rollup tiers' token
+    * convention (split on single spaces, empty fragments from runs of
+    * spaces INCLUDED — `token_sum` parity, mirrored by the oracle's
+    * STRING_SPLIT) so the share denominator equals the q02 token_sum
+    * total.
+    *
+    * The cutoff is the total order (count DESC, term ASC) — stable in
+    * both engines (binary string collation both sides). Rank is
+    * assigned AFTER the top-k extraction, over ≤ k rows.
+    *
+    * Scale: tokens partial-aggregate map-side per term, ONE exchange of
+    * (term, count) pairs; the top-k is Spark's distributed
+    * TakeOrderedAndProject (per-partition heads, never a global
+    * single-partition sort of the vocabulary — the plan pin in
+    * PlanShapeSpec); the total-mass denominator is a 1-row aggregate
+    * broadcast by the cross join. Null text contributes nothing.
+    */
+  def termTopK(transcripts: DataFrame, k: Int = 50): DataFrame = {
+    require(k >= 1 && k <= 100000, s"k must be in [1, 100000], got $k")
+    val tokens = transcripts
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("occurrences"))
+    val total = tokens.agg(sum(col("occurrences")).as("_total"))
+    val top = tokens
+      .orderBy(col("occurrences").desc, col("term"))
+      .limit(k)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("occurrences").desc, col("term"))).cast("long"))
+      .select(col("rank"), col("term"), col("occurrences"),
+        round(col("occurrences").cast("double") / col("_total").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Missing-data gap report per conversation: one row per
     * inter-arrival gap strictly longer than `minGapSeconds`, carrying
     * the bounding turn ids, the bounding timestamps, and the exact gap

@@ -156,6 +156,16 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         SeriesOps.responseLatency(session.table(args(0)))
       case "cohort_retention" =>
         SeriesOps.cohortRetention(session.table(args(0)))
+      case "sax_motifs" =>
+        if (args.length == 2)
+          SeriesOps.saxMotifs(session.table(args(0)), args(1).toInt)
+        else SeriesOps.saxMotifs(session.table(args(0)))
+      case "conv_lifecycle" =>
+        SeriesOps.convLifecycle(session.table(args(0)))
+      case "term_topk" =>
+        if (args.length == 2)
+          SeriesOps.termTopK(session.table(args(0)), args(1).toInt)
+        else SeriesOps.termTopK(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

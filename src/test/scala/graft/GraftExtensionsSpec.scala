@@ -260,6 +260,12 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.SeriesOps.responseLatency(tr))
     assertSameRows(ext.sql("SELECT * FROM cohort_retention('tr4_ext')"),
       graft.operators.SeriesOps.cohortRetention(tr))
+    assertSameRows(ext.sql("SELECT * FROM sax_motifs('tr4_ext', 4)"),
+      graft.operators.SeriesOps.saxMotifs(tr, segments = 4))
+    assertSameRows(ext.sql("SELECT * FROM conv_lifecycle('tr4_ext')"),
+      graft.operators.SeriesOps.convLifecycle(tr))
+    assertSameRows(ext.sql("SELECT * FROM term_topk('tr4_ext', 5)"),
+      graft.operators.SeriesOps.termTopK(tr, k = 5))
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

@@ -452,6 +452,116 @@ class SeriesOpsSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  // ---- SAX motifs -----------------------------------------------------
+
+  test("saxMotifs golden: shared shapes group, short convs keep short signatures") {
+    val df = turnsDf(Seq(
+      // A and B: same ramp shape -> same 2-segment signature "ad"
+      ("A", 0, "user", "a" * 10, null, "2024-01-01 00:00:00"),
+      ("A", 1, "user", "a" * 20, null, "2024-01-01 00:01:00"),
+      ("A", 2, "user", "a" * 30, null, "2024-01-01 00:02:00"),
+      ("A", 3, "user", "a" * 40, null, "2024-01-01 00:03:00"),
+      ("B", 0, "user", "b" * 20, null, "2024-01-01 00:00:00"),
+      ("B", 1, "user", "b" * 40, null, "2024-01-01 00:01:00"),
+      ("B", 2, "user", "b" * 60, null, "2024-01-01 00:02:00"),
+      ("B", 3, "user", "b" * 80, null, "2024-01-01 00:03:00"),
+      // C: constant -> "cc"
+      ("C", 0, "user", "c" * 7, null, "2024-01-01 00:00:00"),
+      ("C", 1, "user", "c" * 7, null, "2024-01-01 00:01:00")))
+    val out = SeriesOps.saxMotifs(df, segments = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size == 2)
+    assert(out("ad") == ((2L, "A")))
+    assert(out("cc") == ((1L, "C")))
+  }
+
+  test("saxMotifs: signature census covers every sampled conversation") {
+    val out = SeriesOps.saxMotifs(turns, segments = 8).cache()
+    val convs = turns
+      .filter(col("turn_idx").isNotNull && col("text").isNotNull)
+      .select(col("conv_id")).distinct().count()
+    assert(out.agg(sum(col("n_convs"))).collect()(0).getLong(0) == convs)
+    // signatures are SAX alphabet only, length <= segments
+    out.collect().foreach { r =>
+      val sig = r.getString(0)
+      assert(sig.nonEmpty && sig.length <= 8 && sig.forall("abcd".contains(_)))
+    }
+    out.unpersist()
+  }
+
+  // ---- conversation lifecycle -------------------------------------------
+
+  test("convLifecycle golden: span vs active days, unplaceable turns drop") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x", null, "2024-01-01 00:00:00"),
+      ("A", 1, "user", null, null, "2024-01-01 12:00:00"), // null text counts
+      ("A", 2, "user", "x", null, "2024-01-06 00:00:00"),  // day 5: 2 active days
+      ("A", 3, "user", "x", null, null),                   // unplaceable: dropped
+      ("B", 0, "user", "x", null, "2024-01-02 10:00:00")))
+    val out = SeriesOps.convLifecycle(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getTimestamp(2).toString, r.getTimestamp(3).toString,
+          r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    assert(out("A") == ((3L, "2024-01-01 00:00:00.0", "2024-01-06 00:00:00.0",
+      432000000000L, 2L, 1.5)))
+    assert(out("B") == ((1L, "2024-01-02 10:00:00.0", "2024-01-02 10:00:00.0",
+      0L, 1L, 1.0)))
+  }
+
+  test("convLifecycle: census re-adds, active days match the cohort grid") {
+    val out = SeriesOps.convLifecycle(turns).cache()
+    assert(out.agg(sum(col("n_turns"))).collect()(0).getLong(0) ==
+      turns.filter(col("ts").isNotNull).count())
+    // Σ active_days over convs == Σ active_convs over the cohort grid
+    val gridTotal = SeriesOps.cohortRetention(turns)
+      .agg(sum(col("active_convs"))).collect()(0).getLong(0)
+    assert(out.agg(sum(col("active_days"))).collect()(0).getLong(0) == gridTotal)
+    out.collect().foreach { r =>
+      // a span crossing k midnights touches at most k+1 days, and
+      // k <= floor(span/day) + 1 -> active_days <= span/day + 2
+      assert(r.getLong(5) >= 1L &&
+        r.getLong(4) >= 0L &&
+        r.getLong(5) <= r.getLong(4) / 86400000000L + 2L,
+        s"conv ${r.getString(0)}: active days exceed the span envelope")
+    }
+    out.unpersist()
+  }
+
+  // ---- term top-k ---------------------------------------------------------
+
+  test("termTopK golden: token-sum convention, count-desc term-asc cutoff") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "the cat  sat", null, "2024-01-01 00:00:00"),
+      ("A", 1, "user", "the dog", null, "2024-01-01 00:01:00"),
+      ("B", 0, "user", null, null, "2024-01-01 00:00:00"), // contributes nothing
+      ("B", 1, "user", "the", null, "2024-01-01 00:01:00")))
+    // tokens: the×3, cat, ""(double space), sat, dog -> total 7
+    val out = SeriesOps.termTopK(df, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.size == 3)
+    assert(out(1L) == (("the", 3L, 0.428571)))
+    assert(out(2L) == (("", 1L, 0.142857)))   // empty sorts first among ties
+    assert(out(3L) == (("cat", 1L, 0.142857)))
+    intercept[IllegalArgumentException] { SeriesOps.termTopK(df, 0) }
+  }
+
+  test("termTopK: ranks dense, counts nonincreasing, share denominator is token_sum") {
+    // the synth vocabulary is 15 words; k=10 keeps the cutoff real
+    val out = SeriesOps.termTopK(turns, k = 10).collect().sortBy(_.getLong(0))
+    assert(out.length == 10)
+    assert(out.map(_.getLong(0)).toSeq == (1L to 10L))
+    assert(out.sliding(2).forall(s => s(0).getLong(2) >= s(1).getLong(2)))
+    val total = turns.filter(col("text").isNotNull)
+      .agg(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    out.foreach { r =>
+      val expect = BigDecimal(r.getLong(2).toDouble / total.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == expect, s"term ${r.getString(1)}")
+    }
+  }
+
   // ---- gap report -----------------------------------------------------
 
   test("gapReport golden: strict threshold, bounding ids, null doctrine") {

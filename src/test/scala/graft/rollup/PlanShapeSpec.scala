@@ -249,6 +249,18 @@ class PlanShapeSpec extends SparkTestBase {
     val pCohort = plan(SeriesOps.cohortRetention(turns))
     assert(exchanges(pCohort) == 4 && windows(pCohort) == 2,
       s"cohort retention is distinct + cohort window + grid agg + size window:\n$pCohort")
+
+    // sax motifs: the signature fold reuses paaSax's conv_id exchange;
+    // only the metadata-scale motif census adds one
+    val pMotif = plan(SeriesOps.saxMotifs(turns))
+    assert(exchanges(pMotif) == 2,
+      s"sax motifs must add only the census exchange:\n$pMotif")
+
+    // term top-k: the vocabulary must NEVER be globally sorted in one
+    // partition — the cutoff is the distributed TakeOrderedAndProject
+    val pTerm = plan(SeriesOps.termTopK(turns))
+    assert(pTerm.contains("TakeOrderedAndProject"),
+      s"term top-k must use the distributed top-k operator:\n$pTerm")
   }
 
   test("planning-style aggregation prunes the text column from the scan") {
