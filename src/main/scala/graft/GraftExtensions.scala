@@ -177,7 +177,19 @@ object GraftExtensions {
       arities = Set(1)),
     tfn("term_topk",
       "(table[, k]) - top-k whitespace tokens by corpus frequency with share of token mass (default 50)",
-      arities = Set(1, 2), intArgs = Set(1)))
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("term_lift",
+      "(table[, k[, min_tf]]) - per-conversation distinctive terms by exact-rational frequency lift (default k=5, min_tf=2)",
+      arities = Set(1, 2, 3), intArgs = Set(1, 2)),
+    tfn("mann_kendall",
+      "(table[, tail_k]) - Mann-Kendall monotonic-trend test (S, tau-a, tau-b) over the turn-length tail (default 32)",
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("rescaled_range",
+      "(table) - Hurst-style rescaled-range (R/S) statistic of turn length per conversation",
+      arities = Set(1)),
+    tfn("day_activity_rank",
+      "(table) - per-day competition rank and percentile of each conversation's turn count",
+      arities = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

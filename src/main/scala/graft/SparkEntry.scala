@@ -373,7 +373,19 @@ object SparkEntry {
       graft.operators.SeriesOps.convLifecycle(transcripts(s, dir))),
     // vocabulary head: top-50 whitespace tokens with share of mass
     "q75_term_topk" -> ((s, dir) =>
-      graft.operators.SeriesOps.termTopK(transcripts(s, dir), k = 50))
+      graft.operators.SeriesOps.termTopK(transcripts(s, dir), k = 50)),
+    // per-conv distinctive terms by exact-rational frequency lift
+    "q76_term_lift" -> ((s, dir) =>
+      graft.operators.SeriesOps.termLift(transcripts(s, dir), k = 5, minTf = 2L)),
+    // Mann-Kendall monotonic-trend test over the turn-length tail
+    "q77_mann_kendall" -> ((s, dir) =>
+      graft.operators.SeriesOps.mannKendall(transcripts(s, dir), tailK = 32)),
+    // Hurst-style rescaled-range statistic, exact-integer reduced form
+    "q78_rescaled_range" -> ((s, dir) =>
+      graft.operators.SeriesOps.rescaledRange(transcripts(s, dir))),
+    // per-day activity percentile of each conversation's turn count
+    "q79_day_activity_rank" -> ((s, dir) =>
+      graft.operators.SeriesOps.dayActivityRank(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -1237,6 +1249,108 @@ object SparkEntry {
         |    AS rank,
         |  term, occurrences,
         |  ROUND(CAST(occurrences AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
-        |FROM top, tt""".stripMargin)
+        |FROM top, tt""".stripMargin),
+    // lift = (tf·corpus_tokens)/(ctf·conv_tokens): exact-long products,
+    // ONE division — bit-identical doubles, so the rank order is stable
+    // (a log-IDF weight would compare non-correctly-rounded LN outputs)
+    "q76_term_lift" -> Transcripts.oracle(
+      """, tk AS (
+        |  SELECT conv_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+        |  FROM transcripts WHERE text IS NOT NULL),
+        |tf AS (SELECT conv_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        |en AS (
+        |  SELECT conv_id, term, tf,
+        |    CAST(SUM(tf) OVER (PARTITION BY term) AS BIGINT) AS ctf,
+        |    CAST(SUM(tf) OVER (PARTITION BY conv_id) AS BIGINT) AS cv
+        |  FROM tf),
+        |tt AS (SELECT CAST(SUM(tf) AS BIGINT) AS ct FROM tf),
+        |lf AS (
+        |  SELECT conv_id, term, tf, ctf,
+        |    CAST(tf * ct AS DOUBLE) / CAST(ctf * cv AS DOUBLE) AS lift
+        |  FROM en, tt WHERE tf >= 2),
+        |rk AS (
+        |  SELECT conv_id, term, tf, ctf, lift,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
+        |      ORDER BY lift DESC, term) AS BIGINT) AS rank
+        |  FROM lf)
+        |SELECT conv_id, rank, term, tf, ctf, ROUND(lift, 6) AS lift
+        |FROM rk WHERE rank <= 5""".stripMargin),
+    // the oracle enumerates pairs by self-join (the q67 pattern); the
+    // engine by nested array transforms — same sign multiset
+    "q77_mann_kendall" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, CAST(turn_idx AS BIGINT) AS x,
+        |    CAST(LENGTH(text) AS BIGINT) AS y,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id
+        |      ORDER BY turn_idx DESC) AS rd
+        |  FROM transcripts WHERE turn_idx IS NOT NULL AND text IS NOT NULL),
+        |t AS (SELECT conv_id, x, y FROM b WHERE rd <= 32),
+        |p AS (
+        |  SELECT a.conv_id,
+        |    CASE WHEN c.y > a.y THEN 1 WHEN c.y < a.y THEN -1 ELSE 0 END AS sg
+        |  FROM t a JOIN t c ON a.conv_id = c.conv_id AND a.x < c.x),
+        |m AS (
+        |  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(sg) AS BIGINT) AS s,
+        |    CAST(SUM(CASE WHEN sg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tied_pairs
+        |  FROM p GROUP BY 1),
+        |n AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1)
+        |SELECT m.conv_id, n.n, m.n_pairs, m.tied_pairs, m.s AS mk_s,
+        |  ROUND(CAST(m.s AS DOUBLE) / CAST(m.n_pairs AS DOUBLE), 6) AS tau_a,
+        |  CASE WHEN m.n_pairs - m.tied_pairs > 0 THEN
+        |    ROUND(CAST(m.s AS DOUBLE) /
+        |      SQRT(CAST(m.n_pairs * (m.n_pairs - m.tied_pairs) AS DOUBLE)), 6)
+        |  END AS tau_b
+        |FROM m JOIN n ON m.conv_id = n.conv_id""".stripMargin),
+    // D_k = n·prefix_k − k·Σy and n·Σy² − (Σy)² are exact integers
+    // (BIGINT / HUGEINT) in both engines; rs is one sqrt + one division
+    "q78_rescaled_range" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, CAST(LENGTH(text) AS BIGINT) AS y,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+        |    CAST(SUM(CAST(LENGTH(text) AS BIGINT)) OVER (
+        |      PARTITION BY conv_id ORDER BY turn_idx
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+        |    COUNT(*) OVER (PARTITION BY conv_id) AS n,
+        |    CAST(SUM(CAST(LENGTH(text) AS BIGINT)) OVER (
+        |      PARTITION BY conv_id) AS BIGINT) AS s,
+        |    SUM(CAST(LENGTH(text) AS BIGINT) * CAST(LENGTH(text) AS BIGINT))
+        |      OVER (PARTITION BY conv_id) AS ss
+        |  FROM transcripts WHERE turn_idx IS NOT NULL AND text IS NOT NULL),
+        |d AS (SELECT conv_id, n * c - rn * s AS dev, n, s, ss FROM b),
+        |g AS (
+        |  SELECT conv_id, MIN(n) AS n,
+        |    CAST(MAX(dev) - MIN(dev) AS BIGINT) AS range_num,
+        |    MIN(n) * MIN(ss) - CAST(MIN(s) AS HUGEINT) * MIN(s) AS var_num
+        |  FROM d GROUP BY 1)
+        |SELECT conv_id, n, range_num,
+        |  CASE WHEN var_num > 0 THEN
+        |    ROUND(CAST(range_num AS DOUBLE) / SQRT(CAST(var_num AS DOUBLE)), 6)
+        |  END AS rs_stat
+        |FROM g""".stripMargin),
+    // competition rank within the day; the single-conv-day pct pin is
+    // part of the contract (the (n−1) denominator is undefined there)
+    "q79_day_activity_rank" -> Transcripts.oracle(
+      """, d AS (
+        |  SELECT conv_id,
+        |    EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000 AS day_us
+        |  FROM transcripts WHERE ts IS NOT NULL),
+        |c AS (
+        |  SELECT conv_id, MAKE_TIMESTAMP(day_us) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS turn_count
+        |  FROM d GROUP BY 1, 2),
+        |r AS (
+        |  SELECT day, conv_id, turn_count,
+        |    CAST(COUNT(*) OVER (PARTITION BY day) AS BIGINT) AS day_convs,
+        |    CAST(RANK() OVER (PARTITION BY day
+        |      ORDER BY turn_count DESC) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT day, conv_id, turn_count, day_convs, rank,
+        |  CASE WHEN day_convs = 1 THEN 0.0
+        |    ELSE ROUND(CAST(rank - 1 AS DOUBLE)
+        |      / CAST(day_convs - 1 AS DOUBLE), 6) END AS pct
+        |FROM r""".stripMargin)
   )
 }

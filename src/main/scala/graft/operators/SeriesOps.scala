@@ -643,6 +643,232 @@ object SeriesOps {
           .as("share"))
   }
 
+  /** Per-conversation distinctive terms by relative-frequency lift:
+    * for each conversation, the `k` tokens whose in-conversation
+    * relative frequency most exceeds their corpus relative frequency —
+    * `lift = (tf/conv_tokens) / (ctf/corpus_tokens)` — the
+    * "what is THIS conversation about" extraction (TF-IDF's job) in a
+    * form both engines compute bit-identically: the classic log-IDF
+    * weight would compare `ln` outputs, and `ln` is NOT correctly
+    * rounded in either engine, so ranks could flip on sub-ulp ties;
+    * the lift ratio is two exact-long products and ONE IEEE division —
+    * deterministic everywhere, and for any fixed document-frequency
+    * profile it orders terms exactly as TF-IDF would.
+    *
+    * Tokenization is the [[termTopK]] / rollup `token_sum` convention
+    * (single-space split, empty fragments included). `minTf` suppresses
+    * hapax noise (a once-used rare term otherwise dominates every
+    * list); conversation token mass (`conv_tokens`) counts ALL the
+    * conversation's tokens, before the minTf cut. The rank order is
+    * (lift DESC, term ASC): lift is the same double bit-for-bit in
+    * both engines, so the order is total and stable.
+    *
+    * Envelope: `tf·corpus_tokens` and `ctf·conv_tokens` stay inside
+    * Long up to ~10¹² corpus tokens × 10⁴-token terms-per-conv — the
+    * [[RefOps.cusumChangepoint]] documented-bounds doctrine.
+    *
+    * Scale: the (conv, term) census partial-aggregates map-side and
+    * exchanges once; the term reach and conversation mass are windows
+    * over that COLLAPSED frame (term-scale and conv-scale exchanges);
+    * the corpus total is a 1-row aggregate broadcast by the cross
+    * join; the rank window reuses the conv clustering. Nothing after
+    * the census moves raw rows. Null text contributes nothing.
+    */
+  def termLift(transcripts: DataFrame, k: Int = 5, minTf: Long = 2L): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(minTf >= 1L, s"minTf must be >= 1, got $minTf")
+    val tf = transcripts
+      .filter(col("text").isNotNull)
+      .select(col("conv_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("conv_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val wTerm = Window.partitionBy(col("term"))
+    val wConv = Window.partitionBy(col("conv_id"))
+    val enriched = tf
+      .withColumn("ctf", sum(col("tf")).over(wTerm))
+      .withColumn("_cv", sum(col("tf")).over(wConv))
+    val total = tf.agg(sum(col("tf")).as("_ct"))
+    val lifted = enriched
+      .crossJoin(broadcast(total))
+      .withColumn("_lift",
+        (col("tf") * col("_ct")).cast("double") /
+          (col("ctf") * col("_cv")).cast("double"))
+      .filter(col("tf") >= minTf)
+    val wRank = Window.partitionBy(col("conv_id"))
+      .orderBy(col("_lift").desc, col("term"))
+    lifted
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("conv_id"), col("rank"), col("term"), col("tf"),
+        col("ctf"), round(col("_lift"), 6).as("lift"))
+  }
+
+  /** Mann-Kendall trend test per conversation over the trailing `tailK`
+    * turns of the char_len series — the standard nonparametric
+    * monotonic-trend statistic: `S = Σ_{i<j} sgn(y_j − y_i)` over all
+    * turn-ordered pairs, with Kendall's tau-a `S / n₀`
+    * (n₀ = n(n−1)/2) and the tie-corrected tau-b
+    * `S / sqrt(n₀ · (n₀ − T))` (T = tied pairs; position ties are
+    * impossible — turn_idx is unique). The sign-count S is what
+    * [[theilSenSlope]]'s median slope estimates the MAGNITUDE of; this
+    * is the significance side of the same monotonic-trend question,
+    * and the pair is the classic Mann-Kendall + Sen's-slope bundle.
+    *
+    * Everything is exact integers until two final divisions and one
+    * sqrt (correctly rounded per IEEE — the [[paaSax]] doctrine), so
+    * both engines agree bit-for-bit. Tail-limited like [[theilSenSlope]]
+    * (same O(n²) cap rationale, same tailK envelope); conversations
+    * with fewer than 2 tail samples have no pairs and yield no row;
+    * an all-tied tail (n₀ = T) pins tau_b NULL rather than 0/0.
+    *
+    * Null text is a missing sample, null turn_idx is unorderable —
+    * both drop the whole observation; ts plays no part.
+    *
+    * Scale: ONE conv_id exchange shared by the tail row_number and the
+    * gather ([[theilSenSlope]] plan shape); the pair expansion is a
+    * per-group array transform bounded by tailK², never a join.
+    */
+  def mannKendall(transcripts: DataFrame, tailK: Int = 32): DataFrame = {
+    require(tailK >= 2 && tailK <= 1024,
+      s"tailK must be in [2, 1024], got $tailK")
+    val wDesc = Window.partitionBy(col("conv_id")).orderBy(col("x").desc)
+    val tail = transcripts
+      .filter(col("turn_idx").isNotNull && col("text").isNotNull)
+      .select(col("conv_id"), col("turn_idx").cast("long").as("x"),
+        length(col("text")).cast("long").as("y"))
+      .withColumn("_rn", row_number().over(wDesc))
+      .filter(col("_rn") <= tailK)
+    val gathered = tail
+      .groupBy(col("conv_id"))
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("_pts"),
+        count(lit(1)).as("n"))
+    // all ordered pairs (i < j) in turn order; each sign is an exact
+    // -1/0/+1 long, so S and the tie count are exact in both engines
+    val signs = flatten(transform(col("_pts"), (a, i) =>
+      transform(
+        slice(col("_pts"), i + lit(2), size(col("_pts")) - i - lit(1)),
+        bpt => when(bpt.getField("y") > a.getField("y"), 1L)
+          .when(bpt.getField("y") < a.getField("y"), -1L)
+          .otherwise(0L))))
+    val s = col("_s")
+    val n0 = col("n_pairs")
+    val tiedFree = n0 - col("tied_pairs")
+    gathered
+      .filter(col("n") >= 2)
+      .select(col("conv_id"), col("n"), signs.as("_signs"))
+      .select(col("conv_id"), col("n"),
+        size(col("_signs")).cast("long").as("n_pairs"),
+        aggregate(col("_signs"), lit(0L), (acc, x) => acc + x).as("_s"),
+        size(filter(col("_signs"), x => x === 0L)).cast("long")
+          .as("tied_pairs"))
+      .select(col("conv_id"), col("n"), col("n_pairs"), col("tied_pairs"),
+        s.as("mk_s"),
+        round(s.cast("double") / n0.cast("double"), 6).as("tau_a"),
+        when(tiedFree > 0L,
+          round(s.cast("double") /
+            sqrt((n0 * tiedFree).cast("double")), 6)).as("tau_b"))
+  }
+
+  /** Rescaled-range (R/S) statistic of the char_len series per
+    * conversation — the Hurst-analysis workhorse: R is the range of
+    * the cumulative mean-centered deviations, S the population
+    * standard deviation, and R/S grows like n^H (H≈0.5 for white
+    * noise, >0.5 for trending/persistent series). Reported in the
+    * algebraically reduced form where every factor of n cancels:
+    * `R/S = (max_k D_k − min_k D_k) / sqrt(n·Σy² − (Σy)²)` with
+    * `D_k = n·(Σ_{i≤k} y_i) − k·Σy` — D, its extremes, and the
+    * variance numerator are EXACT integers in both engines, so the
+    * only inexact steps are one sqrt (correctly rounded) and one
+    * division ([[RefOps.cusumChangepoint]] scaled-integer idiom).
+    *
+    * The deviation extremes are over observed prefixes k = 1..n
+    * (D_n = 0 by construction, so the range always sees the series
+    * end); a constant series has zero variance and pins rs NULL.
+    * Envelope: |D_k| ≤ n²·max_len (~1e16 for million-turn 10k-char
+    * conversations — inside Long, the cusum envelope); the variance
+    * numerator uses decimal(38,0) ([[paaSax]] sum-of-squares rule)
+    * because n·Σy² alone exceeds Long there.
+    *
+    * Null text / null turn_idx drop the whole observation (the
+    * [[theilSenSlope]] doctrine); ts plays no part — the series axis
+    * is turn order.
+    *
+    * Scale: ONE conv_id exchange — the ordered cumsum window, the
+    * whole-partition moment windows, and the final per-conv groupBy
+    * all share the conv_id clustering ([[paaSax]] plan shape).
+    */
+  def rescaledRange(transcripts: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("conv_id"))
+    val base = transcripts
+      .filter(col("turn_idx").isNotNull && col("text").isNotNull)
+      .select(col("conv_id"), col("turn_idx"),
+        length(col("text")).cast("long").as("y"))
+      .withColumn("_sq", (col("y") * col("y")).cast("decimal(38,0)"))
+      .withColumn("_rn", row_number().over(wOrd).cast("long"))
+      .withColumn("_c", sum(col("y")).over(wCum))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_s", sum(col("y")).over(wAll))
+      .withColumn("_ss", sum(col("_sq")).over(wAll))
+      .withColumn("_dev", col("_n") * col("_c") - col("_rn") * col("_s"))
+    val g = base
+      .groupBy(col("conv_id"))
+      .agg(
+        min(col("_n")).as("n"),
+        (max(col("_dev")) - min(col("_dev"))).as("range_num"),
+        min(col("_ss")).as("_css"),
+        min(col("_s")).as("_cs"))
+    val varNum = col("n").cast("decimal(38,0)") * col("_css") -
+      col("_cs").cast("decimal(38,0)") * col("_cs").cast("decimal(38,0)")
+    g.select(col("conv_id"), col("n"), col("range_num"),
+      when(varNum > 0,
+        round(col("range_num").cast("double") / sqrt(varNum.cast("double")), 6))
+        .as("rs_stat"))
+  }
+
+  /** Day-activity percentile rank: each (conversation, UTC day)'s turn
+    * count ranked within that day's active conversations, with the
+    * percentile `(rank−1)/(day_convs−1)` — "was this conversation in
+    * the day's top 1% of traffic?", the per-day skew view that feeds
+    * salting decisions ([[graft.rollup.Rollup.fromRawSalted]]) with an
+    * actual hot-key list instead of a guess. Rank 1 is the day's
+    * busiest conversation; ties share a rank (same turn count = same
+    * percentile — the standard competition reading), and a
+    * single-conversation day pins pct 0.0 explicitly (the (n−1)
+    * denominator is undefined there, and engines disagree on the
+    * convention, so the CASE is part of the contract).
+    *
+    * Counts and ranks are exact longs; pct is ONE fixed-shape division
+    * rounded 6. Null ts drops (time axis); other nulls keep their rows
+    * (census counting — the [[convLifecycle]] doctrine).
+    *
+    * Scale: the (conv, day) census partial-aggregates map-side and
+    * exchanges once (collapsed rows ≈ conv-days); the rank/size
+    * windows share ONE day-scale exchange of that collapsed frame.
+    */
+  def dayActivityRank(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val daily = transcripts
+      .filter(col("ts").isNotNull)
+      .select(col("conv_id"),
+        timestamp_micros(us - pmod(us, lit(dayUs))).as("day"))
+      .groupBy(col("conv_id"), col("day"))
+      .agg(count(lit(1)).as("turn_count"))
+    val wDay = Window.partitionBy(col("day"))
+    val wRank = wDay.orderBy(col("turn_count").desc)
+    daily
+      .withColumn("day_convs", count(lit(1)).over(wDay))
+      .withColumn("rank", rank().over(wRank).cast("long"))
+      .select(col("day"), col("conv_id"), col("turn_count"),
+        col("day_convs"), col("rank"),
+        when(col("day_convs") === 1L, lit(0.0))
+          .otherwise(round((col("rank") - 1L).cast("double") /
+            (col("day_convs") - 1L).cast("double"), 6)).as("pct"))
+  }
+
   /** Missing-data gap report per conversation: one row per
     * inter-arrival gap strictly longer than `minGapSeconds`, carrying
     * the bounding turn ids, the bounding timestamps, and the exact gap

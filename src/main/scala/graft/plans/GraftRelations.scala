@@ -166,6 +166,20 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         if (args.length == 2)
           SeriesOps.termTopK(session.table(args(0)), args(1).toInt)
         else SeriesOps.termTopK(session.table(args(0)))
+      case "term_lift" =>
+        if (args.length == 3)
+          SeriesOps.termLift(session.table(args(0)), args(1).toInt, args(2).toLong)
+        else if (args.length == 2)
+          SeriesOps.termLift(session.table(args(0)), args(1).toInt)
+        else SeriesOps.termLift(session.table(args(0)))
+      case "mann_kendall" =>
+        if (args.length == 2)
+          SeriesOps.mannKendall(session.table(args(0)), args(1).toInt)
+        else SeriesOps.mannKendall(session.table(args(0)))
+      case "rescaled_range" =>
+        SeriesOps.rescaledRange(session.table(args(0)))
+      case "day_activity_rank" =>
+        SeriesOps.dayActivityRank(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

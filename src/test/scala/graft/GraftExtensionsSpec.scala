@@ -266,6 +266,14 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.SeriesOps.convLifecycle(tr))
     assertSameRows(ext.sql("SELECT * FROM term_topk('tr4_ext', 5)"),
       graft.operators.SeriesOps.termTopK(tr, k = 5))
+    assertSameRows(ext.sql("SELECT * FROM term_lift('tr4_ext', 3, 1)"),
+      graft.operators.SeriesOps.termLift(tr, k = 3, minTf = 1L))
+    assertSameRows(ext.sql("SELECT * FROM mann_kendall('tr4_ext', 16)"),
+      graft.operators.SeriesOps.mannKendall(tr, tailK = 16))
+    assertSameRows(ext.sql("SELECT * FROM rescaled_range('tr4_ext')"),
+      graft.operators.SeriesOps.rescaledRange(tr))
+    assertSameRows(ext.sql("SELECT * FROM day_activity_rank('tr4_ext')"),
+      graft.operators.SeriesOps.dayActivityRank(tr))
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

@@ -562,6 +562,162 @@ class SeriesOpsSpec extends SparkTestBase {
     }
   }
 
+  // ---- term lift ------------------------------------------------------
+
+  test("termLift golden: exact-rational lift, minTf cut after mass count") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x x y", null, "2024-01-01 00:00:00"),
+      ("B", 0, "user", "x z z", null, "2024-01-01 00:00:00")))
+    // tokens: A{x:2,y:1} B{x:1,z:2}; ctf x:3 y:1 z:2; ct=6; cv=3 each
+    val out = SeriesOps.termLift(df, k = 5, minTf = 2L).collect()
+      .map(r => (r.getString(0), r.getString(2)) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.size == 2)
+    assert(out(("A", "x")) == ((1L, 2L, 3L, 1.333333))) // (2·6)/(3·3)
+    assert(out(("B", "z")) == ((1L, 2L, 2L, 2.0)))      // (2·6)/(2·3)
+    // minTf=1 admits the hapaxes; conv mass still counts ALL tokens
+    val all = SeriesOps.termLift(df, k = 5, minTf = 1L).collect()
+      .map(r => (r.getString(0), r.getString(2)) -> (r.getLong(1), r.getDouble(5)))
+      .toMap
+    assert(all(("A", "y")) == ((1L, 2.0)))       // (1·6)/(1·3) beats x
+    assert(all(("A", "x")) == ((2L, 1.333333)))
+    assert(all(("B", "x")) == ((2L, 0.666667)))  // (1·6)/(3·3)
+    intercept[IllegalArgumentException] { SeriesOps.termLift(df, 0) }
+  }
+
+  test("termLift: dense ranks per conv, tf floor respected, lift positive") {
+    val out = SeriesOps.termLift(turns, k = 3, minTf = 2L).cache()
+    out.collect().groupBy(_.getString(0)).foreach { case (c, rows) =>
+      val ranks = rows.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"conv $c ranks not dense: $ranks")
+      assert(ranks.length <= 3)
+    }
+    assert(out.filter(col("tf") < 2L).count() == 0)
+    assert(out.filter(col("lift") <= 0.0).count() == 0)
+    out.unpersist()
+  }
+
+  // ---- Mann-Kendall ---------------------------------------------------
+
+  test("mannKendall golden: sign counts, tie handling, tau-b NULL pin") {
+    val mk = (lens: Seq[Int], conv: String) => lens.zipWithIndex.map {
+      case (n, i) => (conv, i, "user", "a" * n, null, "2024-01-01 00:00:00")
+    }
+    val df = turnsDf(
+      mk(Seq(1, 2, 2, 5), "A") ++  // S=5 of 6 pairs, 1 tied
+        mk(Seq(3, 2, 1), "B") ++   // strictly decreasing: S=-3
+        mk(Seq(7), "C") ++         // single sample: no pairs, no row
+        mk(Seq(4, 4), "D"))        // all tied: tau_b undefined
+    val out = SeriesOps.mannKendall(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), if (r.isNullAt(6)) null else r.getDouble(6))).toMap
+    assert(out.size == 3)
+    assert(out("A") == ((4L, 6L, 1L, 5L, 0.833333, 0.912871))) // 5/sqrt(30)
+    assert(out("B") == ((3L, 3L, 0L, -3L, -1.0, -1.0)))
+    assert(out("D") == ((2L, 1L, 1L, 0L, 0.0, null)))
+    // tailK window: only the trailing samples enter the test
+    val tail = SeriesOps.mannKendall(turnsDf(mk(Seq(9, 1, 2), "E")), tailK = 2)
+      .collect()(0)
+    assert(tail.getLong(4) == 1L && tail.getLong(2) == 1L) // one rising pair
+  }
+
+  test("mannKendall: pair algebra invariants on the sampled corpus") {
+    val out = SeriesOps.mannKendall(turns).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, n0, t, s) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= 2 && n <= 32)
+      assert(n0 == n * (n - 1) / 2, s"n_pairs mismatch for ${r.getString(0)}")
+      assert(math.abs(s) <= n0 - t, "S exceeds the untied pair count")
+      val tauA = r.getDouble(5)
+      assert(tauA >= -1.0 && tauA <= 1.0)
+      // |tau_b| >= |tau_a|: the tie-corrected denominator only shrinks
+      if (!r.isNullAt(6))
+        assert(math.abs(r.getDouble(6)) + 1e-9 >= math.abs(tauA))
+    }
+  }
+
+  // ---- rescaled range -------------------------------------------------
+
+  test("rescaledRange golden: exact deviation range, zero-variance NULL pin") {
+    val mk = (lens: Seq[Int], conv: String) => lens.zipWithIndex.map {
+      case (n, i) => (conv, i, "user", "a" * n, null, "2024-01-01 00:00:00")
+    }
+    val df = turnsDf(mk(Seq(1, 2, 3), "A") ++ mk(Seq(5, 5), "B") ++ mk(Seq(7), "C"))
+    val out = SeriesOps.rescaledRange(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    // A: dev = [-3,-3,0] -> range 3; var_num = 3·14−36 = 6; 3/sqrt(6)
+    assert(out("A") == ((3L, 3L, 1.224745)))
+    assert(out("B") == ((2L, 0L, null))) // constant: zero variance
+    assert(out("C") == ((1L, 0L, null)))
+  }
+
+  test("rescaledRange: matches a driver-side exact recompute per conversation") {
+    val out = SeriesOps.rescaledRange(turns).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    val series = turns
+      .filter(col("turn_idx").isNotNull && col("text").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), length(col("text")).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(out.size == series.size)
+    series.foreach { case (conv, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3)
+      val n = ys.length.toLong
+      val s = ys.sum
+      val ss = ys.map(y => BigInt(y) * y).sum
+      val devs = ys.scanLeft(0L)(_ + _).tail.zipWithIndex.map {
+        case (c, i) => n * c - (i + 1) * s
+      }
+      val varNum = BigInt(n) * ss - BigInt(s) * s
+      val expect =
+        if (varNum > 0)
+          BigDecimal((devs.max - devs.min).toDouble /
+            math.sqrt(varNum.toDouble))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else null
+      assert(out(conv) == ((n, devs.max - devs.min, expect)), s"conv $conv")
+    }
+  }
+
+  // ---- day activity rank ----------------------------------------------
+
+  test("dayActivityRank golden: competition ties, single-conv-day pct pin") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x", null, "2024-01-01 01:00:00"),
+      ("A", 1, "user", "x", null, "2024-01-01 02:00:00"),
+      ("A", 2, "user", "x", null, "2024-01-01 03:00:00"),
+      ("B", 0, "user", "x", null, "2024-01-01 04:00:00"),
+      ("C", 0, "user", "x", null, "2024-01-01 05:00:00"),
+      ("A", 3, "user", "x", null, "2024-01-02 01:00:00"),
+      ("A", 4, "user", "x", null, "2024-01-02 02:00:00")))
+    val out = SeriesOps.dayActivityRank(df).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out(("2024-01-01 00:00:00.0", "A")) == ((3L, 3L, 1L, 0.0)))
+    assert(out(("2024-01-01 00:00:00.0", "B")) == ((1L, 3L, 2L, 0.5)))
+    assert(out(("2024-01-01 00:00:00.0", "C")) == ((1L, 3L, 2L, 0.5)))
+    assert(out(("2024-01-02 00:00:00.0", "A")) == ((2L, 1L, 1L, 0.0)))
+  }
+
+  test("dayActivityRank: census re-adds, percentiles bounded, ranks anchored") {
+    val out = SeriesOps.dayActivityRank(turns).cache()
+    assert(out.agg(sum(col("turn_count"))).collect()(0).getLong(0) ==
+      turns.filter(col("ts").isNotNull).count())
+    out.collect().groupBy(_.getTimestamp(0)).foreach { case (day, rows) =>
+      assert(rows.map(_.getLong(4)).min == 1L, s"day $day has no rank-1 row")
+      assert(rows.forall(r => r.getLong(3) == rows.length))
+      assert(rows.forall(r => r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0))
+    }
+    out.unpersist()
+  }
+
   // ---- gap report -----------------------------------------------------
 
   test("gapReport golden: strict threshold, bounding ids, null doctrine") {

@@ -261,6 +261,33 @@ class PlanShapeSpec extends SparkTestBase {
     val pTerm = plan(SeriesOps.termTopK(turns))
     assert(pTerm.contains("TakeOrderedAndProject"),
       s"term top-k must use the distributed top-k operator:\n$pTerm")
+
+    // term lift: census + term-reach window + conv-mass/rank windows +
+    // the total branch (census re-agg + single-partition) + its
+    // broadcast — six Exchange strings, ALL over collapsed census rows
+    val pLift = plan(SeriesOps.termLift(turns))
+    assert(exchanges(pLift) == 6 && windows(pLift) == 3 &&
+      pLift.contains("BroadcastExchange"),
+      s"term lift exchanges must stay census-scale:\n$pLift")
+
+    // mann-kendall: the theilSen single-exchange gather, and the tail
+    // cut must push down as a WindowGroupLimit so only <= tailK rows
+    // per conversation ever reach the shuffle
+    val pMk = plan(SeriesOps.mannKendall(turns))
+    assert(exchanges(pMk) == 1 && pMk.contains("WindowGroupLimit"),
+      s"mann-kendall must be one exchange with a group-limit pushdown:\n$pMk")
+
+    // rescaled range: cumsum + moment windows + final groupBy all share
+    // ONE conv_id exchange (the paaSax clustering-reuse shape)
+    val pRs = plan(SeriesOps.rescaledRange(turns))
+    assert(exchanges(pRs) == 1,
+      s"rescaled range must reuse one conv_id exchange:\n$pRs")
+
+    // day activity rank: (conv, day) census exchange + one day-scale
+    // window exchange shared by the size and rank windows
+    val pDar = plan(SeriesOps.dayActivityRank(turns))
+    assert(exchanges(pDar) == 2 && windows(pDar) == 2,
+      s"day activity rank is census + one day window exchange:\n$pDar")
   }
 
   test("planning-style aggregation prunes the text column from the scan") {
