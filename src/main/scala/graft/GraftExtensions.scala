@@ -189,6 +189,18 @@ object GraftExtensions {
       arities = Set(1)),
     tfn("day_activity_rank",
       "(table) - per-day competition rank and percentile of each conversation's turn count",
+      arities = Set(1)),
+    tfn("tool_pair_corr",
+      "(table) - Pearson co-movement of tool pairs over zero-filled daily call-count series",
+      arities = Set(1)),
+    tfn("binary_split",
+      "(table) - optimal binary split of the turn-length series (CART step) with segment means and SSE gain",
+      arities = Set(1)),
+    tfn("tool_cadence",
+      "(table) - per-(conversation, tool) call count, endpoints, and inter-call gap quantiles",
+      arities = Set(1)),
+    tfn("term_vocab_growth",
+      "(table) - corpus vocabulary growth by day: tokens, distinct/new terms, running vocabulary",
       arities = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],

@@ -385,7 +385,19 @@ object SparkEntry {
       graft.operators.SeriesOps.rescaledRange(transcripts(s, dir))),
     // per-day activity percentile of each conversation's turn count
     "q79_day_activity_rank" -> ((s, dir) =>
-      graft.operators.SeriesOps.dayActivityRank(transcripts(s, dir)))
+      graft.operators.SeriesOps.dayActivityRank(transcripts(s, dir))),
+    // Pearson co-movement of tool pairs over zero-filled daily series
+    "q80_tool_pair_corr" -> ((s, dir) =>
+      graft.operators.SeriesOps.toolPairCorrelation(transcripts(s, dir))),
+    // CART-style optimal binary split of the turn-length series
+    "q81_binary_split" -> ((s, dir) =>
+      graft.operators.SeriesOps.binarySplit(transcripts(s, dir))),
+    // per-(conv, tool) call rhythm: count, endpoints, gap quantiles
+    "q82_tool_cadence" -> ((s, dir) =>
+      graft.operators.SeriesOps.toolCadence(transcripts(s, dir))),
+    // Heaps-law corpus vocabulary growth by day
+    "q83_term_vocab_growth" -> ((s, dir) =>
+      graft.operators.SeriesOps.termVocabGrowth(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -1351,6 +1363,107 @@ object SparkEntry {
         |  CASE WHEN day_convs = 1 THEN 0.0
         |    ELSE ROUND(CAST(rank - 1 AS DOUBLE)
         |      / CAST(day_convs - 1 AS DOUBLE), 6) END AS pct
-        |FROM r""".stripMargin)
+        |FROM r""".stripMargin),
+    // zero-filled day grid so every pair sees the same n_days; integer
+    // moments (HUGEINT product sums = the engine's decimal(38,0)),
+    // each cast to double ONCE, Pearson shape mirrored operand-for-operand
+    "q80_tool_pair_corr" -> Transcripts.oracle(
+      """, cs AS (
+        |  SELECT MAKE_TIMESTAMP(EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) AS day,
+        |    tool, CAST(COUNT(*) AS BIGINT) AS calls
+        |  FROM transcripts WHERE ts IS NOT NULL AND tool IS NOT NULL
+        |  GROUP BY 1, 2),
+        |dy AS (SELECT DISTINCT day FROM cs),
+        |tl AS (SELECT DISTINCT tool FROM cs),
+        |gr AS (
+        |  SELECT dy.day, tl.tool, COALESCE(cs.calls, 0) AS calls
+        |  FROM dy CROSS JOIN tl
+        |  LEFT JOIN cs ON cs.day = dy.day AND cs.tool = tl.tool),
+        |m AS (
+        |  SELECT a.tool AS tool_a, b.tool AS tool_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(a.calls) AS BIGINT) AS sx,
+        |    CAST(SUM(b.calls) AS BIGINT) AS sy,
+        |    SUM(a.calls * b.calls) AS sxy,
+        |    SUM(a.calls * a.calls) AS sxx,
+        |    SUM(b.calls * b.calls) AS syy
+        |  FROM gr a JOIN gr b ON a.day = b.day AND a.tool < b.tool
+        |  GROUP BY 1, 2)
+        |SELECT tool_a, tool_b, n_days,
+        |  CASE WHEN n_days >= 3
+        |    AND CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    AND CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |  THEN ROUND((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / SQRT((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS corr
+        |FROM m""".stripMargin),
+    // D_k is the q78 deviation; gains tie-break to the SMALLEST k
+    "q81_binary_split" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+        |    CAST(SUM(CAST(LENGTH(text) AS BIGINT)) OVER (
+        |      PARTITION BY conv_id ORDER BY turn_idx
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+        |    COUNT(*) OVER (PARTITION BY conv_id) AS n,
+        |    CAST(SUM(CAST(LENGTH(text) AS BIGINT)) OVER (
+        |      PARTITION BY conv_id) AS BIGINT) AS s
+        |  FROM transcripts WHERE turn_idx IS NOT NULL AND text IS NOT NULL),
+        |d AS (
+        |  SELECT conv_id, n, rn, c, s,
+        |    (CAST(n * c - rn * s AS DOUBLE) * CAST(n * c - rn * s AS DOUBLE))
+        |      / (CAST(rn * (n - rn) AS DOUBLE) * CAST(n AS DOUBLE)) AS gain
+        |  FROM b WHERE rn < n),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id
+        |    ORDER BY gain DESC, rn) AS rk FROM d)
+        |SELECT conv_id, n, rn AS split_k,
+        |  ROUND(CAST(c AS DOUBLE) / CAST(rn AS DOUBLE), 6) AS mean_left,
+        |  ROUND(CAST(s - c AS DOUBLE) / CAST(n - rn AS DOUBLE), 6)
+        |    AS mean_right,
+        |  ROUND(gain, 6) AS sse_gain
+        |FROM r WHERE rk = 1""".stripMargin),
+    // single-call keys keep their row: aggregates skip the NULL lead
+    "q82_tool_cadence" -> Transcripts.oracle(
+      """, g AS (
+        |  SELECT conv_id, tool, ts,
+        |    LEAD(EPOCH_US(ts)) OVER (PARTITION BY conv_id, tool
+        |      ORDER BY ts, turn_idx) - EPOCH_US(ts) AS gap_us
+        |  FROM transcripts
+        |  WHERE ts IS NOT NULL AND tool IS NOT NULL AND turn_idx IS NOT NULL)
+        |SELECT conv_id, tool, CAST(COUNT(*) AS BIGINT) AS n_calls,
+        |  MIN(ts) AS first_call, MAX(ts) AS last_call,
+        |  quantile_cont(gap_us, 0.5) AS gap_p50_us,
+        |  quantile_cont(gap_us, 0.95) AS gap_p95_us,
+        |  CAST(MAX(gap_us) AS BIGINT) AS gap_max_us
+        |FROM g GROUP BY 1, 2""".stripMargin),
+    // first-seen census + first-flag cumsum over the day series
+    "q83_term_vocab_growth" -> Transcripts.oracle(
+      """, ce AS (
+        |  SELECT MAKE_TIMESTAMP(EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) AS day,
+        |    UNNEST(STRING_SPLIT(text, ' ')) AS term
+        |  FROM transcripts WHERE ts IS NOT NULL AND text IS NOT NULL),
+        |cs AS (SELECT day, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM ce GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT day, CAST(SUM(cnt) AS BIGINT) AS day_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS distinct_terms
+        |  FROM cs GROUP BY 1),
+        |fs AS (SELECT MIN(day) AS day FROM cs GROUP BY term),
+        |nf AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_terms
+        |  FROM fs GROUP BY 1)
+        |SELECT pd.day, pd.day_tokens, pd.distinct_terms,
+        |  COALESCE(nf.new_terms, 0) AS new_terms,
+        |  CAST(SUM(COALESCE(nf.new_terms, 0)) OVER (ORDER BY pd.day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        |FROM pd LEFT JOIN nf ON pd.day = nf.day""".stripMargin)
   )
 }

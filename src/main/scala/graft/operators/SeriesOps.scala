@@ -869,6 +869,225 @@ object SeriesOps {
             (col("day_convs") - 1L).cast("double"), 6)).as("pct"))
   }
 
+  /** Temporal co-movement of tools: Pearson correlation between every
+    * pair of tools' DAILY call-count series — "search and browse fire
+    * on the same days; db spikes alone", the time-axis sibling of
+    * [[toolCooccurrence]] (which counts shared conversations and
+    * ignores WHEN). Series are aligned on the union of observed days
+    * with zero-fill (a day one tool is silent is a real (x, 0)
+    * observation — dropping it would bias the correlation toward
+    * co-activity), so every pair sees the same n_days.
+    *
+    * Moments are exact integers (decimal(38,0) for the product sums —
+    * the [[paaSax]] sum-of-squares rule: day×tool call counts squared
+    * can exceed Long at 10¹² turns), then each moment is cast to
+    * double ONCE and the Pearson shape mirrors the oracle verbatim
+    * ([[RefOps.lengthDriftCorr]] idiom). Degenerate variance (a tool
+    * with a constant daily series, e.g. all zeros after grid fill)
+    * pins corr NULL, and pairs need n_days >= 3 like the drift
+    * correlations.
+    *
+    * Null tool is the no-call marker (never a series); null ts drops
+    * the observation (time axis).
+    *
+    * Scale: the (day, tool) census partial-aggregates map-side into
+    * ≤ days×|toolbox| rows; the day/tool distinct frames, the
+    * zero-fill grid, the per-day pairing self-join, and the pair
+    * moments are ALL joins and aggregations over that metadata-scale
+    * frame — raw rows move only in the census exchange. Output is
+    * ≤ |toolbox|²/2 rows.
+    */
+  def toolPairCorrelation(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val census = transcripts
+      .filter(col("ts").isNotNull && col("tool").isNotNull)
+      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+        col("tool"))
+      .groupBy(col("day"), col("tool"))
+      .agg(count(lit(1)).as("calls"))
+    val days = census.select(col("day")).distinct()
+    val tools = census.select(col("tool")).distinct()
+    val grid = days
+      .crossJoin(broadcast(tools))
+      .join(census, Seq("day", "tool"), "left")
+      .select(col("day"), col("tool"),
+        coalesce(col("calls"), lit(0L)).as("calls"))
+    val a = grid.select(col("day"), col("tool").as("tool_a"),
+      col("calls").as("x"))
+    val b = grid.select(col("day"), col("tool").as("tool_b"),
+      col("calls").as("y"))
+    val m = a.join(b, Seq("day"))
+      .filter(col("tool_a") < col("tool_b"))
+      .groupBy(col("tool_a"), col("tool_b"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("_sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("_sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("_syy"))
+    val n = col("n_days").cast("double")
+    val cov = n * col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double")
+    val vx = n * col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double")
+    val vy = n * col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double")
+    m.select(col("tool_a"), col("tool_b"), col("n_days"),
+      when(col("n_days") >= 3 && vx > 0 && vy > 0,
+        round(cov / sqrt(vx * vy), 6)).as("corr"))
+  }
+
+  /** Optimal binary split of the turn-length series per conversation —
+    * the localization step [[RefOps.cusumChangepoint]]'s alarm flags
+    * lead to: the prefix length k (1 ≤ k < n) whose two-segment split
+    * maximizes the sum-of-squared-error reduction
+    * `gain_k = D_k² / (n·k·(n−k))` with `D_k = n·(Σ_{i≤k} y_i) − k·Σy`
+    * — the single CART / binary-segmentation step, reported with both
+    * segment means so the jump direction and size read directly off
+    * the row.
+    *
+    * D_k is an exact integer in both engines (the [[rescaledRange]]
+    * deviation, same Long envelope |D| ≤ n²·max_len); the gain and the
+    * means are fixed-shape double expressions over those integers, so
+    * the argmax is bit-stable, and exact gain TIES (e.g. a constant
+    * series, all gains 0) break to the SMALLEST k by the (gain DESC,
+    * k ASC) total order — pinned, not incidental.
+    *
+    * Null text / null turn_idx drop the whole observation
+    * ([[theilSenSlope]] doctrine); single-sample conversations have no
+    * interior split and yield no row.
+    *
+    * Scale: ONE conv_id exchange — cumsum + moment windows, the
+    * argmax window, and the final filter all share the conv_id
+    * clustering ([[rescaledRange]] plan shape).
+    */
+  def binarySplit(transcripts: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("conv_id"))
+    val base = transcripts
+      .filter(col("turn_idx").isNotNull && col("text").isNotNull)
+      .select(col("conv_id"), col("turn_idx"),
+        length(col("text")).cast("long").as("y"))
+      .withColumn("_rn", row_number().over(wOrd).cast("long"))
+      .withColumn("_c", sum(col("y")).over(wCum))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_s", sum(col("y")).over(wAll))
+      .filter(col("_rn") < col("_n"))
+      .withColumn("_dev", col("_n") * col("_c") - col("_rn") * col("_s"))
+      .withColumn("_gain",
+        (col("_dev").cast("double") * col("_dev").cast("double")) /
+          ((col("_rn") * (col("_n") - col("_rn"))).cast("double") *
+            col("_n").cast("double")))
+    val wBest = Window.partitionBy(col("conv_id"))
+      .orderBy(col("_gain").desc, col("_rn"))
+    base
+      .withColumn("_rk", row_number().over(wBest))
+      .filter(col("_rk") === 1)
+      .select(col("conv_id"), col("_n").as("n"), col("_rn").as("split_k"),
+        round(col("_c").cast("double") / col("_rn").cast("double"), 6)
+          .as("mean_left"),
+        round((col("_s") - col("_c")).cast("double") /
+          (col("_n") - col("_rn")).cast("double"), 6).as("mean_right"),
+        round(col("_gain"), 6).as("sse_gain"))
+  }
+
+  /** Tool cadence per (conversation, tool): call count, first/last
+    * call timestamps, and the median / p95 / max inter-call gap in
+    * exact µs — "how often does THIS conversation call search", the
+    * per-key rhythm [[RefOps.turnGapStats]] blurs by pairing every
+    * turn regardless of tool. Keyed by (conv, tool) rather than tool
+    * alone DELIBERATELY: a bare tool partition is a handful of
+    * vocabulary-sized hot keys (the skew the salted rollup exists to
+    * kill), while (conv, tool) partitions like every other conv-scale
+    * operator.
+    *
+    * Quantiles carry the [[graft.rollup.Rollup.charLenQuantiles]]
+    * `percentile ≡ quantile_cont` cross-engine guarantee over exact
+    * integer µs samples. Single-call keys keep their row with NULL
+    * gap stats (no gaps ≠ no calls — both engines' aggregates skip
+    * the NULL lead). Order key (ts, turn_idx) — the [[gapReport]]
+    * time-axis order; null ts / null turn_idx / null tool drop the
+    * whole observation (tool is the KEY here, not a payload).
+    *
+    * Scale: ONE (conv, tool) exchange shared by the lead window and
+    * the groupBy (identical keys — the clustering-reuse shape).
+    */
+  def toolCadence(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val w = Window.partitionBy(col("conv_id"), col("tool"))
+      .orderBy(col("_us"), col("turn_idx"))
+    transcripts
+      .filter(col("ts").isNotNull && col("tool").isNotNull &&
+        col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("tool"), col("turn_idx"), col("ts"),
+        unix_micros(col("ts").cast("timestamp")).as("_us"))
+      .withColumn("_gap_us", lead(col("_us"), 1).over(w) - col("_us"))
+      .groupBy(col("conv_id"), col("tool"))
+      .agg(
+        count(lit(1)).as("n_calls"),
+        min(col("ts")).as("first_call"),
+        max(col("ts")).as("last_call"),
+        percentile(col("_gap_us"), array(lit(0.5), lit(0.95))).as("_q"),
+        max(col("_gap_us")).as("gap_max_us"))
+      .select(col("conv_id"), col("tool"), col("n_calls"),
+        col("first_call"), col("last_call"),
+        col("_q").getItem(0).as("gap_p50_us"),
+        col("_q").getItem(1).as("gap_p95_us"),
+        col("gap_max_us"))
+  }
+
+  /** Corpus vocabulary growth by UTC day: distinct terms and total
+    * token mass per day, the count of terms FIRST seen that day, and
+    * the running vocabulary size — the Heaps-law monitor ("is the
+    * corpus still discovering language or has ingest gone stale /
+    * duplicative?") that complements the per-conversation
+    * [[RefOps.toolVocabGrowth]] at corpus grain. Tokenization is the
+    * [[termTopK]] / rollup `token_sum` convention.
+    *
+    * All outputs are exact longs (first-seen is a min-day census; the
+    * running sum is the classic first-flag cumsum, here over the day
+    * series). Null text contributes nothing; null ts drops (time
+    * axis).
+    *
+    * Scale: the (day, term) census partial-aggregates map-side; the
+    * first-seen min-day and the per-day totals are vocabulary-scale
+    * aggregations of that collapsed frame; the final running sum is a
+    * single-partition window over the DAY series — thousands of rows
+    * for years of data, the [[seasonalResidual]] metadata-scale
+    * reading (pinned in PlanShapeSpec as the only single-partition
+    * step).
+    */
+  def termVocabGrowth(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val census = transcripts
+      .filter(col("ts").isNotNull && col("text").isNotNull)
+      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("day"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val perDay = census
+      .groupBy(col("day"))
+      .agg(sum(col("cnt")).as("day_tokens"),
+        count(lit(1)).as("distinct_terms"))
+    val firstSeen = census
+      .groupBy(col("term"))
+      .agg(min(col("day")).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("new_terms"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .join(firstSeen, Seq("day"), "left")
+      .select(col("day"), col("day_tokens"), col("distinct_terms"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .withColumn("cum_vocab", sum(col("new_terms")).over(wCum))
+  }
+
   /** Missing-data gap report per conversation: one row per
     * inter-arrival gap strictly longer than `minGapSeconds`, carrying
     * the bounding turn ids, the bounding timestamps, and the exact gap

@@ -180,6 +180,14 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         SeriesOps.rescaledRange(session.table(args(0)))
       case "day_activity_rank" =>
         SeriesOps.dayActivityRank(session.table(args(0)))
+      case "tool_pair_corr" =>
+        SeriesOps.toolPairCorrelation(session.table(args(0)))
+      case "binary_split" =>
+        SeriesOps.binarySplit(session.table(args(0)))
+      case "tool_cadence" =>
+        SeriesOps.toolCadence(session.table(args(0)))
+      case "term_vocab_growth" =>
+        SeriesOps.termVocabGrowth(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

@@ -718,6 +718,179 @@ class SeriesOpsSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  // ---- tool pair correlation --------------------------------------------
+
+  test("toolPairCorrelation golden: zero-fill alignment, degenerate pins") {
+    val df = turnsDf(Seq(
+      // day 1: s=2 b=4 c=1 | day 2: s=1 b=2 c=1 | day 3: s=3 b=6 d=1 c=1
+      ("A", 0, "user", "x", "s", "2024-01-01 01:00:00"),
+      ("A", 1, "user", "x", "s", "2024-01-01 02:00:00"),
+      ("A", 2, "user", "x", "b", "2024-01-01 03:00:00"),
+      ("A", 3, "user", "x", "b", "2024-01-01 04:00:00"),
+      ("A", 4, "user", "x", "b", "2024-01-01 05:00:00"),
+      ("A", 5, "user", "x", "b", "2024-01-01 06:00:00"),
+      ("A", 6, "user", "x", "c", "2024-01-01 07:00:00"),
+      ("A", 7, "user", "x", "s", "2024-01-02 01:00:00"),
+      ("A", 8, "user", "x", "b", "2024-01-02 02:00:00"),
+      ("A", 9, "user", "x", "b", "2024-01-02 03:00:00"),
+      ("A", 10, "user", "x", "c", "2024-01-02 04:00:00"),
+      ("A", 11, "user", "x", "s", "2024-01-03 01:00:00"),
+      ("A", 12, "user", "x", "s", "2024-01-03 02:00:00"),
+      ("A", 13, "user", "x", "s", "2024-01-03 03:00:00"),
+      ("A", 14, "user", "x", "b", "2024-01-03 04:00:00"),
+      ("A", 15, "user", "x", "b", "2024-01-03 05:00:00"),
+      ("A", 16, "user", "x", "b", "2024-01-03 06:00:00"),
+      ("A", 17, "user", "x", "b", "2024-01-03 07:00:00"),
+      ("A", 18, "user", "x", "b", "2024-01-03 08:00:00"),
+      ("A", 19, "user", "x", "b", "2024-01-03 09:00:00"),
+      ("A", 20, "user", "x", "d", "2024-01-03 10:00:00"),
+      ("A", 21, "user", "x", "c", "2024-01-03 10:30:00"),
+      ("A", 22, "user", "x", null, "2024-01-03 11:00:00"))) // no-call marker
+    val out = SeriesOps.toolPairCorrelation(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out.size == 6) // C(4,2) canonical pairs
+    assert(out(("b", "s")) == ((3L, 1.0)))      // s = b/2 exactly
+    assert(out(("b", "d")) == ((3L, 0.866025))) // d = [0,0,1] zero-filled
+    assert(out(("d", "s")) == ((3L, 0.866025)))
+    // constant series c = [1,1,1]: zero variance pins NULL
+    assert(out(("b", "c")) == ((3L, null)))
+    assert(out(("c", "d")) == ((3L, null)))
+    assert(out(("c", "s")) == ((3L, null)))
+    // fewer than 3 aligned days pins NULL regardless of variance
+    val short = SeriesOps.toolPairCorrelation(df.filter(
+      col("ts") < java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))).collect()
+    assert(short.forall(_.isNullAt(3)))
+  }
+
+  test("toolPairCorrelation: canonical pairs, bounded corr, shared n_days") {
+    val out = SeriesOps.toolPairCorrelation(turns).collect()
+    assert(out.nonEmpty)
+    val nDays = out.head.getLong(2)
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be canonical a<b")
+      assert(r.getLong(2) == nDays, "zero-fill must align every pair")
+      if (!r.isNullAt(3))
+        assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+    }
+  }
+
+  // ---- binary split -----------------------------------------------------
+
+  test("binarySplit golden: max-gain split, constant ties to smallest k") {
+    val mk = (lens: Seq[Int], conv: String) => lens.zipWithIndex.map {
+      case (n, i) => (conv, i, "user", "a" * n, null, "2024-01-01 00:00:00")
+    }
+    val df = turnsDf(
+      mk(Seq(1, 1, 9, 9), "A") ++ mk(Seq(5, 5, 5), "B") ++ mk(Seq(7), "C"))
+    val out = SeriesOps.binarySplit(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out.size == 2) // C has no interior split
+    // A: D = [-16,-32,-16], gains [21.33, 64, 21.33] -> k=2 splits 1,1|9,9
+    assert(out("A") == ((4L, 2L, 1.0, 9.0, 64.0)))
+    // B constant: all gains 0, tie breaks to k=1
+    assert(out("B") == ((3L, 1L, 5.0, 5.0, 0.0)))
+  }
+
+  test("binarySplit: matches a driver-side exact argmax per conversation") {
+    val out = SeriesOps.binarySplit(turns).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val series = turns
+      .filter(col("turn_idx").isNotNull && col("text").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), length(col("text")).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+      .filter(_._2.length >= 2)
+    assert(out.size == series.size)
+    series.foreach { case (conv, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3)
+      val n = ys.length.toLong
+      val s = ys.sum
+      val gains = ys.scanLeft(0L)(_ + _).tail.dropRight(1).zipWithIndex.map {
+        case (c, i) =>
+          val k = i + 1L
+          val d = (n * c - k * s).toDouble
+          (k, d * d / ((k * (n - k)).toDouble * n.toDouble))
+      }
+      val best = gains.minBy { case (k, g) => (-g, k) }._1
+      assert(out(conv) == ((n, best)), s"conv $conv split mismatch")
+    }
+  }
+
+  // ---- tool cadence -----------------------------------------------------
+
+  test("toolCadence golden: per-key gaps, single-call NULL stats") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x", "search", "2024-01-01 00:00:00"),
+      ("A", 1, "user", "x", null, "2024-01-01 00:05:00"), // not a call
+      ("A", 2, "user", "x", "search", "2024-01-01 00:10:00"),
+      ("A", 3, "user", "x", "search", "2024-01-01 00:40:00"),
+      ("A", 4, "user", "x", "db", "2024-01-01 01:00:00")))
+    val out = SeriesOps.toolCadence(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getTimestamp(3).toString, r.getTimestamp(4).toString,
+          if (r.isNullAt(5)) null else r.getDouble(5),
+          if (r.isNullAt(7)) null else r.getLong(7))).toMap
+    // search gaps: [600s, 1800s] -> p50 = 1200s
+    assert(out(("A", "search")) == ((3L, "2024-01-01 00:00:00.0",
+      "2024-01-01 00:40:00.0", 1.2e9, 1800000000L)))
+    assert(out(("A", "db")) == ((1L, "2024-01-01 01:00:00.0",
+      "2024-01-01 01:00:00.0", null, null)))
+  }
+
+  test("toolCadence: census re-adds, quantiles ordered per key") {
+    val out = SeriesOps.toolCadence(turns).cache()
+    val calls = turns.filter(col("ts").isNotNull && col("tool").isNotNull &&
+      col("turn_idx").isNotNull).count()
+    assert(out.agg(sum(col("n_calls"))).collect()(0).getLong(0) == calls)
+    out.collect().foreach { r =>
+      if (!r.isNullAt(5)) {
+        assert(r.getDouble(5) <= r.getDouble(6) + 1e-9)
+        assert(r.getDouble(6) <= r.getLong(7).toDouble + 1e-9)
+        assert(r.getLong(2) >= 2)
+      } else assert(r.getLong(2) == 1L)
+    }
+    out.unpersist()
+  }
+
+  // ---- term vocabulary growth ---------------------------------------------
+
+  test("termVocabGrowth golden: first-seen census, running vocabulary") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "a b", null, "2024-01-01 01:00:00"),
+      ("A", 1, "user", "a", null, "2024-01-01 02:00:00"),
+      ("B", 0, "user", "b c", null, "2024-01-02 01:00:00"),
+      ("B", 1, "user", "a", null, "2024-01-03 01:00:00"),
+      ("B", 2, "user", null, null, "2024-01-04 01:00:00"))) // nothing
+    val out = SeriesOps.termVocabGrowth(df).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size == 3)
+    assert(out("2024-01-01 00:00:00.0") == ((3L, 2L, 2L, 2L)))
+    assert(out("2024-01-02 00:00:00.0") == ((2L, 2L, 1L, 3L)))
+    assert(out("2024-01-03 00:00:00.0") == ((1L, 1L, 0L, 3L)))
+  }
+
+  test("termVocabGrowth: growth telescopes to the corpus vocabulary") {
+    val out = SeriesOps.termVocabGrowth(turns).collect().sortBy(_.getTimestamp(0))
+    val placeable = turns.filter(col("ts").isNotNull && col("text").isNotNull)
+    val vocab = placeable
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    val tokens = placeable
+      .agg(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    assert(out.map(_.getLong(3)).sum == vocab)
+    assert(out.last.getLong(4) == vocab)
+    assert(out.map(_.getLong(1)).sum == tokens)
+    // cum_vocab is nondecreasing and equals the running new_terms sum
+    out.foldLeft(0L) { (acc, r) =>
+      val next = acc + r.getLong(3)
+      assert(r.getLong(4) == next); next
+    }
+  }
+
   // ---- gap report -----------------------------------------------------
 
   test("gapReport golden: strict threshold, bounding ids, null doctrine") {
