@@ -894,7 +894,13 @@ object SeriesOps {
     * ≤ days×|toolbox| rows; the day/tool distinct frames, the
     * zero-fill grid, the per-day pairing self-join, and the pair
     * moments are ALL joins and aggregations over that metadata-scale
-    * frame — raw rows move only in the census exchange. Output is
+    * frame. The self-join's second grid subtree resolves to
+    * ReusedExchange nodes at runtime (pinned in PlanShapeSpec on the
+    * post-execution adaptive plan), and the day/tool distincts
+    * collapse to map-collapsing scans of single narrow columns
+    * (RemoveRedundantAggregates rewrites them against raw) — so the
+    * full-width input is read once, plus two single-column distinct
+    * passes that shrink map-side to metadata scale. Output is
     * ≤ |toolbox|²/2 rows.
     */
   def toolPairCorrelation(transcripts: DataFrame): DataFrame = {
@@ -1047,18 +1053,21 @@ object SeriesOps {
     * [[RefOps.toolVocabGrowth]] at corpus grain. Tokenization is the
     * [[termTopK]] / rollup `token_sum` convention.
     *
-    * All outputs are exact longs (first-seen is a min-day census; the
+    * All outputs are exact longs (first-seen is a min-day flag; the
     * running sum is the classic first-flag cumsum, here over the day
     * series). Null text contributes nothing; null ts drops (time
     * axis).
     *
-    * Scale: the (day, term) census partial-aggregates map-side; the
-    * first-seen min-day and the per-day totals are vocabulary-scale
-    * aggregations of that collapsed frame; the final running sum is a
-    * single-partition window over the DAY series — thousands of rows
-    * for years of data, the [[seasonalResidual]] metadata-scale
-    * reading (pinned in PlanShapeSpec as the only single-partition
-    * step).
+    * Scale: the (day, term) census partial-aggregates map-side, and it
+    * is the ONLY pass over raw text — first-seen is a min-day window
+    * over the census's term clustering rather than a second aggregate
+    * branch (a census self-reference splits into two full text scans:
+    * column pruning specializes each branch's census, which defeats
+    * exchange reuse — measured, and now pinned as exactly one Generate
+    * in PlanShapeSpec). The term window and the per-day totals are
+    * vocabulary-scale; the final running sum is a single-partition
+    * window over the DAY series — thousands of rows for years of
+    * data, the [[seasonalResidual]] metadata-scale reading.
     */
   def termVocabGrowth(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
@@ -1070,21 +1079,15 @@ object SeriesOps {
         explode(split(col("text"), " ")).as("term"))
       .groupBy(col("day"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-    val perDay = census
-      .groupBy(col("day"))
-      .agg(sum(col("cnt")).as("day_tokens"),
-        count(lit(1)).as("distinct_terms"))
-    val firstSeen = census
-      .groupBy(col("term"))
-      .agg(min(col("day")).as("day"))
-      .groupBy(col("day"))
-      .agg(count(lit(1)).as("new_terms"))
+    val wTerm = Window.partitionBy(col("term"))
     val wCum = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perDay
-      .join(firstSeen, Seq("day"), "left")
-      .select(col("day"), col("day_tokens"), col("distinct_terms"),
-        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+    census
+      .withColumn("_first", col("day") === min(col("day")).over(wTerm))
+      .groupBy(col("day"))
+      .agg(sum(col("cnt")).as("day_tokens"),
+        count(lit(1)).as("distinct_terms"),
+        sum(when(col("_first"), 1L).otherwise(0L)).as("new_terms"))
       .withColumn("cum_vocab", sum(col("new_terms")).over(wCum))
   }
 

@@ -303,4 +303,64 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!readSchema.contains("text"), s"text must be pruned:\n$readSchema")
     assert(readSchema.contains("conv_id") && readSchema.contains("ts"))
   }
+
+  test("extension-batch operators: exchange budgets hold (q74, q80-q83 scale contracts)") {
+    import graft.operators.SeriesOps
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
+    def windows(p: String): Int = "Window ".r.findAllIn(p).size
+
+    // conv lifecycle: (conv, day) census exchange + the per-conv
+    // summary exchange over the collapsed frame
+    val pLife = plan(SeriesOps.convLifecycle(turns))
+    assert(exchanges(pLife) == 2 && windows(pLife) == 0,
+      s"conv lifecycle is census + collapsed summary exchange:\n$pLife")
+    assert(pLife.contains("partial_count"),
+      s"conv lifecycle needs map-side combine:\n$pLife")
+
+    // tool pair correlation: the heavy (day, tool) census exchange
+    // must be computed ONCE — the self-join's second grid subtree has
+    // to resolve to ReusedExchange nodes in the post-execution
+    // adaptive plan (static plans print self-joins duplicated; reuse
+    // is a runtime stage decision, so this pin collects first)
+    val dfPc = SeriesOps.toolPairCorrelation(turns)
+    dfPc.collect()
+    // the executed-plan string also echoes the pre-AQE initial plan —
+    // judge the final section only
+    val pPc = dfPc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("ReusedExchange".r.findAllIn(pPc).size >= 3,
+      s"pair-corr grid subtree must reuse, not recompute:\n$pPc")
+    // the day-pairing self-join may stay sort-merge (the grid frame is
+    // metadata-scale, days x toolbox) — what must NOT appear is a
+    // nested-loop pairing of data-sized frames
+    assert("SortMergeJoin".r.findAllIn(pPc).size <= 1,
+      s"only the day-pairing self-join may sort-merge:\n$pPc")
+
+    // binary split: cumsum + whole-series moments + the argmax window
+    // all share ONE conv_id exchange, and the rank-1 filter pushes
+    // down as a WindowGroupLimit
+    val pBs = plan(SeriesOps.binarySplit(turns))
+    assert(exchanges(pBs) == 1 && windows(pBs) == 3,
+      s"binary split is cumsum + moments + argmax on one exchange:\n$pBs")
+    assert(pBs.contains("WindowGroupLimit"),
+      s"binary split argmax must push a group limit:\n$pBs")
+
+    // tool cadence: lead window + quantile groupBy share ONE
+    // (conv, tool) exchange (the twa clustering-reuse shape)
+    val pTc = plan(SeriesOps.toolCadence(turns))
+    assert(exchanges(pTc) == 1 && windows(pTc) == 1,
+      s"tool cadence must be one exchange:\n$pTc")
+
+    // term vocab growth: exactly ONE pass over raw text (one Generate
+    // = one explode), then census exchange + term-clustered min-day
+    // window exchange + day agg exchange + the single-partition
+    // day-series cumsum — all four over collapsed frames, no join
+    val pVg = plan(SeriesOps.termVocabGrowth(turns))
+    assert("Generate ".r.findAllIn(pVg).size == 1,
+      s"vocab growth must explode the text once:\n$pVg")
+    assert(exchanges(pVg) == 4 && windows(pVg) == 2,
+      s"vocab growth is census + term window + day agg + cumsum:\n$pVg")
+    assert(!pVg.contains("Join"), s"vocab growth must not join:\n$pVg")
+  }
+
 }
