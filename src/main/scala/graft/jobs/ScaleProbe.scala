@@ -115,11 +115,35 @@ object ScaleProbe {
         .agg(count(col("latency_p95_us"))).head())
       val tCohort = timed(graft.operators.SeriesOps.cohortRetention(raw)
         .agg(count(col("retention"))).head())
+      // extension-batch operators (q73-q83), same payload-count idiom
+      val tMotif = timed(graft.operators.SeriesOps.saxMotifs(raw)
+        .agg(count(col("exemplar_conv"))).head())
+      val tLife = timed(graft.operators.SeriesOps.convLifecycle(raw)
+        .agg(count(col("turns_per_active_day"))).head())
+      val tTopk = timed(graft.operators.SeriesOps.termTopK(raw)
+        .agg(count(col("share"))).head())
+      val tLift = timed(graft.operators.SeriesOps.termLift(raw)
+        .agg(count(col("lift"))).head())
+      val tMk = timed(graft.operators.SeriesOps.mannKendall(raw)
+        .agg(count(col("tau_b"))).head())
+      val tRs = timed(graft.operators.SeriesOps.rescaledRange(raw)
+        .agg(count(col("rs_stat"))).head())
+      val tRank = timed(graft.operators.SeriesOps.dayActivityRank(raw)
+        .agg(count(col("pct"))).head())
+      val tPairc = timed(graft.operators.SeriesOps.toolPairCorrelation(raw)
+        .agg(count(col("corr"))).head())
+      val tSplit = timed(graft.operators.SeriesOps.binarySplit(raw)
+        .agg(count(col("sse_gain"))).head())
+      val tCad = timed(graft.operators.SeriesOps.toolCadence(raw)
+        .agg(count(col("gap_p95_us"))).head())
+      val tVg = timed(graft.operators.SeriesOps.termVocabGrowth(raw)
+        .agg(count(col("cum_vocab"))).head())
       val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
         tVocab + tProf + tOhlc + tDaily + tGapRep + tSax + tTheil +
-        tSeason + tCooc + tHh + tLat + tCohort
+        tSeason + tCooc + tHh + tLat + tCohort + tMotif + tLife + tTopk +
+        tLift + tMk + tRs + tRank + tPairc + tSplit + tCad + tVg
       println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
         f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs sessionize=$tSess%.2fs " +
         f"asof=$tAsof%.2fs interval=$tInterval%.2fs sliding=$tSliding%.2fs " +
@@ -131,7 +155,10 @@ object ScaleProbe {
         f"ohlc=$tOhlc%.2fs daily=$tDaily%.2fs gapreport=$tGapRep%.2fs " +
         f"paasax=$tSax%.2fs theilsen=$tTheil%.2fs seasonal=$tSeason%.2fs " +
         f"cooc=$tCooc%.2fs heavyhitters=$tHh%.2fs latency=$tLat%.2fs " +
-        f"cohort=$tCohort%.2fs " +
+        f"cohort=$tCohort%.2fs motifs=$tMotif%.2fs lifecycle=$tLife%.2fs " +
+        f"termtopk=$tTopk%.2fs termlift=$tLift%.2fs mannkendall=$tMk%.2fs " +
+        f"rs=$tRs%.2fs dayrank=$tRank%.2fs paircorr=$tPairc%.2fs " +
+        f"binsplit=$tSplit%.2fs cadence=$tCad%.2fs vocabgrowth=$tVg%.2fs " +
         f"total=$total%.2fs throughput=${n / tM1}%.0f turns/s")
       total
     }
