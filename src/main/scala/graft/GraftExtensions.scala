@@ -201,7 +201,13 @@ object GraftExtensions {
       arities = Set(1)),
     tfn("term_vocab_growth",
       "(table) - corpus vocabulary growth by day: tokens, distinct/new terms, running vocabulary",
-      arities = Set(1)))
+      arities = Set(1)),
+    tfn("daily_cardinality",
+      "(table) - exact per-day turn count, distinct conversations, distinct tools",
+      arities = Set(1)),
+    tfn("daily_cardinality_approx",
+      "(table[, rsd]) - HyperLogLog++ per-day cardinality estimates (mergeable sketches; default rsd 0.05)",
+      arities = Set(1, 2), doubleArgs = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

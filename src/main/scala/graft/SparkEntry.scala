@@ -397,7 +397,14 @@ object SparkEntry {
       graft.operators.SeriesOps.toolCadence(transcripts(s, dir))),
     // Heaps-law corpus vocabulary growth by day
     "q83_term_vocab_growth" -> ((s, dir) =>
-      graft.operators.SeriesOps.termVocabGrowth(transcripts(s, dir)))
+      graft.operators.SeriesOps.termVocabGrowth(transcripts(s, dir))),
+    // exact per-day cardinality (turns, distinct convs, distinct tools)
+    "q84_daily_cardinality" -> ((s, dir) =>
+      graft.operators.SeriesOps.dailyCardinality(transcripts(s, dir))),
+    // HLL++ sketch sibling — mergeable map-side state, no dedup shuffle;
+    // rows-only by design (estimate), error bound spec-pinned vs q84
+    "q85_daily_cardinality_approx" -> ((s, dir) =>
+      graft.operators.SeriesOps.dailyCardinalityApprox(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -1464,6 +1471,18 @@ object SparkEntry {
         |  COALESCE(nf.new_terms, 0) AS new_terms,
         |  CAST(SUM(COALESCE(nf.new_terms, 0)) OVER (ORDER BY pd.day
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
-        |FROM pd LEFT JOIN nf ON pd.day = nf.day""".stripMargin)
+        |FROM pd LEFT JOIN nf ON pd.day = nf.day""".stripMargin),
+    // exact daily cardinality; COUNT(DISTINCT) skips NULL tool in both
+    // engines (the no-call marker is not a tool). q85 (the HLL++
+    // estimate) is rows-only by design — its error bound is pinned
+    // against THIS query in SeriesOpsSpec.
+    "q84_daily_cardinality" -> Transcripts.oracle(
+      """SELECT MAKE_TIMESTAMP(EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |    + 86400000000) % 86400000000) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS turns,
+        |  CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS distinct_convs,
+        |  CAST(COUNT(DISTINCT tool) AS BIGINT) AS distinct_tools
+        |FROM transcripts WHERE ts IS NOT NULL
+        |GROUP BY 1""".stripMargin)
   )
 }

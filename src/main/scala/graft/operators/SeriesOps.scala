@@ -1140,4 +1140,68 @@ object SeriesOps {
         col("_next_ts").as("gap_end"),
         col("gap_us"))
   }
+
+  /** Exact per-day activity cardinality: turn count, distinct
+    * conversations, and distinct tools per UTC day — the daily-active
+    * series every capacity dashboard leads with, and the ground truth
+    * [[dailyCardinalityApprox]] is graded against.
+    *
+    * Exact multi-column DISTINCT is the one aggregate shape that does
+    * NOT partial-collapse map-side: Catalyst plans the two distincts
+    * via Expand (each input row duplicated per distinct column, then
+    * deduped on (day, gid, value) before the day re-aggregation), so
+    * the shuffle carries the (day, conv)/(day, tool) dedup frames.
+    * Affordable when distinct-values-per-day is bounded (conversations
+    * per day is metadata-scale after the dedup); the sketch sibling is
+    * the path when it is not. Null tool is the no-call marker (not a
+    * tool — excluded, both engines' COUNT(DISTINCT) skip NULL); null
+    * ts drops the row (time axis).
+    */
+  def dailyCardinality(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    transcripts
+      .filter(col("ts").isNotNull)
+      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+        col("conv_id"), col("tool"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("turns"),
+        count_distinct(col("conv_id")).as("distinct_convs"),
+        count_distinct(col("tool")).as("distinct_tools"))
+  }
+
+  /** HyperLogLog++ sibling of [[dailyCardinality]] — the 100 TB path:
+    * `approx_count_distinct` sketches are MERGEABLE, so the aggregate
+    * partial-collapses map-side like any sum and the one exchange
+    * carries a constant-size sketch per (day, column) instead of the
+    * exact path's (day, conv)/(day, tool) Expand-dedup frames. At
+    * 10¹² turns/day the exact plan shuffles ~10⁹ dedup rows per day;
+    * this plan shuffles ~`32 partitions × days × 2` sketches of a few
+    * KB each — the classic cardinality-sketch trade
+    * (PAPERS.md: HLL++; same mergeable-state doctrine as the GK
+    * quantile sibling in the rollup).
+    *
+    * `rsd` is the HLL++ target relative standard deviation (Spark
+    * default 0.05); below the sparse-mode threshold the sketch is
+    * EXACT, so small-scale tests double as correctness checks while
+    * the error bound (≤ 3·rsd, spec-pinned vs the exact operator) is
+    * the contract at scale. The sketch hash is seedless/deterministic:
+    * same input → same estimate, so the driver's rows-only check is
+    * stable across runs. Null semantics mirror the exact operator.
+    */
+  def dailyCardinalityApprox(transcripts: DataFrame, rsd: Double = 0.05): DataFrame = {
+    require(rsd > 0 && rsd < 0.4, s"rsd must be in (0, 0.4), got $rsd")
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    transcripts
+      .filter(col("ts").isNotNull)
+      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+        col("conv_id"), col("tool"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("turns"),
+        approx_count_distinct(col("conv_id"), rsd).as("approx_convs"),
+        approx_count_distinct(col("tool"), rsd).as("approx_tools"))
+  }
 }

@@ -188,6 +188,12 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         SeriesOps.toolCadence(session.table(args(0)))
       case "term_vocab_growth" =>
         SeriesOps.termVocabGrowth(session.table(args(0)))
+      case "daily_cardinality" =>
+        SeriesOps.dailyCardinality(session.table(args(0)))
+      case "daily_cardinality_approx" =>
+        if (args.length == 2)
+          SeriesOps.dailyCardinalityApprox(session.table(args(0)), args(1).toDouble)
+        else SeriesOps.dailyCardinalityApprox(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

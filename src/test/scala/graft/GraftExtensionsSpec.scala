@@ -274,6 +274,18 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.SeriesOps.rescaledRange(tr))
     assertSameRows(ext.sql("SELECT * FROM day_activity_rank('tr4_ext')"),
       graft.operators.SeriesOps.dayActivityRank(tr))
+    assertSameRows(ext.sql("SELECT * FROM tool_pair_corr('tr4_ext')"),
+      graft.operators.SeriesOps.toolPairCorrelation(tr))
+    assertSameRows(ext.sql("SELECT * FROM binary_split('tr4_ext')"),
+      graft.operators.SeriesOps.binarySplit(tr))
+    assertSameRows(ext.sql("SELECT * FROM tool_cadence('tr4_ext')"),
+      graft.operators.SeriesOps.toolCadence(tr))
+    assertSameRows(ext.sql("SELECT * FROM term_vocab_growth('tr4_ext')"),
+      graft.operators.SeriesOps.termVocabGrowth(tr))
+    assertSameRows(ext.sql("SELECT * FROM daily_cardinality('tr4_ext')"),
+      graft.operators.SeriesOps.dailyCardinality(tr))
+    assertSameRows(ext.sql("SELECT * FROM daily_cardinality_approx('tr4_ext', 0.05)"),
+      graft.operators.SeriesOps.dailyCardinalityApprox(tr, rsd = 0.05))
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

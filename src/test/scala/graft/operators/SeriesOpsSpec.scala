@@ -925,4 +925,44 @@ class SeriesOpsSpec extends SparkTestBase {
       assert(r.getLong(1) == r.getLong(2) + 1L, s"conv ${r.getString(0)}")
     }
   }
+
+  // ---- daily cardinality (exact + HLL++ sibling) ----------------------
+
+  test("dailyCardinality golden: day truncation, DISTINCT skips null tool, null ts drops") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x", "search", "2024-01-01 00:01:00"),
+      ("A", 1, "assistant", "y", "search", "2024-01-01 23:59:59"),
+      ("B", 0, "user", "z", "browse", "2024-01-01 12:00:00"),
+      ("B", 1, "user", "w", null, "2024-01-01 13:00:00"), // null tool: counted turn, no tool
+      ("B", 2, "user", "v", "search", "2024-01-02 00:00:00"), // next day boundary
+      ("C", 0, "user", "u", "db", null))) // null ts drops whole
+    val out = SeriesOps.dailyCardinality(df).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 2)
+    assert(out("2024-01-01 00:00:00.0") == ((4L, 2L, 2L)))
+    assert(out("2024-01-02 00:00:00.0") == ((1L, 1L, 1L)))
+  }
+
+  test("dailyCardinalityApprox tracks exact within the HLL++ bound and shares null doctrine") {
+    val exact = SeriesOps.dailyCardinality(turns).collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val approx = SeriesOps.dailyCardinalityApprox(turns, rsd = 0.05).collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet == exact.keySet, "same day grid")
+    approx.foreach { case (day, (turnsN, aConv, aTool)) =>
+      val (eTurns, eConv, eTool) = exact(day)
+      assert(turnsN == eTurns, s"turn count is exact, day $day")
+      // HLL++ rsd=0.05 ⇒ 3σ relative error 15%; at this scale the
+      // sparse mode is typically exact, but the CONTRACT is the bound
+      assert(math.abs(aConv - eConv) <= math.max(1L, (0.15 * eConv).toLong),
+        s"conv estimate off: $aConv vs $eConv on $day")
+      assert(math.abs(aTool - eTool) <= math.max(1L, (0.15 * eTool).toLong),
+        s"tool estimate off: $aTool vs $eTool on $day")
+    }
+    // determinism: the sketch hash is seedless — same input, same estimate
+    val again = SeriesOps.dailyCardinalityApprox(turns, rsd = 0.05).collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == approx)
+  }
 }

@@ -363,4 +363,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!pVg.contains("Join"), s"vocab growth must not join:\n$pVg")
   }
 
+  test("daily cardinality: exact pays the Expand-dedup, the HLL++ sibling is one mergeable exchange") {
+    import graft.operators.SeriesOps
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
+
+    // exact multi-column DISTINCT: Catalyst's Expand + dedup — the
+    // shape that does NOT partial-collapse map-side (why the sketch
+    // sibling exists)
+    val pEx = plan(SeriesOps.dailyCardinality(turns))
+    assert(pEx.contains("Expand"),
+      s"exact distinct plans via Expand:\n$pEx")
+
+    // sketch: NO Expand, ONE exchange, and the HLL++ state must
+    // partial-aggregate map-side (mergeable sketches — the 100 TB path)
+    val pAp = plan(SeriesOps.dailyCardinalityApprox(turns))
+    assert(!pAp.contains("Expand"),
+      s"sketch must not Expand:\n$pAp")
+    assert(exchanges(pAp) == 1,
+      s"sketch is one day-keyed exchange of mergeable state:\n$pAp")
+    assert(pAp.contains("partial_approx_count_distinct"),
+      s"sketch must combine map-side:\n$pAp")
+  }
+
 }
