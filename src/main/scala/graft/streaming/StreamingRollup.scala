@@ -116,4 +116,34 @@ object StreamingRollup {
       .select(col("conv_id"), col("w.start").as("window_start"),
         col("n_samples"), col("open_len"), col("high_len"), col("low_len"),
         col("close_len"), (col("high_len") - col("low_len")).as("hl_range"))
+
+  /** Streaming sibling of
+    * [[graft.operators.SeriesOps.dailyCardinalityApprox]] — and the
+    * reason the sketch variant exists at all: exact COUNT(DISTINCT) is
+    * NOT a streaming aggregate (its state is the value set itself,
+    * unbounded and non-mergeable), while the HLL++ sketch merges
+    * register-wise (max per register — commutative, associative,
+    * idempotent), so it streams under a plain watermark like any sum.
+    * Merge ORDER cannot change the registers, so an emitted day equals
+    * the batch operator's estimate bit-for-bit on replayed input
+    * (spec-pinned). Epoch-aligned `window(ts, '1 day')` buckets equal
+    * the batch µs-floor day; same column set, same null doctrine (null
+    * tool never enters a sketch; null ts drops with the watermark
+    * filter). Append mode emits each day exactly once when the
+    * watermark passes midnight.
+    */
+  def cardinality(stream: DataFrame, rsd: Double = 0.05,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(rsd > 0 && rsd < 0.4, s"rsd must be in (0, 0.4), got $rsd")
+    stream
+      .filter(col("ts").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(
+        count(lit(1)).as("turns"),
+        approx_count_distinct(col("conv_id"), rsd).as("approx_convs"),
+        approx_count_distinct(col("tool"), rsd).as("approx_tools"))
+      .select(col("w.start").as("day"), col("turns"),
+        col("approx_convs"), col("approx_tools"))
+  }
 }
