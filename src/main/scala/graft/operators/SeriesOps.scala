@@ -1157,7 +1157,12 @@ object SeriesOps {
     * tool — excluded, both engines' COUNT(DISTINCT) skip NULL); null
     * ts drops the row (time axis).
     */
-  def dailyCardinality(transcripts: DataFrame): DataFrame = {
+  /** Shared pre-projection of the cardinality pair: null-ts drop +
+    * UTC day floor + the two counted columns. Both operators MUST see
+    * the identical frame — a divergence here silently desynchronizes
+    * q84 from q85's error contract.
+    */
+  private def dayActivityFrame(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
     val dayUs = 86400L * 1000000L
     val us = unix_micros(col("ts").cast("timestamp"))
@@ -1165,11 +1170,14 @@ object SeriesOps {
       .filter(col("ts").isNotNull)
       .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
         col("conv_id"), col("tool"))
+  }
+
+  def dailyCardinality(transcripts: DataFrame): DataFrame =
+    dayActivityFrame(transcripts)
       .groupBy(col("day"))
       .agg(count(lit(1)).as("turns"),
         count_distinct(col("conv_id")).as("distinct_convs"),
         count_distinct(col("tool")).as("distinct_tools"))
-  }
 
   /** HyperLogLog++ sibling of [[dailyCardinality]] — the 100 TB path:
     * `approx_count_distinct` sketches are MERGEABLE, so the aggregate
@@ -1177,10 +1185,11 @@ object SeriesOps {
     * carries a constant-size sketch per (day, column) instead of the
     * exact path's (day, conv)/(day, tool) Expand-dedup frames. At
     * 10¹² turns/day the exact plan shuffles ~10⁹ dedup rows per day;
-    * this plan shuffles ~`32 partitions × days × 2` sketches of a few
-    * KB each — the classic cardinality-sketch trade
-    * (PAPERS.md: HLL++; same mergeable-state doctrine as the GK
-    * quantile sibling in the rollup).
+    * this plan shuffles one sketch per (scan task, day, column) — a
+    * few KB each, so GB-scale for a 400k-task 100 TB scan, and
+    * independent of the per-day cardinality itself — the classic
+    * cardinality-sketch trade (PAPERS.md: HLL++; same mergeable-state
+    * doctrine as the GK quantile sibling in the rollup).
     *
     * `rsd` is the HLL++ target relative standard deviation (Spark
     * default 0.05); below the sparse-mode threshold the sketch is
@@ -1191,14 +1200,11 @@ object SeriesOps {
     * stable across runs. Null semantics mirror the exact operator.
     */
   def dailyCardinalityApprox(transcripts: DataFrame, rsd: Double = 0.05): DataFrame = {
-    require(rsd > 0 && rsd < 0.4, s"rsd must be in (0, 0.4), got $rsd")
-    TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
-    val us = unix_micros(col("ts").cast("timestamp"))
-    transcripts
-      .filter(col("ts").isNotNull)
-      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
-        col("conv_id"), col("tool"))
+    // HLL++ needs >= 4 addressing bits => rsd <= 1.106/2^1.5 ~ 0.391;
+    // validate HERE so a wild literal is a pointed analysis error, not
+    // Spark's planner exception
+    require(rsd > 0 && rsd <= 0.39, s"rsd must be in (0, 0.39], got $rsd")
+    dayActivityFrame(transcripts)
       .groupBy(col("day"))
       .agg(count(lit(1)).as("turns"),
         approx_count_distinct(col("conv_id"), rsd).as("approx_convs"),

@@ -134,7 +134,8 @@ object StreamingRollup {
     */
   def cardinality(stream: DataFrame, rsd: Double = 0.05,
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    require(rsd > 0 && rsd < 0.4, s"rsd must be in (0, 0.4), got $rsd")
+    // same HLL++ addressing-bits ceiling as the batch sibling
+    require(rsd > 0 && rsd <= 0.39, s"rsd must be in (0, 0.39], got $rsd")
     stream
       .filter(col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)

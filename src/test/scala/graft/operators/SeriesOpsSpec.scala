@@ -964,5 +964,12 @@ class SeriesOpsSpec extends SparkTestBase {
     val again = SeriesOps.dailyCardinalityApprox(turns, rsd = 0.05).collect()
       .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(again == approx)
+    // the rsd guard covers HLL++'s real ceiling (>= 4 addressing bits
+    // needs rsd <= ~0.391): 0.395 must fail HERE with the pointed
+    // message, not inside Spark's planner
+    val e = intercept[IllegalArgumentException] {
+      SeriesOps.dailyCardinalityApprox(turns, rsd = 0.395)
+    }
+    assert(e.getMessage.contains("rsd"), e.getMessage)
   }
 }
