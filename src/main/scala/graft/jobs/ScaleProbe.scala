@@ -138,12 +138,20 @@ object ScaleProbe {
         .agg(count(col("gap_p95_us"))).head())
       val tVg = timed(graft.operators.SeriesOps.termVocabGrowth(raw)
         .agg(count(col("cum_vocab"))).head())
+      // cardinality pair: exact Expand-dedup vs mergeable HLL++ sketch —
+      // the probe's one side-by-side of the same semantics at two
+      // shuffle geometries
+      val tCard = timed(graft.operators.SeriesOps.dailyCardinality(raw)
+        .agg(count(col("distinct_convs"))).head())
+      val tCardA = timed(graft.operators.SeriesOps.dailyCardinalityApprox(raw)
+        .agg(count(col("approx_convs"))).head())
       val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
         tVocab + tProf + tOhlc + tDaily + tGapRep + tSax + tTheil +
         tSeason + tCooc + tHh + tLat + tCohort + tMotif + tLife + tTopk +
-        tLift + tMk + tRs + tRank + tPairc + tSplit + tCad + tVg
+        tLift + tMk + tRs + tRank + tPairc + tSplit + tCad + tVg +
+        tCard + tCardA
       println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
         f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs sessionize=$tSess%.2fs " +
         f"asof=$tAsof%.2fs interval=$tInterval%.2fs sliding=$tSliding%.2fs " +
@@ -159,6 +167,7 @@ object ScaleProbe {
         f"termtopk=$tTopk%.2fs termlift=$tLift%.2fs mannkendall=$tMk%.2fs " +
         f"rs=$tRs%.2fs dayrank=$tRank%.2fs paircorr=$tPairc%.2fs " +
         f"binsplit=$tSplit%.2fs cadence=$tCad%.2fs vocabgrowth=$tVg%.2fs " +
+        f"cardexact=$tCard%.2fs cardsketch=$tCardA%.2fs " +
         f"total=$total%.2fs throughput=${n / tM1}%.0f turns/s")
       total
     }
