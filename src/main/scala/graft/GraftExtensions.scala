@@ -207,7 +207,10 @@ object GraftExtensions {
       arities = Set(1)),
     tfn("daily_cardinality_approx",
       "(table[, rsd]) - HyperLogLog++ per-day cardinality estimates (mergeable sketches; default rsd 0.05)",
-      arities = Set(1, 2), doubleArgs = Set(1)))
+      arities = Set(1, 2), doubleArgs = Set(1)),
+    tfn("daily_autocorr",
+      "(table[, max_lag]) - autocorrelation of the zero-filled daily turn series at lags 1..max_lag (default 14)",
+      arities = Set(1, 2), intArgs = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

@@ -404,7 +404,10 @@ object SparkEntry {
     // HLL++ sketch sibling — mergeable map-side state, no dedup shuffle;
     // rows-only by design (estimate), error bound spec-pinned vs q84
     "q85_daily_cardinality_approx" -> ((s, dir) =>
-      graft.operators.SeriesOps.dailyCardinalityApprox(transcripts(s, dir)))
+      graft.operators.SeriesOps.dailyCardinalityApprox(transcripts(s, dir))),
+    // ACF of the zero-filled corpus daily-turn series, lags 1..14
+    "q86_daily_autocorr" -> ((s, dir) =>
+      graft.operators.SeriesOps.dailyAutocorr(transcripts(s, dir), maxLag = 14))
   )
 
   private val rollupSelect: String =
@@ -1483,6 +1486,48 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS distinct_convs,
         |  CAST(COUNT(DISTINCT tool) AS BIGINT) AS distinct_tools
         |FROM transcripts WHERE ts IS NOT NULL
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin),
+    // zero-filled day grid (a silent day is a real 0), HUGEINT product
+    // sums = the engine's decimal(38,0), Pearson mirrored
+    // operand-for-operand, n>=3 + positive-variance gate
+    "q86_daily_autocorr" -> Transcripts.oracle(
+      """, d AS (
+        |  SELECT MAKE_TIMESTAMP(EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) AS day
+        |  FROM transcripts WHERE ts IS NOT NULL),
+        |c AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS turns FROM d GROUP BY 1),
+        |g AS (
+        |  SELECT UNNEST(generate_series((SELECT MIN(day) FROM c),
+        |    (SELECT MAX(day) FROM c), INTERVAL 1 DAY)) AS day),
+        |z AS (
+        |  SELECT g.day, COALESCE(c.turns, 0) AS turns,
+        |    ROW_NUMBER() OVER (ORDER BY g.day) AS idx
+        |  FROM g LEFT JOIN c ON g.day = c.day),
+        |l AS (
+        |  SELECT lg.lag, a.turns AS x, b.turns AS y
+        |  FROM z a
+        |  CROSS JOIN (SELECT UNNEST(generate_series(1, 14)) AS lag) lg
+        |  JOIN z b ON b.idx = a.idx + lg.lag),
+        |m AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM l GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CASE WHEN n_pairs >= 3
+        |    AND CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |  THEN ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS corr
+        |FROM m""".stripMargin)
   )
 }

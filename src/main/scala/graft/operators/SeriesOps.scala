@@ -1199,6 +1199,88 @@ object SeriesOps {
     * same input → same estimate, so the driver's rows-only check is
     * stable across runs. Null semantics mirror the exact operator.
     */
+  /** Autocorrelation function of the corpus-grain DAILY turn-count
+    * series at lags 1..`maxLag` — weekly seasonality reads directly off
+    * a lag-7 peak, monthly off lag-30: the day-series sibling of
+    * [[RefOps.lagAutocorr]] (per-conversation turn grain) and the
+    * significance companion to [[seasonalResidual]]'s calendar-cell
+    * baselines, at the grain split this engine applies throughout
+    * (termTopK↔termLift, toolVocabGrowth↔termVocabGrowth).
+    *
+    * The series is the ZERO-FILLED day grid from min to max observed
+    * day (a silent day is a real 0 observation — the
+    * [[toolPairCorrelation]] doctrine; dropping holes would splice
+    * non-adjacent days together and shift every lag). Each lag pairs
+    * (x_t, x_{t+lag}) over the grid's row order and computes the
+    * standard sample cross-moment correlation on exact integer sums
+    * (decimal(38,0) product sums — daily totals squared can exceed
+    * Long at 10¹² turns), each moment cast to double ONCE, the
+    * operand-for-operand oracle-mirrored Pearson shape. Lags need
+    * n ≥ 3 pairs and positive variance on both sides, else corr is
+    * NULL (the drift-correlation convention). Null ts drops (time
+    * axis).
+    *
+    * Scale: the daily census partial-aggregates map-side to ≤ days
+    * rows and is PERSISTED (MEMORY_AND_DISK, the [[Dedup]] internal-
+    * reuse precedent — metadata-scale, released with the session
+    * cache): the grid's min/max anchor and its zero-fill join are two
+    * references to the same frame, and without the pin Catalyst
+    * duplicates the whole census subtree into a second raw scan
+    * (measured — the [[termVocabGrowth]] self-reference hazard). The
+    * lag pairing is maxLag `lead` columns on ONE single-partition
+    * window over the day series (the [[seasonalResidual]]
+    * metadata-scale reading) unpivoted via explode — no self-join at
+    * all — and the per-lag moments aggregate days × maxLag rows. Raw
+    * rows move only in the census exchange.
+    */
+  def dailyAutocorr(transcripts: DataFrame, maxLag: Int = 14): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 366,
+      s"maxLag must be in [1, 366], got $maxLag")
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val daily = transcripts
+      .filter(col("ts").isNotNull)
+      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("turns"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // zero-filled grid: a 1-row min/max aggregate exploded to the full
+    // day range, left-joined against the observed census
+    val grid = daily
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(explode(sequence(col("_d0"), col("_d1"),
+        expr("interval 1 day"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("turns"), lit(0L)).as("turns"))
+    val wDay = Window.orderBy(col("day"))
+    val wide = grid.select(col("turns").as("x") +:
+      (1 to maxLag).map(l => lead(col("turns"), l).over(wDay).as(s"_y$l")): _*)
+    val pairs = wide
+      .select(explode(array((1 to maxLag).map(l =>
+        struct(lit(l.toLong).as("lag"), col("x"), col(s"_y$l").as("y"))): _*))
+        .as("p"))
+      .select(col("p.lag").as("lag"), col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("y").isNotNull)
+    val m = pairs
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("_sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("_sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("_syy"))
+    val n = col("n_pairs").cast("double")
+    val cov = n * col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double")
+    val vx = n * col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double")
+    val vy = n * col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double")
+    m.select(col("lag"), col("n_pairs"),
+      when(col("n_pairs") >= 3 && vx > 0 && vy > 0,
+        round(cov / sqrt(vx * vy), 6)).as("corr"))
+  }
+
   def dailyCardinalityApprox(transcripts: DataFrame, rsd: Double = 0.05): DataFrame = {
     // HLL++ needs >= 4 addressing bits => rsd <= 1.106/2^1.5 ~ 0.391;
     // validate HERE so a wild literal is a pointed analysis error, not

@@ -194,6 +194,10 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         if (args.length == 2)
           SeriesOps.dailyCardinalityApprox(session.table(args(0)), args(1).toDouble)
         else SeriesOps.dailyCardinalityApprox(session.table(args(0)))
+      case "daily_autocorr" =>
+        if (args.length == 2)
+          SeriesOps.dailyAutocorr(session.table(args(0)), args(1).toInt)
+        else SeriesOps.dailyAutocorr(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

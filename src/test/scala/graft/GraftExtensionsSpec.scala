@@ -286,6 +286,8 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.SeriesOps.dailyCardinality(tr))
     assertSameRows(ext.sql("SELECT * FROM daily_cardinality_approx('tr4_ext', 0.05)"),
       graft.operators.SeriesOps.dailyCardinalityApprox(tr, rsd = 0.05))
+    assertSameRows(ext.sql("SELECT * FROM daily_autocorr('tr4_ext', 7)"),
+      graft.operators.SeriesOps.dailyAutocorr(tr, maxLag = 7))
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

@@ -972,4 +972,69 @@ class SeriesOpsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("rsd"), e.getMessage)
   }
+
+  // ---- daily-series autocorrelation ------------------------------------
+
+  test("dailyAutocorr golden: zero-fill, perfect lag correlation, variance gate") {
+    // days 1..4 with turn counts 1,2,3,4 (linear): every lag correlates
+    // perfectly (1.0) while enough pairs exist; day 3 is SILENT and
+    // must enter as a real 0 — so the series is 1,2,0,4
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x", null, "2024-01-01 10:00:00"),
+      ("A", 1, "user", "x", null, "2024-01-02 10:00:00"),
+      ("A", 2, "user", "x", null, "2024-01-02 11:00:00"),
+      ("B", 0, "user", "x", null, "2024-01-04 09:00:00"),
+      ("B", 1, "user", "x", null, "2024-01-04 10:00:00"),
+      ("B", 2, "user", "x", null, "2024-01-04 11:00:00"),
+      ("B", 3, "user", "x", null, "2024-01-04 12:00:00"),
+      ("C", 0, "user", "x", null, null))) // null ts drops
+    val out = SeriesOps.dailyAutocorr(df, maxLag = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // series (1, 2, 0, 4): lag-1 pairs ((1,2),(2,0),(0,4)) n=3;
+    // lag-2 ((1,0),(2,4)) n=2 < 3 -> NULL; lag-3 ((1,4)) n=1 -> NULL
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._1 == 3L && out(1L)._2.isDefined)
+    // exact check: x=(1,2,0) y=(2,0,4): n=3 sx=3 sy=6 sxy=2 sxx=5 syy=20
+    // cov=3*2-18=-12 vx=15-9=6 vy=60-36=24 corr=-12/12=-1.0
+    assert(out(1L)._2.get == -1.0, out(1L).toString)
+    assert(out(2L) == ((2L, None)) && out(3L) == ((1L, None)))
+  }
+
+  test("dailyAutocorr matches a brute-force driver computation on synth data") {
+    import java.sql.Timestamp
+    val clean = turns.filter(col("ts").isNotNull)
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val daily = clean
+      .select(timestamp_micros(us - pmod(us, lit(86400L * 1000000L))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("turns"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val d0 = daily.keys.min((a: Timestamp, b: Timestamp) => a.compareTo(b))
+    val d1 = daily.keys.max((a: Timestamp, b: Timestamp) => a.compareTo(b))
+    val series = Iterator.iterate(d0)(t =>
+        Timestamp.from(t.toInstant.plusSeconds(86400L)))
+      .takeWhile(!_.after(d1)).map(t => daily.getOrElse(t, 0L)).toArray
+    val got = SeriesOps.dailyAutocorr(turns, maxLag = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    (1 to 5).foreach { lag =>
+      val pairs = series.dropRight(lag).zip(series.drop(lag))
+      val n = pairs.length.toLong
+      val (exp, expN) = if (n == 0) (None, 0L) else {
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+        val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+        val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+        val cov = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+        val vx = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+        val vy = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+        (if (n >= 3 && vx > 0 && vy > 0)
+          Some(BigDecimal(cov / math.sqrt(vx * vy))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None, n)
+      }
+      if (expN == 0) assert(!got.contains(lag.toLong), s"lag $lag")
+      else assert(got(lag.toLong) == ((expN, exp)), s"lag $lag: ${got.get(lag.toLong)} vs ($expN, $exp)")
+    }
+  }
 }
