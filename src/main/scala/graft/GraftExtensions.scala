@@ -210,6 +210,9 @@ object GraftExtensions {
       arities = Set(1, 2), doubleArgs = Set(1)),
     tfn("daily_autocorr",
       "(table[, max_lag]) - autocorrelation of the zero-filled daily turn series at lags 1..max_lag (default 14)",
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("tool_lead_lag",
+      "(table[, max_lag]) - directional lead-lag correlation between tool daily series at lags 1..max_lag (default 7)",
       arities = Set(1, 2), intArgs = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],

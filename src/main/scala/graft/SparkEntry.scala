@@ -407,7 +407,10 @@ object SparkEntry {
       graft.operators.SeriesOps.dailyCardinalityApprox(transcripts(s, dir))),
     // ACF of the zero-filled corpus daily-turn series, lags 1..14
     "q86_daily_autocorr" -> ((s, dir) =>
-      graft.operators.SeriesOps.dailyAutocorr(transcripts(s, dir), maxLag = 14))
+      graft.operators.SeriesOps.dailyAutocorr(transcripts(s, dir), maxLag = 14)),
+    // directional lead-lag correlation between tool daily series
+    "q87_tool_lead_lag" -> ((s, dir) =>
+      graft.operators.SeriesOps.toolLeadLag(transcripts(s, dir), maxLag = 7))
   )
 
   private val rollupSelect: String =
@@ -1526,6 +1529,53 @@ object SparkEntry {
         |    / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |      * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS corr
+        |FROM m""".stripMargin),
+    // contiguous day range (lag arithmetic must not splice holes),
+    // absolute-day-number index, ordered pairs, HUGEINT moments,
+    // operand-mirrored Pearson
+    "q87_tool_lead_lag" -> Transcripts.oracle(
+      """, cs AS (
+        |  SELECT MAKE_TIMESTAMP(EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) AS day,
+        |    tool, CAST(COUNT(*) AS BIGINT) AS calls
+        |  FROM transcripts WHERE ts IS NOT NULL AND tool IS NOT NULL
+        |  GROUP BY 1, 2),
+        |dy AS (
+        |  SELECT UNNEST(generate_series((SELECT MIN(day) FROM cs),
+        |    (SELECT MAX(day) FROM cs), INTERVAL 1 DAY)) AS day),
+        |tl AS (SELECT DISTINCT tool FROM cs),
+        |gr AS (
+        |  SELECT EPOCH_US(dy.day) // 86400000000 AS idx, tl.tool,
+        |    COALESCE(cs.calls, 0) AS calls
+        |  FROM dy CROSS JOIN tl
+        |  LEFT JOIN cs ON cs.day = dy.day AND cs.tool = tl.tool),
+        |l AS (
+        |  SELECT a.tool AS tool_a, b.tool AS tool_b, lg.lag,
+        |    a.calls AS x, b.calls AS y
+        |  FROM gr a
+        |  CROSS JOIN (SELECT UNNEST(generate_series(1, 7)) AS lag) lg
+        |  JOIN gr b ON b.idx = a.idx + lg.lag
+        |  WHERE a.tool <> b.tool),
+        |m AS (
+        |  SELECT tool_a, tool_b, lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM l GROUP BY 1, 2, 3)
+        |SELECT tool_a, tool_b, CAST(lag AS BIGINT) AS lag, n_days,
+        |  CASE WHEN n_days >= 3
+        |    AND CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    AND CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |  THEN ROUND((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / SQRT((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |  END AS corr
         |FROM m""".stripMargin)

@@ -1199,6 +1199,86 @@ object SeriesOps {
     * same input → same estimate, so the driver's rows-only check is
     * stable across runs. Null semantics mirror the exact operator.
     */
+  /** Lead-lag cross-correlation between tool pairs: Pearson correlation
+    * of tool_a's daily call series at day t against tool_b's at day
+    * t+lag, for lags 1..`maxLag` — "search leads browse by one day",
+    * the DIRECTIONAL sibling of [[toolPairCorrelation]] (lag 0,
+    * symmetric) and the cross-series sibling of [[dailyAutocorr]].
+    * Output is ordered pairs (a leads b ≠ b leads a).
+    *
+    * Unlike [[toolPairCorrelation]]'s union-of-observed-days axis
+    * (correct at lag 0, where both series are read on the same day),
+    * lag arithmetic REQUIRES the contiguous min..max day range — on
+    * observed days only, a hole would splice non-adjacent days into a
+    * false lag-1 pair — so the grid zero-fills the full range (the
+    * [[dailyAutocorr]] doctrine) and the day index is the absolute
+    * day number `unix_micros(day) / dayUs` (exact: days are floored
+    * multiples, so truncation is exact division; no row_number pass).
+    *
+    * Moments are the shared exact-integer Pearson shape (decimal(38,0)
+    * product sums, each moment cast to double once, n ≥ 3 +
+    * positive-variance gate → NULL). Null tool is the no-call marker
+    * (never a series); null ts drops (time axis).
+    *
+    * Scale: the (day, tool) census partial-aggregates map-side to
+    * ≤ days×|toolbox| rows and is PERSISTED (its range anchor,
+    * toolbox distinct, and zero-fill join are three references — the
+    * [[dailyAutocorr]] single-raw-scan doctrine, plan-pinned); the
+    * grid, the lag explode, the idx+lag join, and the pair moments
+    * are all metadata-scale (≤ days × |toolbox|² × maxLag rows).
+    * Output is ≤ |toolbox|² × maxLag rows.
+    */
+  def toolLeadLag(transcripts: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 366,
+      s"maxLag must be in [1, 366], got $maxLag")
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val census = transcripts
+      .filter(col("ts").isNotNull && col("tool").isNotNull)
+      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+        col("tool"))
+      .groupBy(col("day"), col("tool"))
+      .agg(count(lit(1)).as("calls"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val days = census
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(explode(sequence(col("_d0"), col("_d1"),
+        expr("interval 1 day"))).as("day"))
+    val tools = census.select(col("tool")).distinct()
+    val grid = days
+      .crossJoin(broadcast(tools))
+      .join(census, Seq("day", "tool"), "left")
+      .select((unix_micros(col("day")) / lit(dayUs)).cast("long").as("idx"),
+        col("tool"), coalesce(col("calls"), lit(0L)).as("calls"))
+    val aSide = grid.select(col("idx"), col("tool").as("tool_a"),
+        col("calls").as("x"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .withColumn("_widx", col("idx") + col("lag"))
+    val bSide = grid.select(col("idx").as("_widx"),
+      col("tool").as("tool_b"), col("calls").as("y"))
+    val m = aSide.join(bSide, Seq("_widx"))
+      .filter(col("tool_a") =!= col("tool_b"))
+      .groupBy(col("tool_a"), col("tool_b"), col("lag"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("_sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("_sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("_syy"))
+    val n = col("n_days").cast("double")
+    val cov = n * col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double")
+    val vx = n * col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double")
+    val vy = n * col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double")
+    m.select(col("tool_a"), col("tool_b"), col("lag").cast("long").as("lag"),
+      col("n_days"),
+      when(col("n_days") >= 3 && vx > 0 && vy > 0,
+        round(cov / sqrt(vx * vy), 6)).as("corr"))
+  }
+
   /** Autocorrelation function of the corpus-grain DAILY turn-count
     * series at lags 1..`maxLag` — weekly seasonality reads directly off
     * a lag-7 peak, monthly off lag-30: the day-series sibling of

@@ -198,6 +198,10 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         if (args.length == 2)
           SeriesOps.dailyAutocorr(session.table(args(0)), args(1).toInt)
         else SeriesOps.dailyAutocorr(session.table(args(0)))
+      case "tool_lead_lag" =>
+        if (args.length == 2)
+          SeriesOps.toolLeadLag(session.table(args(0)), args(1).toInt)
+        else SeriesOps.toolLeadLag(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

@@ -288,6 +288,8 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.SeriesOps.dailyCardinalityApprox(tr, rsd = 0.05))
     assertSameRows(ext.sql("SELECT * FROM daily_autocorr('tr4_ext', 7)"),
       graft.operators.SeriesOps.dailyAutocorr(tr, maxLag = 7))
+    assertSameRows(ext.sql("SELECT * FROM tool_lead_lag('tr4_ext', 3)"),
+      graft.operators.SeriesOps.toolLeadLag(tr, maxLag = 3))
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

@@ -1001,6 +1001,40 @@ class SeriesOpsSpec extends SparkTestBase {
     assert(out(2L) == ((2L, None)) && out(3L) == ((1L, None)))
   }
 
+  test("toolLeadLag golden: perfect lead at lag 1, asymmetry, contiguous-range zero-fill") {
+    // tool a fires 1,2,3 calls on days 1-3; tool b fires the SAME
+    // pattern one day later (days 2-4). Contiguous grid day 1..4:
+    //   a = (1, 2, 3, 0),  b = (0, 1, 2, 3)
+    // a leads b at lag 1 perfectly: x=a[1..3]=(1,2,3), y=b[2..4]=(1,2,3)
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x", "a", "2024-01-01 10:00:00"),
+      ("A", 1, "user", "x", "a", "2024-01-02 10:00:00"),
+      ("A", 2, "user", "x", "a", "2024-01-02 11:00:00"),
+      ("A", 3, "user", "x", "a", "2024-01-03 10:00:00"),
+      ("A", 4, "user", "x", "a", "2024-01-03 11:00:00"),
+      ("A", 5, "user", "x", "a", "2024-01-03 12:00:00"),
+      ("B", 0, "user", "x", "b", "2024-01-02 10:00:00"),
+      ("B", 1, "user", "x", "b", "2024-01-03 10:00:00"),
+      ("B", 2, "user", "x", "b", "2024-01-03 11:00:00"),
+      ("B", 3, "user", "x", "b", "2024-01-04 10:00:00"),
+      ("B", 4, "user", "x", "b", "2024-01-04 11:00:00"),
+      ("B", 5, "user", "x", "b", "2024-01-04 12:00:00")))
+    val out = SeriesOps.toolLeadLag(df, maxLag = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    // ordered pairs x lags with n >= 1: (a,b,1/2) and (b,a,1/2)
+    assert(out.size == 4, out.keySet.toString)
+    assert(out(("a", "b", 1L)) == ((3L, Some(1.0))), out(("a", "b", 1L)).toString)
+    // the reverse direction is NOT 1.0 — lead-lag is directional:
+    // x=b(0,1,2), y=a(2,3,0) -> corr = -6/sqrt(6*14)
+    assert(out(("b", "a", 1L))._2.get == BigDecimal(-6.0 / math.sqrt(84.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // lag 2 has n=2 < 3 -> NULL corr, rows still present
+    assert(out(("a", "b", 2L)) == ((2L, None)))
+    assert(out(("b", "a", 2L)) == ((2L, None)))
+  }
+
   test("dailyAutocorr matches a brute-force driver computation on synth data") {
     import java.sql.Timestamp
     val clean = turns.filter(col("ts").isNotNull)

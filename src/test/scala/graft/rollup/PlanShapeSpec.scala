@@ -408,4 +408,20 @@ class PlanShapeSpec extends SparkTestBase {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("tool lead-lag: census cached across its three references, one raw scan") {
+    import graft.operators.SeriesOps
+    val df = SeriesOps.toolLeadLag(turns, maxLag = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the census feeds the range anchor, the toolbox distinct, and the
+    // zero-fill join — all three must hit the cache so raw is scanned
+    // exactly once
+    assert(p.contains("InMemoryTableScan"),
+      s"census must be cached:\n$p")
+    assert("Range \\(".r.findAllIn(p).size == 1,
+      s"raw input must be scanned exactly once:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
 }
