@@ -903,6 +903,42 @@ object SeriesOps {
     * passes that shrink map-side to metadata scale. Output is
     * ≤ |toolbox|²/2 rows.
     */
+  /** Shared exact-integer Pearson block over an (x: long, y: long) pair
+    * frame, grouped by `keys` — the single definition of the moment
+    * shape [[toolPairCorrelation]], [[toolLeadLag]], and
+    * [[dailyAutocorr]] all hash-match their DuckDB oracles through
+    * (the [[RefOps]] sibling covers the conv-keyed small-value family).
+    * Each product PRE-casts one operand to decimal(38,0) — daily
+    * counts above ~3·10⁹ would overflow a Long PRODUCT (ANSI abort)
+    * before a post-multiply cast could save it; the oracles' HUGEINT
+    * precast mirrors this operand-for-operand. n ≥ 3 + positive
+    * variance on both axes, else corr pins NULL; one double cast per
+    * moment, round 6. Any change here changes three queries'
+    * cross-engine hash guarantees — keep the SparkEntry oracles in
+    * lockstep.
+    */
+  private def pearsonPairCorr(pairs: DataFrame, keys: Seq[String],
+      nName: String): DataFrame = {
+    val m = pairs
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as(nName),
+        sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("_sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("_sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("_syy"))
+    val n = col(nName).cast("double")
+    val cov = n * col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double")
+    val vx = n * col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double")
+    val vy = n * col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double")
+    m.select(keys.map(col) :+ col(nName) :+
+      when(col(nName) >= 3 && vx > 0 && vy > 0,
+        round(cov / sqrt(vx * vy), 6)).as("corr"): _*)
+  }
+
   def toolPairCorrelation(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
     val dayUs = 86400L * 1000000L
@@ -924,25 +960,9 @@ object SeriesOps {
       col("calls").as("x"))
     val b = grid.select(col("day"), col("tool").as("tool_b"),
       col("calls").as("y"))
-    val m = a.join(b, Seq("day"))
+    val pairs = a.join(b, Seq("day"))
       .filter(col("tool_a") < col("tool_b"))
-      .groupBy(col("tool_a"), col("tool_b"))
-      .agg(
-        count(lit(1)).as("n_days"),
-        sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
-        sum((col("x") * col("y")).cast("decimal(38,0)")).as("_sxy"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("_sxx"),
-        sum((col("y") * col("y")).cast("decimal(38,0)")).as("_syy"))
-    val n = col("n_days").cast("double")
-    val cov = n * col("_sxy").cast("double") -
-      col("_sx").cast("double") * col("_sy").cast("double")
-    val vx = n * col("_sxx").cast("double") -
-      col("_sx").cast("double") * col("_sx").cast("double")
-    val vy = n * col("_syy").cast("double") -
-      col("_sy").cast("double") * col("_sy").cast("double")
-    m.select(col("tool_a"), col("tool_b"), col("n_days"),
-      when(col("n_days") >= 3 && vx > 0 && vy > 0,
-        round(cov / sqrt(vx * vy), 6)).as("corr"))
+    pearsonPairCorr(pairs, Seq("tool_a", "tool_b"), "n_days")
   }
 
   /** Optimal binary split of the turn-length series per conversation —
@@ -1249,34 +1269,19 @@ object SeriesOps {
     val grid = days
       .crossJoin(broadcast(tools))
       .join(census, Seq("day", "tool"), "left")
-      .select((unix_micros(col("day")) / lit(dayUs)).cast("long").as("idx"),
+      // integer `div`, not `/`: Column `/` is IEEE double division,
+      // inexact past 2^53 µs (~year 2255) — the oracle's `//` is exact
+      .select(expr(s"unix_micros(day) div $dayUs").as("idx"),
         col("tool"), coalesce(col("calls"), lit(0L)).as("calls"))
     val aSide = grid.select(col("idx"), col("tool").as("tool_a"),
         col("calls").as("x"),
-        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+        explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"))
       .withColumn("_widx", col("idx") + col("lag"))
     val bSide = grid.select(col("idx").as("_widx"),
       col("tool").as("tool_b"), col("calls").as("y"))
-    val m = aSide.join(bSide, Seq("_widx"))
+    val pairs = aSide.join(bSide, Seq("_widx"))
       .filter(col("tool_a") =!= col("tool_b"))
-      .groupBy(col("tool_a"), col("tool_b"), col("lag"))
-      .agg(
-        count(lit(1)).as("n_days"),
-        sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
-        sum((col("x") * col("y")).cast("decimal(38,0)")).as("_sxy"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("_sxx"),
-        sum((col("y") * col("y")).cast("decimal(38,0)")).as("_syy"))
-    val n = col("n_days").cast("double")
-    val cov = n * col("_sxy").cast("double") -
-      col("_sx").cast("double") * col("_sy").cast("double")
-    val vx = n * col("_sxx").cast("double") -
-      col("_sx").cast("double") * col("_sx").cast("double")
-    val vy = n * col("_syy").cast("double") -
-      col("_sy").cast("double") * col("_sy").cast("double")
-    m.select(col("tool_a"), col("tool_b"), col("lag").cast("long").as("lag"),
-      col("n_days"),
-      when(col("n_days") >= 3 && vx > 0 && vy > 0,
-        round(cov / sqrt(vx * vy), 6)).as("corr"))
+    pearsonPairCorr(pairs, Seq("tool_a", "tool_b", "lag"), "n_days")
   }
 
   /** Autocorrelation function of the corpus-grain DAILY turn-count
@@ -1342,23 +1347,7 @@ object SeriesOps {
         .as("p"))
       .select(col("p.lag").as("lag"), col("p.x").as("x"), col("p.y").as("y"))
       .filter(col("y").isNotNull)
-    val m = pairs
-      .groupBy(col("lag"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
-        sum((col("x") * col("y")).cast("decimal(38,0)")).as("_sxy"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("_sxx"),
-        sum((col("y") * col("y")).cast("decimal(38,0)")).as("_syy"))
-    val n = col("n_pairs").cast("double")
-    val cov = n * col("_sxy").cast("double") -
-      col("_sx").cast("double") * col("_sy").cast("double")
-    val vx = n * col("_sxx").cast("double") -
-      col("_sx").cast("double") * col("_sx").cast("double")
-    val vy = n * col("_syy").cast("double") -
-      col("_sy").cast("double") * col("_sy").cast("double")
-    m.select(col("lag"), col("n_pairs"),
-      when(col("n_pairs") >= 3 && vx > 0 && vy > 0,
-        round(cov / sqrt(vx * vy), 6)).as("corr"))
+    pearsonPairCorr(pairs, Seq("lag"), "n_pairs")
   }
 
   def dailyCardinalityApprox(transcripts: DataFrame, rsd: Double = 0.05): DataFrame = {

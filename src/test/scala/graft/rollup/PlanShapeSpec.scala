@@ -387,41 +387,45 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("daily autocorr: census cached and reused, lead-window pairing, no self-join") {
     import graft.operators.SeriesOps
-    // the census persist is a runtime effect — judge the executed plan
-    val df = SeriesOps.dailyAutocorr(turns, maxLag = 3)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    // both census references (min/max anchor + zero-fill join) must hit
-    // the SAME cached frame — without the pin Catalyst re-scans raw for
-    // the second reference. The executed string shows the cache hit
-    // (InMemoryTableScan) and, decisively, the RAW source exactly once
-    // (inside the cached relation's materialization plan).
-    assert(p.contains("InMemoryTableScan"),
-      s"census must be cached:\n$p")
-    assert("Range \\(".r.findAllIn(p).size == 1,
-      s"raw input must be scanned exactly once:\n$p")
-    // lag pairing is lead-windows + explode — a sort-merge self-join of
-    // the grid would mean the window form regressed
-    assert(!p.contains("SortMergeJoin"),
-      s"autocorr must not self-join:\n$p")
-    spark.sharedState.cacheManager.clearCache()
+    // the census persist is a runtime effect — judge the executed plan;
+    // clearCache in finally so a failing assert can't leak the cached
+    // census into later plan pins
+    try {
+      val df = SeriesOps.dailyAutocorr(turns, maxLag = 3)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // both census references (min/max anchor + zero-fill join) must hit
+      // the SAME cached frame — without the pin Catalyst re-scans raw for
+      // the second reference. The executed string shows the cache hit
+      // (InMemoryTableScan) and, decisively, the RAW source exactly once
+      // (inside the cached relation's materialization plan).
+      assert(p.contains("InMemoryTableScan"),
+        s"census must be cached:\n$p")
+      assert("Range \\(".r.findAllIn(p).size == 1,
+        s"raw input must be scanned exactly once:\n$p")
+      // lag pairing is lead-windows + explode — a sort-merge self-join of
+      // the grid would mean the window form regressed
+      assert(!p.contains("SortMergeJoin"),
+        s"autocorr must not self-join:\n$p")
+    } finally spark.sharedState.cacheManager.clearCache()
   }
 
   test("tool lead-lag: census cached across its three references, one raw scan") {
     import graft.operators.SeriesOps
-    val df = SeriesOps.toolLeadLag(turns, maxLag = 2)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    // the census feeds the range anchor, the toolbox distinct, and the
-    // zero-fill join — all three must hit the cache so raw is scanned
-    // exactly once
-    assert(p.contains("InMemoryTableScan"),
-      s"census must be cached:\n$p")
-    assert("Range \\(".r.findAllIn(p).size == 1,
-      s"raw input must be scanned exactly once:\n$p")
-    spark.sharedState.cacheManager.clearCache()
+    try {
+      val df = SeriesOps.toolLeadLag(turns, maxLag = 2)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // the census feeds the range anchor, the toolbox distinct, and the
+      // zero-fill join — all three must hit the cache so raw is scanned
+      // exactly once
+      assert(p.contains("InMemoryTableScan"),
+        s"census must be cached:\n$p")
+      assert("Range \\(".r.findAllIn(p).size == 1,
+        s"raw input must be scanned exactly once:\n$p")
+    } finally spark.sharedState.cacheManager.clearCache()
   }
 
 }
