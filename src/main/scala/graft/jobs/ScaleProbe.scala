@@ -145,13 +145,22 @@ object ScaleProbe {
         .agg(count(col("distinct_convs"))).head())
       val tCardA = timed(graft.operators.SeriesOps.dailyCardinalityApprox(raw)
         .agg(count(col("approx_convs"))).head())
+      // grid-correlation family. Each persists its census internally;
+      // a cacheManager.clearCache() here would also evict the probe's
+      // cached raw input, so the censuses stay — reps 2+ are
+      // census-warm for these two stages, identically in both the N
+      // and 4N configs, which is what the ratio needs
+      val tAcf = timed(graft.operators.SeriesOps.dailyAutocorr(raw)
+        .agg(count(col("corr"))).head())
+      val tLl = timed(graft.operators.SeriesOps.toolLeadLag(raw)
+        .agg(count(col("corr"))).head())
       val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
         tVocab + tProf + tOhlc + tDaily + tGapRep + tSax + tTheil +
         tSeason + tCooc + tHh + tLat + tCohort + tMotif + tLife + tTopk +
         tLift + tMk + tRs + tRank + tPairc + tSplit + tCad + tVg +
-        tCard + tCardA
+        tCard + tCardA + tAcf + tLl
       println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
         f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs sessionize=$tSess%.2fs " +
         f"asof=$tAsof%.2fs interval=$tInterval%.2fs sliding=$tSliding%.2fs " +
@@ -168,6 +177,7 @@ object ScaleProbe {
         f"rs=$tRs%.2fs dayrank=$tRank%.2fs paircorr=$tPairc%.2fs " +
         f"binsplit=$tSplit%.2fs cadence=$tCad%.2fs vocabgrowth=$tVg%.2fs " +
         f"cardexact=$tCard%.2fs cardsketch=$tCardA%.2fs " +
+        f"dailyacf=$tAcf%.2fs leadlag=$tLl%.2fs " +
         f"total=$total%.2fs throughput=${n / tM1}%.0f turns/s")
       total
     }
