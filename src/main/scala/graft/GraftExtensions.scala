@@ -213,7 +213,25 @@ object GraftExtensions {
       arities = Set(1, 2), intArgs = Set(1)),
     tfn("tool_lead_lag",
       "(table[, max_lag]) - directional lead-lag correlation between tool daily series at lags 1..max_lag (default 7)",
-      arities = Set(1, 2), intArgs = Set(1)))
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("daily_gini",
+      "(table) - per-day Gini coefficient of turns-per-conversation concentration",
+      arities = Set(1)),
+    tfn("survival_curve",
+      "(table) - conversation survival curve over the turn-count histogram",
+      arities = Set(1)),
+    tfn("active_streaks",
+      "(table) - per-conversation consecutive-active-day streaks (gaps-and-islands)",
+      arities = Set(1)),
+    tfn("new_vs_returning",
+      "(table) - day-grain growth accounting: active, new, returning, cumulative conversations",
+      arities = Set(1)),
+    tfn("tool_adoption",
+      "(table) - per-tool adoption curve: first-time conversations per day and running total",
+      arities = Set(1)),
+    tfn("daily_dup_rate",
+      "(table) - daily exact-duplication monitor over md5 text identity",
+      arities = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

@@ -410,7 +410,25 @@ object SparkEntry {
       graft.operators.SeriesOps.dailyAutocorr(transcripts(s, dir), maxLag = 14)),
     // directional lead-lag correlation between tool daily series
     "q87_tool_lead_lag" -> ((s, dir) =>
-      graft.operators.SeriesOps.toolLeadLag(transcripts(s, dir), maxLag = 7))
+      graft.operators.SeriesOps.toolLeadLag(transcripts(s, dir), maxLag = 7)),
+    // per-day Gini coefficient of turns-per-conversation concentration
+    "q88_daily_gini" -> ((s, dir) =>
+      graft.operators.SeriesOps.dailyGini(transcripts(s, dir))),
+    // conversation survival curve over turn-count histogram
+    "q89_survival_curve" -> ((s, dir) =>
+      graft.operators.SeriesOps.survivalCurve(transcripts(s, dir))),
+    // gaps-and-islands consecutive-active-day streaks per conversation
+    "q90_active_streaks" -> ((s, dir) =>
+      graft.operators.SeriesOps.activeStreaks(transcripts(s, dir))),
+    // day-grain growth accounting: new / returning / cumulative convs
+    "q91_new_vs_returning" -> ((s, dir) =>
+      graft.operators.SeriesOps.newVsReturning(transcripts(s, dir))),
+    // per-tool adoption curve: first-time users per day + running total
+    "q92_tool_adoption" -> ((s, dir) =>
+      graft.operators.SeriesOps.toolAdoption(transcripts(s, dir))),
+    // daily exact-duplication monitor over md5 text identity
+    "q93_daily_dup_rate" -> ((s, dir) =>
+      graft.operators.SeriesOps.dailyDupRate(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -1578,6 +1596,131 @@ object SparkEntry {
         |      * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |  END AS corr
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin),
+    // rank-formula Gini over the (day, conv) census; HUGEINT precast
+    // on the rank*count product, ONE double division mirrored
+    // operand-for-operand, round 6. Rank ties share x so the value is
+    // permutation-invariant; the conv_id tiebreak is determinism only.
+    "q88_daily_gini" -> Transcripts.oracle(
+      """, c AS (
+        |  SELECT MAKE_TIMESTAMP(EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) AS day,
+        |    conv_id, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM transcripts WHERE ts IS NOT NULL AND conv_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT day, x,
+        |    ROW_NUMBER() OVER (PARTITION BY day ORDER BY x, conv_id) AS r
+        |  FROM c),
+        |m AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS convs,
+        |    CAST(SUM(x) AS BIGINT) AS turns,
+        |    SUM(CAST(r AS HUGEINT) * x) AS srx
+        |  FROM r GROUP BY 1)
+        |SELECT day, convs, turns,
+        |  ROUND((2.0 * CAST(srx AS DOUBLE)
+        |      - CAST(convs + 1 AS DOUBLE) * CAST(turns AS DOUBLE))
+        |    / (CAST(convs AS DOUBLE) * CAST(turns AS DOUBLE)), 6) AS gini
+        |FROM m""".stripMargin),
+    // exact-long histogram + suffix-cumulative survivors; conversation
+    // length counts ALL rows (null ts/text is still a turn)
+    "q89_survival_curve" -> Transcripts.oracle(
+      """, pc AS (
+        |  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+        |  FROM transcripts WHERE conv_id IS NOT NULL GROUP BY 1),
+        |h AS (
+        |  SELECT n_turns, CAST(COUNT(*) AS BIGINT) AS convs_at
+        |  FROM pc GROUP BY 1),
+        |s AS (
+        |  SELECT n_turns, convs_at,
+        |    CAST(SUM(convs_at) OVER (ORDER BY n_turns DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS surviving,
+        |    CAST(SUM(convs_at) OVER () AS BIGINT) AS total
+        |  FROM h)
+        |SELECT n_turns, convs_at, surviving,
+        |  ROUND(CAST(surviving AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS survival_frac
+        |FROM s""".stripMargin),
+    // gaps-and-islands: day_num - ROW_NUMBER group key over the
+    // distinct (conv, day) census; every output an exact long
+    "q90_active_streaks" -> Transcripts.oracle(
+      """, dd AS (
+        |  SELECT DISTINCT conv_id,
+        |    (EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) // 86400000000 AS day_num
+        |  FROM transcripts WHERE ts IS NOT NULL AND conv_id IS NOT NULL),
+        |g AS (
+        |  SELECT conv_id, day_num,
+        |    day_num - ROW_NUMBER() OVER (PARTITION BY conv_id
+        |      ORDER BY day_num) AS grp
+        |  FROM dd),
+        |r AS (
+        |  SELECT conv_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+        |    MIN(day_num) AS d0, MAX(day_num) AS d1
+        |  FROM g GROUP BY 1, 2)
+        |SELECT conv_id, CAST(SUM(len) AS BIGINT) AS active_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |  MAX(len) AS longest_streak,
+        |  CAST(MAX(d1) - MIN(d0) + 1 AS BIGINT) AS span_days
+        |FROM r GROUP BY 1""".stripMargin),
+    // first-seen = min active day per conv over the distinct census;
+    // cumulative = running sum of new counts over the day series
+    "q91_new_vs_returning" -> Transcripts.oracle(
+      """, a AS (
+        |  SELECT DISTINCT conv_id,
+        |    MAKE_TIMESTAMP(EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) AS day
+        |  FROM transcripts WHERE ts IS NOT NULL AND conv_id IS NOT NULL),
+        |f AS (
+        |  SELECT conv_id, day,
+        |    day = MIN(day) OVER (PARTITION BY conv_id) AS first
+        |  FROM a),
+        |d AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS active_convs,
+        |    CAST(SUM(CASE WHEN first THEN 1 ELSE 0 END) AS BIGINT) AS new_convs
+        |  FROM f GROUP BY 1)
+        |SELECT day, active_convs, new_convs,
+        |  active_convs - new_convs AS returning_convs,
+        |  CAST(SUM(new_convs) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_convs
+        |FROM d""".stripMargin),
+    // min first-use day per (conv, tool), then per-tool running sums
+    "q92_tool_adoption" -> Transcripts.oracle(
+      """, fu AS (
+        |  SELECT conv_id, tool,
+        |    MIN(MAKE_TIMESTAMP(EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000)) AS day
+        |  FROM transcripts
+        |  WHERE ts IS NOT NULL AND conv_id IS NOT NULL AND tool IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ad AS (
+        |  SELECT tool, day, CAST(COUNT(*) AS BIGINT) AS new_convs
+        |  FROM fu GROUP BY 1, 2)
+        |SELECT tool, day, new_convs,
+        |  CAST(SUM(new_convs) OVER (PARTITION BY tool ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_convs
+        |FROM ad""".stripMargin),
+    // md5 identity mirrored term-for-term (the q20 dedup doctrine);
+    // null text drops from duplication accounting
+    "q93_daily_dup_rate" -> Transcripts.oracle(
+      """, c AS (
+        |  SELECT MAKE_TIMESTAMP(EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) AS day,
+        |    MD5(text) AS h, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM transcripts WHERE ts IS NOT NULL AND text IS NOT NULL
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT day, CAST(SUM(c) AS BIGINT) AS text_turns,
+        |    CAST(COUNT(*) AS BIGINT) AS distinct_texts,
+        |    CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_turns,
+        |    MAX(c) AS max_clone
+        |  FROM c GROUP BY 1)
+        |SELECT day, text_turns, distinct_texts, dup_turns, max_clone,
+        |  ROUND(CAST(dup_turns AS DOUBLE) / CAST(text_turns AS DOUBLE), 6)
+        |    AS dup_rate
+        |FROM d""".stripMargin)
   )
 }

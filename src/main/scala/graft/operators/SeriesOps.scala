@@ -1361,4 +1361,266 @@ object SeriesOps {
         approx_count_distinct(col("conv_id"), rsd).as("approx_convs"),
         approx_count_distinct(col("tool"), rsd).as("approx_tools"))
   }
+
+  /** Per-day activity concentration — the Gini coefficient of the
+    * turns-per-conversation distribution within each day: 0 when every
+    * active conversation contributed equally, → 1 as one conversation
+    * dominates the day's traffic. The inequality lens on the same
+    * (day, conv) census [[dayActivityRank]] ranks row-by-row — one
+    * scalar per day for drift dashboards ("is the corpus becoming a
+    * few whale conversations?"), where the rank view answers per-conv
+    * questions.
+    *
+    * Computed by the rank formula over the ascending-sorted counts
+    * `G = (2·Σ rᵢxᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)` with r = 1..n assigned
+    * by (x, conv_id) row_number. Rank ties share equal x, and any
+    * permutation of tied ranks leaves Σ r·x unchanged (the tied block's
+    * rank sum is fixed), so the value is well-defined; the conv_id
+    * tiebreak just makes the intermediate deterministic. Σ r·x
+    * PRE-casts to decimal(38,0) (r·x ≤ n·x breaches a Long at ~10⁹
+    * conversations × 10⁹ turns — the [[pearsonPairCorr]] overflow
+    * doctrine); the final expression is ONE fixed-shape double
+    * division mirrored operand-for-operand by the oracle, round 6.
+    * n ≥ 1 and Σx ≥ n ≥ 1 always hold (a census row is a nonempty
+    * count), so no zero-denominator gate is needed.
+    *
+    * Null ts drops (time axis); null conv_id drops (no identity to
+    * attribute turns to — [[graft.ingest.Transcripts.splitValid]]
+    * doctrine).
+    *
+    * Scale: the (day, conv) census partial-aggregates map-side (first
+    * exchange moves collapsed pairs, not raw rows); the rank window
+    * and the day reduction re-cluster that census by day (second
+    * exchange, conversations-per-day scale). A skewed day holds all
+    * its convs in one window partition — at 10⁹ convs/day consider
+    * the two-phase salted variant of the rank; the census frame, not
+    * raw turns, bounds that cost.
+    */
+  def dailyGini(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val census = transcripts
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+        col("conv_id"))
+      .groupBy(col("day"), col("conv_id"))
+      .agg(count(lit(1)).as("x"))
+    val wRank = Window.partitionBy(col("day"))
+      .orderBy(col("x"), col("conv_id"))
+    val m = census
+      .withColumn("_r", row_number().over(wRank).cast("long"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("convs"),
+        sum(col("x")).as("turns"),
+        sum(col("_r").cast("decimal(38,0)") * col("x")).as("_srx"))
+    m.select(col("day"), col("convs"), col("turns"),
+      round(
+        (lit(2d) * col("_srx").cast("double")
+          - (col("convs") + lit(1L)).cast("double") * col("turns").cast("double"))
+          / (col("convs").cast("double") * col("turns").cast("double")),
+        6).as("gini"))
+  }
+
+  /** Conversation survival curve — for each observed conversation
+    * length n (in turns): how many conversations reached EXACTLY n
+    * turns, how many survived AT LEAST n turns, and the surviving
+    * fraction of the corpus. The engagement-funnel readout every
+    * transcript corpus gets profiled with ("half the conversations die
+    * within 3 turns"), and the distribution the retention tiers'
+    * per-conv rollups summarize pointwise.
+    *
+    * All counts are exact longs; the fraction is one double division,
+    * round 6. Conversation length counts ALL rows of the conversation
+    * (a turn with null ts/text is still a turn — [[convLifecycle]]'s
+    * n_turns convention at histogram grain); null conv_id drops.
+    *
+    * Scale: per-conv counts partial-aggregate map-side (ONE real
+    * exchange); the histogram collapses those to ≤ |distinct lengths|
+    * rows — metadata scale, like [[RefOps.lenHistogram]] — and the
+    * suffix-cumulative and total windows run single-partition over
+    * that tiny frame (the [[seasonalResidual]] reading: thousands of
+    * rows even at 10¹² turns).
+    */
+  def survivalCurve(transcripts: DataFrame): DataFrame = {
+    val hist = transcripts
+      .filter(col("conv_id").isNotNull)
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"))
+      .groupBy(col("n_turns"))
+      .agg(count(lit(1)).as("convs_at"))
+    val wSuffix = Window.orderBy(col("n_turns").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("surviving", sum(col("convs_at")).over(wSuffix))
+      .withColumn("_total", sum(col("convs_at")).over(wAll))
+      .select(col("n_turns"), col("convs_at"), col("surviving"),
+        round(col("surviving").cast("double") / col("_total").cast("double"), 6)
+          .as("survival_frac"))
+  }
+
+  /** Consecutive-active-day streaks per conversation — the classic
+    * gaps-and-islands analysis: total active days, number of distinct
+    * streaks (maximal runs of consecutive UTC days with ≥ 1 turn), the
+    * longest streak, and the calendar span. The habit/recency shape
+    * [[convLifecycle]]'s active_days flattens: 10 active days can be
+    * one 10-day run or 10 isolated visits, and downstream cohort
+    * models treat those very differently.
+    *
+    * Islands via the day_num − row_number trick: within a
+    * conversation, consecutive day numbers share one group key. Day
+    * numbers are exact integer µs arithmetic (floor-to-day then exact
+    * division — no calendar fields, NTZ guard only); every output is
+    * an exact long, so the oracle match carries no float clause at
+    * all. Null ts drops (time axis), null conv_id drops (identity).
+    *
+    * Scale: three strictly-collapsing exchanges — the (conv, day)
+    * distinct census (map-side partial), the conv_id rank window over
+    * that census (active-day-scale rows), and the per-conv streak
+    * reduction (streak-scale rows). Raw turns move only in the first,
+    * and it shuffles collapsed (conv, day) pairs, not rows.
+    */
+  def activeStreaks(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val days = transcripts
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      // integer `div`, not `/`: Column `/` is IEEE double division
+      // (the [[toolLeadLag]] idiom); the operand is a floored multiple
+      // of dayUs, so div is exact
+      .select(col("conv_id"),
+        expr(s"(unix_micros(cast(ts as timestamp)) " +
+          s"- pmod(unix_micros(cast(ts as timestamp)), $dayUs)) div $dayUs")
+          .as("day_num"))
+      .distinct()
+    val wConv = Window.partitionBy(col("conv_id")).orderBy(col("day_num"))
+    days
+      .withColumn("_grp", col("day_num") - row_number().over(wConv).cast("long"))
+      .groupBy(col("conv_id"), col("_grp"))
+      .agg(count(lit(1)).as("_len"),
+        min(col("day_num")).as("_d0"), max(col("day_num")).as("_d1"))
+      .groupBy(col("conv_id"))
+      .agg(sum(col("_len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("_len")).as("longest_streak"),
+        (max(col("_d1")) - min(col("_d0")) + lit(1L)).as("span_days"))
+  }
+
+  /** Day-grain growth accounting — for each UTC day: active
+    * conversations, conversations seen for the FIRST time that day,
+    * returning conversations, and the running total of distinct
+    * conversations ever seen. The daily readout of the same first-seen
+    * census [[cohortRetention]] pivots into cohort×age cells — growth
+    * dashboards want this exact new/returning/cumulative split.
+    *
+    * All outputs are exact longs. First-seen is the min active day per
+    * conversation (a window over the distinct census's conv
+    * clustering); the cumulative count is the classic first-flag
+    * running sum over the DAY series. Null ts drops (time axis), null
+    * conv_id drops (identity).
+    *
+    * Scale: the distinct (conv, day) census partial-aggregates
+    * map-side (ONE raw exchange); the first-seen window re-clusters
+    * that census by conv (active-day-scale); the day reduction and the
+    * single-partition running sum are metadata-scale (thousands of day
+    * rows — the [[seasonalResidual]] reading).
+    */
+  def newVsReturning(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val active = transcripts
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .select(col("conv_id"),
+        timestamp_micros(us - pmod(us, lit(dayUs))).as("day"))
+      .distinct()
+    val wConv = Window.partitionBy(col("conv_id"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active
+      .withColumn("_first", col("day") === min(col("day")).over(wConv))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_convs"),
+        sum(when(col("_first"), 1L).otherwise(0L)).as("new_convs"))
+      .withColumn("returning_convs", col("active_convs") - col("new_convs"))
+      .withColumn("cum_convs", sum(col("new_convs")).over(wCum))
+  }
+
+  /** Tool adoption curves — per (tool, day): how many conversations
+    * used the tool for the FIRST time that day, and the cumulative
+    * count of conversations that have ever used it. The per-tool
+    * sibling of [[newVsReturning]] and the conversion view of
+    * [[termVocabGrowth]]'s first-flag machinery: "how fast is the
+    * corpus adopting `browse`?".
+    *
+    * All outputs are exact longs. First use is the min active day per
+    * (conv, tool) — an aggregate, not a window, because the (conv,
+    * tool) census IS the grain; the cumulative sum is a per-tool
+    * window over the metadata-scale (tool, day) frame. Null tool is
+    * the no-call marker (never adopted); null ts / conv_id drop.
+    *
+    * Scale: the (conv, tool) min-day census partial-aggregates
+    * map-side (ONE raw exchange); the (tool, day) adoption counts and
+    * the per-tool running sums are toolbox×days-scale.
+    */
+  def toolAdoption(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val firstUse = transcripts
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull &&
+        col("tool").isNotNull)
+      .select(col("conv_id"), col("tool"),
+        timestamp_micros(us - pmod(us, lit(dayUs))).as("_day"))
+      .groupBy(col("conv_id"), col("tool"))
+      .agg(min(col("_day")).as("day"))
+    val wTool = Window.partitionBy(col("tool")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstUse
+      .groupBy(col("tool"), col("day"))
+      .agg(count(lit(1)).as("new_convs"))
+      .withColumn("cum_convs", sum(col("new_convs")).over(wTool))
+  }
+
+  /** Daily duplication monitor — per UTC day: turns carrying text, the
+    * number of DISTINCT texts, the duplicated-turn count (turns minus
+    * distinct), the largest single clone family, and the duplication
+    * rate. The timeseries face of the exact-dedup family
+    * ([[Dedup.exact]]): a contamination spike ("yesterday 40% of turns
+    * were copies") reads directly off this series, where the corpus-
+    * grain dedup only says the corpus total.
+    *
+    * Texts are keyed by md5 (the [[Dedup.exact]] identity doctrine —
+    * the shuffle moves 32-hex-char keys, not document bodies; the
+    * oracle mirrors md5 term-for-term so collisions, were one ever to
+    * occur, would affect both engines identically). Null text carries
+    * no content and drops from duplication accounting; null ts drops
+    * (time axis). All counts exact longs; the rate is one rounded
+    * division.
+    *
+    * Scale: the (day, md5) census partial-aggregates map-side — the
+    * ONE raw-scale exchange moves collapsed (day, hash, count) rows —
+    * and the per-day reduction over the census is distinct-text scale.
+    */
+  def dailyDupRate(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    transcripts
+      .filter(col("ts").isNotNull && col("text").isNotNull)
+      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+        md5(col("text")).as("_h"))
+      .groupBy(col("day"), col("_h"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("day"))
+      .agg(sum(col("_c")).as("text_turns"),
+        count(lit(1)).as("distinct_texts"),
+        (sum(col("_c")) - count(lit(1))).as("dup_turns"),
+        max(col("_c")).as("max_clone"))
+      .withColumn("dup_rate",
+        round(col("dup_turns").cast("double") /
+          col("text_turns").cast("double"), 6))
+  }
 }

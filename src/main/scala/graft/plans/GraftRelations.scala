@@ -202,6 +202,18 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         if (args.length == 2)
           SeriesOps.toolLeadLag(session.table(args(0)), args(1).toInt)
         else SeriesOps.toolLeadLag(session.table(args(0)))
+      case "daily_gini" =>
+        SeriesOps.dailyGini(session.table(args(0)))
+      case "survival_curve" =>
+        SeriesOps.survivalCurve(session.table(args(0)))
+      case "active_streaks" =>
+        SeriesOps.activeStreaks(session.table(args(0)))
+      case "new_vs_returning" =>
+        SeriesOps.newVsReturning(session.table(args(0)))
+      case "tool_adoption" =>
+        SeriesOps.toolAdoption(session.table(args(0)))
+      case "daily_dup_rate" =>
+        SeriesOps.dailyDupRate(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

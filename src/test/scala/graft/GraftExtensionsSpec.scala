@@ -290,6 +290,18 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.SeriesOps.dailyAutocorr(tr, maxLag = 7))
     assertSameRows(ext.sql("SELECT * FROM tool_lead_lag('tr4_ext', 3)"),
       graft.operators.SeriesOps.toolLeadLag(tr, maxLag = 3))
+    assertSameRows(ext.sql("SELECT * FROM daily_gini('tr4_ext')"),
+      graft.operators.SeriesOps.dailyGini(tr))
+    assertSameRows(ext.sql("SELECT * FROM survival_curve('tr4_ext')"),
+      graft.operators.SeriesOps.survivalCurve(tr))
+    assertSameRows(ext.sql("SELECT * FROM active_streaks('tr4_ext')"),
+      graft.operators.SeriesOps.activeStreaks(tr))
+    assertSameRows(ext.sql("SELECT * FROM new_vs_returning('tr4_ext')"),
+      graft.operators.SeriesOps.newVsReturning(tr))
+    assertSameRows(ext.sql("SELECT * FROM tool_adoption('tr4_ext')"),
+      graft.operators.SeriesOps.toolAdoption(tr))
+    assertSameRows(ext.sql("SELECT * FROM daily_dup_rate('tr4_ext')"),
+      graft.operators.SeriesOps.dailyDupRate(tr))
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

@@ -1071,4 +1071,217 @@ class SeriesOpsSpec extends SparkTestBase {
       else assert(got(lag.toLong) == ((expN, exp)), s"lag $lag: ${got.get(lag.toLong)} vs ($expN, $exp)")
     }
   }
+
+  // ---- daily Gini / survival curve / active streaks --------------------
+
+  test("dailyGini golden: rank formula, equality day, single-conv day, null doctrine") {
+    val df = turnsDf(Seq(
+      // day 1: A has 3 turns, B has 1 -> x sorted (1,3), ranks (1,2),
+      // srx = 1*1 + 2*3 = 7, G = (14 - 3*4)/(2*4) = 0.25
+      ("A", 0, "user", "x", null, "2024-01-01 01:00:00"),
+      ("A", 1, "user", "x", null, "2024-01-01 02:00:00"),
+      ("A", 2, "user", "x", null, "2024-01-01 03:00:00"),
+      ("B", 0, "user", "x", null, "2024-01-01 04:00:00"),
+      // day 2: perfectly equal (2 and 2) -> G = 0
+      ("A", 3, "user", "x", null, "2024-01-02 01:00:00"),
+      ("A", 4, "user", "x", null, "2024-01-02 02:00:00"),
+      ("B", 1, "user", "x", null, "2024-01-02 03:00:00"),
+      ("B", 2, "user", "x", null, "2024-01-02 04:00:00"),
+      // day 3: single conversation -> G = 0 by the formula
+      ("C", 0, "user", "x", null, "2024-01-03 01:00:00"),
+      ("C", 1, "user", "x", null, "2024-01-03 02:00:00"),
+      // unplaceable observations drop
+      ("D", 0, "user", "x", null, null)))
+      .withColumn("conv_id",
+        when(col("conv_id") === "D", lit(null).cast("string"))
+          .otherwise(col("conv_id")))
+    val out = SeriesOps.dailyGini(df).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 3)
+    assert(out("2024-01-01 00:00:00.0") == ((2L, 4L, 0.25)))
+    assert(out("2024-01-02 00:00:00.0") == ((2L, 4L, 0.0)))
+    assert(out("2024-01-03 00:00:00.0") == ((1L, 2L, 0.0)))
+  }
+
+  test("dailyGini matches a brute-force driver computation on synth data") {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val dayUs = 86400L * 1000000L
+    val census = turns.filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .groupBy(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"), col("conv_id"))
+      .count().collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2)))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sorted }
+    val got = SeriesOps.dailyGini(turns).collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == census.keySet)
+    census.foreach { case (day, xs) =>
+      val n = xs.length.toLong
+      val st = xs.sum
+      val srx = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val g = (2d * srx.toDouble - (n + 1).toDouble * st.toDouble) /
+        (n.toDouble * st.toDouble)
+      val exp = BigDecimal(g).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(day) == ((n, st, exp)), s"day $day: ${got(day)} vs ($n, $st, $exp)")
+    }
+  }
+
+  test("survivalCurve golden: histogram, suffix survivors, fraction; null conv drops") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x", null, "2024-01-01 01:00:00"),
+      ("B", 0, "user", "x", null, "2024-01-01 02:00:00"),
+      // C is 3 turns; the null-ts row still counts (length counts ALL rows)
+      ("C", 0, "user", "x", null, "2024-01-01 03:00:00"),
+      ("C", 1, "user", "x", null, null),
+      ("C", 2, "user", "x", null, "2024-01-01 05:00:00"),
+      // null conv_id has no identity and drops
+      ("D", 0, "user", "x", null, "2024-01-01 06:00:00")))
+      .withColumn("conv_id",
+        when(col("conv_id") === "D", lit(null).cast("string"))
+          .otherwise(col("conv_id")))
+    val out = SeriesOps.survivalCurve(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      1L -> ((2L, 3L, 1.0)),
+      3L -> ((1L, 1L, 0.333333))))
+  }
+
+  test("survivalCurve invariants on synth: monotone survivors, total anchor") {
+    val rows = SeriesOps.survivalCurve(turns).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val total = rows.map(_._2).sum
+    // surviving at the smallest observed length is the whole corpus
+    assert(rows.head._3 == total && rows.head._4 == 1.0)
+    // suffix-cumulative: each row's survivors = its count + the next row's survivors
+    rows.sliding(2).foreach {
+      case Array((_, c, s, _), (_, _, s2, _)) => assert(s == c + s2)
+      case _ =>
+    }
+    assert(rows.last._3 == rows.last._2)
+  }
+
+  test("activeStreaks golden: islands split on gaps, span covers holes") {
+    val df = turnsDf(Seq(
+      // A: days 1,2,3 then a hole, then day 5 -> streaks (3, 1)
+      ("A", 0, "user", "x", null, "2024-01-01 01:00:00"),
+      ("A", 1, "user", "x", null, "2024-01-01 23:00:00"), // same day collapses
+      ("A", 2, "user", "x", null, "2024-01-02 01:00:00"),
+      ("A", 3, "user", "x", null, "2024-01-03 01:00:00"),
+      ("A", 4, "user", "x", null, "2024-01-05 01:00:00"),
+      // B: one day only
+      ("B", 0, "user", "x", null, "2024-01-02 12:00:00"),
+      // null ts drops; a conv with ONLY null ts yields no row
+      ("C", 0, "user", "x", null, null)))
+    val out = SeriesOps.activeStreaks(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      "A" -> ((4L, 2L, 3L, 5L)),
+      "B" -> ((1L, 1L, 1L, 1L))))
+  }
+
+  // ---- growth accounting / adoption / duplication monitor --------------
+
+  test("newVsReturning golden: first-seen split, cumulative, null doctrine") {
+    val df = turnsDf(Seq(
+      // day 1: A and B both new
+      ("A", 0, "user", "x", null, "2024-01-01 01:00:00"),
+      ("A", 1, "user", "x", null, "2024-01-01 02:00:00"), // same day collapses
+      ("B", 0, "user", "x", null, "2024-01-01 03:00:00"),
+      // day 2: A returns, C is new
+      ("A", 2, "user", "x", null, "2024-01-02 01:00:00"),
+      ("C", 0, "user", "x", null, "2024-01-02 02:00:00"),
+      // day 4: all three return, nothing new
+      ("A", 3, "user", "x", null, "2024-01-04 01:00:00"),
+      ("B", 1, "user", "x", null, "2024-01-04 02:00:00"),
+      ("C", 1, "user", "x", null, "2024-01-04 03:00:00"),
+      ("D", 0, "user", "x", null, null))) // null ts drops
+    val out = SeriesOps.newVsReturning(df).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      "2024-01-01 00:00:00.0" -> ((2L, 2L, 0L, 2L)),
+      "2024-01-02 00:00:00.0" -> ((2L, 1L, 1L, 3L)),
+      "2024-01-04 00:00:00.0" -> ((3L, 0L, 3L, 3L))))
+  }
+
+  test("newVsReturning invariants on synth: parts sum, cum monotone to total") {
+    val rows = SeriesOps.newVsReturning(turns).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1.getTime)
+    rows.foreach { case (_, act, nw, ret, _) => assert(act == nw + ret) }
+    rows.sliding(2).foreach {
+      case Array((_, _, _, _, c1), (_, _, nw2, _, c2)) => assert(c2 == c1 + nw2)
+      case _ =>
+    }
+    val totalConvs = turns.filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .select(col("conv_id")).distinct().count()
+    assert(rows.last._5 == totalConvs)
+  }
+
+  test("toolAdoption golden: first use per (conv, tool), per-tool running sum") {
+    val df = turnsDf(Seq(
+      // conv A uses search on day 1 (twice — one adoption) and browse day 2
+      ("A", 0, "user", "x", "search", "2024-01-01 01:00:00"),
+      ("A", 1, "user", "x", "search", "2024-01-01 02:00:00"),
+      ("A", 2, "user", "x", "browse", "2024-01-02 01:00:00"),
+      // conv B adopts search on day 2; its day-3 search is NOT a new adoption
+      ("B", 0, "user", "x", "search", "2024-01-02 03:00:00"),
+      ("B", 1, "user", "x", "search", "2024-01-03 01:00:00"),
+      // null tool is the no-call marker
+      ("C", 0, "user", "x", null, "2024-01-01 05:00:00")))
+    val out = SeriesOps.toolAdoption(df).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("search", "2024-01-01 00:00:00.0") -> ((1L, 1L)),
+      ("search", "2024-01-02 00:00:00.0") -> ((1L, 2L)),
+      ("browse", "2024-01-02 00:00:00.0") -> ((1L, 1L))))
+  }
+
+  test("toolAdoption invariants on synth: final cum equals distinct (conv, tool) pairs") {
+    val rows = SeriesOps.toolAdoption(turns).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (tool, trs) =>
+      val sorted = trs.sortBy(_._2.getTime)
+      assert(sorted.map(_._3).sum == sorted.last._4, s"tool $tool")
+      val expected = turns.filter(col("ts").isNotNull && col("conv_id").isNotNull
+          && col("tool") === tool)
+        .select(col("conv_id")).distinct().count()
+      assert(sorted.last._4 == expected, s"tool $tool total")
+    }
+  }
+
+  test("dailyDupRate golden: clone families, null text drops, exact rate") {
+    val df = turnsDf(Seq(
+      // day 1: texts x, x, x, y -> 4 turns, 2 distinct, 2 dups, max clone 3
+      ("A", 0, "user", "x", null, "2024-01-01 01:00:00"),
+      ("A", 1, "user", "x", null, "2024-01-01 02:00:00"),
+      ("B", 0, "user", "x", null, "2024-01-01 03:00:00"),
+      ("B", 1, "user", "y", null, "2024-01-01 04:00:00"),
+      ("B", 2, "user", null, null, "2024-01-01 05:00:00"), // null text drops
+      // day 2: all unique
+      ("A", 2, "user", "p", null, "2024-01-02 01:00:00"),
+      ("A", 3, "user", "q", null, "2024-01-02 02:00:00")))
+    val out = SeriesOps.dailyDupRate(df).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out == Map(
+      "2024-01-01 00:00:00.0" -> ((4L, 2L, 2L, 3L, 0.5)),
+      "2024-01-02 00:00:00.0" -> ((2L, 2L, 0L, 1L, 0.0))))
+  }
+
+  test("activeStreaks invariants on synth: parts sum, streak bounds, span envelope") {
+    SeriesOps.activeStreaks(turns).collect().foreach { r =>
+      val (active, streaks, longest, span) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(active >= 1 && streaks >= 1 && longest >= 1)
+      assert(longest <= active && active <= span, r.toString)
+      // n streaks over `active` days need at least streaks-1 one-day holes
+      assert(span >= active + streaks - 1, r.toString)
+      // ceiling: no streak can beat the pigeonhole bound
+      assert(longest >= (active + streaks - 1) / streaks, r.toString)
+    }
+  }
 }
