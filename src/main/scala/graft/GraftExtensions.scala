@@ -231,7 +231,16 @@ object GraftExtensions {
       arities = Set(1)),
     tfn("daily_dup_rate",
       "(table) - daily exact-duplication monitor over md5 text identity",
-      arities = Set(1)))
+      arities = Set(1)),
+    tfn("conv_burstiness",
+      "(table) - Fano-factor burstiness of each conversation's daily turn series over its span",
+      arities = Set(1)),
+    tfn("char_half_life",
+      "(table) - first turn position where the running character total reaches half the conversation's total",
+      arities = Set(1)),
+    tfn("whale_convs",
+      "(table[, k]) - top-k conversations per day by turn count with day share (default 3)",
+      arities = Set(1, 2), intArgs = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

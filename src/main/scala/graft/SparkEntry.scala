@@ -428,7 +428,16 @@ object SparkEntry {
       graft.operators.SeriesOps.toolAdoption(transcripts(s, dir))),
     // daily exact-duplication monitor over md5 text identity
     "q93_daily_dup_rate" -> ((s, dir) =>
-      graft.operators.SeriesOps.dailyDupRate(transcripts(s, dir)))
+      graft.operators.SeriesOps.dailyDupRate(transcripts(s, dir))),
+    // Fano-factor burstiness of each conversation's daily series
+    "q94_conv_burstiness" -> ((s, dir) =>
+      graft.operators.SeriesOps.convBurstiness(transcripts(s, dir))),
+    // character half-life: how front-loaded the conversation's content is
+    "q95_char_half_life" -> ((s, dir) =>
+      graft.operators.SeriesOps.charHalfLife(transcripts(s, dir))),
+    // top-k whale conversations per day with share of the day's turns
+    "q96_whale_convs" -> ((s, dir) =>
+      graft.operators.SeriesOps.whaleConvsDaily(transcripts(s, dir), k = 3))
   )
 
   private val rollupSelect: String =
@@ -1721,6 +1730,72 @@ object SparkEntry {
         |SELECT day, text_turns, distinct_texts, dup_turns, max_clone,
         |  ROUND(CAST(dup_turns AS DOUBLE) / CAST(text_turns AS DOUBLE), 6)
         |    AS dup_rate
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin),
+    // Fano factor over the calendar span with silent days entering
+    // analytically: F = (D*sum(c^2) - S^2)/(D*S); HUGEINT precast on
+    // c*c, fixed-shape double expression, round 6
+    "q94_conv_burstiness" -> Transcripts.oracle(
+      """, c AS (
+        |  SELECT conv_id,
+        |    (EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) // 86400000000 AS day_num,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM transcripts WHERE ts IS NOT NULL AND conv_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS active_days,
+        |    CAST(MAX(day_num) - MIN(day_num) + 1 AS BIGINT) AS span_days,
+        |    CAST(SUM(c) AS BIGINT) AS turns,
+        |    SUM(CAST(c AS HUGEINT) * c) AS scc
+        |  FROM c GROUP BY 1)
+        |SELECT conv_id, span_days, active_days, turns,
+        |  ROUND((CAST(span_days AS DOUBLE) * CAST(scc AS DOUBLE)
+        |      - CAST(turns AS DOUBLE) * CAST(turns AS DOUBLE))
+        |    / (CAST(span_days AS DOUBLE) * CAST(turns AS DOUBLE)), 6) AS fano
+        |FROM m""".stripMargin),
+    // integer crossing test 2*cum >= total (no midpoint division);
+    // order by the canonical unique turn_idx
+    "q95_char_half_life" -> Transcripts.oracle(
+      """, t AS (
+        |  SELECT conv_id, turn_idx, CAST(LENGTH(text) AS BIGINT) AS len
+        |  FROM transcripts
+        |  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+        |    AND text IS NOT NULL),
+        |w AS (
+        |  SELECT conv_id,
+        |    CAST(SUM(len) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+        |      AS pos,
+        |    CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n,
+        |    CAST(SUM(len) OVER (PARTITION BY conv_id) AS BIGINT) AS total
+        |  FROM t),
+        |h AS (
+        |  SELECT conv_id, MAX(n) AS n_turns, MAX(total) AS total_chars,
+        |    CAST(MIN(pos) AS BIGINT) AS half_pos
+        |  FROM w WHERE cum * 2 >= total GROUP BY 1)
+        |SELECT conv_id, n_turns, total_chars, half_pos,
+        |  ROUND(CAST(half_pos AS DOUBLE) / CAST(n_turns AS DOUBLE), 6)
+        |    AS half_frac
+        |FROM h""".stripMargin),
+    // total order (turns DESC, conv_id ASC) cutoff at k=3; day total
+    // from the same day clustering
+    "q96_whale_convs" -> Transcripts.oracle(
+      """, c AS (
+        |  SELECT MAKE_TIMESTAMP(EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) AS day,
+        |    conv_id, CAST(COUNT(*) AS BIGINT) AS turns
+        |  FROM transcripts WHERE ts IS NOT NULL AND conv_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT day, conv_id, turns,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY day
+        |      ORDER BY turns DESC, conv_id) AS BIGINT) AS rank,
+        |    CAST(SUM(turns) OVER (PARTITION BY day) AS BIGINT) AS day_turns
+        |  FROM c)
+        |SELECT day, rank, conv_id, turns, day_turns,
+        |  ROUND(CAST(turns AS DOUBLE) / CAST(day_turns AS DOUBLE), 6) AS share
+        |FROM r WHERE rank <= 3""".stripMargin)
   )
 }

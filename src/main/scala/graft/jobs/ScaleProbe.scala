@@ -154,13 +154,34 @@ object ScaleProbe {
         .agg(count(col("corr"))).head())
       val tLl = timed(graft.operators.SeriesOps.toolLeadLag(raw)
         .agg(count(col("corr"))).head())
+      // growth/concentration/duplication family: the payload column is
+      // one the plan cannot produce without the full operator
+      val tGini = timed(graft.operators.SeriesOps.dailyGini(raw)
+        .agg(count(col("gini"))).head())
+      val tSurv = timed(graft.operators.SeriesOps.survivalCurve(raw)
+        .agg(count(col("survival_frac"))).head())
+      val tStreak = timed(graft.operators.SeriesOps.activeStreaks(raw)
+        .agg(count(col("longest_streak"))).head())
+      val tNvr = timed(graft.operators.SeriesOps.newVsReturning(raw)
+        .agg(count(col("cum_convs"))).head())
+      val tAdopt = timed(graft.operators.SeriesOps.toolAdoption(raw)
+        .agg(count(col("cum_convs"))).head())
+      val tDup = timed(graft.operators.SeriesOps.dailyDupRate(raw)
+        .agg(count(col("dup_rate"))).head())
+      val tFano = timed(graft.operators.SeriesOps.convBurstiness(raw)
+        .agg(count(col("fano"))).head())
+      val tHalf = timed(graft.operators.SeriesOps.charHalfLife(raw)
+        .agg(count(col("half_frac"))).head())
+      val tWhale = timed(graft.operators.SeriesOps.whaleConvsDaily(raw)
+        .agg(count(col("share"))).head())
       val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
         tVocab + tProf + tOhlc + tDaily + tGapRep + tSax + tTheil +
         tSeason + tCooc + tHh + tLat + tCohort + tMotif + tLife + tTopk +
         tLift + tMk + tRs + tRank + tPairc + tSplit + tCad + tVg +
-        tCard + tCardA + tAcf + tLl
+        tCard + tCardA + tAcf + tLl + tGini + tSurv + tStreak + tNvr +
+        tAdopt + tDup + tFano + tHalf + tWhale
       println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
         f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs sessionize=$tSess%.2fs " +
         f"asof=$tAsof%.2fs interval=$tInterval%.2fs sliding=$tSliding%.2fs " +
@@ -178,6 +199,9 @@ object ScaleProbe {
         f"binsplit=$tSplit%.2fs cadence=$tCad%.2fs vocabgrowth=$tVg%.2fs " +
         f"cardexact=$tCard%.2fs cardsketch=$tCardA%.2fs " +
         f"dailyacf=$tAcf%.2fs leadlag=$tLl%.2fs " +
+        f"gini=$tGini%.2fs survival=$tSurv%.2fs streaks=$tStreak%.2fs " +
+        f"newvsret=$tNvr%.2fs adoption=$tAdopt%.2fs duprate=$tDup%.2fs " +
+        f"fano=$tFano%.2fs halflife=$tHalf%.2fs whales=$tWhale%.2fs " +
         f"total=$total%.2fs throughput=${n / tM1}%.0f turns/s")
       total
     }

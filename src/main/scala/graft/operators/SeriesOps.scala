@@ -1623,4 +1623,136 @@ object SeriesOps {
         round(col("dup_turns").cast("double") /
           col("text_turns").cast("double"), 6))
   }
+
+  /** Per-conversation burstiness — the Fano factor (variance-to-mean
+    * ratio) of the conversation's daily turn-count series over its
+    * calendar span, SILENT DAYS INCLUDED as real zeros: 0 for a
+    * perfectly regular one-turn-per-day cadence, ~mean for Poisson
+    * arrivals, large when activity clumps into bursts. The
+    * whole-lifetime dispersion scalar [[RefOps.burstFlags]]'s windowed
+    * threshold flags localize and [[activeStreaks]]'s run lengths
+    * complement.
+    *
+    * Zero days enter ANALYTICALLY, not as materialized rows: over span
+    * D with per-active-day counts c, `F = (D·Σc² − S²)/(D·S)` with
+    * S = Σc — population variance over all D days divided by the mean.
+    * Both moments are exact integers (Σc² precast to decimal(38,0) —
+    * the [[pearsonPairCorr]] overflow doctrine), the result ONE
+    * fixed-shape double expression, round 6. S ≥ 1 and D ≥ 1 always
+    * (an active conversation has a day), so no zero gate. Null ts
+    * drops (time axis), null conv_id drops (identity).
+    *
+    * Scale: the (conv, day) census partial-aggregates map-side (ONE
+    * raw exchange); the per-conv moment reduction exchanges the
+    * active-day-scale census.
+    */
+  def convBurstiness(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val census = transcripts
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .select(col("conv_id"),
+        expr(s"(unix_micros(cast(ts as timestamp)) " +
+          s"- pmod(unix_micros(cast(ts as timestamp)), $dayUs)) div $dayUs")
+          .as("day_num"))
+      .groupBy(col("conv_id"), col("day_num"))
+      .agg(count(lit(1)).as("c"))
+    val m = census
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("active_days"),
+        (max(col("day_num")) - min(col("day_num")) + lit(1L)).as("span_days"),
+        sum(col("c")).as("turns"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("_scc"))
+    m.select(col("conv_id"), col("span_days"), col("active_days"),
+      col("turns"),
+      round(
+        (col("span_days").cast("double") * col("_scc").cast("double")
+          - col("turns").cast("double") * col("turns").cast("double"))
+          / (col("span_days").cast("double") * col("turns").cast("double")),
+        6).as("fano"))
+  }
+
+  /** Character half-life — how front-loaded a conversation's content
+    * is: the first turn position (in canonical turn order) at which
+    * the running character total reaches HALF the conversation's
+    * total, as a position and as a fraction of the turn count. A
+    * half_frac near 0 is a dump-then-chat transcript (one giant paste
+    * up front); near 0.5 is evenly spread content — a shape signal
+    * the per-turn length stats flatten.
+    *
+    * The crossing test is pure integer comparison (`2·cum ≥ total` —
+    * no division, no midpoint rounding); half_frac is the one rounded
+    * double. Order is turn_idx alone (the canonical unique order,
+    * [[ohlcCandles]] doctrine). Null text and null turn_idx drop the
+    * observation ([[RefOps.ewma]] input contract); conversations with
+    * no text rows yield no row.
+    *
+    * Scale: ONE conv_id exchange — the cumulative window, the
+    * whole-partition total, and the crossing reduction all share the
+    * conv clustering.
+    */
+  def charHalfLife(transcripts: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("conv_id"))
+    transcripts
+      .filter(col("conv_id").isNotNull && col("turn_idx").isNotNull &&
+        col("text").isNotNull)
+      .select(col("conv_id"), col("turn_idx"),
+        length(col("text")).cast("long").as("_len"))
+      .withColumn("_cum", sum(col("_len")).over(wCum))
+      .withColumn("_pos", row_number().over(
+        Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_total", sum(col("_len")).over(wAll))
+      .filter(col("_cum") * lit(2L) >= col("_total"))
+      .groupBy(col("conv_id"))
+      .agg(max(col("_n")).as("n_turns"),
+        max(col("_total")).as("total_chars"),
+        min(col("_pos")).as("half_pos"))
+      .withColumn("half_frac",
+        round(col("half_pos").cast("double") / col("n_turns").cast("double"), 6))
+  }
+
+  /** Daily whale conversations — the top-`k` conversations per UTC day
+    * by turn count, with the day total and each whale's share: the
+    * drill-down companion to [[dailyGini]]'s concentration scalar
+    * ("WHICH conversations make today unequal?") and the conv-grain
+    * sibling of [[heavyHittersDaily]]'s tool ranking.
+    *
+    * The cutoff is the total order (turns DESC, conv_id ASC) — stable
+    * in both engines; rank is row_number over that order, so exactly
+    * k rows per day (fewer only when the day has fewer active
+    * conversations). Share is ONE rounded division. Null ts /
+    * conv_id drop.
+    *
+    * Scale: the (day, conv) census partial-aggregates map-side (ONE
+    * raw exchange); the rank and day-total windows share one
+    * day-clustered exchange over the census, and the rank-≤-k filter
+    * pushes down as a WindowGroupLimit, so no day's full census ever
+    * reaches the final projection.
+    */
+  def whaleConvsDaily(transcripts: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val census = transcripts
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+        col("conv_id"))
+      .groupBy(col("day"), col("conv_id"))
+      .agg(count(lit(1)).as("turns"))
+    val wRank = Window.partitionBy(col("day"))
+      .orderBy(col("turns").desc, col("conv_id"))
+    val wDay = Window.partitionBy(col("day"))
+    census
+      .withColumn("day_turns", sum(col("turns")).over(wDay))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("day"), col("rank"), col("conv_id"), col("turns"),
+        col("day_turns"),
+        round(col("turns").cast("double") / col("day_turns").cast("double"), 6)
+          .as("share"))
+  }
 }

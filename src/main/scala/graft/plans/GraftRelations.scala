@@ -214,6 +214,14 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         SeriesOps.toolAdoption(session.table(args(0)))
       case "daily_dup_rate" =>
         SeriesOps.dailyDupRate(session.table(args(0)))
+      case "conv_burstiness" =>
+        SeriesOps.convBurstiness(session.table(args(0)))
+      case "char_half_life" =>
+        SeriesOps.charHalfLife(session.table(args(0)))
+      case "whale_convs" =>
+        if (args.length == 2)
+          SeriesOps.whaleConvsDaily(session.table(args(0)), args(1).toInt)
+        else SeriesOps.whaleConvsDaily(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

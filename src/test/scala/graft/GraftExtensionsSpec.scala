@@ -302,6 +302,12 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.SeriesOps.toolAdoption(tr))
     assertSameRows(ext.sql("SELECT * FROM daily_dup_rate('tr4_ext')"),
       graft.operators.SeriesOps.dailyDupRate(tr))
+    assertSameRows(ext.sql("SELECT * FROM conv_burstiness('tr4_ext')"),
+      graft.operators.SeriesOps.convBurstiness(tr))
+    assertSameRows(ext.sql("SELECT * FROM char_half_life('tr4_ext')"),
+      graft.operators.SeriesOps.charHalfLife(tr))
+    assertSameRows(ext.sql("SELECT * FROM whale_convs('tr4_ext', 2)"),
+      graft.operators.SeriesOps.whaleConvsDaily(tr, k = 2))
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()

@@ -1272,6 +1272,104 @@ class SeriesOpsSpec extends SparkTestBase {
       "2024-01-02 00:00:00.0" -> ((2L, 2L, 0L, 1L, 0.0))))
   }
 
+  test("convBurstiness golden: zero days enter analytically, regular cadence is 0") {
+    val df = turnsDf(Seq(
+      // A: 1 turn/day for 3 consecutive days -> variance 0 -> fano 0
+      ("A", 0, "user", "x", null, "2024-01-01 01:00:00"),
+      ("A", 1, "user", "x", null, "2024-01-02 01:00:00"),
+      ("A", 2, "user", "x", null, "2024-01-03 01:00:00"),
+      // B: 4 turns day 1, silent day 2, 0 turns... then 2 turns day 3
+      // series over span 3: (4, 0, 2): S=6 D=3 scc=20
+      // fano = (3*20 - 36)/(3*6) = 24/18 = 1.333333
+      ("B", 0, "user", "x", null, "2024-01-01 01:00:00"),
+      ("B", 1, "user", "x", null, "2024-01-01 02:00:00"),
+      ("B", 2, "user", "x", null, "2024-01-01 03:00:00"),
+      ("B", 3, "user", "x", null, "2024-01-01 04:00:00"),
+      ("B", 4, "user", "x", null, "2024-01-03 01:00:00"),
+      ("B", 5, "user", "x", null, "2024-01-03 02:00:00"),
+      // C: single day -> span 1, fano = (scc - S^2)/S with scc = S^2 -> 0
+      ("C", 0, "user", "x", null, "2024-01-05 01:00:00"),
+      ("C", 1, "user", "x", null, "2024-01-05 02:00:00")))
+    val out = SeriesOps.convBurstiness(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out == Map(
+      "A" -> ((3L, 3L, 3L, 0.0)),
+      "B" -> ((3L, 2L, 6L, 1.333333)),
+      "C" -> ((1L, 1L, 2L, 0.0))))
+  }
+
+  test("charHalfLife golden: integer crossing, front-loaded vs even, null doctrine") {
+    val df = turnsDf(Seq(
+      // A: lens 10, 1, 1 -> total 12, cum (10, 11, 12); first 2*cum>=12
+      // at pos 1 -> half_frac 1/3
+      ("A", 0, "user", "x" * 10, null, "2024-01-01 01:00:00"),
+      ("A", 1, "user", "y", null, "2024-01-01 02:00:00"),
+      ("A", 2, "user", "z", null, "2024-01-01 03:00:00"),
+      // B: even lens 2,2,2,2 -> total 8, first 2*cum>=8 at pos 2 -> 0.5
+      ("B", 0, "user", "aa", null, "2024-01-01 01:00:00"),
+      ("B", 1, "user", "bb", null, "2024-01-01 02:00:00"),
+      ("B", 2, "user", "cc", null, "2024-01-01 03:00:00"),
+      ("B", 3, "user", "dd", null, "2024-01-01 04:00:00"),
+      // C: null text drops the observation; the remaining single turn
+      // is the whole mass -> pos 1 of 1
+      ("C", 0, "user", null, null, "2024-01-01 01:00:00"),
+      ("C", 1, "user", "kk", null, "2024-01-01 02:00:00")))
+    val out = SeriesOps.charHalfLife(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out == Map(
+      "A" -> ((3L, 12L, 1L, 0.333333)),
+      "B" -> ((4L, 8L, 2L, 0.5)),
+      "C" -> ((1L, 2L, 1L, 1.0))))
+  }
+
+  test("whaleConvsDaily golden: total order cutoff, share, k clamp") {
+    val df = turnsDf(Seq(
+      // day 1: A=3, B=2, C=1, D=1 -> top-2 is A then B; tie C/D unused
+      ("A", 0, "user", "x", null, "2024-01-01 01:00:00"),
+      ("A", 1, "user", "x", null, "2024-01-01 02:00:00"),
+      ("A", 2, "user", "x", null, "2024-01-01 03:00:00"),
+      ("B", 0, "user", "x", null, "2024-01-01 04:00:00"),
+      ("B", 1, "user", "x", null, "2024-01-01 05:00:00"),
+      ("C", 0, "user", "x", null, "2024-01-01 06:00:00"),
+      ("D", 0, "user", "x", null, "2024-01-01 07:00:00"),
+      // day 2: single conversation -> one row despite k=2
+      ("E", 0, "user", "x", null, "2024-01-02 01:00:00")))
+    val out = SeriesOps.whaleConvsDaily(df, k = 2).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out == Map(
+      ("2024-01-01 00:00:00.0", 1L) -> (("A", 3L, 7L, 0.428571)),
+      ("2024-01-01 00:00:00.0", 2L) -> (("B", 2L, 7L, 0.285714)),
+      ("2024-01-02 00:00:00.0", 1L) -> (("E", 1L, 1L, 1.0))))
+    // tie at the cutoff breaks to the smaller conv_id
+    val tied = SeriesOps.whaleConvsDaily(df.filter(col("conv_id").isin("C", "D")), k = 1)
+      .collect()
+    assert(tied.length == 1 && tied.head.getString(2) == "C")
+  }
+
+  test("whaleConvsDaily/convBurstiness invariants on synth") {
+    // whales: ranks are 1..k dense per day, shares <= 1, ordered desc
+    SeriesOps.whaleConvsDaily(turns, k = 3).collect()
+      .groupBy(_.getTimestamp(0)).foreach { case (day, rows) =>
+        val byRank = rows.sortBy(_.getLong(1))
+        assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length).toSeq, s"$day")
+        byRank.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getLong(3) >= b.getLong(3), s"$day: turns must not increase")
+          case _ =>
+        }
+      }
+    // burstiness: fano >= 0, and single-active-day convs get
+    // fano = (scc - S^2)/S = 0 only when span is 1
+    SeriesOps.convBurstiness(turns).collect().foreach { r =>
+      assert(r.getDouble(4) >= 0.0, r.toString)
+      assert(r.getLong(2) <= r.getLong(1), "active <= span")
+      assert(r.getLong(3) >= r.getLong(2), "turns >= active days")
+    }
+  }
+
   test("activeStreaks invariants on synth: parts sum, streak bounds, span envelope") {
     SeriesOps.activeStreaks(turns).collect().foreach { r =>
       val (active, streaks, longest, span) =

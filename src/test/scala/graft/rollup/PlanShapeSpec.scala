@@ -363,6 +363,78 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!pVg.contains("Join"), s"vocab growth must not join:\n$pVg")
   }
 
+  test("growth/concentration batch: exchange budgets hold (q88-q93 scale contracts)") {
+    import graft.operators.SeriesOps
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
+    def windows(p: String): Int = "Window ".r.findAllIn(p).size
+
+    // daily Gini: (day, conv) census exchange + the day-clustered rank
+    // window, whose partitioning the day reduction then REUSES (no
+    // third exchange — the window's hashpartitioning(day) satisfies
+    // the final groupBy)
+    val pGini = plan(SeriesOps.dailyGini(turns))
+    assert(exchanges(pGini) == 2 && windows(pGini) == 1,
+      s"daily gini is census + day-clustered rank window:\n$pGini")
+    assert(pGini.contains("partial_count"),
+      s"gini census needs map-side combine:\n$pGini")
+
+    // survival curve: per-conv census + length histogram + ONE
+    // single-partition exchange serving both metadata-scale windows
+    val pSurv = plan(SeriesOps.survivalCurve(turns))
+    assert(exchanges(pSurv) == 3 && windows(pSurv) == 2,
+      s"survival curve is census + histogram + one single-partition step:\n$pSurv")
+    assert("SinglePartition".r.findAllIn(pSurv).size == 1,
+      s"both windows must share one single-partition exchange:\n$pSurv")
+
+    // active streaks: distinct (conv, day) census + conv-clustered
+    // island window; BOTH downstream aggregations reuse the window's
+    // conv_id clustering (subset-clustering satisfaction) — no more
+    // exchanges
+    val pStreak = plan(SeriesOps.activeStreaks(turns))
+    assert(exchanges(pStreak) == 2 && windows(pStreak) == 1,
+      s"active streaks is census + conv window, aggs reuse clustering:\n$pStreak")
+
+    // new vs returning: distinct census + conv-clustered first-seen
+    // window + day reduction + single-partition running sum
+    val pNvr = plan(SeriesOps.newVsReturning(turns))
+    assert(exchanges(pNvr) == 4 && windows(pNvr) == 2,
+      s"new-vs-returning is census + conv window + day agg + cumsum:\n$pNvr")
+
+    // tool adoption: (conv, tool) min-day census + the metadata-scale
+    // (tool, day) reduction + per-tool running sum
+    val pAdopt = plan(SeriesOps.toolAdoption(turns))
+    assert(exchanges(pAdopt) == 3 && windows(pAdopt) == 1,
+      s"tool adoption is census + adoption agg + tool window:\n$pAdopt")
+
+    // daily dup rate: (day, md5) census + distinct-text-scale day
+    // reduction — two exchanges, no windows, no joins
+    val pDup = plan(SeriesOps.dailyDupRate(turns))
+    assert(exchanges(pDup) == 2 && windows(pDup) == 0,
+      s"dup rate is census + day reduction:\n$pDup")
+    assert(!pDup.contains("Join"), s"dup rate must not join:\n$pDup")
+    assert(pDup.contains("partial_count"),
+      s"dup census needs map-side combine:\n$pDup")
+
+    // conv burstiness: (conv, day) census + per-conv moment reduction
+    val pFano = plan(SeriesOps.convBurstiness(turns))
+    assert(exchanges(pFano) == 2 && windows(pFano) == 0,
+      s"burstiness is census + conv moment reduction:\n$pFano")
+
+    // char half-life: cumsum/position/total windows + the crossing
+    // reduction ALL on one conv_id exchange
+    val pHalf = plan(SeriesOps.charHalfLife(turns))
+    assert(exchanges(pHalf) == 1,
+      s"char half-life must be one conv exchange:\n$pHalf")
+
+    // whale convs: census + day-clustered windows with the rank filter
+    // pushed down as a group limit
+    val pWhale = plan(SeriesOps.whaleConvsDaily(turns))
+    assert(exchanges(pWhale) == 2,
+      s"whale convs is census + day windows:\n$pWhale")
+    assert(pWhale.contains("WindowGroupLimit"),
+      s"whale rank filter must push a group limit:\n$pWhale")
+  }
+
   test("daily cardinality: exact pays the Expand-dedup, the HLL++ sibling is one mergeable exchange") {
     import graft.operators.SeriesOps
     def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
