@@ -437,7 +437,16 @@ object SparkEntry {
       graft.operators.SeriesOps.charHalfLife(transcripts(s, dir))),
     // top-k whale conversations per day with share of the day's turns
     "q96_whale_convs" -> ((s, dir) =>
-      graft.operators.SeriesOps.whaleConvsDaily(transcripts(s, dir), k = 3))
+      graft.operators.SeriesOps.whaleConvsDaily(transcripts(s, dir), k = 3)),
+    // sweep-line: opened / closed / open conversations per calendar day
+    "q97_conv_concurrency" -> ((s, dir) =>
+      graft.operators.SeriesOps.convConcurrency(transcripts(s, dir))),
+    // day-over-day toolset kept/added/dropped + Jaccard overlap
+    "q98_toolset_churn" -> ((s, dir) =>
+      graft.operators.SeriesOps.toolsetChurn(transcripts(s, dir))),
+    // record-breaking day census: running high, record count, drought
+    "q99_record_days" -> ((s, dir) =>
+      graft.operators.SeriesOps.recordDays(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -1796,6 +1805,87 @@ object SparkEntry {
         |  FROM c)
         |SELECT day, rank, conv_id, turns, day_turns,
         |  ROUND(CAST(turns AS DOUBLE) / CAST(day_turns AS DOUBLE), 6) AS share
-        |FROM r WHERE rank <= 3""".stripMargin)
+        |FROM r WHERE rank <= 3""".stripMargin),
+    // sweep-line collapsed to day grain: open(d) = cum_opened(d)
+    // − cum_closed(d−1); the RANGE grid mirrors sequence(lo, hi)
+    "q97_conv_concurrency" -> Transcripts.oracle(
+      """, sp AS (
+        |  SELECT conv_id,
+        |    MIN((EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) // 86400000000) AS d0,
+        |    MAX((EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) // 86400000000) AS d1
+        |  FROM transcripts WHERE ts IS NOT NULL AND conv_id IS NOT NULL
+        |  GROUP BY 1),
+        |o AS (SELECT d0 AS day_num, CAST(COUNT(*) AS BIGINT) AS opened
+        |  FROM sp GROUP BY 1),
+        |c AS (SELECT d1 AS day_num, CAST(COUNT(*) AS BIGINT) AS closed
+        |  FROM sp GROUP BY 1),
+        |g AS (SELECT UNNEST(RANGE((SELECT MIN(d0) FROM sp),
+        |  (SELECT MAX(d1) FROM sp) + 1)) AS day_num),
+        |m AS (
+        |  SELECT g.day_num, COALESCE(o.opened, 0) AS opened,
+        |    COALESCE(c.closed, 0) AS closed
+        |  FROM g LEFT JOIN o USING (day_num) LEFT JOIN c USING (day_num))
+        |SELECT MAKE_TIMESTAMP(day_num * 86400000000) AS day, opened, closed,
+        |  CAST(SUM(opened) OVER w - SUM(closed) OVER w + closed AS BIGINT)
+        |    AS open_convs
+        |FROM m WINDOW w AS (ORDER BY day_num
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+    // consecutive OBSERVED tool-active days via LAG; intersection via
+    // the two-sided census join, sizes via the day frame
+    "q98_toolset_churn" -> Transcripts.oracle(
+      """, cs AS (
+        |  SELECT DISTINCT (EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) // 86400000000 AS day_num,
+        |    tool
+        |  FROM transcripts WHERE ts IS NOT NULL AND tool IS NOT NULL),
+        |sz AS (SELECT day_num, CAST(COUNT(*) AS BIGINT) AS cur_tools
+        |  FROM cs GROUP BY 1),
+        |d AS (
+        |  SELECT day_num, cur_tools,
+        |    LAG(day_num) OVER (ORDER BY day_num) AS prev_day_num
+        |  FROM sz QUALIFY prev_day_num IS NOT NULL),
+        |kp AS (
+        |  SELECT d.day_num, CAST(COUNT(*) AS BIGINT) AS kept
+        |  FROM d JOIN cs a ON a.day_num = d.day_num
+        |         JOIN cs b ON b.day_num = d.prev_day_num AND b.tool = a.tool
+        |  GROUP BY 1)
+        |SELECT MAKE_TIMESTAMP(d.day_num * 86400000000) AS day,
+        |  MAKE_TIMESTAMP(d.prev_day_num * 86400000000) AS prev_day,
+        |  d.cur_tools, p.cur_tools AS prev_tools,
+        |  COALESCE(kp.kept, 0) AS kept,
+        |  d.cur_tools - COALESCE(kp.kept, 0) AS added,
+        |  p.cur_tools - COALESCE(kp.kept, 0) AS dropped,
+        |  ROUND(CAST(COALESCE(kp.kept, 0) AS DOUBLE)
+        |    / CAST(d.cur_tools + p.cur_tools - COALESCE(kp.kept, 0)
+        |      AS DOUBLE), 6) AS jaccard
+        |FROM d JOIN sz p ON p.day_num = d.prev_day_num
+        |LEFT JOIN kp ON kp.day_num = d.day_num""".stripMargin),
+    // running pre-day max, 0/1 record flag, cumulative record count,
+    // and days since the latest record (0 on record days)
+    "q99_record_days" -> Transcripts.oracle(
+      """, dd AS (
+        |  SELECT (EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) // 86400000000 AS day_num,
+        |    CAST(COUNT(*) AS BIGINT) AS turns
+        |  FROM transcripts WHERE ts IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT day_num, turns,
+        |    MAX(turns) OVER (ORDER BY day_num
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM dd),
+        |f AS (
+        |  SELECT day_num, turns, prev_max,
+        |    CAST(CASE WHEN prev_max IS NULL OR turns > prev_max
+        |      THEN 1 ELSE 0 END AS BIGINT) AS is_record
+        |  FROM r)
+        |SELECT MAKE_TIMESTAMP(day_num * 86400000000) AS day, turns,
+        |  prev_max, is_record,
+        |  CAST(SUM(is_record) OVER w AS BIGINT) AS record_no,
+        |  day_num - MAX(CASE WHEN is_record = 1 THEN day_num END) OVER w
+        |    AS days_since_record
+        |FROM f WINDOW w AS (ORDER BY day_num
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)
   )
 }

@@ -174,6 +174,12 @@ object ScaleProbe {
         .agg(count(col("half_frac"))).head())
       val tWhale = timed(graft.operators.SeriesOps.whaleConvsDaily(raw)
         .agg(count(col("share"))).head())
+      val tConc = timed(graft.operators.SeriesOps.convConcurrency(raw)
+        .agg(count(col("open_convs"))).head())
+      val tChurn = timed(graft.operators.SeriesOps.toolsetChurn(raw)
+        .agg(count(col("jaccard"))).head())
+      val tRec = timed(graft.operators.SeriesOps.recordDays(raw)
+        .agg(count(col("days_since_record"))).head())
       val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
@@ -181,7 +187,7 @@ object ScaleProbe {
         tSeason + tCooc + tHh + tLat + tCohort + tMotif + tLife + tTopk +
         tLift + tMk + tRs + tRank + tPairc + tSplit + tCad + tVg +
         tCard + tCardA + tAcf + tLl + tGini + tSurv + tStreak + tNvr +
-        tAdopt + tDup + tFano + tHalf + tWhale
+        tAdopt + tDup + tFano + tHalf + tWhale + tConc + tChurn + tRec
       println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
         f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs sessionize=$tSess%.2fs " +
         f"asof=$tAsof%.2fs interval=$tInterval%.2fs sliding=$tSliding%.2fs " +
@@ -202,6 +208,7 @@ object ScaleProbe {
         f"gini=$tGini%.2fs survival=$tSurv%.2fs streaks=$tStreak%.2fs " +
         f"newvsret=$tNvr%.2fs adoption=$tAdopt%.2fs duprate=$tDup%.2fs " +
         f"fano=$tFano%.2fs halflife=$tHalf%.2fs whales=$tWhale%.2fs " +
+        f"concurrency=$tConc%.2fs churn=$tChurn%.2fs records=$tRec%.2fs " +
         f"total=$total%.2fs throughput=${n / tM1}%.0f turns/s")
       total
     }

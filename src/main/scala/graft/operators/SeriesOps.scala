@@ -1755,4 +1755,181 @@ object SeriesOps {
         round(col("turns").cast("double") / col("day_turns").cast("double"), 6)
           .as("share"))
   }
+
+  /** Day-grain conversation concurrency — the sweep-line readout every
+    * timeseries engine keeps for "how many series are live right now":
+    * per UTC day, how many conversations OPENED (first turn), CLOSED
+    * (last turn), and were OPEN (span covers the day, first ≤ d ≤
+    * last), on the complete calendar grid between the corpus's first
+    * and last active day — silent middle days appear with their true
+    * open count, which [[newVsReturning]]'s active-day census (only
+    * days with traffic) cannot show.
+    *
+    * The sweep-line is collapsed to day grain analytically: open(d) =
+    * cum_opened(d) − cum_closed(d−1), so no conversation is ever
+    * expanded to its span days — a 10⁹-conversation corpus moves
+    * exactly one (conv → min/max day) census, folds both endpoints
+    * into ONE (+open, +close) event stream, and densifies the day
+    * frame with the [[graft.gapfill.GapFill]] lead-`sequence()` idiom
+    * instead of a separate bounds frame + grid joins — the naive
+    * grid-join form re-scanned raw THREE times (spans, opened,
+    * closed subtrees; Catalyst does not CSE independent subtrees).
+    * All outputs exact longs. Null ts drops (time axis), null conv_id
+    * drops (identity).
+    *
+    * Scale: the per-conv span census partial-aggregates map-side (ONE
+    * raw exchange, min/max combine); the endpoint-event day reduction
+    * (2 rows per conversation, partial map-side) and the
+    * single-partition lead/cumsum windows run on metadata-scale day
+    * frames (thousands of rows — the [[seasonalResidual]] reading).
+    * ONE raw scan, THREE exchanges, ZERO joins — plan-pinned.
+    */
+  def convConcurrency(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val dayNum = expr(s"(unix_micros(cast(ts as timestamp)) " +
+      s"- pmod(unix_micros(cast(ts as timestamp)), $dayUs)) div $dayUs")
+    val events = transcripts
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .select(col("conv_id"), dayNum.as("_d"))
+      .groupBy(col("conv_id"))
+      .agg(min(col("_d")).as("_d0"), max(col("_d")).as("_d1"))
+      // both endpoints as ONE event stream: (+1 open on _d0, +1 close
+      // on _d1) — no second pass over the census
+      .select(explode(array(
+        struct(col("_d0").as("day_num"), lit(1L).as("o"), lit(0L).as("c")),
+        struct(col("_d1").as("day_num"), lit(0L).as("o"), lit(1L).as("c"))))
+        .as("_e"))
+      .groupBy(col("_e.day_num").as("day_num"))
+      .agg(sum(col("_e.o")).as("opened"), sum(col("_e.c")).as("closed"))
+    // densify to the full calendar grid between consecutive OBSERVED
+    // endpoint days (GapFill's lead + sequence idiom): generated
+    // middle days carry zero opened/closed but stay in the cumsums
+    val wDay = Window.orderBy(col("day_num"))
+    val wCum = Window.orderBy(col("day_num"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_next", lead(col("day_num"), 1).over(wDay))
+      .select(col("day_num").as("_obs"), col("opened").as("_o"),
+        col("closed").as("_c"),
+        explode(sequence(col("day_num"),
+          coalesce(col("_next") - lit(1L), col("day_num")))).as("day_num"))
+      .select(col("day_num"),
+        when(col("day_num") === col("_obs"), col("_o")).otherwise(0L)
+          .as("opened"),
+        when(col("day_num") === col("_obs"), col("_c")).otherwise(0L)
+          .as("closed"))
+      .withColumn("_co", sum(col("opened")).over(wCum))
+      .withColumn("_cc", sum(col("closed")).over(wCum))
+      .select(timestamp_micros(col("day_num") * lit(dayUs)).as("day"),
+        col("opened"), col("closed"),
+        // cum_opened(d) − cum_closed(d−1): closed-on-d convs still
+        // count as open THAT day (a conv is open on both endpoints)
+        (col("_co") - col("_cc") + col("closed")).as("open_convs"))
+  }
+
+  /** Day-over-day toolset churn — between each active day and the
+    * PREVIOUS active day: how many distinct tools were kept, newly
+    * added, and dropped, plus the Jaccard overlap of the two toolsets.
+    * The set-membership lens on tool drift that [[toolPairCorrelation]]
+    * (co-movement of counts) and [[toolAdoption]] (first use ever)
+    * don't give: "did yesterday's toolbox survive into today?".
+    *
+    * Consecutive means consecutive OBSERVED tool-active days (lag over
+    * the day frame), so an idle weekend compares Monday against
+    * Friday instead of fabricating empty sets; the first active day
+    * has no predecessor and emits no row. Kept/added/dropped are
+    * exact longs; jaccard = kept / (cur + prev − kept) is the ONE
+    * rounded division and its denominator is ≥ max(cur, prev) ≥ 1 by
+    * construction. Null tool is the no-call marker (never a set
+    * member); null ts drops (time axis).
+    *
+    * The set algebra rides `collect_set` + `lag` + `array_intersect`
+    * on the day frame — NOT a census self-join, whose plan re-scanned
+    * raw three times (Catalyst does not CSE independent subtrees) and
+    * paid four joins. `collect_set(tool)` per day is bounded by
+    * |toolbox| (a config-scale constant, [[toolPairCorrelation]]
+    * doctrine), so the per-day set is a scalar-sized buffer, and set
+    * intersection size is order-independent — the join-based oracle
+    * computes identical numbers.
+    *
+    * Scale: the per-day set aggregation partial-merges map-side (ONE
+    * raw exchange, sets bounded by |toolbox|); the lag window and the
+    * per-row set algebra run on the metadata-scale day frame. ONE raw
+    * scan, TWO exchanges, ZERO joins — plan-pinned.
+    */
+  def toolsetChurn(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val dayNum = expr(s"(unix_micros(cast(ts as timestamp)) " +
+      s"- pmod(unix_micros(cast(ts as timestamp)), $dayUs)) div $dayUs")
+    val wDay = Window.orderBy(col("day_num"))
+    transcripts
+      .filter(col("ts").isNotNull && col("tool").isNotNull)
+      .select(dayNum.as("day_num"), col("tool"))
+      .groupBy(col("day_num"))
+      .agg(collect_set(col("tool")).as("_tools"))
+      .withColumn("_prev_day", lag(col("day_num"), 1).over(wDay))
+      .withColumn("_prev", lag(col("_tools"), 1).over(wDay))
+      .filter(col("_prev_day").isNotNull)
+      .select(timestamp_micros(col("day_num") * lit(dayUs)).as("day"),
+        timestamp_micros(col("_prev_day") * lit(dayUs)).as("prev_day"),
+        size(col("_tools")).cast("long").as("cur_tools"),
+        size(col("_prev")).cast("long").as("prev_tools"),
+        size(array_intersect(col("_tools"), col("_prev"))).cast("long")
+          .as("kept"))
+      .withColumn("added", col("cur_tools") - col("kept"))
+      .withColumn("dropped", col("prev_tools") - col("kept"))
+      .withColumn("jaccard",
+        round(col("kept").cast("double") /
+          (col("cur_tools") + col("prev_tools") - col("kept")).cast("double"),
+          6))
+  }
+
+  /** Record-breaking days — for each UTC day: total turns, the running
+    * all-time high BEFORE that day, whether the day set a new record,
+    * the running record count, and the days elapsed since the last
+    * record. The record-statistics lens on the day series ("are we
+    * still setting highs, and how long since the last one?") that
+    * [[dayActivityRank]] (within-day conv ranks) and
+    * [[RefOps.burstFlags]] (windowed threshold) don't cover.
+    *
+    * The first day is a record by convention (a max over an empty
+    * prefix); is_record is emitted as 0/1 long — every output column
+    * is an exact long, no float clause at all (the [[activeStreaks]]
+    * doctrine). days_since_record counts calendar days from the most
+    * recent record day INCLUDING the current one (0 on record days).
+    * Null ts drops (time axis).
+    *
+    * Scale: the day census partial-aggregates map-side (ONE raw
+    * exchange); every window runs on the metadata-scale day frame
+    * (thousands of rows — the [[seasonalResidual]] reading).
+    */
+  def recordDays(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val dayNum = expr(s"(unix_micros(cast(ts as timestamp)) " +
+      s"- pmod(unix_micros(cast(ts as timestamp)), $dayUs)) div $dayUs")
+    val daily = transcripts
+      .filter(col("ts").isNotNull)
+      .select(dayNum.as("day_num"))
+      .groupBy(col("day_num"))
+      .agg(count(lit(1)).as("turns"))
+    val wPrev = Window.orderBy(col("day_num"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("day_num"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("prev_max", max(col("turns")).over(wPrev))
+      .withColumn("is_record",
+        when(col("prev_max").isNull || col("turns") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("record_no", sum(col("is_record")).over(wCum))
+      .withColumn("days_since_record",
+        col("day_num") -
+          max(when(col("is_record") === 1L, col("day_num"))).over(wCum))
+      .select(timestamp_micros(col("day_num") * lit(dayUs)).as("day"),
+        col("turns"), col("prev_max"), col("is_record"), col("record_no"),
+        col("days_since_record"))
+  }
 }

@@ -1382,4 +1382,115 @@ class SeriesOpsSpec extends SparkTestBase {
       assert(longest >= (active + streaks - 1) / streaks, r.toString)
     }
   }
+
+  test("convConcurrency golden: gap days stay open, endpoint days count, null doctrine") {
+    val df = turnsDf(Seq(
+      // A spans day 1..3 with a silent day 2 — open all three days
+      ("A", 0, "user", "x", null, "2024-01-01 09:00:00"),
+      ("A", 1, "user", "x", null, "2024-01-03 09:00:00"),
+      // B opens and closes on day 1
+      ("B", 0, "user", "x", null, "2024-01-01 10:00:00"),
+      // C is a single-day conv on day 4
+      ("C", 0, "user", "x", null, "2024-01-04 10:00:00"),
+      // null conv_id / null ts drop
+      (null, 0, "user", "x", null, "2024-01-02 10:00:00"),
+      ("D", 0, "user", "x", null, null)))
+    val out = SeriesOps.convConcurrency(df).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      "2024-01-01 00:00:00.0" -> ((2L, 1L, 2L)),
+      "2024-01-02 00:00:00.0" -> ((0L, 0L, 1L)), // grid day, A still open
+      "2024-01-03 00:00:00.0" -> ((0L, 1L, 1L)), // A closes, open that day
+      "2024-01-04 00:00:00.0" -> ((1L, 1L, 1L))))
+  }
+
+  test("toolsetChurn golden: observed-consecutive days, disjoint sets, distinct census") {
+    val df = turnsDf(Seq(
+      // day 1: {search, browse} — duplicate search calls collapse
+      ("A", 0, "user", "x", "search", "2024-01-01 01:00:00"),
+      ("A", 1, "user", "x", "search", "2024-01-01 02:00:00"),
+      ("B", 0, "user", "x", "browse", "2024-01-01 03:00:00"),
+      // day 2: {browse, db} — kept browse, added db, dropped search
+      ("A", 2, "user", "x", "browse", "2024-01-02 01:00:00"),
+      ("A", 3, "user", "x", "db", "2024-01-02 02:00:00"),
+      // day 3: null tool only -> NOT a tool-active day
+      ("A", 4, "user", "x", null, "2024-01-03 01:00:00"),
+      // day 4: {db} — compared against day 2, not empty day 3
+      ("B", 1, "user", "x", "db", "2024-01-04 01:00:00"),
+      // day 5: {web} — disjoint from day 4 -> kept 0, jaccard 0
+      ("B", 2, "user", "x", "web", "2024-01-05 01:00:00")))
+    val out = SeriesOps.toolsetChurn(df).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        ((r.getTimestamp(1).toString, r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    // first active day (day 1) has no predecessor -> 3 rows
+    assert(out == Map(
+      "2024-01-02 00:00:00.0" ->
+        (("2024-01-01 00:00:00.0", 2L, 2L, 1L, 1L, 1L, 0.333333)),
+      "2024-01-04 00:00:00.0" ->
+        (("2024-01-02 00:00:00.0", 1L, 2L, 1L, 0L, 1L, 0.5)),
+      "2024-01-05 00:00:00.0" ->
+        (("2024-01-04 00:00:00.0", 1L, 1L, 0L, 1L, 1L, 0.0))))
+  }
+
+  test("recordDays golden: strict record, drought counter, first-day record") {
+    val df = turnsDf(
+      // day turns: d1=3, d2=5, d3=2, d4=5 (tie is NOT a record), d6=7
+      (0 until 3).map(i => ("A", i, "user", "x", null: String, s"2024-01-01 0$i:00:00")) ++
+      (0 until 5).map(i => ("B", i, "user", "x", null: String, s"2024-01-02 0$i:00:00")) ++
+      (0 until 2).map(i => ("C", i, "user", "x", null: String, s"2024-01-03 0$i:00:00")) ++
+      (0 until 5).map(i => ("D", i, "user", "x", null: String, s"2024-01-04 0$i:00:00")) ++
+      (0 until 7).map(i => ("E", i, "user", "x", null: String, s"2024-01-06 0$i:00:00")) ++
+      Seq(("F", 0, "user", "x", null, null))) // null ts drops
+    val out = SeriesOps.recordDays(df).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out == Map(
+      "2024-01-01 00:00:00.0" -> ((3L, -1L, 1L, 1L, 0L)),
+      "2024-01-02 00:00:00.0" -> ((5L, 3L, 1L, 2L, 0L)),
+      "2024-01-03 00:00:00.0" -> ((2L, 5L, 0L, 2L, 1L)),
+      "2024-01-04 00:00:00.0" -> ((5L, 5L, 0L, 2L, 2L)),
+      "2024-01-06 00:00:00.0" -> ((7L, 5L, 1L, 3L, 0L))))
+  }
+
+  test("convConcurrency/toolsetChurn/recordDays invariants on synth") {
+    // concurrency: complete grid, opened/closed books balance, open >= 0
+    val cc = SeriesOps.convConcurrency(turns).collect()
+      .sortBy(_.getTimestamp(0).getTime)
+    assert(cc.nonEmpty)
+    cc.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getTimestamp(0).getTime - a.getTimestamp(0).getTime ==
+          86400000L, "grid must be dense")
+      case _ =>
+    }
+    assert(cc.map(_.getLong(1)).sum == cc.map(_.getLong(2)).sum,
+      "every opened conv closes")
+    cc.foreach(r => assert(r.getLong(3) >= 0L &&
+      r.getLong(3) >= r.getLong(2), r.toString))
+    // churn: set algebra holds row by row
+    SeriesOps.toolsetChurn(turns).collect().foreach { r =>
+      val (cur, prev, kept, added, dropped, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getDouble(7))
+      assert(kept + added == cur && kept + dropped == prev, r.toString)
+      assert(j >= 0.0 && j <= 1.0, r.toString)
+    }
+    // records: record_no non-decreasing, prev_max is the running high
+    val rd = SeriesOps.recordDays(turns).collect()
+      .sortBy(_.getTimestamp(0).getTime)
+    var high = -1L
+    var recs = 0L
+    rd.foreach { r =>
+      val t = r.getLong(1)
+      val isRec = r.getLong(3)
+      assert(isRec == (if (t > high) 1L else 0L), r.toString)
+      if (!r.isNullAt(2)) assert(r.getLong(2) == high, r.toString)
+      high = math.max(high, t)
+      recs += isRec
+      assert(r.getLong(4) == recs, r.toString)
+    }
+  }
 }

@@ -435,6 +435,39 @@ class PlanShapeSpec extends SparkTestBase {
       s"whale rank filter must push a group limit:\n$pWhale")
   }
 
+  test("concurrency/churn/records: single raw scan, zero joins, day-frame windows") {
+    import graft.operators.SeriesOps
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
+
+    // concurrency: conv span census + endpoint-event day reduction +
+    // single-partition lead/cumsum windows; the naive grid-join form
+    // re-scanned raw 3x and paid 2 joins — pin the event-stream shape
+    val pConc = plan(SeriesOps.convConcurrency(turns))
+    assert(exchanges(pConc) == 3,
+      s"concurrency is census + event reduction + day windows:\n$pConc")
+    assert(!pConc.contains("Join"), s"concurrency must not join:\n$pConc")
+    assert(pConc.contains("partial_min"),
+      s"span census needs map-side combine:\n$pConc")
+
+    // churn: per-day collect_set + lag + array_intersect; the census
+    // self-join form re-scanned raw 3x and paid 4 joins
+    val pChurn = plan(SeriesOps.toolsetChurn(turns))
+    assert(exchanges(pChurn) == 2,
+      s"churn is set census + day window:\n$pChurn")
+    assert(!pChurn.contains("Join"), s"churn must not join:\n$pChurn")
+    assert(pChurn.contains("partial_collect_set"),
+      s"day sets need map-side combine:\n$pChurn")
+
+    // records: day census + running-max/cumsum windows, all on the
+    // metadata-scale day frame
+    val pRec = plan(SeriesOps.recordDays(turns))
+    assert(exchanges(pRec) == 2,
+      s"records is day census + day windows:\n$pRec")
+    assert(!pRec.contains("Join"), s"records must not join:\n$pRec")
+    assert(pRec.contains("partial_count"),
+      s"day census needs map-side combine:\n$pRec")
+  }
+
   test("daily cardinality: exact pays the Expand-dedup, the HLL++ sibling is one mergeable exchange") {
     import graft.operators.SeriesOps
     def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
