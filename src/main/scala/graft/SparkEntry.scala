@@ -446,7 +446,13 @@ object SparkEntry {
       graft.operators.SeriesOps.toolsetChurn(transcripts(s, dir))),
     // record-breaking day census: running high, record count, drought
     "q99_record_days" -> ((s, dir) =>
-      graft.operators.SeriesOps.recordDays(transcripts(s, dir)))
+      graft.operators.SeriesOps.recordDays(transcripts(s, dir))),
+    // Lorenz curve: per-day equal-population deciles + cumulative share
+    "q100_lorenz_deciles" -> ((s, dir) =>
+      graft.operators.SeriesOps.lorenzDeciles(transcripts(s, dir))),
+    // day-over-day distribution drift: bucketed KS + total variation
+    "q101_dist_drift" -> ((s, dir) =>
+      graft.operators.SeriesOps.distDrift(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -1886,6 +1892,82 @@ object SparkEntry {
         |  day_num - MAX(CASE WHEN is_record = 1 THEN day_num END) OVER w
         |    AS days_since_record
         |FROM f WINDOW w AS (ORDER BY day_num
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+    // NTILE over (turns ASC, conv_id ASC) — the SQL-standard split,
+    // identical tile sizing in both engines
+    "q100_lorenz_deciles" -> Transcripts.oracle(
+      """, c AS (
+        |  SELECT MAKE_TIMESTAMP(EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) AS day,
+        |    conv_id, CAST(COUNT(*) AS BIGINT) AS turns
+        |  FROM transcripts WHERE ts IS NOT NULL AND conv_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT day, turns,
+        |    CAST(NTILE(10) OVER (PARTITION BY day
+        |      ORDER BY turns, conv_id) AS BIGINT) AS decile
+        |  FROM c),
+        |g AS (
+        |  SELECT day, decile, CAST(COUNT(*) AS BIGINT) AS convs,
+        |    CAST(SUM(turns) AS BIGINT) AS decile_turns
+        |  FROM t GROUP BY 1, 2)
+        |SELECT day, decile, convs, decile_turns,
+        |  CAST(SUM(decile_turns) OVER (PARTITION BY day) AS BIGINT)
+        |    AS day_turns,
+        |  CAST(SUM(decile_turns) OVER (PARTITION BY day ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_turns,
+        |  ROUND(CAST(SUM(decile_turns) OVER (PARTITION BY day ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(SUM(decile_turns) OVER (PARTITION BY day) AS DOUBLE), 6)
+        |    AS cum_share
+        |FROM g""".stripMargin),
+    // exact HUGEINT cross-multiplied CDF gaps on the dense day×bucket
+    // grid, ONE double division per distance (mirrors the decimal
+    // precast operand-for-operand)
+    "q101_dist_drift" -> Transcripts.oracle(
+      """, cs AS (
+        |  SELECT (EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) // 86400000000 AS day_num,
+        |    CAST(LENGTH(CAST(LENGTH(text) AS VARCHAR)) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM transcripts WHERE ts IS NOT NULL AND text IS NOT NULL
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT d.day_num, b.bucket, COALESCE(cs.c, 0) AS c
+        |  FROM (SELECT DISTINCT day_num FROM cs) d
+        |  CROSS JOIN (SELECT DISTINCT bucket FROM cs) b
+        |  LEFT JOIN cs ON cs.day_num = d.day_num AND cs.bucket = b.bucket),
+        |w AS (
+        |  SELECT day_num, bucket, c,
+        |    SUM(c) OVER (PARTITION BY day_num ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY day_num) AS n
+        |  FROM g),
+        |p AS (
+        |  SELECT day_num, bucket, c, cum, n,
+        |    LAG(c) OVER wb AS pc, LAG(cum) OVER wb AS pcum,
+        |    LAG(n) OVER wb AS pn, LAG(day_num) OVER wb AS pday
+        |  FROM w WINDOW wb AS (PARTITION BY bucket ORDER BY day_num)
+        |  QUALIFY pday IS NOT NULL),
+        |a AS (
+        |  SELECT day_num, MAX(pday) AS prev_day,
+        |    CAST(MAX(n) AS BIGINT) AS day_texts,
+        |    CAST(MAX(pn) AS BIGINT) AS prev_texts,
+        |    MAX(ABS(CAST(cum AS HUGEINT) * pn - CAST(pcum AS HUGEINT) * n))
+        |      AS ks_num,
+        |    SUM(ABS(CAST(c AS HUGEINT) * pn - CAST(pc AS HUGEINT) * n))
+        |      AS tv_num
+        |  FROM p GROUP BY 1)
+        |SELECT MAKE_TIMESTAMP(day_num * 86400000000) AS day,
+        |  MAKE_TIMESTAMP(prev_day * 86400000000) AS prev_day,
+        |  day_texts, prev_texts,
+        |  ROUND(CAST(ks_num AS DOUBLE)
+        |    / (CAST(day_texts AS DOUBLE) * CAST(prev_texts AS DOUBLE)), 6)
+        |    AS ks_stat,
+        |  ROUND(CAST(tv_num AS DOUBLE)
+        |    / (2.0 * CAST(day_texts AS DOUBLE) * CAST(prev_texts AS DOUBLE)),
+        |    6) AS tv_dist
+        |FROM a""".stripMargin)
   )
 }

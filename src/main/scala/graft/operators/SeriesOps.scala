@@ -1932,4 +1932,143 @@ object SeriesOps {
         col("turns"), col("prev_max"), col("is_record"), col("record_no"),
         col("days_since_record"))
   }
+
+  /** Daily Lorenz deciles — per UTC day, conversations bucketed into
+    * `buckets` equal-population tiles by turn count (ascending), with
+    * each tile's conversation count, turn mass, and the cumulative
+    * share of the day's turns: the curve behind [[dailyGini]]'s
+    * concentration scalar ("the bottom 50% of conversations carry 8%
+    * of the turns") and the distributional face of
+    * [[whaleConvsDaily]]'s top-k drill-down.
+    *
+    * Tile assignment is `ntile` over the total order (turns ASC,
+    * conv_id ASC) — the SQL-standard split (earlier tiles take the
+    * remainder), deterministic in both engines. Counts and turn sums
+    * are exact longs; cum_share = cum_turns / day_turns is the ONE
+    * rounded division per row, both operands exact. Null ts / conv_id
+    * drop ([[dailyGini]] doctrine).
+    *
+    * Scale: the (day, conv) census partial-aggregates map-side (ONE
+    * raw exchange); the ntile window sorts each day's census inside
+    * its day cluster — the [[dailyGini]] scale envelope (per-day conv
+    * cardinality, the engine's accepted rank-window cost); the tile
+    * reduction collapses map-side to ≤ buckets rows per day before
+    * its exchange, and the share windows run on that metadata-scale
+    * frame.
+    */
+  def lorenzDeciles(transcripts: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in [2, 1000], got $buckets")
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val census = transcripts
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+        col("conv_id"))
+      .groupBy(col("day"), col("conv_id"))
+      .agg(count(lit(1)).as("_turns"))
+    val wTile = Window.partitionBy(col("day"))
+      .orderBy(col("_turns"), col("conv_id"))
+    val wDay = Window.partitionBy(col("day"))
+    val wCum = Window.partitionBy(col("day")).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("decile", ntile(buckets).over(wTile).cast("long"))
+      .groupBy(col("day"), col("decile"))
+      .agg(count(lit(1)).as("convs"), sum(col("_turns")).as("decile_turns"))
+      .withColumn("day_turns", sum(col("decile_turns")).over(wDay))
+      .withColumn("cum_turns", sum(col("decile_turns")).over(wCum))
+      .select(col("day"), col("decile"), col("convs"), col("decile_turns"),
+        col("day_turns"), col("cum_turns"),
+        round(col("cum_turns").cast("double") /
+          col("day_turns").cast("double"), 6).as("cum_share"))
+  }
+
+  /** Day-over-day distribution drift — for each UTC day vs the
+    * previous OBSERVED text day: the Kolmogorov-Smirnov statistic
+    * (max CDF gap) and total-variation distance between the two days'
+    * turn-length distributions, bucketed by the decimal digit count
+    * of the character length. The distribution-shift monitor a
+    * training-data pipeline runs daily ("yesterday's corpus suddenly
+    * skews short") — a shape lens the mean/percentile day series
+    * ([[RefOps.turnGapStats]], [[dailyDeltas]]) can't see.
+    *
+    * The digit-count bucket (`length(cast(len as string))`) is exact
+    * integer text algebra — no log2 float boundary, identical in both
+    * engines. Both distances keep EXACT integer numerators to the
+    * end: cross-multiplied CDF gaps `|cum_d·n_prev − cum_prev·n_d|`
+    * (decimal(38,0) precast — day counts can reach 10¹⁴ at corpus
+    * scale, [[pearsonPairCorr]] doctrine) so the bucket-sum/max is
+    * order-independent, then ONE double division each, round 6.
+    *
+    * The bucket universe is a COMPILE-TIME constant (an int length
+    * has 1-19 decimal digits), so day alignment needs no day×bucket
+    * grid at all: each day collapses to a bucket→count map, `lag`
+    * pairs consecutive observed days, and a literal `sequence(1, 19)`
+    * explode re-materializes both days' zero-filled histograms — the
+    * grid form paid two cross/left joins and re-scanned raw three
+    * times for the day/bucket distincts. Buckets silent on both days
+    * contribute zero to both distances, so the constant universe is
+    * semantically identical to the observed-bucket grid (the
+    * join-based oracle mirrors it). Null ts / text drop.
+    *
+    * Scale: the (day, bucket) census partial-aggregates map-side (ONE
+    * raw scan, ≤ 19 buckets per day per task); the per-day map
+    * reduction, the lag window, and the 19-way explode all run on
+    * metadata-scale day frames. THREE exchanges, ZERO joins —
+    * plan-pinned.
+    */
+  def distDrift(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val dayNum = expr(s"(unix_micros(cast(ts as timestamp)) " +
+      s"- pmod(unix_micros(cast(ts as timestamp)), $dayUs)) div $dayUs")
+    val perDay = transcripts
+      .filter(col("ts").isNotNull && col("text").isNotNull)
+      .select(dayNum.as("day_num"),
+        length(length(col("text")).cast("string")).cast("long").as("bucket"))
+      .groupBy(col("day_num"), col("bucket"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("day_num"))
+      .agg(map_from_arrays(collect_list(col("bucket")),
+        collect_list(col("_c"))).as("_m"),
+        sum(col("_c")).as("_n"))
+    val wLag = Window.orderBy(col("day_num"))
+    val wCum = Window.partitionBy(col("day_num")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    perDay
+      .withColumn("_pm", lag(col("_m"), 1).over(wLag))
+      .withColumn("_pn", lag(col("_n"), 1).over(wLag))
+      .withColumn("_pday", lag(col("day_num"), 1).over(wLag))
+      .filter(col("_pday").isNotNull)
+      // zero-filled histograms for BOTH days over the constant
+      // 19-bucket universe (try_element_at: missing key -> null -> 0)
+      .select(col("day_num"), col("_pday"), col("_n"), col("_pn"),
+        explode(sequence(lit(1L), lit(19L))).as("bucket"),
+        col("_m"), col("_pm"))
+      .select(col("day_num"), col("_pday"), col("_n"), col("_pn"),
+        col("bucket"),
+        coalesce(try_element_at(col("_m"), col("bucket")), lit(0L)).as("_c"),
+        coalesce(try_element_at(col("_pm"), col("bucket")), lit(0L)).as("_pc"))
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_pcum", sum(col("_pc")).over(wCum))
+      .groupBy(col("day_num"))
+      .agg(max(col("_pday")).as("_prev_day"),
+        max(col("_n")).as("_nn"), max(col("_pn")).as("_pnn"),
+        max(abs(dec(col("_cum")) * col("_pn") - dec(col("_pcum")) * col("_n")))
+          .as("_ks_num"),
+        sum(abs(dec(col("_c")) * col("_pn") - dec(col("_pc")) * col("_n")))
+          .as("_tv_num"))
+      .select(timestamp_micros(col("day_num") * lit(dayUs)).as("day"),
+        timestamp_micros(col("_prev_day") * lit(dayUs)).as("prev_day"),
+        col("_nn").as("day_texts"), col("_pnn").as("prev_texts"),
+        round(col("_ks_num").cast("double") /
+          (col("_nn").cast("double") * col("_pnn").cast("double")), 6)
+          .as("ks_stat"),
+        round(col("_tv_num").cast("double") /
+          (lit(2.0) * col("_nn").cast("double") * col("_pnn").cast("double")),
+          6).as("tv_dist"))
+  }
 }

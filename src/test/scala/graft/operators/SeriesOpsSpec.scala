@@ -1493,4 +1493,88 @@ class SeriesOpsSpec extends SparkTestBase {
       assert(r.getLong(4) == recs, r.toString)
     }
   }
+
+  test("lorenzDeciles golden: standard ntile split, cumulative share, tie order") {
+    val df = turnsDf(Seq(
+      // day 1 turn counts: B=1, C=2, D=2, A=3 (ascending, conv_id
+      // breaks the C/D tie) -> 4 tiles of 1 conv each under ntile(10)?
+      // no: ntile(10) over 4 rows yields tiles 1..4, one row each
+      ("A", 0, "user", "x", null, "2024-01-01 01:00:00"),
+      ("A", 1, "user", "x", null, "2024-01-01 02:00:00"),
+      ("A", 2, "user", "x", null, "2024-01-01 03:00:00"),
+      ("B", 0, "user", "x", null, "2024-01-01 04:00:00"),
+      ("C", 0, "user", "x", null, "2024-01-01 05:00:00"),
+      ("C", 1, "user", "x", null, "2024-01-01 06:00:00"),
+      ("D", 0, "user", "x", null, "2024-01-01 07:00:00"),
+      ("D", 1, "user", "x", null, "2024-01-01 08:00:00")))
+    val out = SeriesOps.lorenzDeciles(df).collect()
+      .map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 1L, 8L, 1L, 0.125)), // B
+      2L -> ((1L, 2L, 8L, 3L, 0.375)), // C (tie broken by conv_id)
+      3L -> ((1L, 2L, 8L, 5L, 0.625)), // D
+      4L -> ((1L, 3L, 8L, 8L, 1.0)))) // A
+  }
+
+  test("lorenzDeciles remainder goes to earlier tiles (SQL-standard ntile)") {
+    // 5 convs, buckets=2 -> tile 1 gets 3 convs, tile 2 gets 2
+    val df = turnsDf((1 to 5).map(i =>
+      (s"C$i", 0, "user", "x", null: String, s"2024-01-01 0$i:00:00")))
+    val out = SeriesOps.lorenzDeciles(df, buckets = 2).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L))
+  }
+
+  test("distDrift golden: dense-grid zero-fill, gap day compares to previous observed") {
+    def txt(n: Int) = "a" * n
+    val df = turnsDf(Seq(
+      // day 1: len buckets 1,2,2 (lens 5, 50, 60) -> c=(1,2,0), n=3
+      ("A", 0, "user", txt(5), null, "2024-01-01 01:00:00"),
+      ("A", 1, "user", txt(50), null, "2024-01-01 02:00:00"),
+      ("A", 2, "user", txt(60), null, "2024-01-01 03:00:00"),
+      // day 2: buckets 1,1,3 (lens 7, 9, 100) -> c=(2,0,1), n=3
+      ("B", 0, "user", txt(7), null, "2024-01-02 01:00:00"),
+      ("B", 1, "user", txt(9), null, "2024-01-02 02:00:00"),
+      ("B", 2, "user", txt(100), null, "2024-01-02 03:00:00"),
+      ("B", 3, "user", null, null, "2024-01-02 04:00:00"), // null text drops
+      // day 4 (day 3 silent): bucket 1 only -> compares against day 2
+      ("C", 0, "user", txt(3), null, "2024-01-04 01:00:00")))
+    val out = SeriesOps.distDrift(df).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        ((r.getTimestamp(1).toString, r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    // day2 vs day1: cum1=(1,3,3) cum2=(2,2,3), ks=3/9, tv=12/18
+    // day4 vs day2: cum4=(1,1,1) n=1, ks=1/3, tv=2/6
+    assert(out == Map(
+      "2024-01-02 00:00:00.0" ->
+        (("2024-01-01 00:00:00.0", 3L, 3L, 0.333333, 0.666667)),
+      "2024-01-04 00:00:00.0" ->
+        (("2024-01-02 00:00:00.0", 1L, 3L, 0.333333, 0.333333))))
+  }
+
+  test("lorenzDeciles/distDrift invariants on synth") {
+    // lorenz: cum_share non-decreasing within day, ends at 1.0;
+    // convs per day sum to the day's distinct convs
+    val lz = SeriesOps.lorenzDeciles(turns).collect()
+      .groupBy(_.getTimestamp(0))
+    lz.foreach { case (day, rows) =>
+      val byTile = rows.sortBy(_.getLong(1))
+      byTile.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(6) <= b.getDouble(6) + 1e-9, s"$day")
+        case _ =>
+      }
+      assert(math.abs(byTile.last.getDouble(6) - 1.0) < 1e-9, s"$day")
+      assert(byTile.map(_.getLong(3)).sum == byTile.head.getLong(4), s"$day")
+    }
+    // drift: both distances in [0, 1] and KS <= TV (the CDF event is
+    // one of the events TV maximizes over)
+    SeriesOps.distDrift(turns).collect().foreach { r =>
+      val (ks, tv) = (r.getDouble(4), r.getDouble(5))
+      assert(ks >= 0.0 && ks <= 1.0 && tv >= 0.0 && tv <= 1.0, r.toString)
+      assert(ks <= tv + 1e-6, r.toString)
+    }
+  }
 }

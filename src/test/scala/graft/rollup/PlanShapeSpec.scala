@@ -466,6 +466,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!pRec.contains("Join"), s"records must not join:\n$pRec")
     assert(pRec.contains("partial_count"),
       s"day census needs map-side combine:\n$pRec")
+
+    // lorenz: (day, conv) census + day-clustered ntile window; the
+    // tile reduction and share windows REUSE the day clustering
+    // (hash(day) satisfies grouping by (day, decile))
+    val pLor = plan(SeriesOps.lorenzDeciles(turns))
+    assert(exchanges(pLor) == 2,
+      s"lorenz is census + one day clustering:\n$pLor")
+    assert(!pLor.contains("Join"), s"lorenz must not join:\n$pLor")
+
+    // drift: (day, bucket) census + per-day map reduction + lag +
+    // constant-universe explode; the grid form paid 2 joins and
+    // re-scanned raw 3x for the day/bucket distincts
+    val pDrift = plan(SeriesOps.distDrift(turns))
+    assert(exchanges(pDrift) == 3,
+      s"drift is census + day maps + day window:\n$pDrift")
+    assert(!pDrift.contains("Join"), s"drift must not join:\n$pDrift")
+    assert(pDrift.contains("partial_collect_list"),
+      s"day histograms need map-side combine:\n$pDrift")
   }
 
   test("daily cardinality: exact pays the Expand-dedup, the HLL++ sibling is one mergeable exchange") {
