@@ -452,7 +452,13 @@ object SparkEntry {
       graft.operators.SeriesOps.lorenzDeciles(transcripts(s, dir))),
     // day-over-day distribution drift: bucketed KS + total variation
     "q101_dist_drift" -> ((s, dir) =>
-      graft.operators.SeriesOps.distDrift(transcripts(s, dir)))
+      graft.operators.SeriesOps.distDrift(transcripts(s, dir))),
+    // daily top-term turnover: kept/added/dropped + Jaccard at k=50
+    "q102_term_churn" -> ((s, dir) =>
+      graft.operators.SeriesOps.termChurnDaily(transcripts(s, dir), k = 50)),
+    // daily lexical diversity: type-token ratio + hapax share
+    "q103_type_token_ratio" -> ((s, dir) =>
+      graft.operators.SeriesOps.typeTokenRatio(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -1968,6 +1974,64 @@ object SparkEntry {
         |  ROUND(CAST(tv_num AS DOUBLE)
         |    / (2.0 * CAST(day_texts AS DOUBLE) * CAST(prev_texts AS DOUBLE)),
         |    6) AS tv_dist
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin),
+    // top-k cutoff (count DESC, term ASC) via QUALIFY; the churn set
+    // algebra mirrors the toolset-churn join form
+    "q102_term_churn" -> Transcripts.oracle(
+      """, tk AS (
+        |  SELECT (EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) // 86400000000 AS day_num,
+        |    UNNEST(STRING_SPLIT(text, ' ')) AS term
+        |  FROM transcripts WHERE ts IS NOT NULL AND text IS NOT NULL),
+        |cs AS (SELECT day_num, term, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |top AS (
+        |  SELECT day_num, term FROM cs
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY day_num
+        |    ORDER BY c DESC, term) <= 50),
+        |sz AS (SELECT day_num, CAST(COUNT(*) AS BIGINT) AS n_terms
+        |  FROM top GROUP BY 1),
+        |d AS (
+        |  SELECT day_num, n_terms,
+        |    LAG(day_num) OVER (ORDER BY day_num) AS prev_day_num
+        |  FROM sz QUALIFY prev_day_num IS NOT NULL),
+        |kp AS (
+        |  SELECT d.day_num, CAST(COUNT(*) AS BIGINT) AS kept
+        |  FROM d JOIN top a ON a.day_num = d.day_num
+        |         JOIN top b ON b.day_num = d.prev_day_num AND b.term = a.term
+        |  GROUP BY 1)
+        |SELECT MAKE_TIMESTAMP(d.day_num * 86400000000) AS day,
+        |  MAKE_TIMESTAMP(d.prev_day_num * 86400000000) AS prev_day,
+        |  d.n_terms AS cur_terms, p.n_terms AS prev_terms,
+        |  COALESCE(kp.kept, 0) AS kept,
+        |  d.n_terms - COALESCE(kp.kept, 0) AS added,
+        |  p.n_terms - COALESCE(kp.kept, 0) AS dropped,
+        |  ROUND(CAST(COALESCE(kp.kept, 0) AS DOUBLE)
+        |    / CAST(d.n_terms + p.n_terms - COALESCE(kp.kept, 0) AS DOUBLE),
+        |    6) AS jaccard
+        |FROM d JOIN sz p ON p.day_num = d.prev_day_num
+        |LEFT JOIN kp ON kp.day_num = d.day_num""".stripMargin),
+    // exact counts; the two divisions have denominators >= 1 whenever
+    // the day row exists
+    "q103_type_token_ratio" -> Transcripts.oracle(
+      """, tk AS (
+        |  SELECT (EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) // 86400000000 AS day_num,
+        |    UNNEST(STRING_SPLIT(text, ' ')) AS term
+        |  FROM transcripts WHERE ts IS NOT NULL AND text IS NOT NULL),
+        |cs AS (SELECT day_num, term, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |d AS (
+        |  SELECT day_num, CAST(SUM(c) AS BIGINT) AS tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS distinct_terms,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hapax_terms
+        |  FROM cs GROUP BY 1)
+        |SELECT MAKE_TIMESTAMP(day_num * 86400000000) AS day, tokens,
+        |  distinct_terms, hapax_terms,
+        |  ROUND(CAST(distinct_terms AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
+        |    AS ttr,
+        |  ROUND(CAST(hapax_terms AS DOUBLE) / CAST(distinct_terms AS DOUBLE),
+        |    6) AS hapax_share
+        |FROM d""".stripMargin)
   )
 }

@@ -1192,6 +1192,21 @@ object SeriesOps {
         col("conv_id"), col("tool"))
   }
 
+  /** UTC day index of `ts` as an exact integer (`div`, not `/` —
+    * Column `/` is IEEE double division; the operand is a floored
+    * multiple of dayUs, so div is exact). The single definition of
+    * the day-bucketing rule every day_num-keyed operator shares —
+    * its DuckDB oracle mirror is the `(EPOCH_US(ts) − ((EPOCH_US(ts)
+    * % 86400000000) + 86400000000) % 86400000000) // 86400000000`
+    * clause; a change here must change those oracles in lockstep
+    * (the [[pearsonPairCorr]] doctrine).
+    */
+  private def dayNumCol: org.apache.spark.sql.Column = {
+    val dayUs = 86400L * 1000000L
+    expr(s"(unix_micros(cast(ts as timestamp)) " +
+      s"- pmod(unix_micros(cast(ts as timestamp)), $dayUs)) div $dayUs")
+  }
+
   def dailyCardinality(transcripts: DataFrame): DataFrame =
     dayActivityFrame(transcripts)
       .groupBy(col("day"))
@@ -1484,16 +1499,9 @@ object SeriesOps {
     */
   def activeStreaks(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
     val days = transcripts
       .filter(col("ts").isNotNull && col("conv_id").isNotNull)
-      // integer `div`, not `/`: Column `/` is IEEE double division
-      // (the [[toolLeadLag]] idiom); the operand is a floored multiple
-      // of dayUs, so div is exact
-      .select(col("conv_id"),
-        expr(s"(unix_micros(cast(ts as timestamp)) " +
-          s"- pmod(unix_micros(cast(ts as timestamp)), $dayUs)) div $dayUs")
-          .as("day_num"))
+      .select(col("conv_id"), dayNumCol.as("day_num"))
       .distinct()
     val wConv = Window.partitionBy(col("conv_id")).orderBy(col("day_num"))
     days
@@ -1648,13 +1656,9 @@ object SeriesOps {
     */
   def convBurstiness(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
     val census = transcripts
       .filter(col("ts").isNotNull && col("conv_id").isNotNull)
-      .select(col("conv_id"),
-        expr(s"(unix_micros(cast(ts as timestamp)) " +
-          s"- pmod(unix_micros(cast(ts as timestamp)), $dayUs)) div $dayUs")
-          .as("day_num"))
+      .select(col("conv_id"), dayNumCol.as("day_num"))
       .groupBy(col("conv_id"), col("day_num"))
       .agg(count(lit(1)).as("c"))
     val m = census
@@ -1787,8 +1791,7 @@ object SeriesOps {
   def convConcurrency(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
     val dayUs = 86400L * 1000000L
-    val dayNum = expr(s"(unix_micros(cast(ts as timestamp)) " +
-      s"- pmod(unix_micros(cast(ts as timestamp)), $dayUs)) div $dayUs")
+    val dayNum = dayNumCol
     val events = transcripts
       .filter(col("ts").isNotNull && col("conv_id").isNotNull)
       .select(col("conv_id"), dayNum.as("_d"))
@@ -1861,8 +1864,7 @@ object SeriesOps {
   def toolsetChurn(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
     val dayUs = 86400L * 1000000L
-    val dayNum = expr(s"(unix_micros(cast(ts as timestamp)) " +
-      s"- pmod(unix_micros(cast(ts as timestamp)), $dayUs)) div $dayUs")
+    val dayNum = dayNumCol
     val wDay = Window.orderBy(col("day_num"))
     transcripts
       .filter(col("ts").isNotNull && col("tool").isNotNull)
@@ -1908,8 +1910,7 @@ object SeriesOps {
   def recordDays(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
     val dayUs = 86400L * 1000000L
-    val dayNum = expr(s"(unix_micros(cast(ts as timestamp)) " +
-      s"- pmod(unix_micros(cast(ts as timestamp)), $dayUs)) div $dayUs")
+    val dayNum = dayNumCol
     val daily = transcripts
       .filter(col("ts").isNotNull)
       .select(dayNum.as("day_num"))
@@ -2022,8 +2023,7 @@ object SeriesOps {
   def distDrift(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
     val dayUs = 86400L * 1000000L
-    val dayNum = expr(s"(unix_micros(cast(ts as timestamp)) " +
-      s"- pmod(unix_micros(cast(ts as timestamp)), $dayUs)) div $dayUs")
+    val dayNum = dayNumCol
     val perDay = transcripts
       .filter(col("ts").isNotNull && col("text").isNotNull)
       .select(dayNum.as("day_num"),
@@ -2070,5 +2070,103 @@ object SeriesOps {
         round(col("_tv_num").cast("double") /
           (lit(2.0) * col("_nn").cast("double") * col("_pnn").cast("double")),
           6).as("tv_dist"))
+  }
+
+  /** Daily top-term churn — between each text day and the previous
+    * OBSERVED text day: how many of the day's top-`k` terms were
+    * kept, newly arrived, and dropped, plus the Jaccard overlap of
+    * the two top-sets. The vocabulary face of [[distDrift]]'s shape
+    * alarm ("the corpus suddenly talks about something else") and the
+    * TERM sibling of [[toolsetChurn]] — [[termVocabGrowth]] tracks
+    * first-ever arrivals, this tracks headline turnover.
+    *
+    * Tokenization is the [[termTopK]] convention (single-space split,
+    * empty fragments included); the top-set cutoff is the total order
+    * (count DESC, term ASC) — deterministic in both engines. The set
+    * algebra rides the [[toolsetChurn]] kernel: per-day `collect_set`
+    * of the ≤ k winners + lag + `array_intersect`. Days with fewer
+    * than k distinct terms contribute their full set (cur/prev sizes
+    * carry it). Null ts / text drop.
+    *
+    * Scale: the (day, term) census partial-aggregates map-side (ONE
+    * raw-token exchange — the [[termLift]] envelope); the per-day
+    * rank window pushes a WindowGroupLimit so only ≤ k rows per day
+    * survive to the set aggregation (which REUSES the day
+    * clustering), and the lag window runs on the day frame.
+    */
+  def termChurnDaily(transcripts: DataFrame, k: Int = 50): DataFrame = {
+    require(k >= 1 && k <= 100000, s"k must be in [1, 100000], got $k")
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val census = transcripts
+      .filter(col("ts").isNotNull && col("text").isNotNull)
+      .select(dayNumCol.as("day_num"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("day_num"), col("term"))
+      .agg(count(lit(1)).as("_c"))
+    val wRank = Window.partitionBy(col("day_num"))
+      .orderBy(col("_c").desc, col("term"))
+    val wLag = Window.orderBy(col("day_num"))
+    census
+      .withColumn("_r", row_number().over(wRank))
+      .filter(col("_r") <= k)
+      .groupBy(col("day_num"))
+      .agg(collect_set(col("term")).as("_top"))
+      .withColumn("_prev_day", lag(col("day_num"), 1).over(wLag))
+      .withColumn("_prev", lag(col("_top"), 1).over(wLag))
+      .filter(col("_prev_day").isNotNull)
+      .select(timestamp_micros(col("day_num") * lit(dayUs)).as("day"),
+        timestamp_micros(col("_prev_day") * lit(dayUs)).as("prev_day"),
+        size(col("_top")).cast("long").as("cur_terms"),
+        size(col("_prev")).cast("long").as("prev_terms"),
+        size(array_intersect(col("_top"), col("_prev"))).cast("long")
+          .as("kept"))
+      .withColumn("added", col("cur_terms") - col("kept"))
+      .withColumn("dropped", col("prev_terms") - col("kept"))
+      .withColumn("jaccard",
+        round(col("kept").cast("double") /
+          (col("cur_terms") + col("prev_terms") - col("kept")).cast("double"),
+          6))
+  }
+
+  /** Daily lexical diversity — per UTC text day: token mass, distinct
+    * terms, hapax terms (frequency exactly 1 that day), the
+    * type-token ratio, and the hapax share of the vocabulary. The
+    * lexical-health day series ("the corpus is getting repetitive /
+    * template-y") that complements [[dailyDupRate]] (whole-text
+    * clones) and [[distDrift]] (length shape) at the vocabulary
+    * grain — a collapsing TTR with a flat dup rate is boilerplate
+    * creep that whole-text identity cannot see.
+    *
+    * Tokenization is the [[termTopK]] convention. Counts are exact
+    * longs; ttr = distinct/tokens and hapax_share = hapax/distinct
+    * are the two rounded divisions (denominators ≥ 1 whenever the
+    * row exists: a text day has ≥ 1 token, and distinct ≥ 1 follows).
+    * Null ts / text drop.
+    *
+    * Scale: the (day, term) census partial-aggregates map-side (ONE
+    * raw-token exchange, the [[termLift]] envelope); the day
+    * reduction moves the COLLAPSED term-scale frame and its
+    * (day)-key exchange output is the metadata-scale day frame.
+    */
+  def typeTokenRatio(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    transcripts
+      .filter(col("ts").isNotNull && col("text").isNotNull)
+      .select(dayNumCol.as("day_num"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("day_num"), col("term"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("day_num"))
+      .agg(sum(col("_c")).as("tokens"),
+        count(lit(1)).as("distinct_terms"),
+        sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("hapax_terms"))
+      .select(timestamp_micros(col("day_num") * lit(dayUs)).as("day"),
+        col("tokens"), col("distinct_terms"), col("hapax_terms"),
+        round(col("distinct_terms").cast("double") /
+          col("tokens").cast("double"), 6).as("ttr"),
+        round(col("hapax_terms").cast("double") /
+          col("distinct_terms").cast("double"), 6).as("hapax_share"))
   }
 }

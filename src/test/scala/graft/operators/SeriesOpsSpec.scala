@@ -1577,4 +1577,62 @@ class SeriesOpsSpec extends SparkTestBase {
       assert(ks <= tv + 1e-6, r.toString)
     }
   }
+
+  test("termChurnDaily golden: top-k cutoff, observed-consecutive days, tie order") {
+    val df = turnsDf(Seq(
+      // day 1 term counts: a=2, b=1, c=1 -> top2 = {a, b} (tie b/c by term)
+      ("A", 0, "user", "a b", null, "2024-01-01 01:00:00"),
+      ("A", 1, "user", "a c", null, "2024-01-01 02:00:00"),
+      // day 2: c=2, b=1, d=1 -> top2 = {c, b}
+      ("B", 0, "user", "c c", null, "2024-01-02 01:00:00"),
+      ("B", 1, "user", "b d", null, "2024-01-02 02:00:00"),
+      ("B", 2, "user", null, null, "2024-01-03 01:00:00"), // null text drops
+      // day 4 (day 3 has no text): single term
+      ("C", 0, "user", "e", null, "2024-01-04 01:00:00")))
+    val out = SeriesOps.termChurnDaily(df, k = 2).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        ((r.getTimestamp(1).toString, r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    assert(out == Map(
+      "2024-01-02 00:00:00.0" ->
+        (("2024-01-01 00:00:00.0", 2L, 2L, 1L, 1L, 1L, 0.333333)),
+      "2024-01-04 00:00:00.0" ->
+        (("2024-01-02 00:00:00.0", 1L, 2L, 0L, 1L, 2L, 0.0))))
+  }
+
+  test("typeTokenRatio golden: token mass, hapax census, single-space convention") {
+    val df = turnsDf(Seq(
+      // day 1: tokens a,b,a,c -> 4 tokens, 3 distinct, 2 hapax
+      ("A", 0, "user", "a b", null, "2024-01-01 01:00:00"),
+      ("A", 1, "user", "a c", null, "2024-01-01 02:00:00"),
+      // day 2: "x  y" double space -> empty fragment IS a token
+      // (termTopK convention): tokens x,"",y -> 3 tokens, 3 distinct
+      ("B", 0, "user", "x  y", null, "2024-01-02 01:00:00"),
+      ("B", 1, "user", null, null, "2024-01-02 02:00:00"))) // null drops
+    val out = SeriesOps.typeTokenRatio(df).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out == Map(
+      "2024-01-01 00:00:00.0" -> ((4L, 3L, 2L, 0.75, 0.666667)),
+      "2024-01-02 00:00:00.0" -> ((3L, 3L, 3L, 1.0, 1.0))))
+  }
+
+  test("termChurnDaily/typeTokenRatio invariants on synth") {
+    SeriesOps.termChurnDaily(turns, k = 20).collect().foreach { r =>
+      val (cur, prev, kept, added, dropped, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getDouble(7))
+      assert(cur <= 20 && prev <= 20, r.toString)
+      assert(kept + added == cur && kept + dropped == prev, r.toString)
+      assert(j >= 0.0 && j <= 1.0, r.toString)
+    }
+    SeriesOps.typeTokenRatio(turns).collect().foreach { r =>
+      val (tokens, distinct, hapax) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hapax <= distinct && distinct <= tokens, r.toString)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0, r.toString)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, r.toString)
+    }
+  }
 }
