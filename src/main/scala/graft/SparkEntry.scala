@@ -458,7 +458,11 @@ object SparkEntry {
       graft.operators.SeriesOps.termChurnDaily(transcripts(s, dir), k = 50)),
     // daily lexical diversity: type-token ratio + hapax share
     "q103_type_token_ratio" -> ((s, dir) =>
-      graft.operators.SeriesOps.typeTokenRatio(transcripts(s, dir)))
+      graft.operators.SeriesOps.typeTokenRatio(transcripts(s, dir))),
+    // daily digit-bucket length histogram (the drift monitor's census;
+    // streaming sibling pinned batch≡stream in StreamingRollupSpec)
+    "q104_daily_len_histogram" -> ((s, dir) =>
+      graft.operators.SeriesOps.lengthHistogramDaily(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -2032,6 +2036,13 @@ object SparkEntry {
         |    AS ttr,
         |  ROUND(CAST(hapax_terms AS DOUBLE) / CAST(distinct_terms AS DOUBLE),
         |    6) AS hapax_share
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin),
+    "q104_daily_len_histogram" -> Transcripts.oracle(
+      """SELECT MAKE_TIMESTAMP(EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |    + 86400000000) % 86400000000) AS day,
+        |  CAST(LENGTH(CAST(LENGTH(text) AS VARCHAR)) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM transcripts WHERE ts IS NOT NULL AND text IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin)
   )
 }

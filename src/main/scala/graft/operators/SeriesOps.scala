@@ -2020,6 +2020,32 @@ object SeriesOps {
     * metadata-scale day frames. THREE exchanges, ZERO joins —
     * plan-pinned.
     */
+  /** Daily turn-length histogram over [[distDrift]]'s digit-count
+    * buckets — the raw (day, bucket, n) census the drift monitor
+    * consumes, exposed as its own readout ("what does today's length
+    * mix look like?") and as the batch twin of the streaming sibling
+    * [[graft.streaming.StreamingRollup.lengthHistogram]]: per-bucket
+    * counts are plain sums, so the histogram MERGES across triggers /
+    * partitions where the drift statistic itself (a two-day
+    * comparison) does not stream. Exact longs only. Null ts / text
+    * drop.
+    *
+    * Scale: ONE raw scan, ONE exchange — the census
+    * partial-aggregates map-side to ≤ 19 rows per (task, day).
+    */
+  def lengthHistogramDaily(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    transcripts
+      .filter(col("ts").isNotNull && col("text").isNotNull)
+      .select(dayNumCol.as("_day_num"),
+        length(length(col("text")).cast("string")).cast("long").as("bucket"))
+      .groupBy(col("_day_num"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(timestamp_micros(col("_day_num") * lit(dayUs)).as("day"),
+        col("bucket"), col("n"))
+  }
+
   def distDrift(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
     val dayUs = 86400L * 1000000L

@@ -147,4 +147,28 @@ object StreamingRollup {
       .select(col("w.start").as("day"), col("turns"),
         col("approx_convs"), col("approx_tools"))
   }
+
+  /** Streaming sibling of
+    * [[graft.operators.SeriesOps.lengthHistogramDaily]] — the per-day
+    * digit-bucket length histogram [[graft.operators.SeriesOps.distDrift]]
+    * consumes. Per-bucket counts are plain sums (commutative,
+    * associative), so the histogram streams under a watermark exactly
+    * like the rollup counters, and an emitted day equals the batch
+    * census row-for-row on replayed input (spec-pinned). The DRIFT
+    * statistic itself is deliberately not streamed: it compares two
+    * CLOSED days, so the natural streaming form is this histogram
+    * sink plus the batch [[graft.operators.SeriesOps.distDrift]] over
+    * the emitted days. Epoch-aligned `window(ts, '1 day')` equals the
+    * batch µs-floor day; same null doctrine (null ts drops with the
+    * watermark filter, null text never buckets).
+    */
+  def lengthHistogram(stream: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .filter(col("ts").isNotNull && col("text").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        length(length(col("text")).cast("string")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("day"), col("bucket"), col("n"))
 }
