@@ -32,161 +32,170 @@ object ScaleProbe {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
+    // optional third arg: a regex over stage names — a degraded-phase
+    // rerun can re-measure just the data-path stages (plus whatever
+    // control stages the regex names) without paying the full chain;
+    // skipped stages report 0.00s and drop out of the total
+    val stageFilter = if (args.length > 2) Some(args(2).r) else None
+    def stage(name: String)(body: => Unit): Double =
+      if (stageFilter.forall(_.findFirstIn(name).isDefined)) timed(body)
+      else 0.0
+
     val results = (1 to reps).map { r =>
-      val tM1 = timed(Rollup.fromRaw(raw, Tier.M1).count())
+      val tM1 = stage("rollup_1m")(Rollup.fromRaw(raw, Tier.M1).count())
       val m1 = Rollup.fromRaw(raw, Tier.M1)
-      val tCascade = timed(
+      val tCascade = stage("cascade")(
         Rollup.cascade(Rollup.cascade(m1, Tier.H1), Tier.D1).count())
-      val tBlocks = timed(graft.rollup.BlockRollup.encode(raw, Tier.H1).count())
+      val tBlocks = stage("blocks")(graft.rollup.BlockRollup.encode(raw, Tier.H1).count())
       // round-3 operators: sessionize (one conv_id exchange), as-of
       // against the 1m state (union-sort form), interval join against
       // the session windows (grid-cell equi-join; its time INCLUDES
       // recomputing the session-summary input — same plan both sides of
       // an N-vs-4N pair, so the ratio stays meaningful)
-      val tSess = timed(graft.operators.Sessionize.summarize(raw, 1800L)
+      val tSess = stage("sessionize")(graft.operators.Sessionize.summarize(raw, 1800L)
         .agg(count(col("duration_sec"))).head())
       val asofRight = m1.select(col("conv_id"), col("window_start"), col("turn_count"))
       // count a PAYLOAD column, not rows: a bare count() lets the
       // optimizer prune the unused `_latest` window column and elide
       // the entire asof computation (measured: 0.5 s for 56M rows —
       // a non-measurement)
-      val tAsof = timed(graft.operators.AsofJoin.asofJoin(
+      val tAsof = stage("asof")(graft.operators.AsofJoin.asofJoin(
           raw, asofRight, "conv_id", "ts", "window_start")
         .agg(count(col("turn_count_asof"))).head())
       val sess = graft.operators.Sessionize.summarize(raw, 1800L)
-      val tInterval = timed(graft.operators.RangeJoin.intervalJoin(
+      val tInterval = stage("interval")(graft.operators.RangeJoin.intervalJoin(
         raw, sess, "conv_id", "ts", "session_start", "session_end", 3600L).count())
       // round-4 operators, same payload-count idiom: the counted column
       // is one the optimizer cannot produce without the full plan
-      val tSliding = timed(Rollup.sliding(raw)
+      val tSliding = stage("sliding")(Rollup.sliding(raw)
         .agg(count(col("char_len_avg"))).head())
-      val tTwa = timed(graft.operators.RefOps.timeWeightedAvg(raw)
+      val tTwa = stage("twa")(graft.operators.RefOps.timeWeightedAvg(raw)
         .agg(count(col("twa_char_len"))).head())
-      val tZscore = timed(graft.operators.RefOps.rollingZscore(raw)
+      val tZscore = stage("zscore")(graft.operators.RefOps.rollingZscore(raw)
         .agg(count(col("zscore"))).head())
-      val tCorr = timed(graft.operators.RefOps.lengthDriftCorr(raw)
+      val tCorr = stage("corr")(graft.operators.RefOps.lengthDriftCorr(raw)
         .agg(count(col("drift_corr"))).head())
-      val tHist = timed(Rollup.charLenHistogram(raw)
+      val tHist = stage("hist")(Rollup.charLenHistogram(raw)
         .agg(count(col("pct"))).head())
-      val tEwma = timed(graft.operators.RefOps.ewma(raw)
+      val tEwma = stage("ewma")(graft.operators.RefOps.ewma(raw)
         .agg(count(col("ewma_char_len"))).head())
-      val tCusum = timed(graft.operators.RefOps.cusumChangepoint(raw)
+      val tCusum = stage("cusum")(graft.operators.RefOps.cusumChangepoint(raw)
         .agg(count(col("cusum_pos"))).head())
-      val tAc = timed(graft.operators.RefOps.lagAutocorr(raw)
+      val tAc = stage("autocorr")(graft.operators.RefOps.lagAutocorr(raw)
         .agg(count(col("autocorr"))).head())
-      val tMad = timed(graft.operators.RefOps.madOutliers(raw)
+      val tMad = stage("mad")(graft.operators.RefOps.madOutliers(raw)
         .agg(count(col("robust_z"))).head())
-      val tGap = timed(graft.operators.RefOps.turnGapStats(raw)
+      val tGap = stage("gaps")(graft.operators.RefOps.turnGapStats(raw)
         .agg(count(col("gap_p95_us"))).head())
-      val tSp = timed(graft.operators.RefOps.spearmanDrift(raw)
+      val tSp = stage("spearman")(graft.operators.RefOps.spearmanDrift(raw)
         .agg(count(col("spearman_corr"))).head())
-      val tHolt = timed(graft.operators.RefOps.holtSmooth(raw)
+      val tHolt = stage("holt")(graft.operators.RefOps.holtSmooth(raw)
         .agg(count(col("holt_forecast"))).head())
-      val tRuns = timed(graft.operators.RefOps.roleRuns(raw)
+      val tRuns = stage("roleruns")(graft.operators.RefOps.roleRuns(raw)
         .agg(count(col("char_len_sum"))).head())
-      val tBurst = timed(graft.operators.RefOps.burstFlags(raw)
+      val tBurst = stage("burst")(graft.operators.RefOps.burstFlags(raw)
         .agg(count(col("burst_count"))).head())
-      val tDiv = timed(graft.operators.RefOps.toolDiversity(raw)
+      val tDiv = stage("diversity")(graft.operators.RefOps.toolDiversity(raw)
         .agg(count(col("simpson_diversity"))).head())
-      val tTrans = timed(graft.operators.RefOps.roleTransitions(raw)
+      val tTrans = stage("transitions")(graft.operators.RefOps.roleTransitions(raw)
         .agg(count(col("share"))).head())
-      val tVocab = timed(graft.operators.RefOps.toolVocabGrowth(raw)
+      val tVocab = stage("vocab")(graft.operators.RefOps.toolVocabGrowth(raw)
         .agg(count(col("distinct_tools_so_far"))).head())
-      val tProf = timed(graft.operators.RefOps.hourlyProfile(raw)
+      val tProf = stage("profile")(graft.operators.RefOps.hourlyProfile(raw)
         .agg(count(col("char_len_avg"))).head())
       // continuation-batch operators (q63-q72), same payload-count idiom
-      val tOhlc = timed(graft.operators.SeriesOps.ohlcCandles(raw)
+      val tOhlc = stage("ohlc")(graft.operators.SeriesOps.ohlcCandles(raw)
         .agg(count(col("hl_range"))).head())
-      val tDaily = timed(graft.operators.SeriesOps.dailyDeltas(raw)
+      val tDaily = stage("daily")(graft.operators.SeriesOps.dailyDeltas(raw)
         .agg(count(col("pct_change"))).head())
-      val tGapRep = timed(graft.operators.SeriesOps.gapReport(raw)
+      val tGapRep = stage("gapreport")(graft.operators.SeriesOps.gapReport(raw)
         .agg(count(col("gap_us"))).head())
-      val tSax = timed(graft.operators.SeriesOps.paaSax(raw)
+      val tSax = stage("paasax")(graft.operators.SeriesOps.paaSax(raw)
         .agg(count(col("symbol"))).head())
-      val tTheil = timed(graft.operators.SeriesOps.theilSenSlope(raw)
+      val tTheil = stage("theilsen")(graft.operators.SeriesOps.theilSenSlope(raw)
         .agg(count(col("theil_slope"))).head())
-      val tSeason = timed(graft.operators.SeriesOps.seasonalResidual(raw)
+      val tSeason = stage("seasonal")(graft.operators.SeriesOps.seasonalResidual(raw)
         .agg(count(col("ratio"))).head())
-      val tCooc = timed(graft.operators.SeriesOps.toolCooccurrence(raw)
+      val tCooc = stage("cooc")(graft.operators.SeriesOps.toolCooccurrence(raw)
         .agg(count(col("jaccard"))).head())
-      val tHh = timed(graft.operators.SeriesOps.heavyHittersDaily(raw)
+      val tHh = stage("heavyhitters")(graft.operators.SeriesOps.heavyHittersDaily(raw)
         .agg(count(col("share"))).head())
-      val tLat = timed(graft.operators.SeriesOps.responseLatency(raw)
+      val tLat = stage("latency")(graft.operators.SeriesOps.responseLatency(raw)
         .agg(count(col("latency_p95_us"))).head())
-      val tCohort = timed(graft.operators.SeriesOps.cohortRetention(raw)
+      val tCohort = stage("cohort")(graft.operators.SeriesOps.cohortRetention(raw)
         .agg(count(col("retention"))).head())
       // extension-batch operators (q73-q83), same payload-count idiom
-      val tMotif = timed(graft.operators.SeriesOps.saxMotifs(raw)
+      val tMotif = stage("motifs")(graft.operators.SeriesOps.saxMotifs(raw)
         .agg(count(col("exemplar_conv"))).head())
-      val tLife = timed(graft.operators.SeriesOps.convLifecycle(raw)
+      val tLife = stage("lifecycle")(graft.operators.SeriesOps.convLifecycle(raw)
         .agg(count(col("turns_per_active_day"))).head())
-      val tTopk = timed(graft.operators.SeriesOps.termTopK(raw)
+      val tTopk = stage("termtopk")(graft.operators.SeriesOps.termTopK(raw)
         .agg(count(col("share"))).head())
-      val tLift = timed(graft.operators.SeriesOps.termLift(raw)
+      val tLift = stage("termlift")(graft.operators.SeriesOps.termLift(raw)
         .agg(count(col("lift"))).head())
-      val tMk = timed(graft.operators.SeriesOps.mannKendall(raw)
+      val tMk = stage("mannkendall")(graft.operators.SeriesOps.mannKendall(raw)
         .agg(count(col("tau_b"))).head())
-      val tRs = timed(graft.operators.SeriesOps.rescaledRange(raw)
+      val tRs = stage("rs")(graft.operators.SeriesOps.rescaledRange(raw)
         .agg(count(col("rs_stat"))).head())
-      val tRank = timed(graft.operators.SeriesOps.dayActivityRank(raw)
+      val tRank = stage("dayrank")(graft.operators.SeriesOps.dayActivityRank(raw)
         .agg(count(col("pct"))).head())
-      val tPairc = timed(graft.operators.SeriesOps.toolPairCorrelation(raw)
+      val tPairc = stage("paircorr")(graft.operators.SeriesOps.toolPairCorrelation(raw)
         .agg(count(col("corr"))).head())
-      val tSplit = timed(graft.operators.SeriesOps.binarySplit(raw)
+      val tSplit = stage("binsplit")(graft.operators.SeriesOps.binarySplit(raw)
         .agg(count(col("sse_gain"))).head())
-      val tCad = timed(graft.operators.SeriesOps.toolCadence(raw)
+      val tCad = stage("cadence")(graft.operators.SeriesOps.toolCadence(raw)
         .agg(count(col("gap_p95_us"))).head())
-      val tVg = timed(graft.operators.SeriesOps.termVocabGrowth(raw)
+      val tVg = stage("vocabgrowth")(graft.operators.SeriesOps.termVocabGrowth(raw)
         .agg(count(col("cum_vocab"))).head())
       // cardinality pair: exact Expand-dedup vs mergeable HLL++ sketch —
       // the probe's one side-by-side of the same semantics at two
       // shuffle geometries
-      val tCard = timed(graft.operators.SeriesOps.dailyCardinality(raw)
+      val tCard = stage("cardexact")(graft.operators.SeriesOps.dailyCardinality(raw)
         .agg(count(col("distinct_convs"))).head())
-      val tCardA = timed(graft.operators.SeriesOps.dailyCardinalityApprox(raw)
+      val tCardA = stage("cardsketch")(graft.operators.SeriesOps.dailyCardinalityApprox(raw)
         .agg(count(col("approx_convs"))).head())
       // grid-correlation family. Each persists its census internally;
       // a cacheManager.clearCache() here would also evict the probe's
       // cached raw input, so the censuses stay — reps 2+ are
       // census-warm for these two stages, identically in both the N
       // and 4N configs, which is what the ratio needs
-      val tAcf = timed(graft.operators.SeriesOps.dailyAutocorr(raw)
+      val tAcf = stage("dailyacf")(graft.operators.SeriesOps.dailyAutocorr(raw)
         .agg(count(col("corr"))).head())
-      val tLl = timed(graft.operators.SeriesOps.toolLeadLag(raw)
+      val tLl = stage("leadlag")(graft.operators.SeriesOps.toolLeadLag(raw)
         .agg(count(col("corr"))).head())
       // growth/concentration/duplication family: the payload column is
       // one the plan cannot produce without the full operator
-      val tGini = timed(graft.operators.SeriesOps.dailyGini(raw)
+      val tGini = stage("gini")(graft.operators.SeriesOps.dailyGini(raw)
         .agg(count(col("gini"))).head())
-      val tSurv = timed(graft.operators.SeriesOps.survivalCurve(raw)
+      val tSurv = stage("survival")(graft.operators.SeriesOps.survivalCurve(raw)
         .agg(count(col("survival_frac"))).head())
-      val tStreak = timed(graft.operators.SeriesOps.activeStreaks(raw)
+      val tStreak = stage("streaks")(graft.operators.SeriesOps.activeStreaks(raw)
         .agg(count(col("longest_streak"))).head())
-      val tNvr = timed(graft.operators.SeriesOps.newVsReturning(raw)
+      val tNvr = stage("newvsret")(graft.operators.SeriesOps.newVsReturning(raw)
         .agg(count(col("cum_convs"))).head())
-      val tAdopt = timed(graft.operators.SeriesOps.toolAdoption(raw)
+      val tAdopt = stage("adoption")(graft.operators.SeriesOps.toolAdoption(raw)
         .agg(count(col("cum_convs"))).head())
-      val tDup = timed(graft.operators.SeriesOps.dailyDupRate(raw)
+      val tDup = stage("duprate")(graft.operators.SeriesOps.dailyDupRate(raw)
         .agg(count(col("dup_rate"))).head())
-      val tFano = timed(graft.operators.SeriesOps.convBurstiness(raw)
+      val tFano = stage("fano")(graft.operators.SeriesOps.convBurstiness(raw)
         .agg(count(col("fano"))).head())
-      val tHalf = timed(graft.operators.SeriesOps.charHalfLife(raw)
+      val tHalf = stage("halflife")(graft.operators.SeriesOps.charHalfLife(raw)
         .agg(count(col("half_frac"))).head())
-      val tWhale = timed(graft.operators.SeriesOps.whaleConvsDaily(raw)
+      val tWhale = stage("whales")(graft.operators.SeriesOps.whaleConvsDaily(raw)
         .agg(count(col("share"))).head())
-      val tConc = timed(graft.operators.SeriesOps.convConcurrency(raw)
+      val tConc = stage("concurrency")(graft.operators.SeriesOps.convConcurrency(raw)
         .agg(count(col("open_convs"))).head())
-      val tChurn = timed(graft.operators.SeriesOps.toolsetChurn(raw)
+      val tChurn = stage("churn")(graft.operators.SeriesOps.toolsetChurn(raw)
         .agg(count(col("jaccard"))).head())
-      val tRec = timed(graft.operators.SeriesOps.recordDays(raw)
+      val tRec = stage("records")(graft.operators.SeriesOps.recordDays(raw)
         .agg(count(col("days_since_record"))).head())
-      val tLor = timed(graft.operators.SeriesOps.lorenzDeciles(raw)
+      val tLor = stage("lorenz")(graft.operators.SeriesOps.lorenzDeciles(raw)
         .agg(count(col("cum_share"))).head())
-      val tDrift = timed(graft.operators.SeriesOps.distDrift(raw)
+      val tDrift = stage("drift")(graft.operators.SeriesOps.distDrift(raw)
         .agg(count(col("tv_dist"))).head())
-      val tTermChurn = timed(graft.operators.SeriesOps.termChurnDaily(raw)
+      val tTermChurn = stage("termchurn")(graft.operators.SeriesOps.termChurnDaily(raw)
         .agg(count(col("jaccard"))).head())
-      val tTtr = timed(graft.operators.SeriesOps.typeTokenRatio(raw)
+      val tTtr = stage("ttr")(graft.operators.SeriesOps.typeTokenRatio(raw)
         .agg(count(col("ttr"))).head())
       val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
