@@ -462,7 +462,10 @@ object SparkEntry {
     // daily digit-bucket length histogram (the drift monitor's census;
     // streaming sibling pinned batch≡stream in StreamingRollupSpec)
     "q104_daily_len_histogram" -> ((s, dir) =>
-      graft.operators.SeriesOps.lengthHistogramDaily(transcripts(s, dir)))
+      graft.operators.SeriesOps.lengthHistogramDaily(transcripts(s, dir))),
+    // daily shingle novelty: first-seen 3-gram share (corpus freshness)
+    "q105_shingle_novelty" -> ((s, dir) =>
+      graft.operators.SeriesOps.shingleNoveltyDaily(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -2043,6 +2046,44 @@ object SparkEntry {
         |  CAST(LENGTH(CAST(LENGTH(text) AS VARCHAR)) AS BIGINT) AS bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM transcripts WHERE ts IS NOT NULL AND text IS NOT NULL
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin),
+    // the canonical shingle unit: 3-word grams, short texts collapse
+    // to one whole-text shingle, 28-bit md5-prefix hash — the same
+    // mirror the minhash/winnowing oracles use term-for-term
+    "q105_shingle_novelty" -> Transcripts.oracle(
+      """, sg AS (
+        |  SELECT (EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) // 86400000000 AS day_num,
+        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+        |         ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |                i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+        |    END AS sh
+        |  FROM transcripts WHERE ts IS NOT NULL AND text IS NOT NULL),
+        |tk AS (
+        |  SELECT day_num,
+        |    UNNEST(list_transform(sh,
+        |      s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT))) AS h
+        |  FROM sg),
+        |cs AS (SELECT day_num, h, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |f AS (SELECT day_num, h, c,
+        |    MIN(day_num) OVER (PARTITION BY h) AS first
+        |  FROM cs),
+        |d AS (
+        |  SELECT day_num,
+        |    CAST(SUM(c) AS BIGINT) AS shingle_occ,
+        |    CAST(COUNT(*) AS BIGINT) AS distinct_shingles,
+        |    CAST(SUM(CASE WHEN first = day_num THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS new_shingles,
+        |    CAST(SUM(CASE WHEN first = day_num THEN c ELSE 0 END) AS BIGINT)
+        |      AS new_occ
+        |  FROM f GROUP BY 1)
+        |SELECT MAKE_TIMESTAMP(day_num * 86400000000) AS day, shingle_occ,
+        |  distinct_shingles, new_shingles, new_occ,
+        |  ROUND(CAST(new_shingles AS DOUBLE)
+        |    / CAST(distinct_shingles AS DOUBLE), 6) AS novelty_rate,
+        |  ROUND(CAST(new_occ AS DOUBLE) / CAST(shingle_occ AS DOUBLE), 6)
+        |    AS occ_novelty_rate
+        |FROM d""".stripMargin)
   )
 }

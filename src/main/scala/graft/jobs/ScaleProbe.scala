@@ -197,6 +197,8 @@ object ScaleProbe {
         .agg(count(col("jaccard"))).head())
       val tTtr = stage("ttr")(graft.operators.SeriesOps.typeTokenRatio(raw)
         .agg(count(col("ttr"))).head())
+      val tNov = stage("novelty")(graft.operators.SeriesOps.shingleNoveltyDaily(raw)
+        .agg(count(col("novelty_rate"))).head())
       val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
@@ -205,7 +207,7 @@ object ScaleProbe {
         tLift + tMk + tRs + tRank + tPairc + tSplit + tCad + tVg +
         tCard + tCardA + tAcf + tLl + tGini + tSurv + tStreak + tNvr +
         tAdopt + tDup + tFano + tHalf + tWhale + tConc + tChurn + tRec +
-        tLor + tDrift + tTermChurn + tTtr
+        tLor + tDrift + tTermChurn + tTtr + tNov
       println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
         f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs sessionize=$tSess%.2fs " +
         f"asof=$tAsof%.2fs interval=$tInterval%.2fs sliding=$tSliding%.2fs " +
@@ -228,7 +230,7 @@ object ScaleProbe {
         f"fano=$tFano%.2fs halflife=$tHalf%.2fs whales=$tWhale%.2fs " +
         f"concurrency=$tConc%.2fs churn=$tChurn%.2fs records=$tRec%.2fs " +
         f"lorenz=$tLor%.2fs drift=$tDrift%.2fs " +
-        f"termchurn=$tTermChurn%.2fs ttr=$tTtr%.2fs " +
+        f"termchurn=$tTermChurn%.2fs ttr=$tTtr%.2fs novelty=$tNov%.2fs " +
         f"total=$total%.2fs throughput=${n / tM1}%.0f turns/s")
       total
     }

@@ -2195,4 +2195,58 @@ object SeriesOps {
         round(col("hapax_terms").cast("double") /
           col("distinct_terms").cast("double"), 6).as("hapax_share"))
   }
+
+  /** Daily shingle novelty — per UTC text day: how much of the day's
+    * 3-gram shingle content has NEVER appeared before, as a share of
+    * the day's distinct shingles and of its shingle occurrences. The
+    * corpus-freshness KPI a training-data pipeline reads daily ("is
+    * the crawl still finding new text, or re-ingesting the same
+    * phrases?") — the SHINGLE-grain lens between [[dailyDupRate]]
+    * (whole-text identity), [[termVocabGrowth]] (single tokens ever),
+    * and the dedup family (pairwise near-dup): boilerplate creep
+    * shows here first, before whole texts collide.
+    *
+    * Shingles are the engine's ONE canonical text-identity unit: the
+    * native [[graft.functions.TextOps.shingleHashes3]] expression
+    * (3-word grams, short texts collapse to a whole-text shingle, the
+    * 28-bit md5-prefix hash) — the exact unit the minhash/winnowing
+    * pipelines and their DuckDB mirrors already share, so the oracle
+    * reconstructs it term-for-term. First-seen is min day per hash
+    * over the collapsed census ([[termVocabGrowth]] first-flag
+    * machinery). Counts exact longs; the two novelty rates are the
+    * rounded divisions, denominators ≥ 1 by row existence. Null ts /
+    * text drop.
+    *
+    * Scale: the (day, h28) census partial-aggregates map-side (ONE
+    * raw-shingle exchange — hashes shuffle, never text); the
+    * first-seen window re-clusters the COLLAPSED census by hash
+    * (distinct-shingle scale); the day reduction is metadata-scale.
+    */
+  def shingleNoveltyDaily(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val census = transcripts
+      .filter(col("ts").isNotNull && col("text").isNotNull)
+      .select(dayNumCol.as("day_num"),
+        explode(graft.functions.TextOps.shingleHashes3(col("text"))).as("h"))
+      .groupBy(col("day_num"), col("h"))
+      .agg(count(lit(1)).as("_c"))
+    val wH = Window.partitionBy(col("h"))
+    census
+      .withColumn("_first", min(col("day_num")).over(wH))
+      .groupBy(col("day_num"))
+      .agg(sum(col("_c")).as("shingle_occ"),
+        count(lit(1)).as("distinct_shingles"),
+        sum(when(col("_first") === col("day_num"), 1L).otherwise(0L))
+          .as("new_shingles"),
+        sum(when(col("_first") === col("day_num"), col("_c")).otherwise(0L))
+          .as("new_occ"))
+      .select(timestamp_micros(col("day_num") * lit(dayUs)).as("day"),
+        col("shingle_occ"), col("distinct_shingles"), col("new_shingles"),
+        col("new_occ"),
+        round(col("new_shingles").cast("double") /
+          col("distinct_shingles").cast("double"), 6).as("novelty_rate"),
+        round(col("new_occ").cast("double") /
+          col("shingle_occ").cast("double"), 6).as("occ_novelty_rate"))
+  }
 }

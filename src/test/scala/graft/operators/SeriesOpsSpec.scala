@@ -1635,4 +1635,38 @@ class SeriesOpsSpec extends SparkTestBase {
       assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, r.toString)
     }
   }
+
+  test("shingleNoveltyDaily golden: 3-gram unit, short-text collapse, first-seen split") {
+    val df = turnsDf(Seq(
+      // day 1: "a b c d" -> shingles {"a b c","b c d"}; "x" (short)
+      // collapses to the whole-text shingle -> all 3 first-seen
+      ("A", 0, "user", "a b c d", null, "2024-01-01 01:00:00"),
+      ("A", 1, "user", "x", null, "2024-01-01 02:00:00"),
+      // day 2: "a b c e" -> {"a b c" (seen), "b c e" (new)}; "x" seen
+      ("B", 0, "user", "a b c e", null, "2024-01-02 01:00:00"),
+      ("B", 1, "user", "x", null, "2024-01-02 02:00:00"),
+      ("B", 2, "user", null, null, "2024-01-02 03:00:00"))) // null drops
+    val out = SeriesOps.shingleNoveltyDaily(df).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out == Map(
+      "2024-01-01 00:00:00.0" -> ((3L, 3L, 3L, 3L, 1.0, 1.0)),
+      "2024-01-02 00:00:00.0" -> ((3L, 3L, 1L, 1L, 0.333333, 0.333333))))
+  }
+
+  test("shingleNoveltyDaily invariants on synth: first day all-new, rates bounded") {
+    val rows = SeriesOps.shingleNoveltyDaily(turns).collect()
+      .sortBy(_.getTimestamp(0).getTime)
+    assert(rows.nonEmpty)
+    // the first observed day has no history: everything is new
+    assert(rows.head.getDouble(5) == 1.0 && rows.head.getDouble(6) == 1.0)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "new <= distinct")
+      assert(r.getLong(4) <= r.getLong(1), "new occ <= occ")
+      assert(r.getLong(2) <= r.getLong(1), "distinct <= occ")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, r.toString)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0, r.toString)
+    }
+  }
 }
