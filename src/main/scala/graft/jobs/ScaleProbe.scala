@@ -231,11 +231,13 @@ object ScaleProbe {
         f"concurrency=$tConc%.2fs churn=$tChurn%.2fs records=$tRec%.2fs " +
         f"lorenz=$tLor%.2fs drift=$tDrift%.2fs " +
         f"termchurn=$tTermChurn%.2fs ttr=$tTtr%.2fs novelty=$tNov%.2fs " +
-        f"total=$total%.2fs throughput=${n / tM1}%.0f turns/s")
+        f"total=$total%.2fs " +
+        (if (tM1 > 0) f"throughput=${n / tM1}%.0f turns/s" else "throughput=n/a"))
       total
     }
     println(f"[scale-probe] BEST cores=$cores total=${results.min}%.2fs " +
-      f"chain_throughput=${n / results.min}%.0f turns/s")
+      (if (results.min > 0) f"chain_throughput=${n / results.min}%.0f turns/s"
+       else "chain_throughput=n/a"))
     spark.stop()
   }
 }

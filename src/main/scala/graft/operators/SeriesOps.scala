@@ -1207,6 +1207,32 @@ object SeriesOps {
       s"- pmod(unix_micros(cast(ts as timestamp)), $dayUs)) div $dayUs")
   }
 
+  /** Digit-count length bucket of `text` (exact integer text algebra,
+    * no log2 float boundary) — the single definition of the histogram
+    * bucket rule shared by [[lengthHistogramDaily]], [[distDrift]],
+    * and the streaming sibling
+    * [[graft.streaming.StreamingRollup.lengthHistogram]]; the DuckDB
+    * mirror is `LENGTH(CAST(LENGTH(text) AS VARCHAR))` — change them
+    * in lockstep (the [[dayNumCol]] doctrine).
+    */
+  private[graft] def lenBucketCol: org.apache.spark.sql.Column =
+    length(length(col("text")).cast("string")).cast("long")
+
+  /** Shared (day_num, term, count) census of [[termChurnDaily]] and
+    * [[typeTokenRatio]] — the [[termTopK]] tokenization convention
+    * (single-space split, empty fragments included), day-bucketed by
+    * [[dayNumCol]]. ONE raw-token exchange, partial map-side.
+    */
+  private def dayTermCensus(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    transcripts
+      .filter(col("ts").isNotNull && col("text").isNotNull)
+      .select(dayNumCol.as("day_num"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("day_num"), col("term"))
+      .agg(count(lit(1)).as("_c"))
+  }
+
   def dailyCardinality(transcripts: DataFrame): DataFrame =
     dayActivityFrame(transcripts)
       .groupBy(col("day"))
@@ -1986,6 +2012,32 @@ object SeriesOps {
           col("day_turns").cast("double"), 6).as("cum_share"))
   }
 
+  /** Daily turn-length histogram over [[distDrift]]'s digit-count
+    * buckets — the raw (day, bucket, n) census the drift monitor
+    * consumes, exposed as its own readout ("what does today's length
+    * mix look like?") and as the batch twin of the streaming sibling
+    * [[graft.streaming.StreamingRollup.lengthHistogram]]: per-bucket
+    * counts are plain sums, so the histogram MERGES across triggers /
+    * partitions where the drift statistic itself (a two-day
+    * comparison) does not stream. Exact longs only. Null ts / text
+    * drop.
+    *
+    * Scale: ONE raw scan, ONE exchange — the census
+    * partial-aggregates map-side to ≤ 19 rows per (task, day).
+    */
+  def lengthHistogramDaily(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    transcripts
+      .filter(col("ts").isNotNull && col("text").isNotNull)
+      .select(dayNumCol.as("_day_num"),
+        lenBucketCol.as("bucket"))
+      .groupBy(col("_day_num"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(timestamp_micros(col("_day_num") * lit(dayUs)).as("day"),
+        col("bucket"), col("n"))
+  }
+
   /** Day-over-day distribution drift — for each UTC day vs the
     * previous OBSERVED text day: the Kolmogorov-Smirnov statistic
     * (max CDF gap) and total-variation distance between the two days'
@@ -2020,32 +2072,6 @@ object SeriesOps {
     * metadata-scale day frames. THREE exchanges, ZERO joins —
     * plan-pinned.
     */
-  /** Daily turn-length histogram over [[distDrift]]'s digit-count
-    * buckets — the raw (day, bucket, n) census the drift monitor
-    * consumes, exposed as its own readout ("what does today's length
-    * mix look like?") and as the batch twin of the streaming sibling
-    * [[graft.streaming.StreamingRollup.lengthHistogram]]: per-bucket
-    * counts are plain sums, so the histogram MERGES across triggers /
-    * partitions where the drift statistic itself (a two-day
-    * comparison) does not stream. Exact longs only. Null ts / text
-    * drop.
-    *
-    * Scale: ONE raw scan, ONE exchange — the census
-    * partial-aggregates map-side to ≤ 19 rows per (task, day).
-    */
-  def lengthHistogramDaily(transcripts: DataFrame): DataFrame = {
-    TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
-    transcripts
-      .filter(col("ts").isNotNull && col("text").isNotNull)
-      .select(dayNumCol.as("_day_num"),
-        length(length(col("text")).cast("string")).cast("long").as("bucket"))
-      .groupBy(col("_day_num"), col("bucket"))
-      .agg(count(lit(1)).as("n"))
-      .select(timestamp_micros(col("_day_num") * lit(dayUs)).as("day"),
-        col("bucket"), col("n"))
-  }
-
   def distDrift(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
     val dayUs = 86400L * 1000000L
@@ -2053,7 +2079,7 @@ object SeriesOps {
     val perDay = transcripts
       .filter(col("ts").isNotNull && col("text").isNotNull)
       .select(dayNum.as("day_num"),
-        length(length(col("text")).cast("string")).cast("long").as("bucket"))
+        lenBucketCol.as("bucket"))
       .groupBy(col("day_num"), col("bucket"))
       .agg(count(lit(1)).as("_c"))
       .groupBy(col("day_num"))
@@ -2122,14 +2148,8 @@ object SeriesOps {
     */
   def termChurnDaily(transcripts: DataFrame, k: Int = 50): DataFrame = {
     require(k >= 1 && k <= 100000, s"k must be in [1, 100000], got $k")
-    TimeArith.requireUtcForNtz(transcripts, "ts")
     val dayUs = 86400L * 1000000L
-    val census = transcripts
-      .filter(col("ts").isNotNull && col("text").isNotNull)
-      .select(dayNumCol.as("day_num"),
-        explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("day_num"), col("term"))
-      .agg(count(lit(1)).as("_c"))
+    val census = dayTermCensus(transcripts)
     val wRank = Window.partitionBy(col("day_num"))
       .orderBy(col("_c").desc, col("term"))
     val wLag = Window.orderBy(col("day_num"))
@@ -2176,14 +2196,8 @@ object SeriesOps {
     * (day)-key exchange output is the metadata-scale day frame.
     */
   def typeTokenRatio(transcripts: DataFrame): DataFrame = {
-    TimeArith.requireUtcForNtz(transcripts, "ts")
     val dayUs = 86400L * 1000000L
-    transcripts
-      .filter(col("ts").isNotNull && col("text").isNotNull)
-      .select(dayNumCol.as("day_num"),
-        explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("day_num"), col("term"))
-      .agg(count(lit(1)).as("_c"))
+    dayTermCensus(transcripts)
       .groupBy(col("day_num"))
       .agg(sum(col("_c")).as("tokens"),
         count(lit(1)).as("distinct_terms"),

@@ -168,7 +168,7 @@ object StreamingRollup {
       .filter(col("ts").isNotNull && col("text").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 day").as("w"),
-        length(length(col("text")).cast("string")).cast("long").as("bucket"))
+        graft.operators.SeriesOps.lenBucketCol.as("bucket"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("day"), col("bucket"), col("n"))
 }

@@ -486,6 +486,49 @@ class PlanShapeSpec extends SparkTestBase {
       s"day histograms need map-side combine:\n$pDrift")
   }
 
+  test("term churn / TTR / shingle novelty / length histogram: census shapes, zero joins") {
+    import graft.operators.SeriesOps
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
+
+    // term churn: (day, term) census + day rank window + top-set
+    // aggregation + lag; the rank <= k filter must push a group limit
+    // in BOTH partial (pre-shuffle, task-parallel) and final modes
+    val pTc = plan(SeriesOps.termChurnDaily(turns))
+    assert(exchanges(pTc) == 3,
+      s"term churn is census + day rank + day lag:\n$pTc")
+    assert(!pTc.contains("Join"), s"term churn must not join:\n$pTc")
+    assert("WindowGroupLimit".r.findAllIn(pTc).size == 2,
+      s"rank cutoff must push partial+final group limits:\n$pTc")
+    assert(pTc.contains("partial_collect_set"),
+      s"top-set needs map-side combine:\n$pTc")
+
+    // TTR: the same (day, term) census + day reduction — two
+    // exchanges, no windows, no joins
+    val pTtr = plan(SeriesOps.typeTokenRatio(turns))
+    assert(exchanges(pTtr) == 2,
+      s"TTR is census + day reduction:\n$pTtr")
+    assert(!pTtr.contains("Join"), s"TTR must not join:\n$pTtr")
+    assert(pTtr.contains("partial_count"),
+      s"term census needs map-side combine:\n$pTtr")
+
+    // novelty: (day, h28) census + first-seen hash window + day
+    // reduction — hashes shuffle, never text
+    val pNov = plan(SeriesOps.shingleNoveltyDaily(turns))
+    assert(exchanges(pNov) == 3,
+      s"novelty is census + hash window + day reduction:\n$pNov")
+    assert(!pNov.contains("Join"), s"novelty must not join:\n$pNov")
+    assert(pNov.contains("partial_count"),
+      s"shingle census needs map-side combine:\n$pNov")
+
+    // daily length histogram: ONE exchange, nothing else
+    val pHist = plan(SeriesOps.lengthHistogramDaily(turns))
+    assert(exchanges(pHist) == 1,
+      s"histogram is one census exchange:\n$pHist")
+    assert(!pHist.contains("Join"), s"histogram must not join:\n$pHist")
+    assert(pHist.contains("partial_count"),
+      s"histogram census needs map-side combine:\n$pHist")
+  }
+
   test("daily cardinality: exact pays the Expand-dedup, the HLL++ sibling is one mergeable exchange") {
     import graft.operators.SeriesOps
     def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
