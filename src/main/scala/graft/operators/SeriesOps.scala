@@ -1644,8 +1644,12 @@ object SeriesOps {
     val us = unix_micros(col("ts").cast("timestamp"))
     transcripts
       .filter(col("ts").isNotNull && col("text").isNotNull)
+      // unhex halves the shuffled key bytes (16-byte binary digest vs
+      // the 32-char hex string) with IDENTICAL grouping: unhex∘md5 is
+      // a bijection of md5's image, and no hash column reaches the
+      // output, so the oracle's hex grouping partitions rows the same
       .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
-        md5(col("text")).as("_h"))
+        unhex(md5(col("text"))).as("_h"))
       .groupBy(col("day"), col("_h"))
       .agg(count(lit(1)).as("_c"))
       .groupBy(col("day"))
