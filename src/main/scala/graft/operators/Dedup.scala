@@ -19,9 +19,15 @@ object Dedup {
     */
   def exact(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), md5(col("text")).as("text_hash"))
-      .groupBy(col("text_hash"))
+      // shuffle the 16-byte binary digest, not the 32-char hex string
+      // (halves key bytes; unhex∘md5 is a bijection of md5's image so
+      // the grouping is identical), and re-hex only the collapsed
+      // group keys — lower(hex(unhex(x))) = x for md5's lowercase hex
+      .select(col("doc_id"), unhex(md5(col("text"))).as("_h"))
+      .groupBy(col("_h"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("dup_count"))
+      .select(lower(hex(col("_h"))).as("text_hash"),
+        col("keeper_doc_id"), col("dup_count"))
 
   /** MinHash signatures: `k` universal-hash min-hashes over 3-word
     * shingles (one row per doc, computed in a single map pass — no
