@@ -785,7 +785,8 @@ object SparkEntry {
         |  SELECT conv_id, CAST(LENGTH(text) AS BIGINT) AS char_len,
         |         EPOCH_US(LEAD(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx))
         |           - EPOCH_US(ts) AS dt_us
-        |  FROM transcripts WHERE text IS NOT NULL)
+        |  FROM transcripts
+        |  WHERE text IS NOT NULL AND ts IS NOT NULL AND turn_idx IS NOT NULL)
         |SELECT conv_id,
         |  CASE WHEN SUM(dt_us) = 0 THEN NULL
         |       ELSE CAST(SUM(CAST(char_len AS HUGEINT) * dt_us) AS DOUBLE)
@@ -825,7 +826,8 @@ object SparkEntry {
         |    CAST(SUM(turn_idx * CAST(LENGTH(text) AS BIGINT)) AS BIGINT) AS sxy,
         |    CAST(SUM(CAST(turn_idx AS BIGINT) * turn_idx) AS BIGINT) AS sxx,
         |    CAST(SUM(CAST(LENGTH(text) AS BIGINT) * LENGTH(text)) AS BIGINT) AS syy
-        |  FROM transcripts WHERE text IS NOT NULL GROUP BY 1),
+        |  FROM transcripts
+        |  WHERE text IS NOT NULL AND turn_idx IS NOT NULL GROUP BY 1),
         |v AS (
         |  SELECT conv_id, n,
         |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov,

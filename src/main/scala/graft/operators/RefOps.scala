@@ -299,8 +299,13 @@ object RefOps {
       // a NULL length is a MISSING sample: drop it before the lead so
       // the previous turn holds across the gap (the LOCF semantic) —
       // keeping it would add its duration to the denominator with no
-      // numerator weight, silently deflating the average
-      .filter(col("text").isNotNull)
+      // numerator weight, silently deflating the average. Null ts has
+      // no place on the time axis and null turn_idx cannot tiebreak
+      // the window order (Spark sorts NULL first, DuckDB last — a tied
+      // ts would pair different leads across engines); both drop, the
+      // family doctrine every other ordered operator applies.
+      .filter(col("text").isNotNull && col("ts").isNotNull &&
+        col("turn_idx").isNotNull)
       .withColumn("char_len", length(col("text")).cast("long"))
       .withColumn("dt_us", lead(tsUs, 1).over(w) - tsUs)
       .filter(col("dt_us").isNotNull)
@@ -385,10 +390,11 @@ object RefOps {
       .select(col("conv_id"),
         col("turn_idx").cast("long").as("x"),
         length(col("text")).cast("long").as("y"))
-      // a NULL length must drop the whole OBSERVATION: null-skipping
-      // sums with a count(*)-style n would mix moments over different
-      // row sets and corrupt r (sign flips included)
-      .filter(col("y").isNotNull)
+      // a NULL on EITHER axis must drop the whole OBSERVATION:
+      // null-skipping sums with a count(*)-style n would mix moments
+      // over different row sets and corrupt r (sign flips included) —
+      // x (turn_idx) nulls are exactly as corrupting as y nulls
+      .filter(col("x").isNotNull && col("y").isNotNull)
     pearsonFromMoments(s, nName = "n", outName = "drift_corr")
   }
 

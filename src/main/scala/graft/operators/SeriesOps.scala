@@ -123,13 +123,11 @@ object SeriesOps {
     */
   def dailyDeltas(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
-    val us = unix_micros(col("ts").cast("timestamp"))
     val daily = transcripts
       .filter(col("ts").isNotNull)
       .select(
         col("conv_id"),
-        timestamp_micros(us - pmod(us, lit(dayUs))).as("day_start"))
+        dayStartCol.as("day_start"))
       .groupBy(col("conv_id"), col("day_start"))
       .agg(count(lit(1)).as("turn_count"))
     val w = Window.partitionBy(col("conv_id")).orderBy(col("day_start"))
@@ -403,11 +401,9 @@ object SeriesOps {
   def heavyHittersDaily(transcripts: DataFrame, k: Int = 3): DataFrame = {
     require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
     TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
-    val us = unix_micros(col("ts").cast("timestamp"))
     val census = transcripts
       .filter(col("ts").isNotNull && col("tool").isNotNull)
-      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day_start"),
+      .select(dayStartCol.as("day_start"),
         col("tool"))
       .groupBy(col("day_start"), col("tool"))
       .agg(count(lit(1)).as("calls"))
@@ -849,12 +845,10 @@ object SeriesOps {
     */
   def dayActivityRank(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
-    val us = unix_micros(col("ts").cast("timestamp"))
     val daily = transcripts
       .filter(col("ts").isNotNull)
       .select(col("conv_id"),
-        timestamp_micros(us - pmod(us, lit(dayUs))).as("day"))
+        dayStartCol.as("day"))
       .groupBy(col("conv_id"), col("day"))
       .agg(count(lit(1)).as("turn_count"))
     val wDay = Window.partitionBy(col("day"))
@@ -941,11 +935,9 @@ object SeriesOps {
 
   def toolPairCorrelation(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
-    val us = unix_micros(col("ts").cast("timestamp"))
     val census = transcripts
       .filter(col("ts").isNotNull && col("tool").isNotNull)
-      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+      .select(dayStartCol.as("day"),
         col("tool"))
       .groupBy(col("day"), col("tool"))
       .agg(count(lit(1)).as("calls"))
@@ -1091,11 +1083,9 @@ object SeriesOps {
     */
   def termVocabGrowth(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
-    val us = unix_micros(col("ts").cast("timestamp"))
     val census = transcripts
       .filter(col("ts").isNotNull && col("text").isNotNull)
-      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+      .select(dayStartCol.as("day"),
         explode(split(col("text"), " ")).as("term"))
       .groupBy(col("day"), col("term"))
       .agg(count(lit(1)).as("cnt"))
@@ -1184,11 +1174,9 @@ object SeriesOps {
     */
   private def dayActivityFrame(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
-    val us = unix_micros(col("ts").cast("timestamp"))
     transcripts
       .filter(col("ts").isNotNull)
-      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+      .select(dayStartCol.as("day"),
         col("conv_id"), col("tool"))
   }
 
@@ -1205,6 +1193,21 @@ object SeriesOps {
     val dayUs = 86400L * 1000000L
     expr(s"(unix_micros(cast(ts as timestamp)) " +
       s"- pmod(unix_micros(cast(ts as timestamp)), $dayUs)) div $dayUs")
+  }
+
+  /** UTC day FLOOR of `ts` as a timestamp — the timestamp twin of
+    * [[dayNumCol]] and the single definition of the day-bucketing rule
+    * for every day-keyed census in this file (µs-floor idiom: integer
+    * arithmetic on epoch micros, no calendar fields, so only the NTZ
+    * zone guard applies). Its DuckDB oracle mirror is the
+    * `MAKE_TIMESTAMP(EPOCH_US(ts) - ...pmod...)`/`DATE_TRUNC('day')`
+    * clause family; a change here must change those oracles in
+    * lockstep (the [[pearsonPairCorr]] doctrine).
+    */
+  private def dayStartCol: org.apache.spark.sql.Column = {
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    timestamp_micros(us - pmod(us, lit(dayUs)))
   }
 
   /** Digit-count length bucket of `text` (exact integer text algebra,
@@ -1282,9 +1285,9 @@ object SeriesOps {
     * (never a series); null ts drops (time axis).
     *
     * Scale: the (day, tool) census partial-aggregates map-side to
-    * ≤ days×|toolbox| rows and is PERSISTED (its range anchor,
-    * toolbox distinct, and zero-fill join are three references — the
-    * [[dailyAutocorr]] single-raw-scan doctrine, plan-pinned); the
+    * ≤ days×|toolbox| rows and is materialized ONCE via localCheckpoint
+    * (its range anchor, toolbox distinct, and zero-fill join are three
+    * references — the [[dailyAutocorr]] single-raw-scan doctrine); the
     * grid, the lag explode, the idx+lag join, and the pair moments
     * are all metadata-scale (≤ days × |toolbox|² × maxLag rows).
     * Output is ≤ |toolbox|² × maxLag rows.
@@ -1294,14 +1297,20 @@ object SeriesOps {
       s"maxLag must be in [1, 366], got $maxLag")
     TimeArith.requireUtcForNtz(transcripts, "ts")
     val dayUs = 86400L * 1000000L
-    val us = unix_micros(col("ts").cast("timestamp"))
     val census = transcripts
       .filter(col("ts").isNotNull && col("tool").isNotNull)
-      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+      .select(dayStartCol.as("day"),
         col("tool"))
       .groupBy(col("day"), col("tool"))
       .agg(count(lit(1)).as("calls"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, NOT persist: a persist here registers a
+      // CacheManager entry that outlives the query (nothing can
+      // unpersist it — the frame is returned lazily), accumulating
+      // pinned blocks across calls in a long-lived session. The
+      // checkpointed census is ≤ days×|toolbox| rows, eager
+      // materialization is one map-side-combined scan, and its blocks
+      // free with the RDD once the result is GC'd.
+      .localCheckpoint()
     val days = census
       .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
       .select(explode(sequence(col("_d0"), col("_d1"),
@@ -1347,9 +1356,9 @@ object SeriesOps {
     * axis).
     *
     * Scale: the daily census partial-aggregates map-side to ≤ days
-    * rows and is PERSISTED (MEMORY_AND_DISK, the [[Dedup]] internal-
-    * reuse precedent — metadata-scale, released with the session
-    * cache): the grid's min/max anchor and its zero-fill join are two
+    * rows and is materialized ONCE via localCheckpoint (blocks free
+    * with the RDD — no CacheManager entry survives the call): the
+    * grid's min/max anchor and its zero-fill join are two
     * references to the same frame, and without the pin Catalyst
     * duplicates the whole census subtree into a second raw scan
     * (measured — the [[termVocabGrowth]] self-reference hazard). The
@@ -1363,14 +1372,15 @@ object SeriesOps {
     require(maxLag >= 1 && maxLag <= 366,
       s"maxLag must be in [1, 366], got $maxLag")
     TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
-    val us = unix_micros(col("ts").cast("timestamp"))
     val daily = transcripts
       .filter(col("ts").isNotNull)
-      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"))
+      .select(dayStartCol.as("day"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("turns"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, NOT persist ([[toolLeadLag]] rationale): the
+      // ≤ days-row census materializes once and its blocks free with
+      // the RDD, instead of pinning a CacheManager entry per call
+      .localCheckpoint()
     // zero-filled grid: a 1-row min/max aggregate exploded to the full
     // day range, left-joined against the observed census
     val grid = daily
@@ -1439,11 +1449,9 @@ object SeriesOps {
     */
   def dailyGini(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
-    val us = unix_micros(col("ts").cast("timestamp"))
     val census = transcripts
       .filter(col("ts").isNotNull && col("conv_id").isNotNull)
-      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+      .select(dayStartCol.as("day"),
         col("conv_id"))
       .groupBy(col("day"), col("conv_id"))
       .agg(count(lit(1)).as("x"))
@@ -1563,12 +1571,10 @@ object SeriesOps {
     */
   def newVsReturning(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
-    val us = unix_micros(col("ts").cast("timestamp"))
     val active = transcripts
       .filter(col("ts").isNotNull && col("conv_id").isNotNull)
       .select(col("conv_id"),
-        timestamp_micros(us - pmod(us, lit(dayUs))).as("day"))
+        dayStartCol.as("day"))
       .distinct()
     val wConv = Window.partitionBy(col("conv_id"))
     val wCum = Window.orderBy(col("day"))
@@ -1601,13 +1607,11 @@ object SeriesOps {
     */
   def toolAdoption(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
-    val us = unix_micros(col("ts").cast("timestamp"))
     val firstUse = transcripts
       .filter(col("ts").isNotNull && col("conv_id").isNotNull &&
         col("tool").isNotNull)
       .select(col("conv_id"), col("tool"),
-        timestamp_micros(us - pmod(us, lit(dayUs))).as("_day"))
+        dayStartCol.as("_day"))
       .groupBy(col("conv_id"), col("tool"))
       .agg(min(col("_day")).as("day"))
     val wTool = Window.partitionBy(col("tool")).orderBy(col("day"))
@@ -1640,15 +1644,13 @@ object SeriesOps {
     */
   def dailyDupRate(transcripts: DataFrame): DataFrame = {
     TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
-    val us = unix_micros(col("ts").cast("timestamp"))
     transcripts
       .filter(col("ts").isNotNull && col("text").isNotNull)
       // unhex halves the shuffled key bytes (16-byte binary digest vs
       // the 32-char hex string) with IDENTICAL grouping: unhex∘md5 is
       // a bijection of md5's image, and no hash column reaches the
       // output, so the oracle's hex grouping partitions rows the same
-      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+      .select(dayStartCol.as("day"),
         unhex(md5(col("text"))).as("_h"))
       .groupBy(col("day"), col("_h"))
       .agg(count(lit(1)).as("_c"))
@@ -1769,11 +1771,9 @@ object SeriesOps {
   def whaleConvsDaily(transcripts: DataFrame, k: Int = 3): DataFrame = {
     require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
     TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
-    val us = unix_micros(col("ts").cast("timestamp"))
     val census = transcripts
       .filter(col("ts").isNotNull && col("conv_id").isNotNull)
-      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+      .select(dayStartCol.as("day"),
         col("conv_id"))
       .groupBy(col("day"), col("conv_id"))
       .agg(count(lit(1)).as("turns"))
@@ -1991,11 +1991,9 @@ object SeriesOps {
     require(buckets >= 2 && buckets <= 1000,
       s"buckets must be in [2, 1000], got $buckets")
     TimeArith.requireUtcForNtz(transcripts, "ts")
-    val dayUs = 86400L * 1000000L
-    val us = unix_micros(col("ts").cast("timestamp"))
     val census = transcripts
       .filter(col("ts").isNotNull && col("conv_id").isNotNull)
-      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+      .select(dayStartCol.as("day"),
         col("conv_id"))
       .groupBy(col("day"), col("conv_id"))
       .agg(count(lit(1)).as("_turns"))

@@ -551,47 +551,44 @@ class PlanShapeSpec extends SparkTestBase {
       s"sketch must combine map-side:\n$pAp")
   }
 
-  test("daily autocorr: census cached and reused, lead-window pairing, no self-join") {
+  test("daily autocorr: census materialized once, lead-window pairing, no self-join") {
     import graft.operators.SeriesOps
-    // the census persist is a runtime effect — judge the executed plan;
-    // clearCache in finally so a failing assert can't leak the cached
-    // census into later plan pins
-    try {
-      val df = SeriesOps.dailyAutocorr(turns, maxLag = 3)
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==")(0)
-      // both census references (min/max anchor + zero-fill join) must hit
-      // the SAME cached frame — without the pin Catalyst re-scans raw for
-      // the second reference. The executed string shows the cache hit
-      // (InMemoryTableScan) and, decisively, the RAW source exactly once
-      // (inside the cached relation's materialization plan).
-      assert(p.contains("InMemoryTableScan"),
-        s"census must be cached:\n$p")
-      assert("Range \\(".r.findAllIn(p).size == 1,
-        s"raw input must be scanned exactly once:\n$p")
-      // lag pairing is lead-windows + explode — a sort-merge self-join of
-      // the grid would mean the window form regressed
-      assert(!p.contains("SortMergeJoin"),
-        s"autocorr must not self-join:\n$p")
-    } finally spark.sharedState.cacheManager.clearCache()
+    // the census localCheckpoint is a runtime effect — judge the
+    // executed plan of the result
+    val df = SeriesOps.dailyAutocorr(turns, maxLag = 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // both census references (min/max anchor + zero-fill join) must hit
+    // the SAME checkpointed RDD — without the pin Catalyst re-scans raw
+    // for the second reference. The executed string shows the
+    // checkpoint scan (ExistingRDD) and, decisively, the RAW source
+    // ZERO times (it was consumed once, inside the eager checkpoint
+    // job, before this plan ran).
+    assert(p.contains("ExistingRDD"),
+      s"census must be checkpoint-materialized:\n$p")
+    assert("Range \\(".r.findAllIn(p).isEmpty,
+      s"raw input must not appear in the result plan:\n$p")
+    // lag pairing is lead-windows + explode — a sort-merge self-join of
+    // the grid would mean the window form regressed
+    assert(!p.contains("SortMergeJoin"),
+      s"autocorr must not self-join:\n$p")
   }
 
-  test("tool lead-lag: census cached across its three references, one raw scan") {
+  test("tool lead-lag: census materialized once across its three references") {
     import graft.operators.SeriesOps
-    try {
-      val df = SeriesOps.toolLeadLag(turns, maxLag = 2)
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==")(0)
-      // the census feeds the range anchor, the toolbox distinct, and the
-      // zero-fill join — all three must hit the cache so raw is scanned
-      // exactly once
-      assert(p.contains("InMemoryTableScan"),
-        s"census must be cached:\n$p")
-      assert("Range \\(".r.findAllIn(p).size == 1,
-        s"raw input must be scanned exactly once:\n$p")
-    } finally spark.sharedState.cacheManager.clearCache()
+    val df = SeriesOps.toolLeadLag(turns, maxLag = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the census feeds the range anchor, the toolbox distinct, and the
+    // zero-fill join — all three must hit the checkpointed RDD so raw
+    // is scanned exactly once (inside the eager checkpoint job, hence
+    // absent from this result plan)
+    assert(p.contains("ExistingRDD"),
+      s"census must be checkpoint-materialized:\n$p")
+    assert("Range \\(".r.findAllIn(p).isEmpty,
+      s"raw input must not appear in the result plan:\n$p")
   }
 
 }
