@@ -465,7 +465,26 @@ object SparkEntry {
       graft.operators.SeriesOps.lengthHistogramDaily(transcripts(s, dir))),
     // daily shingle novelty: first-seen 3-gram share (corpus freshness)
     "q105_shingle_novelty" -> ((s, dir) =>
-      graft.operators.SeriesOps.shingleNoveltyDaily(transcripts(s, dir)))
+      graft.operators.SeriesOps.shingleNoveltyDaily(transcripts(s, dir))),
+    // LTTB downsampling (fixed-anchor variant) over the events stream:
+    // per (user, hour) keep the max-triangle-area sample; exact
+    // scaled-integer area algebra — DECIMAL(38,0) here, HUGEINT there
+    "q106_lttb_downsample" -> ((s, dir) =>
+      graft.operators.RefOps.lttbDownsample(
+        s.read.parquet(s"$dir/events.parquet"), windowExpr = "1 hour")),
+    // edit distance between the top-8 tool-call SEQUENCES (rank-coded
+    // char alphabet makes both engines' levenshtein token-level)
+    "q107_tool_seq_edit" -> ((s, dir) =>
+      graft.operators.RefOps.toolSeqEdit(transcripts(s, dir), k = 8)),
+    // DTW distance between the top-8 daily-turn-count series; the
+    // nested ordered fold mirrors the oracle's seeded list_reduce
+    "q108_dtw_pairs" -> ((s, dir) =>
+      graft.operators.SeriesOps.dtwPairs(transcripts(s, dir),
+        k = 8, maxDays = 64)),
+    // strict local maxima over each conversation's daily series
+    // (±3 OBSERVED days) with prominence over the tallest neighbor
+    "q109_peak_days" -> ((s, dir) =>
+      graft.operators.SeriesOps.peakDays(transcripts(s, dir), w = 3))
   )
 
   private val rollupSelect: String =
@@ -2086,6 +2105,130 @@ object SparkEntry {
         |    / CAST(distinct_shingles AS DOUBLE), 6) AS novelty_rate,
         |  ROUND(CAST(new_occ AS DOUBLE) / CAST(shingle_occ AS DOUBLE), 6)
         |    AS occ_novelty_rate
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin),
+    // the scaled-integer triangle algebra term-for-term in HUGEINT:
+    // neighbor x-sums rebased to this bucket, area2*np*nn^2 =
+    // |A*B - C*D|; argmax ties break on smallest event_id; endpoint
+    // rows mirror the first/last union (a single-sample user is both)
+    "q106_lttb_downsample" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    DATE_TRUNC('hour', ts) AS window_start,
+        |    CAST(EPOCH_US(ts) - EPOCH_US(DATE_TRUNC('hour', ts)) AS HUGEINT)
+        |      AS xr,
+        |    CAST(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS HUGEINT)
+        |      AS yc
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |c AS (
+        |  SELECT user_id, window_start, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(xr) AS sx, SUM(yc) AS sy
+        |  FROM p GROUP BY 1, 2),
+        |nb AS (
+        |  SELECT user_id, window_start,
+        |    LAG(window_start) OVER w AS tp, LAG(n) OVER w AS np,
+        |    LAG(sx) OVER w AS sxp, LAG(sy) OVER w AS syp,
+        |    LEAD(window_start) OVER w AS tn, LEAD(n) OVER w AS nn,
+        |    LEAD(sx) OVER w AS sxn, LEAD(sy) OVER w AS syn
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY window_start)),
+        |s AS (
+        |  SELECT user_id, window_start, event_id, ts, value,
+        |    ABS(((sxp + np * (EPOCH_US(tp) - EPOCH_US(window_start))) * nn
+        |         - (sxn + nn * (EPOCH_US(tn) - EPOCH_US(window_start))) * np)
+        |        * (yc * nn - syn)
+        |      - (xr * nn - (sxn + nn * (EPOCH_US(tn) - EPOCH_US(window_start))))
+        |        * (syp * nn - syn * np)) AS area2
+        |  FROM p JOIN nb USING (user_id, window_start)
+        |  WHERE tp IS NOT NULL AND tn IS NOT NULL)
+        |SELECT user_id, window_start, 'lttb' AS kind, event_id, ts, value
+        |FROM s
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, window_start
+        |                           ORDER BY area2 DESC, event_id ASC) = 1
+        |UNION ALL
+        |SELECT user_id, window_start, 'first' AS kind, event_id, ts, value
+        |FROM p
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY ts ASC, event_id ASC) = 1
+        |UNION ALL
+        |SELECT user_id, window_start, 'last' AS kind, event_id, ts, value
+        |FROM p
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    // rank-in-alphabetical-order char coding (chr ≡ Spark char), turn
+    // order via ordered STRING_AGG ≡ the sorted-struct join; both
+    // engines' levenshtein is unit-cost Wagner-Fischer
+    "q107_tool_seq_edit" -> Transcripts.oracle(
+      """, al AS (
+        |  SELECT tool, CAST(ROW_NUMBER() OVER (ORDER BY tool) AS INTEGER) AS r
+        |  FROM (SELECT DISTINCT tool FROM transcripts WHERE tool IS NOT NULL)),
+        |sq AS (
+        |  SELECT conv_id, STRING_AGG(chr(32 + r), '' ORDER BY turn_idx) AS seq
+        |  FROM transcripts JOIN al USING (tool)
+        |  WHERE turn_idx IS NOT NULL AND conv_id IS NOT NULL
+        |  GROUP BY 1),
+        |tk AS (
+        |  SELECT conv_id, seq, CAST(LENGTH(seq) AS BIGINT) AS n
+        |  FROM sq ORDER BY n DESC, conv_id ASC LIMIT 8)
+        |SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+        |  a.n AS len_a, b.n AS len_b,
+        |  CAST(levenshtein(a.seq, b.seq) AS BIGINT) AS edit_dist
+        |FROM tk a JOIN tk b ON a.conv_id < b.conv_id""".stripMargin),
+    // the IDENTICAL nested DP fold: DuckDB 1.0's list_reduce has no
+    // seed argument, so the init row/column ride in as prepended
+    // single-element-list items (acc type = element type); the inf
+    // sentinel is compared, never added, in both engines
+    "q108_dtw_pairs" -> Transcripts.oracle(
+      """, cs AS (
+        |  SELECT conv_id, MAKE_TIMESTAMP(EPOCH_US(ts)
+        |      - ((EPOCH_US(ts) % 86400000000) + 86400000000) % 86400000000)
+        |      AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM transcripts WHERE ts IS NOT NULL AND conv_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sr AS (SELECT conv_id, list(cnt ORDER BY day) AS vals0
+        |  FROM cs GROUP BY 1),
+        |sl AS (SELECT conv_id,
+        |    vals0[greatest(1, len(vals0) - 63):len(vals0)] AS vals
+        |  FROM sr),
+        |tk AS (
+        |  SELECT conv_id, vals, CAST(len(vals) AS BIGINT) AS n,
+        |    list_reduce(vals, (s, v) -> s + v) AS total
+        |  FROM sl ORDER BY total DESC, conv_id ASC LIMIT 8)
+        |SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  list_reduce(
+        |    list_prepend(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(b.vals,
+        |          v -> CAST(2305843009213693951 AS BIGINT))),
+        |      list_transform(a.vals, x -> [x])),
+        |    (row, xl) -> list_reduce(
+        |      list_prepend(CAST([2305843009213693951] AS BIGINT[]),
+        |        list_transform(range(1, len(b.vals) + 1),
+        |          j -> [CAST(j AS BIGINT)])),
+        |      (p, jl) -> list_append(p,
+        |        abs(xl[1] - b.vals[jl[1]]) +
+        |        least(row[jl[1] + 1], row[jl[1]], p[-1]))))[-1] AS dtw
+        |FROM tk a JOIN tk b ON a.conv_id < b.conv_id""".stripMargin),
+    // strict row-frame maxima over the observed-day census; a missing
+    // side coalesces to 0 (counts are >= 1) in both engines
+    "q109_peak_days" -> Transcripts.oracle(
+      """, cs AS (
+        |  SELECT conv_id, MAKE_TIMESTAMP(EPOCH_US(ts)
+        |      - ((EPOCH_US(ts) % 86400000000) + 86400000000) % 86400000000)
+        |      AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS turn_count
+        |  FROM transcripts WHERE ts IS NOT NULL AND conv_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *,
+        |    MAX(turn_count) OVER (PARTITION BY conv_id ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS l,
+        |    MAX(turn_count) OVER (PARTITION BY conv_id ORDER BY day
+        |      ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS r
+        |  FROM cs)
+        |SELECT conv_id, day, turn_count,
+        |  turn_count - GREATEST(COALESCE(l, 0), COALESCE(r, 0)) AS prominence
+        |FROM w
+        |WHERE turn_count > COALESCE(l, 0) AND turn_count > COALESCE(r, 0)"""
+        .stripMargin)
   )
 }

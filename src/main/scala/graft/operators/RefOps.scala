@@ -273,6 +273,107 @@ object RefOps {
         col("e.s.value").as("value"))
   }
 
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
+    * the algorithm behind most monitoring-dashboard series rendering),
+    * fixed-anchor variant: per (key, window) keep the SAMPLE whose
+    * triangle with the PREVIOUS and NEXT windows' mean points has the
+    * largest area — the point that preserves the most visual
+    * information, where [[downsampleMinMax]] keeps the extremes. The
+    * classic sequential form anchors on the previously SELECTED point
+    * (an inherently serial chain); the fixed-anchor variant anchors
+    * both sides on bucket means, which is the standard parallel
+    * decomposition (each bucket decides independently) and the one a
+    * 10¹²-point input permits. Endpoints: the first and last sample
+    * per key are always kept (kinds 'first'/'last'); interior buckets
+    * (both neighbors observed) each contribute one 'lttb' row.
+    *
+    * Exactness: twice-the-area comparisons run on SCALED INTEGERS —
+    * timestamps as bucket-relative µs (x′ = ts − bucket_start, so sums
+    * never carry epoch magnitudes), values as exact cents via
+    * DECIMAL(14,2)·100 (the driver's `value` column is 2-decimal fixed
+    * point; the double→decimal cast rounds to the same cent in both
+    * engines), and the mean-anchor denominators cleared by multiplying
+    * through by n_prev·n_next:
+    * `A = Sx′p·nn − Sx′n·np`, `B = y·nn − Syn`,
+    * `C = x′·nn − Sx′n`,    `D = Syp·nn − Syn·np`,
+    * `area2·np·nn² = |A·B − C·D|` — DECIMAL(38,0) here, HUGEINT in the
+    * oracle, both exact (magnitudes ≤ ~1e29 at million-row buckets;
+    * scale-0 decimals cannot round, only overflow at 1e38). Argmax
+    * tiebreak: smallest event_id.
+    *
+    * Scale: one partial-aggregated census exchange (3 sums per
+    * bucket), a bucket-grain lag/lead window over the COLLAPSED
+    * census, one (key, bucket) exchange of the sample rows for the
+    * join + per-bucket argmax window, and one key-grain window for the
+    * endpoints. The reduction is 1 row per interior bucket + 2 per
+    * key, independent of input density.
+    */
+  def lttbDownsample(events: DataFrame, windowExpr: String = "1 hour"): DataFrame = {
+    TimeArith.requireUtcForNtz(events, "ts")
+    val usC = unix_micros(col("ts").cast("timestamp"))
+    val pts = events
+      // null value has no place on the y axis ([[downsampleMinMax]]
+      // doctrine); null ts none on the x axis
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        window(col("ts"), windowExpr).getField("start").as("window_start"),
+        usC.as("_us"),
+        (col("value").cast("decimal(14,2)") * 100).cast("long").as("_yc"))
+      .withColumn("_bus", unix_micros(col("window_start").cast("timestamp")))
+      .withColumn("_xr", col("_us") - col("_bus"))
+    val census = pts
+      .groupBy(col("user_id"), col("_bus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_xr").cast("decimal(38,0)")).as("sx"),
+        sum(col("_yc").cast("decimal(38,0)")).as("sy"))
+    val wB = Window.partitionBy(col("user_id")).orderBy(col("_bus"))
+    val nb = census.select(col("user_id"), col("_bus"),
+      lag(col("_bus"), 1).over(wB).as("tp"),
+      lag(col("n"), 1).over(wB).as("np"),
+      lag(col("sx"), 1).over(wB).as("sxp"),
+      lag(col("sy"), 1).over(wB).as("syp"),
+      lead(col("_bus"), 1).over(wB).as("tn"),
+      lead(col("n"), 1).over(wB).as("nn"),
+      lead(col("sx"), 1).over(wB).as("sxn"),
+      lead(col("sy"), 1).over(wB).as("syn"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    // neighbor x-sums rebased to THIS bucket's start: Σxᵢ − n·T_k =
+    // S_own + n·(T_own − T_k), so anchor algebra never sees epoch µs
+    val sxpRel = col("sxp") + d38(col("np")) * d38(col("tp") - col("_bus"))
+    val sxnRel = col("sxn") + d38(col("nn")) * d38(col("tn") - col("_bus"))
+    val a = sxpRel * d38(col("nn")) - sxnRel * d38(col("np"))
+    val bT = d38(col("_yc")) * d38(col("nn")) - col("syn")
+    val cT = d38(col("_xr")) * d38(col("nn")) - sxnRel
+    val dT = col("syp") * d38(col("nn")) - col("syn") * d38(col("np"))
+    val area2 = abs(a * bT - cT * dT)
+    val wPick = Window.partitionBy(col("user_id"), col("_bus"))
+      .orderBy(col("_area").desc, col("event_id").asc)
+    val interior = pts
+      .join(nb.filter(col("tp").isNotNull && col("tn").isNotNull),
+        Seq("user_id", "_bus"))
+      .withColumn("_area", area2)
+      .withColumn("_rn", row_number().over(wPick))
+      .filter(col("_rn") === 1)
+      .select(col("user_id"), col("window_start"), lit("lttb").as("kind"),
+        col("event_id"), col("ts"), col("value"))
+    val wU = Window.partitionBy(col("user_id"))
+    val endpoints = pts
+      .withColumn("_rf",
+        row_number().over(wU.orderBy(col("ts").asc, col("event_id").asc)))
+      .withColumn("_rl",
+        row_number().over(wU.orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("_rf") === 1 || col("_rl") === 1)
+      .select(col("user_id"), col("window_start"),
+        explode(concat(
+          when(col("_rf") === 1, array(lit("first")))
+            .otherwise(array().cast("array<string>")),
+          when(col("_rl") === 1, array(lit("last")))
+            .otherwise(array().cast("array<string>"))))
+          .as("kind"),
+        col("event_id"), col("ts"), col("value"))
+    interior.unionByName(endpoints)
+  }
+
   /** Time-weighted average turn length per conversation — the
     * irregular-sampling average (TimescaleDB `time_weight` analogue):
     * each turn's length is weighted by how long it "held" (µs until
@@ -1025,5 +1126,67 @@ object RefOps {
       col("turn_idx"),
       count(lit(1)).over(w).as("processed_rows"),
       sum(when(col("tool").isNotNull, 1L).otherwise(0L)).over(w).as("tool_calls_so_far"))
+  }
+
+  /** Edit (Levenshtein) distance between the tool-call SEQUENCES of
+    * the `k` conversations with the most tool calls — sequence-level
+    * similarity of agent behavior, the order-sensitive sibling of
+    * [[graft.operators.SeriesOps.dtwPairs]] (which warps VALUE series;
+    * this aligns SYMBOL strings) and of the set-overlap jaccard in
+    * toolCooccurrence. Each conversation's non-null tool calls in
+    * canonical turn order become a string over a per-tool character
+    * alphabet (rank in global tool-name order, offset into ASCII
+    * printable space), so token-level edit distance equals the
+    * engines' built-in char-level `levenshtein` — both Spark and
+    * DuckDB implement the same unit-cost Wagner-Fischer DP, making the
+    * distance hash-exact with NO custom fold. The ASCII mapping bounds
+    * the alphabet at 94 tools; a larger toolbox fails the row with
+    * `raise_error` rather than silently aliasing two tools to one
+    * character (Spark's `char` wraps mod 256 — aliasing would be a
+    * SILENT wrong distance).
+    *
+    * Null doctrine: null tool is a non-tool turn, not a sequence
+    * element (skipped, matching every tool census); null turn_idx
+    * cannot be ordered and null conv_id cannot own a sequence — both
+    * drop ([[ewma]] order-key rule).
+    *
+    * Ranking: top-`k` by (sequence length, conv_id) — unique key,
+    * deterministic TakeOrdered. Scale: the alphabet is a broadcast of
+    * the distinct-tool frame, sequences gather on ONE conv_id
+    * exchange, and the pair frame is k² driver-scale rows each paying
+    * one O(len²) library DP (len bounded by the gathered string, a
+    * declared-contract input; cap k to bound the quadratic).
+    */
+  def toolSeqEdit(transcripts: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2, 64], got $k")
+    val alphabet = transcripts
+      .filter(col("tool").isNotNull)
+      .select(col("tool")).distinct()
+      .select(col("tool"),
+        row_number().over(Window.orderBy(col("tool"))).as("r"))
+    val seqs = transcripts
+      .filter(col("tool").isNotNull && col("turn_idx").isNotNull &&
+        col("conv_id").isNotNull)
+      .join(broadcast(alphabet), "tool")
+      .select(col("conv_id"), col("turn_idx"),
+        when(col("r") > 94,
+          expr("raise_error('toolSeqEdit: tool alphabet exceeds 94')"))
+          .otherwise(expr("char(32 + r)")).as("ch"))
+      .groupBy(col("conv_id"))
+      // turn_idx is unique per conversation — total struct order
+      .agg(expr(
+        "array_join(transform(sort_array(collect_list(struct(turn_idx, ch))), s -> s.ch), '')")
+        .as("seq"))
+      .select(col("conv_id"), col("seq"),
+        length(col("seq")).cast("long").as("n"))
+      .orderBy(col("n").desc, col("conv_id").asc)
+      .limit(k)
+    val a = seqs.select(col("conv_id").as("conv_a"), col("seq").as("sa"),
+      col("n").as("len_a"))
+    val b = seqs.select(col("conv_id").as("conv_b"), col("seq").as("sb"),
+      col("n").as("len_b"))
+    a.join(b, col("conv_a") < col("conv_b"))
+      .select(col("conv_a"), col("conv_b"), col("len_a"), col("len_b"),
+        levenshtein(col("sa"), col("sb")).cast("long").as("edit_dist"))
   }
 }

@@ -2265,4 +2265,127 @@ object SeriesOps {
         round(col("new_occ").cast("double") /
           col("shingle_occ").cast("double"), 6).as("occ_novelty_rate"))
   }
+
+  /** Dynamic-time-warping distance between the daily-turn-count series
+    * of the `k` most active conversations — the classic elastic
+    * similarity measure (Sakoe & Chiba 1978; Berndt & Clifford 1994)
+    * that aligns series of DIFFERENT lengths and phases, where the
+    * Euclidean/Pearson family ([[toolPairCorrelation]]) requires
+    * aligned same-length grids. Series = the conversation's turn count
+    * per OBSERVED UTC day in day order (gaps skipped — DTW's elastic
+    * alignment is exactly the tool that absorbs them), sliced to the
+    * trailing `maxDays` days so the O(n·m) DP cost is bounded by a
+    * declared tunable, never by the data.
+    *
+    * The DP has no max-plus closed form (unlike [[RefOps.cusumChangepoint]]):
+    * `dp[i][j] = |aᵢ−bⱼ| + min(dp[i−1][j], dp[i][j−1], dp[i−1][j−1])` is
+    * a genuine two-axis recurrence, so it runs as a NESTED ordered fold
+    * — `aggregate` over the rows of `a` carrying the previous DP row,
+    * `aggregate` over `1..m` building the new row left-to-right (the
+    * [[RefOps.ewma]] fold family, two levels deep). All state is exact
+    * longs (counts and |Δcount| sums), so the oracle's identical
+    * `list_reduce` fold is hash-exact. The ∞ sentinel seeds the j=0
+    * column and the i=0 row; it is COMPARED but never added (every
+    * `min` on the first row/column has a finite operand), so overflow
+    * is structurally impossible.
+    *
+    * Ranking: top-`k` by total turns over the SLICED window, conv_id
+    * tiebreak — the (total, conv_id) key is unique, so the sort-limit
+    * is deterministic. Pairs are canonical `conv_a < conv_b`.
+    *
+    * Scale: the (conv_id, day) census partial-aggregates map-side (one
+    * exchange), the series gather re-keys the COLLAPSED census by
+    * conv_id (≤ 366 rows each), and the top-k is a TakeOrdered of
+    * (k·maxDays)-bounded rows; the pair join is k² driver-scale rows,
+    * each paying an O(maxDays²) fold — cost is k²·maxDays²/2 lambda
+    * steps, a declared constant independent of corpus size.
+    */
+  def dtwPairs(transcripts: DataFrame, k: Int = 8, maxDays: Int = 64): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2, 64], got $k")
+    require(maxDays >= 2 && maxDays <= 366,
+      s"maxDays must be in [2, 366], got $maxDays")
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val census = transcripts
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .select(col("conv_id"), dayStartCol.as("day"))
+      .groupBy(col("conv_id"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val series = census
+      .groupBy(col("conv_id"))
+      // day is unique per conversation, so the struct sort is a total
+      // order and the transform projects counts in day order
+      .agg(expr("transform(sort_array(collect_list(struct(day, cnt))), s -> s.cnt)")
+        .as("vals0"))
+      .select(col("conv_id"),
+        expr(s"slice(vals0, greatest(1, size(vals0) - ${maxDays - 1}), $maxDays)")
+          .as("vals"))
+      .select(col("conv_id"), col("vals"),
+        size(col("vals")).cast("long").as("n"),
+        expr("aggregate(vals, 0L, (s, v) -> s + v)").as("total"))
+      .orderBy(col("total").desc, col("conv_id").asc)
+      .limit(k)
+    val a = series.select(col("conv_id").as("conv_a"), col("vals").as("va"),
+      col("n").as("n_a"))
+    val b = series.select(col("conv_id").as("conv_b"), col("vals").as("vb"),
+      col("n").as("n_b"))
+    a.join(b, col("conv_a") < col("conv_b"))
+      .select(col("conv_a"), col("conv_b"), col("n_a"), col("n_b"),
+        expr(dtwFoldExpr("va", "vb")).as("dtw"))
+  }
+
+  /** The nested-fold DTW kernel over two bigint array columns. Row
+    * layout: list position p holds dp[·][p−1], so position 1 is the
+    * j=0 sentinel column; the init row is [0, ∞, …] (dp[0][0]=0). The
+    * DuckDB oracle runs the IDENTICAL fold via struct-seeded 2-arg
+    * `list_reduce` — a change here must change it in lockstep (the
+    * [[pearsonPairCorr]] doctrine).
+    */
+  private def dtwFoldExpr(aCol: String, bCol: String): String = {
+    val inf = "2305843009213693951L" // Long.MaxValue/4: compared, never added
+    s"""aggregate(
+       |  $aCol,
+       |  concat(array(0L), transform($bCol, v -> $inf)),
+       |  (row, x) -> aggregate(
+       |    sequence(1, size($bCol)),
+       |    array($inf),
+       |    (p, j) -> concat(p, array(
+       |      abs(x - element_at($bCol, j)) +
+       |      least(element_at(row, j + 1), element_at(row, j),
+       |            element_at(p, -1))))),
+       |  row -> element_at(row, -1))""".stripMargin
+  }
+
+  /** Peak detection over each conversation's daily turn-count series:
+    * a day is a peak when its count STRICTLY exceeds every count within
+    * ±`w` OBSERVED days (row frames over the day-ordered census — gaps
+    * between active days don't widen the neighborhood, matching the
+    * observed-day convention of [[dailyDeltas]]). Boundary days with a
+    * one-sided neighborhood qualify against the side that exists; an
+    * isolated single-day conversation is trivially a peak — both pinned
+    * by treating a missing side as 0 (counts are ≥ 1). `prominence` is
+    * the margin over the tallest neighbor (= turn_count for the
+    * isolated case).
+    *
+    * All-integer (counts and differences), so the oracle mirror is
+    * hash-exact. One census exchange + one conv_id window pass over
+    * the COLLAPSED census; the two frames share one Window sort.
+    */
+  def peakDays(transcripts: DataFrame, w: Int = 3): DataFrame = {
+    require(w >= 1 && w <= 30, s"w must be in [1, 30], got $w")
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val ord = Window.partitionBy(col("conv_id")).orderBy(col("day"))
+    transcripts
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .select(col("conv_id"), dayStartCol.as("day"))
+      .groupBy(col("conv_id"), col("day"))
+      .agg(count(lit(1)).as("turn_count"))
+      .withColumn("_l", max(col("turn_count")).over(ord.rowsBetween(-w, -1)))
+      .withColumn("_r", max(col("turn_count")).over(ord.rowsBetween(1, w)))
+      .filter(col("turn_count") > coalesce(col("_l"), lit(0L)) &&
+        col("turn_count") > coalesce(col("_r"), lit(0L)))
+      .select(col("conv_id"), col("day"), col("turn_count"),
+        (col("turn_count") -
+          greatest(coalesce(col("_l"), lit(0L)), coalesce(col("_r"), lit(0L))))
+          .as("prominence"))
+  }
 }

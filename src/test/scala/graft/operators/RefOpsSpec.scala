@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkTestBase
 
 class RefOpsSpec extends SparkTestBase {
@@ -65,5 +67,134 @@ class RefOpsSpec extends SparkTestBase {
     val out = RefOps.downsampleMinMax(events).collect()
     assert(out.forall(_.getAs[Long]("event_id") == 1L), s"got ${out.toSeq}")
     assert(out.length == 2) // min and max rows of the one live window
+  }
+
+  test("lttbDownsample golden: mean anchors, exact-area argmax, tie, endpoints") {
+    // bucket 11:00 is the one interior bucket; anchors are the flat
+    // 10.00 means of 10:00 and 12:00, so e2 (spike up, area 3.6e12 µs·
+    // cents) ties e3 (spike down, same area) → smaller event_id wins,
+    // and the collinear e4 scores zero
+    val events = Seq(
+      (1L, ts("2024-03-01 10:30:00"), 1L, Some(10.0)),
+      (2L, ts("2024-03-01 11:10:00"), 1L, Some(20.0)),
+      (3L, ts("2024-03-01 11:20:00"), 1L, Some(0.0)),
+      (4L, ts("2024-03-01 11:40:00"), 1L, Some(10.0)),
+      (5L, ts("2024-03-01 12:30:00"), 1L, Some(10.0)),
+      // user 2: a single live sample — first AND last, never lttb;
+      // the null-value row has no y and drops whole
+      (6L, ts("2024-03-01 10:00:00"), 2L, Some(7.0)),
+      (7L, ts("2024-03-01 10:05:00"), 2L, None))
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = RefOps.lttbDownsample(events).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("kind")) ->
+        r.getAs[Long]("event_id")).toMap
+    assert(out == Map(
+      (1L, "lttb") -> 2L, (1L, "first") -> 1L, (1L, "last") -> 5L,
+      (2L, "first") -> 6L, (2L, "last") -> 6L), s"got $out")
+  }
+
+  test("lttbDownsample: interior picks match an exact-BigInt brute argmax") {
+    // deterministic dense series: 3 users x 120 points, 2-decimal
+    // values, irregular spacing — brute recomputes the triangle area
+    // from raw points in a DIFFERENT algebraic form (anchor-mean
+    // cross products scaled by np*nn, vs the operator's A*B - C*D
+    // which equals nn times this)
+    val events = (0 until 360).map { i =>
+      val u = i % 3 + 1L
+      val t = new java.sql.Timestamp(
+        ts("2024-03-01 00:00:00").getTime + i * 173000L + (i % 7) * 1000L)
+      (i.toLong, t, u, math.round(((i * 37 % 100) + (i % 13) / 13.0) * 100) / 100.0)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val got = RefOps.lttbDownsample(events).collect()
+      .filter(_.getAs[String]("kind") == "lttb")
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("window_start")) -> r.getAs[Long]("event_id"))
+      .toMap
+    // brute: per (user, hour-bucket) census, neighbor means, exact area
+    val rows = events.collect().map { r =>
+      val us = r.getAs[java.sql.Timestamp]("ts").getTime * 1000L
+      val bus = us - math.floorMod(us, 3600000000L)
+      (r.getAs[Long]("user_id"), bus, r.getAs[Long]("event_id"),
+        us - bus, math.round(r.getAs[Double]("value") * 100))
+    }
+    val census = rows.groupBy(t => (t._1, t._2)).map { case (k, v) =>
+      k -> (BigInt(v.length), v.map(t => BigInt(t._4)).sum, v.map(t => BigInt(t._5)).sum)
+    }
+    val expected = rows.groupBy(t => (t._1, t._2)).flatMap { case ((u, bus), pts) =>
+      val buckets = census.keys.filter(_._1 == u).map(_._2).toSeq.sorted
+      val idx = buckets.indexOf(bus)
+      if (idx <= 0 || idx >= buckets.length - 1) None
+      else {
+        val (tp, tn) = (buckets(idx - 1), buckets(idx + 1))
+        val (np, sxp0, syp) = census((u, tp))
+        val (nn, sxn0, syn) = census((u, tn))
+        val sxp = sxp0 + np * BigInt(tp - bus)
+        val sxn = sxn0 + nn * BigInt(tn - bus)
+        val best = pts.map { case (_, _, eid, xr, yc) =>
+          val s = (sxp * nn * yc - sxp * syn + BigInt(xr) * syn * np
+            - BigInt(xr) * syp * nn + sxn * syp - sxn * np * yc).abs
+          (s, eid)
+        }.minBy { case (s, eid) => (-s, eid) }
+        Some((u, new java.sql.Timestamp(bus / 1000L)) -> best._2)
+      }
+    }
+    assert(got == expected, s"argmax mismatch:\n got $got\n exp $expected")
+  }
+
+  test("toolSeqEdit golden: alphabetical alphabet, turn order, top-k, pairs") {
+    // tools rank error=1, purchase=2, signup=3 → chars '!', '"', '#';
+    // A = "!\"#", B = "\"!#" (one adjacent swap = 2 unit edits),
+    // C = "!" falls outside k=2
+    val t = Seq(
+      ("A", 0, "error"), ("A", 1, "purchase"), ("A", 2, "signup"),
+      ("B", 0, "purchase"), ("B", 1, "error"), ("B", 2, "signup"),
+      ("C", 0, "error"))
+      .map { case (c, i, tl) => (c, i, "user", "x", tl,
+        ts(s"2024-03-01 10:0$i:00")) }
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val out = RefOps.toolSeqEdit(t, k = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ("A", "B", 3L, 3L, 2L), s"got $r")
+    // k=3 pulls C in: deleting two chars from either 3-seq costs 2
+    val all = RefOps.toolSeqEdit(t, k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(all == Map(("A", "B") -> 2L, ("A", "C") -> 2L, ("B", "C") -> 2L))
+  }
+
+  test("toolSeqEdit matches a classic Wagner-Fischer DP on synth; big alphabet fails") {
+    val turns = graft.ingest.Synth.transcripts(
+      spark, nConvs = 20, avgTurns = 40, seed = 23L).toDF()
+    val got = RefOps.toolSeqEdit(turns, k = 6).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    // independent sequences: collect, rank tools, order turns, DP
+    val raw = turns.filter(col("tool").isNotNull && col("turn_idx").isNotNull
+      && col("conv_id").isNotNull)
+      .select("conv_id", "turn_idx", "tool").collect()
+    val rank = raw.map(_.getString(2)).distinct.sorted.zipWithIndex.toMap
+    val seqs = raw.groupBy(_.getString(0)).map { case (c, rs) =>
+      c -> rs.sortBy(_.getInt(1)).map(r => ('!' + rank(r.getString(2))).toChar).mkString
+    }
+    val top = seqs.toSeq.sortBy { case (c, s) => (-s.length, c) }.take(6)
+    def wf(a: String, b: String): Long = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+        j => if (i == 0) j else if (j == 0) i else 0 })
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length).toLong
+    }
+    val exp = (for {
+      (ca, sa) <- top; (cb, sb) <- top if ca < cb
+    } yield (ca, cb) -> wf(sa, sb)).toMap
+    assert(got == exp, s"edit distances diverge:\n got $got\n exp $exp")
+    // alphabet guard: 95 distinct tools must fail loudly, not alias
+    val big = (0 until 95).flatMap(i => Seq(
+      ("X", i, "user", "x", f"t$i%02d", ts("2024-03-01 10:00:00")),
+      ("Y", i, "user", "x", f"t$i%02d", ts("2024-03-01 10:00:00"))))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val e = intercept[Exception] { RefOps.toolSeqEdit(big, k = 2).collect() }
+    assert(e.getMessage != null && e.toString.contains("alphabet"), e.toString)
   }
 }

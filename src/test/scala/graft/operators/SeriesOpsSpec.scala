@@ -1669,4 +1669,117 @@ class SeriesOpsSpec extends SparkTestBase {
       assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0, r.toString)
     }
   }
+
+  test("dtwPairs golden: elastic alignment, top-k cut, canonical pairs") {
+    // A = [2,4] over d1/d2, B = [2,5] over d1/d3 (different days — DTW
+    // doesn't care), C = [1] misses the k=2 cut (totals B=7 > A=6 > C)
+    val df = turnsDf(
+      (0 until 2).map(i => ("A", i, "user", "x", null: String, s"2024-01-01 0$i:00:00")) ++
+      (0 until 4).map(i => ("A", i + 2, "user", "x", null: String, s"2024-01-02 0$i:00:00")) ++
+      (0 until 2).map(i => ("B", i, "user", "x", null: String, s"2024-01-01 1$i:00:00")) ++
+      (0 until 5).map(i => ("B", i + 2, "user", "x", null: String, s"2024-01-03 0$i:00:00")) ++
+      Seq(("C", 0, "user", "x", null, "2024-01-01 05:00:00")))
+    val out = SeriesOps.dtwPairs(df, k = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // dp: |2-2|=0, then min(3, 2, 0) + |4-5| = 1
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (("A", "B", 2L, 2L, 1L)), s"got $r")
+  }
+
+  test("dtwPairs: maxDays slices the TRAILING window before ranking") {
+    // D has days [9,1,1]; with maxDays=2 only [1,1] survives → total 2
+    // loses the top-2 cut to A=[3] (3) and B=[2,2] (4); with the full
+    // window D (11) would dominate
+    val df = turnsDf(
+      (0 until 9).map(i => ("D", i, "user", "x", null: String, s"2024-01-01 0$i:00:00")) ++
+      Seq(("D", 9, "user", "x", null, "2024-01-02 00:00:00"),
+        ("D", 10, "user", "x", null, "2024-01-03 00:00:00")) ++
+      (0 until 3).map(i => ("A", i, "user", "x", null: String, s"2024-01-01 1$i:00:00")) ++
+      (0 until 2).map(i => ("B", i, "user", "x", null: String, s"2024-01-01 2$i:00:00")) ++
+      (0 until 2).map(i => ("B", i + 2, "user", "x", null: String, s"2024-01-02 1$i:00:00")))
+    val sliced = SeriesOps.dtwPairs(df, k = 2, maxDays = 2).collect()
+    assert(sliced.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("A", "B")), s"got ${sliced.toSeq}")
+    val full = SeriesOps.dtwPairs(df, k = 2, maxDays = 30).collect()
+    assert(full.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("B", "D")), s"got ${full.toSeq}")
+  }
+
+  test("dtwPairs matches a classic O(n*m) DP on synth") {
+    val got = SeriesOps.dtwPairs(turns, k = 5, maxDays = 16).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // independent: collect the census, slice, run the textbook matrix DP
+    val census = turns.filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .select(col("conv_id"),
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")),
+          lit(86400L * 1000000L))).as("day"))
+      .groupBy("conv_id", "day").count().collect()
+    val series = census.groupBy(_.getString(0)).map { case (c, rs) =>
+      c -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).takeRight(16)
+    }
+    val top = series.toSeq
+      .sortBy { case (c, v) => (-v.sum, c) }.take(5)
+    def dtw(a: Array[Long], b: Array[Long]): Long = {
+      val inf = Long.MaxValue / 4
+      val dp = Array.fill(a.length + 1, b.length + 1)(inf)
+      dp(0)(0) = 0L
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.abs(a(i - 1) - b(j - 1)) +
+          math.min(dp(i - 1)(j), math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+      dp(a.length)(b.length)
+    }
+    val exp = (for {
+      (ca, va) <- top; (cb, vb) <- top if ca < cb
+    } yield (ca, cb) -> ((va.length.toLong, vb.length.toLong, dtw(va, vb)))).toMap
+    assert(got == exp, s"dtw diverges:\n got $got\n exp $exp")
+  }
+
+  test("peakDays golden: strict peaks, one-sided boundaries, isolated day, plateau") {
+    val df = turnsDf(
+      // A days: d1=3, d2=5, d3=2, d10=5 (w=1 over OBSERVED days: d10's
+      // left neighbor is d3) — peaks d2 (prom 2) and d10 (prom 3)
+      (0 until 3).map(i => ("A", i, "user", "x", null: String, s"2024-01-01 0$i:00:00")) ++
+      (0 until 5).map(i => ("A", i + 3, "user", "x", null: String, s"2024-01-02 0$i:00:00")) ++
+      (0 until 2).map(i => ("A", i + 8, "user", "x", null: String, s"2024-01-03 0$i:00:00")) ++
+      (0 until 5).map(i => ("A", i + 10, "user", "x", null: String, s"2024-01-10 0$i:00:00")) ++
+      // B: isolated single day — trivially a peak, prominence = count
+      Seq(("B", 0, "user", "x", null, "2024-01-05 00:00:00")) ++
+      // C: a 4,4 plateau — STRICT compare, neither qualifies
+      (0 until 4).map(i => ("C", i, "user", "x", null: String, s"2024-01-01 1$i:00:00")) ++
+      (0 until 4).map(i => ("C", i + 4, "user", "x", null: String, s"2024-01-02 1$i:00:00")))
+    val out = SeriesOps.peakDays(df, w = 1).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      ("A", "2024-01-02 00:00:00.0") -> ((5L, 2L)),
+      ("A", "2024-01-10 00:00:00.0") -> ((5L, 3L)),
+      ("B", "2024-01-05 00:00:00.0") -> ((1L, 1L))), s"got $out")
+  }
+
+  test("peakDays invariants on synth: every peak beats its brute neighborhood") {
+    val w = 3
+    val got = SeriesOps.peakDays(turns, w).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val census = turns.filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .select(col("conv_id"),
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")),
+          lit(86400L * 1000000L))).as("day"))
+      .groupBy("conv_id", "day").count().collect()
+      .groupBy(_.getString(0))
+    val exp = census.flatMap { case (c, rs) =>
+      val s = rs.sortBy(_.getLong(1)).map(r => (r.getLong(1), r.getLong(2)))
+      s.indices.flatMap { i =>
+        val nb = ((i - w) to (i + w)).filter(j => j != i && j >= 0 && j < s.length)
+          .map(j => s(j)._2)
+        val tallest = if (nb.isEmpty) 0L else nb.max
+        if (s(i)._2 > tallest)
+          Some((c, s(i)._1 / 1000L) -> ((s(i)._2, s(i)._2 - tallest)))
+        else None
+      }
+    }.toMap
+    assert(got == exp, s"peaks diverge:\n got ${got.size}\n exp ${exp.size}")
+  }
 }
