@@ -240,7 +240,46 @@ object GraftExtensions {
       arities = Set(1)),
     tfn("whale_convs",
       "(table[, k]) - top-k conversations per day by turn count with day share (default 3)",
-      arities = Set(1, 2), intArgs = Set(1)))
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("conv_concurrency",
+      "(table) - sweep-line per-day opened/closed/open conversation counts",
+      arities = Set(1)),
+    tfn("toolset_churn",
+      "(table) - day-over-day toolset kept/added/dropped counts with Jaccard overlap",
+      arities = Set(1)),
+    tfn("record_days",
+      "(table) - record-breaking day census: running high, record count, drought",
+      arities = Set(1)),
+    tfn("lorenz_deciles",
+      "(table[, buckets]) - per-day Lorenz curve: equal-population tiles with cumulative turn share (default 10)",
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("dist_drift",
+      "(table) - day-over-day turn-length distribution drift (bucketed KS + total variation)",
+      arities = Set(1)),
+    tfn("term_churn",
+      "(table[, k]) - daily top-term turnover: kept/added/dropped with Jaccard (default k 50)",
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("type_token_ratio",
+      "(table) - daily lexical diversity: type-token ratio and hapax share",
+      arities = Set(1)),
+    tfn("daily_len_histogram",
+      "(table) - daily digit-bucket turn-length histogram (the drift monitor's census)",
+      arities = Set(1)),
+    tfn("shingle_novelty",
+      "(table) - daily first-seen 3-gram shingle share (corpus freshness monitor)",
+      arities = Set(1)),
+    tfn("dtw_pairs",
+      "(table[, k, max_days]) - DTW distance between the top-k daily-turn-count series over the trailing max_days (defaults 8, 64)",
+      arities = Set(1, 3), intArgs = Set(1, 2)),
+    tfn("peak_days",
+      "(table[, w]) - strict local maxima of each conversation's daily turn series within +-w observed days (default 3)",
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("tool_seq_edit",
+      "(table[, k]) - edit distance between the top-k tool-call sequences (default 8)",
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("lttb_downsample",
+      "(table[, window]) - largest-triangle-three-buckets downsampling of an events table per (user_id, window); window is an interval string (default '1 hour')",
+      arities = Set(1, 2)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

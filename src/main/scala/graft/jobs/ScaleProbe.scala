@@ -199,6 +199,22 @@ object ScaleProbe {
         .agg(count(col("ttr"))).head())
       val tNov = stage("novelty")(graft.operators.SeriesOps.shingleNoveltyDaily(raw)
         .agg(count(col("novelty_rate"))).head())
+      // sequence-similarity + downsampling family (q106-q109). lttb
+      // wants the events shape — derive one from the cached input
+      // (hash-keyed, value = char length) so the probe measures the
+      // operator's census/argmax plan, not a second parquet scan
+      val tDtw = stage("dtw")(graft.operators.SeriesOps.dtwPairs(raw)
+        .agg(count(col("dtw"))).head())
+      val tPeaks = stage("peaks")(graft.operators.SeriesOps.peakDays(raw)
+        .agg(count(col("prominence"))).head())
+      val tSeqEdit = stage("seqedit")(graft.operators.RefOps.toolSeqEdit(raw)
+        .agg(count(col("edit_dist"))).head())
+      val evShaped = raw.select(
+        pmod(hash(col("conv_id")), lit(997)).cast("long").as("user_id"),
+        hash(col("conv_id"), col("turn_idx")).cast("long").as("event_id"),
+        col("ts"), length(col("text")).cast("double").as("value"))
+      val tLttb = stage("lttb")(graft.operators.RefOps.lttbDownsample(evShaped)
+        .agg(count(col("event_id"))).head())
       val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
@@ -207,7 +223,8 @@ object ScaleProbe {
         tLift + tMk + tRs + tRank + tPairc + tSplit + tCad + tVg +
         tCard + tCardA + tAcf + tLl + tGini + tSurv + tStreak + tNvr +
         tAdopt + tDup + tFano + tHalf + tWhale + tConc + tChurn + tRec +
-        tLor + tDrift + tTermChurn + tTtr + tNov
+        tLor + tDrift + tTermChurn + tTtr + tNov +
+        tDtw + tPeaks + tSeqEdit + tLttb
       println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
         f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs sessionize=$tSess%.2fs " +
         f"asof=$tAsof%.2fs interval=$tInterval%.2fs sliding=$tSliding%.2fs " +
@@ -231,6 +248,8 @@ object ScaleProbe {
         f"concurrency=$tConc%.2fs churn=$tChurn%.2fs records=$tRec%.2fs " +
         f"lorenz=$tLor%.2fs drift=$tDrift%.2fs " +
         f"termchurn=$tTermChurn%.2fs ttr=$tTtr%.2fs novelty=$tNov%.2fs " +
+        f"dtw=$tDtw%.2fs peaks=$tPeaks%.2fs seqedit=$tSeqEdit%.2fs " +
+        f"lttb=$tLttb%.2fs " +
         f"total=$total%.2fs " +
         (if (tM1 > 0) f"throughput=${n / tM1}%.0f turns/s" else "throughput=n/a"))
       total

@@ -222,6 +222,44 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         if (args.length == 2)
           SeriesOps.whaleConvsDaily(session.table(args(0)), args(1).toInt)
         else SeriesOps.whaleConvsDaily(session.table(args(0)))
+      case "conv_concurrency" =>
+        SeriesOps.convConcurrency(session.table(args(0)))
+      case "toolset_churn" =>
+        SeriesOps.toolsetChurn(session.table(args(0)))
+      case "record_days" =>
+        SeriesOps.recordDays(session.table(args(0)))
+      case "lorenz_deciles" =>
+        if (args.length == 2)
+          SeriesOps.lorenzDeciles(session.table(args(0)), args(1).toInt)
+        else SeriesOps.lorenzDeciles(session.table(args(0)))
+      case "dist_drift" =>
+        SeriesOps.distDrift(session.table(args(0)))
+      case "term_churn" =>
+        if (args.length == 2)
+          SeriesOps.termChurnDaily(session.table(args(0)), args(1).toInt)
+        else SeriesOps.termChurnDaily(session.table(args(0)))
+      case "type_token_ratio" =>
+        SeriesOps.typeTokenRatio(session.table(args(0)))
+      case "daily_len_histogram" =>
+        SeriesOps.lengthHistogramDaily(session.table(args(0)))
+      case "shingle_novelty" =>
+        SeriesOps.shingleNoveltyDaily(session.table(args(0)))
+      case "dtw_pairs" =>
+        if (args.length == 3)
+          SeriesOps.dtwPairs(session.table(args(0)), args(1).toInt, args(2).toInt)
+        else SeriesOps.dtwPairs(session.table(args(0)))
+      case "peak_days" =>
+        if (args.length == 2)
+          SeriesOps.peakDays(session.table(args(0)), args(1).toInt)
+        else SeriesOps.peakDays(session.table(args(0)))
+      case "tool_seq_edit" =>
+        if (args.length == 2)
+          RefOps.toolSeqEdit(session.table(args(0)), args(1).toInt)
+        else RefOps.toolSeqEdit(session.table(args(0)))
+      case "lttb_downsample" =>
+        if (args.length == 2)
+          RefOps.lttbDownsample(session.table(args(0)), args(1))
+        else RefOps.lttbDownsample(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

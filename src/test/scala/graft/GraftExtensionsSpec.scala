@@ -308,6 +308,37 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.SeriesOps.charHalfLife(tr))
     assertSameRows(ext.sql("SELECT * FROM whale_convs('tr4_ext', 2)"),
       graft.operators.SeriesOps.whaleConvsDaily(tr, k = 2))
+    assertSameRows(ext.sql("SELECT * FROM conv_concurrency('tr4_ext')"),
+      graft.operators.SeriesOps.convConcurrency(tr))
+    assertSameRows(ext.sql("SELECT * FROM toolset_churn('tr4_ext')"),
+      graft.operators.SeriesOps.toolsetChurn(tr))
+    assertSameRows(ext.sql("SELECT * FROM record_days('tr4_ext')"),
+      graft.operators.SeriesOps.recordDays(tr))
+    assertSameRows(ext.sql("SELECT * FROM lorenz_deciles('tr4_ext', 4)"),
+      graft.operators.SeriesOps.lorenzDeciles(tr, buckets = 4))
+    assertSameRows(ext.sql("SELECT * FROM dist_drift('tr4_ext')"),
+      graft.operators.SeriesOps.distDrift(tr))
+    assertSameRows(ext.sql("SELECT * FROM term_churn('tr4_ext', 10)"),
+      graft.operators.SeriesOps.termChurnDaily(tr, k = 10))
+    assertSameRows(ext.sql("SELECT * FROM type_token_ratio('tr4_ext')"),
+      graft.operators.SeriesOps.typeTokenRatio(tr))
+    assertSameRows(ext.sql("SELECT * FROM daily_len_histogram('tr4_ext')"),
+      graft.operators.SeriesOps.lengthHistogramDaily(tr))
+    assertSameRows(ext.sql("SELECT * FROM shingle_novelty('tr4_ext')"),
+      graft.operators.SeriesOps.shingleNoveltyDaily(tr))
+    assertSameRows(ext.sql("SELECT * FROM dtw_pairs('tr4_ext', 4, 16)"),
+      graft.operators.SeriesOps.dtwPairs(tr, k = 4, maxDays = 16))
+    assertSameRows(ext.sql("SELECT * FROM peak_days('tr4_ext', 2)"),
+      graft.operators.SeriesOps.peakDays(tr, w = 2))
+    assertSameRows(ext.sql("SELECT * FROM tool_seq_edit('tr4_ext', 4)"),
+      graft.operators.RefOps.toolSeqEdit(tr, k = 4))
+    // lttb wants the events shape — register a derived view
+    val ev = tr.selectExpr("pmod(hash(conv_id), 97) AS user_id",
+      "CAST(hash(conv_id, turn_idx) AS BIGINT) AS event_id", "ts",
+      "CAST(length(text) AS DOUBLE) AS value")
+    ev.createOrReplaceTempView("ev4_ext")
+    assertSameRows(ext.sql("SELECT * FROM lttb_downsample('ev4_ext', '2 hours')"),
+      graft.operators.RefOps.lttbDownsample(ev, windowExpr = "2 hours"))
     // malformed double tunable is an analysis error carrying the usage
     val d = intercept[Exception] {
       ext.sql("SELECT * FROM ewma('tr4_ext', 'abc')").collect()
