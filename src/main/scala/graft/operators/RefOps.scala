@@ -304,23 +304,34 @@ object RefOps {
     * Scale: one partial-aggregated census exchange (3 sums per
     * bucket), a bucket-grain lag/lead window over the COLLAPSED
     * census, one (key, bucket) exchange of the sample rows for the
-    * join + per-bucket argmax window, and one key-grain window for the
-    * endpoints. The reduction is 1 row per interior bucket + 2 per
-    * key, independent of input density.
+    * neighbor join, then NO sorts: the per-bucket argmax is a
+    * `min_by` hash aggregation on the join's own partitioning (key:
+    * (−area, event_id), unique because event_id is), and the
+    * endpoints are ONE key-grain `min_by`/`max_by` aggregation that
+    * partial-aggregates map-side — 2 rows per key cross the wire
+    * where a window form would sort the full input twice. The
+    * reduction is 1 row per interior bucket + 2 per key, independent
+    * of input density. (First form used rank windows: measured 99 s
+    * vs 17 s for the 1m-rollup control on the same 57M rows — three
+    * full-input sorts; the aggregation form removes all of them.)
     */
   def lttbDownsample(events: DataFrame, windowExpr: String = "1 hour"): DataFrame = {
     TimeArith.requireUtcForNtz(events, "ts")
     val usC = unix_micros(col("ts").cast("timestamp"))
     val pts = events
       // null value has no place on the y axis ([[downsampleMinMax]]
-      // doctrine); null ts none on the x axis
+      // doctrine); null ts none on the x axis. window_start rides as
+      // epoch µs only (`_bus`) and is re-materialized at the output
+      // projections — one long through the shuffles, not a second
+      // timestamp
       .filter(col("value").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts"), col("value"),
-        window(col("ts"), windowExpr).getField("start").as("window_start"),
+        unix_micros(window(col("ts"), windowExpr).getField("start")
+          .cast("timestamp")).as("_bus"),
         usC.as("_us"),
         (col("value").cast("decimal(14,2)") * 100).cast("long").as("_yc"))
-      .withColumn("_bus", unix_micros(col("window_start").cast("timestamp")))
       .withColumn("_xr", col("_us") - col("_bus"))
+      .drop("_us")
     val census = pts
       .groupBy(col("user_id"), col("_bus"))
       .agg(count(lit(1)).as("n"),
@@ -346,31 +357,38 @@ object RefOps {
     val cT = d38(col("_xr")) * d38(col("nn")) - sxnRel
     val dT = col("syp") * d38(col("nn")) - col("syn") * d38(col("np"))
     val area2 = abs(a * bT - cT * dT)
-    val wPick = Window.partitionBy(col("user_id"), col("_bus"))
-      .orderBy(col("_area").desc, col("event_id").asc)
+    val payload = struct(col("event_id"), col("ts"), col("value"))
     val interior = pts
       .join(nb.filter(col("tp").isNotNull && col("tn").isNotNull),
         Seq("user_id", "_bus"))
-      .withColumn("_area", area2)
-      .withColumn("_rn", row_number().over(wPick))
-      .filter(col("_rn") === 1)
-      .select(col("user_id"), col("window_start"), lit("lttb").as("kind"),
-        col("event_id"), col("ts"), col("value"))
-    val wU = Window.partitionBy(col("user_id"))
+      .groupBy(col("user_id"), col("_bus"))
+      // argmax as min_by over (−area, event_id): unique key (event_id
+      // is), so the pick is deterministic — max area, ties to the
+      // smallest event_id. Hash agg on the join's own (key, bucket)
+      // partitioning: no exchange, no sort
+      .agg(min_by(payload, struct((-area2).as("na"), col("event_id")))
+        .as("p"))
+      .select(col("user_id"),
+        timestamp_micros(col("_bus")).as("window_start"),
+        lit("lttb").as("kind"),
+        col("p.event_id").as("event_id"), col("p.ts").as("ts"),
+        col("p.value").as("value"))
     val endpoints = pts
-      .withColumn("_rf",
-        row_number().over(wU.orderBy(col("ts").asc, col("event_id").asc)))
-      .withColumn("_rl",
-        row_number().over(wU.orderBy(col("ts").desc, col("event_id").desc)))
-      .filter(col("_rf") === 1 || col("_rl") === 1)
-      .select(col("user_id"), col("window_start"),
-        explode(concat(
-          when(col("_rf") === 1, array(lit("first")))
-            .otherwise(array().cast("array<string>")),
-          when(col("_rl") === 1, array(lit("last")))
-            .otherwise(array().cast("array<string>"))))
-          .as("kind"),
-        col("event_id"), col("ts"), col("value"))
+      .groupBy(col("user_id"))
+      // (ts, event_id) is a total order; 2 rows per key cross the wire
+      .agg(
+        min_by(struct(col("_bus"), col("event_id"), col("ts"), col("value")),
+          struct(col("ts"), col("event_id"))).as("f"),
+        max_by(struct(col("_bus"), col("event_id"), col("ts"), col("value")),
+          struct(col("ts"), col("event_id"))).as("l"))
+      .select(col("user_id"), explode(array(
+        struct(lit("first").as("kind"), col("f").as("p")),
+        struct(lit("last").as("kind"), col("l").as("p")))).as("e"))
+      .select(col("user_id"),
+        timestamp_micros(col("e.p._bus")).as("window_start"),
+        col("e.kind").as("kind"),
+        col("e.p.event_id").as("event_id"), col("e.p.ts").as("ts"),
+        col("e.p.value").as("value"))
     interior.unionByName(endpoints)
   }
 

@@ -139,6 +139,17 @@ class RefOpsSpec extends SparkTestBase {
       }
     }
     assert(got == expected, s"argmax mismatch:\n got $got\n exp $expected")
+    // plan pin: the argmax and endpoints are min_by/max_by AGGREGATIONS
+    // that collapse before their exchange — the ONLY Window node is the
+    // census-grain lag/lead (the rank-window form shuffled and sorted
+    // the full input three times: measured 99 s vs the 17 s 1m-rollup
+    // control on the same 57M rows)
+    val plan = RefOps.lttbDownsample(events).queryExecution.executedPlan.toString
+    assert("\\bWindow \\[".r.findAllIn(plan).size == 1,
+      s"expected exactly the census lag/lead window:\n$plan")
+    assert(!plan.contains("row_number"), s"expected no rank windows:\n$plan")
+    assert(plan.contains("partial_min_by"),
+      s"expected map-side partial argmax agg:\n$plan")
   }
 
   test("toolSeqEdit golden: alphabetical alphabet, turn order, top-k, pairs") {
