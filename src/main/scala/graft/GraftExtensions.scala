@@ -279,7 +279,10 @@ object GraftExtensions {
       arities = Set(1, 2), intArgs = Set(1)),
     tfn("lttb_downsample",
       "(table[, window]) - largest-triangle-three-buckets downsampling of an events table per (user_id, window); window is an interval string (default '1 hour')",
-      arities = Set(1, 2)))
+      arities = Set(1, 2)),
+    tfn("ooo_skew",
+      "(table) - per-day out-of-order skew census vs the conversation high-water mark (the watermark-sizing statistic)",
+      arities = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

@@ -484,7 +484,14 @@ object SparkEntry {
     // strict local maxima over each conversation's daily series
     // (±3 OBSERVED days) with prominence over the tallest neighbor
     "q109_peak_days" -> ((s, dir) =>
-      graft.operators.SeriesOps.peakDays(transcripts(s, dir), w = 3))
+      graft.operators.SeriesOps.peakDays(transcripts(s, dir), w = 3)),
+    // out-of-order skew census: the watermark-sizing statistic (late
+    // share + skew quantiles per day against the conv high-water mark).
+    // The driver's synthetic data is ts-ordered by construction, so the
+    // oracle pins the all-on-time path (zeros + NULL quantiles); the
+    // late path is pinned by SeriesOpsSpec's golden + brute-sweep tests
+    "q110_ooo_skew" -> ((s, dir) =>
+      graft.operators.SeriesOps.outOfOrderSkew(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -2229,6 +2236,30 @@ object SparkEntry {
         |  turn_count - GREATEST(COALESCE(l, 0), COALESCE(r, 0)) AS prominence
         |FROM w
         |WHERE turn_count > COALESCE(l, 0) AND turn_count > COALESCE(r, 0)"""
-        .stripMargin)
+        .stripMargin),
+    // high-water-mark frame ends at 1 PRECEDING (the first arrival has
+    // no mark); quantile_cont over integer µs ≡ percentile (the q18
+    // guarantee), over LATE events only — all-on-time days report NULL
+    "q110_ooo_skew" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, turn_idx, EPOCH_US(ts) AS us,
+        |    MAKE_TIMESTAMP(EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) AS day
+        |  FROM transcripts
+        |  WHERE ts IS NOT NULL AND conv_id IS NOT NULL
+        |    AND turn_idx IS NOT NULL),
+        |s AS (
+        |  SELECT day, CASE WHEN hwm > us THEN hwm - us END AS skew
+        |  FROM (SELECT *, MAX(us) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |        FROM b))
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS events,
+        |  CAST(COUNT(skew) AS BIGINT) AS late_events,
+        |  ROUND(CAST(COUNT(skew) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS late_share,
+        |  quantile_cont(skew, 0.5) AS skew_p50_us,
+        |  quantile_cont(skew, 0.95) AS skew_p95_us,
+        |  CAST(MAX(skew) AS BIGINT) AS skew_max_us
+        |FROM s GROUP BY 1""".stripMargin)
   )
 }

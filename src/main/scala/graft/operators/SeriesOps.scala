@@ -2388,4 +2388,53 @@ object SeriesOps {
           greatest(coalesce(col("_l"), lit(0L)), coalesce(col("_r"), lit(0L))))
           .as("prominence"))
   }
+
+  /** Out-of-order (late-data) skew census — the statistic that SIZES A
+    * STREAMING WATERMARK: per UTC day, how many events arrived with an
+    * event time BEHIND their conversation's running high-water mark,
+    * and by how much (p50/p95/max µs). Arrival order is `turn_idx`
+    * (the ingest-order proxy — the reference processes rows in file
+    * order, `CSVReader.java:245-249`); an event is LATE when some
+    * earlier-arriving turn of the same conversation already carried a
+    * later timestamp. `skew = hwm − ts` over late events is exactly
+    * the delay bound `withWatermark` needs: a watermark of the
+    * observed p95 admits 95% of this corpus's stragglers, and
+    * [[graft.streaming.StreamingRollupJob]]'s tunable should be read
+    * off this census rather than guessed.
+    *
+    * The first-arriving turn has no high-water mark and cannot be
+    * late (empty frame → null hwm, matching the SQL 1-PRECEDING
+    * frame). Quantiles are exact type-7 interpolations over integer
+    * µs (≡ `quantile_cont`, the q18 guarantee), computed over LATE
+    * events only — an all-on-time day reports nulls, not zeros (no
+    * late population ≠ a zero-skew one). Null doctrine: null ts has
+    * no event time, null turn_idx no arrival rank, null conv_id no
+    * high-water lineage — all drop ([[ewma]] order-key rule).
+    *
+    * Scale: ONE conv_id exchange for the running-max window, one
+    * day-grain reduction; the day key is derived from the event's own
+    * timestamp, so the census never re-keys raw rows twice.
+    */
+  def outOfOrderSkew(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    transcripts
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull &&
+        col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), dayStartCol.as("day"),
+        unix_micros(col("ts").cast("timestamp")).as("_us"))
+      .withColumn("_skew",
+        when(max(col("_us")).over(w) > col("_us"),
+          max(col("_us")).over(w) - col("_us")))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("events"),
+        count(col("_skew")).as("late_events"),
+        round(count(col("_skew")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("late_share"),
+        expr("percentile(_skew, 0.5)").as("skew_p50_us"),
+        expr("percentile(_skew, 0.95)").as("skew_p95_us"),
+        max(col("_skew")).as("skew_max_us"))
+  }
 }

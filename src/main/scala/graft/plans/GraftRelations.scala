@@ -260,6 +260,8 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         if (args.length == 2)
           RefOps.lttbDownsample(session.table(args(0)), args(1))
         else RefOps.lttbDownsample(session.table(args(0)))
+      case "ooo_skew" =>
+        SeriesOps.outOfOrderSkew(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

@@ -332,6 +332,8 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.SeriesOps.peakDays(tr, w = 2))
     assertSameRows(ext.sql("SELECT * FROM tool_seq_edit('tr4_ext', 4)"),
       graft.operators.RefOps.toolSeqEdit(tr, k = 4))
+    assertSameRows(ext.sql("SELECT * FROM ooo_skew('tr4_ext')"),
+      graft.operators.SeriesOps.outOfOrderSkew(tr))
     // lttb wants the events shape — register a derived view
     val ev = tr.selectExpr("pmod(hash(conv_id), 97) AS user_id",
       "CAST(hash(conv_id, turn_idx) AS BIGINT) AS event_id", "ts",

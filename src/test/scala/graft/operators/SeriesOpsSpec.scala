@@ -1758,6 +1758,61 @@ class SeriesOpsSpec extends SparkTestBase {
       ("B", "2024-01-05 00:00:00.0") -> ((1L, 1L))), s"got $out")
   }
 
+  test("outOfOrderSkew golden: hwm regressions, cross-day late event, on-time day") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "x", null, "2024-01-01 10:00:00"),
+      ("A", 1, "user", "x", null, "2024-01-01 09:59:00"),   // 60s late
+      ("A", 2, "user", "x", null, "2024-01-01 10:05:00"),
+      ("A", 3, "user", "x", null, "2024-01-01 10:04:30"),   // 30s late
+      ("B", 0, "user", "x", null, "2024-01-02 11:00:00"),
+      // arrives after B's day-2 turn but carries a DAY-1 timestamp:
+      // 12h late, counted on ITS OWN day (day 1)
+      ("B", 1, "user", "x", null, "2024-01-01 23:00:00"),
+      ("C", 0, "user", "x", null, null)))                   // null ts drops
+    val out = SeriesOps.outOfOrderSkew(df).collect()
+      .map(r => r.getTimestamp(0).toString -> r).toMap
+    val d1 = out("2024-01-01 00:00:00.0")
+    assert((d1.getLong(1), d1.getLong(2), d1.getDouble(3)) == ((5L, 3L, 0.6)))
+    // sorted late skews [3e7, 6e7, 4.32e10]: p50 exact member, p95 the
+    // type-7 interpolation at pos = 0.95*(n-1) — asserted in the SAME
+    // double arithmetic the engines run (frac = 0.95*2 - 1 is
+    // 0.8999999999999997, not 0.9; a decimal literal would miss by 1 ulp)
+    val frac = 0.95 * 2 - 1.0
+    assert(d1.getDouble(4) == 6.0e7 &&
+      d1.getDouble(5) == 6.0e7 + frac * (4.32e10 - 6.0e7), d1.toString)
+    assert(d1.getLong(6) == 43200000000L)
+    val d2 = out("2024-01-02 00:00:00.0")
+    assert((d2.getLong(1), d2.getLong(2), d2.getDouble(3)) == ((1L, 0L, 0.0)))
+    // no late population: null quantiles, NOT zeros
+    assert(d2.isNullAt(4) && d2.isNullAt(5) && d2.isNullAt(6), d2.toString)
+  }
+
+  test("outOfOrderSkew matches a brute high-water-mark sweep on synth") {
+    val got = SeriesOps.outOfOrderSkew(turns).collect()
+      .map(r => r.getTimestamp(0).getTime ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    val rows = turns.filter(col("ts").isNotNull && col("conv_id").isNotNull
+      && col("turn_idx").isNotNull)
+      .select("conv_id", "turn_idx", "ts").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        r.getTimestamp(2).getTime * 1000L))
+    val skews = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(_._2)
+      ordered.zipWithIndex.map { case ((_, _, us), i) =>
+        val hwm = if (i == 0) Long.MinValue else ordered.take(i).map(_._3).max
+        (us, if (hwm > us) Some(hwm - us) else None)
+      }
+    }
+    val exp = skews.groupBy { case (us, _) =>
+      us - java.lang.Math.floorMod(us, 86400L * 1000000L)
+    }.map { case (day, evs) =>
+      (day / 1000L) -> ((evs.size.toLong, evs.count(_._2.isDefined).toLong,
+        evs.flatMap(_._2).reduceOption(_ max _).getOrElse(-1L)))
+    }
+    assert(got == exp, s"skew census diverges:\n got $got\n exp $exp")
+  }
+
   test("peakDays invariants on synth: every peak beats its brute neighborhood") {
     val w = 3
     val got = SeriesOps.peakDays(turns, w).collect()
