@@ -1199,6 +1199,10 @@ object RefOps {
         length(col("seq")).cast("long").as("n"))
       .orderBy(col("n").desc, col("conv_id").asc)
       .limit(k)
+      // ≤ k rows referenced TWICE by the pair self-join: localCheckpoint
+      // ([[graft.operators.SeriesOps.dtwPairs]] rationale) gathers the
+      // sequences once instead of once per join side
+      .localCheckpoint()
     val a = seqs.select(col("conv_id").as("conv_a"), col("seq").as("sa"),
       col("n").as("len_a"))
     val b = seqs.select(col("conv_id").as("conv_b"), col("seq").as("sb"),

@@ -2324,6 +2324,10 @@ object SeriesOps {
         expr("aggregate(vals, 0L, (s, v) -> s + v)").as("total"))
       .orderBy(col("total").desc, col("conv_id").asc)
       .limit(k)
+      // ≤ k rows referenced TWICE by the pair self-join: localCheckpoint
+      // ([[toolLeadLag]] rationale) runs the census pipeline once —
+      // without it each join side re-scans and re-aggregates the corpus
+      .localCheckpoint()
     val a = series.select(col("conv_id").as("conv_a"), col("vals").as("va"),
       col("n").as("n_a"))
     val b = series.select(col("conv_id").as("conv_b"), col("vals").as("vb"),
