@@ -314,6 +314,15 @@ object RefOps {
     * of input density. (First form used rank windows: measured 99 s
     * vs 17 s for the 1m-rollup control on the same 57M rows — three
     * full-input sorts; the aggregation form removes all of them.)
+    *
+    * Measured dead end, do not revisit: folding the endpoint payload
+    * partials INTO the census agg (per-bucket min_by/max_by structs,
+    * endpoints reduced from the collapsed census — "one fewer scan")
+    * regresses 65 → 83 s at local[8] and 20 → 37 s at local[32], with
+    * or without a localCheckpoint on the shared census. The struct
+    * buffers demote the census HashAggregate to a full-input
+    * SortAggregate, which costs more than the endpoints' own
+    * partial-aggregated pass over the (storage-cached) input ever did.
     */
   def lttbDownsample(events: DataFrame, windowExpr: String = "1 hour"): DataFrame = {
     TimeArith.requireUtcForNtz(events, "ts")

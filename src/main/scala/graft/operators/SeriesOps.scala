@@ -2437,8 +2437,14 @@ object SeriesOps {
         count(col("_skew")).as("late_events"),
         round(count(col("_skew")).cast("double") /
           count(lit(1)).cast("double"), 6).as("late_share"),
-        expr("percentile(_skew, 0.5)").as("skew_p50_us"),
-        expr("percentile(_skew, 0.95)").as("skew_p95_us"),
+        // ONE percentile call ([[responseLatency]] idiom): two separate
+        // aggregates would each buffer the full late population
+        percentile(col("_skew"), array(lit(0.5), lit(0.95))).as("_q"),
         max(col("_skew")).as("skew_max_us"))
+      .select(col("day"), col("events"), col("late_events"),
+        col("late_share"),
+        col("_q").getItem(0).as("skew_p50_us"),
+        col("_q").getItem(1).as("skew_p95_us"),
+        col("skew_max_us"))
   }
 }

@@ -61,9 +61,13 @@ object LateMonitor {
 
   private val dayUs = 86400L * 1000000L
 
-  /** Full-precision µs (getTime alone drops the sub-ms part). */
+  /** Full-precision µs (getTime alone drops the sub-ms part).
+    * floorDiv, not `/`: truncation would shift pre-epoch instants up
+    * to a second forward, diverging from the batch `unix_micros`.
+    */
   private def micros(ts: Timestamp): Long =
-    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    java.lang.Math.floorDiv(ts.getTime, 1000L) * 1000000L +
+      ts.getNanos / 1000L
 
   private def track(ttlMs: Long)(
       convId: String, rows: Iterator[TurnArrival],
