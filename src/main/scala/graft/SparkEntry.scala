@@ -491,7 +491,16 @@ object SparkEntry {
     // oracle pins the all-on-time path (zeros + NULL quantiles); the
     // late path is pinned by SeriesOpsSpec's golden + brute-sweep tests
     "q110_ooo_skew" -> ((s, dir) =>
-      graft.operators.SeriesOps.outOfOrderSkew(transcripts(s, dir)))
+      graft.operators.SeriesOps.outOfOrderSkew(transcripts(s, dir))),
+    // the LATE-path oracle check the ordered driver data cannot give
+    // q110 (the q38/q39 exhaustive-ANN trick): negating turn_idx
+    // reverses arrival order, so every non-newest event trails its
+    // conversation's high-water mark — late shares and skew quantiles
+    // become dense and hash-checkable
+    "q111_ooo_skew_reversed" -> ((s, dir) =>
+      graft.operators.SeriesOps.outOfOrderSkew(
+        transcripts(s, dir).withColumn("turn_idx",
+          -org.apache.spark.sql.functions.col("turn_idx"))))
   )
 
   private val rollupSelect: String =
@@ -2243,6 +2252,30 @@ object SparkEntry {
     "q110_ooo_skew" -> Transcripts.oracle(
       """, b AS (
         |  SELECT conv_id, turn_idx, EPOCH_US(ts) AS us,
+        |    MAKE_TIMESTAMP(EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) AS day
+        |  FROM transcripts
+        |  WHERE ts IS NOT NULL AND conv_id IS NOT NULL
+        |    AND turn_idx IS NOT NULL),
+        |s AS (
+        |  SELECT day, CASE WHEN hwm > us THEN hwm - us END AS skew
+        |  FROM (SELECT *, MAX(us) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |        FROM b))
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS events,
+        |  CAST(COUNT(skew) AS BIGINT) AS late_events,
+        |  ROUND(CAST(COUNT(skew) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS late_share,
+        |  quantile_cont(skew, 0.5) AS skew_p50_us,
+        |  quantile_cont(skew, 0.95) AS skew_p95_us,
+        |  CAST(MAX(skew) AS BIGINT) AS skew_max_us
+        |FROM s GROUP BY 1""".stripMargin),
+    // q110's mirror with arrival order REVERSED (-turn_idx): the late
+    // path — dense skew populations — checked hash-exact; quantile_cont
+    // over integer µs ≡ percentile (the q18 guarantee)
+    "q111_ooo_skew_reversed" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, -turn_idx AS turn_idx, EPOCH_US(ts) AS us,
         |    MAKE_TIMESTAMP(EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
         |      + 86400000000) % 86400000000) AS day
         |  FROM transcripts
