@@ -1210,6 +1210,21 @@ object SeriesOps {
     timestamp_micros(us - pmod(us, lit(dayUs)))
   }
 
+  /** The (conv_id, day) turn-count census shared by [[dtwPairs]] and
+    * [[peakDays]] — one exchange, partial-aggregated map-side; the
+    * null doctrine (null ts unplaceable, null conv_id unkeyable) and
+    * the day floor change HERE and in the q108/q109/q111 oracles in
+    * lockstep (the [[dayTermCensus]] sharing precedent).
+    */
+  private def dayTurnCensus(transcripts: DataFrame, cntName: String): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    transcripts
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .select(col("conv_id"), dayStartCol.as("day"))
+      .groupBy(col("conv_id"), col("day"))
+      .agg(count(lit(1)).as(cntName))
+  }
+
   /** Digit-count length bucket of `text` (exact integer text algebra,
     * no log2 float boundary) — the single definition of the histogram
     * bucket rule shared by [[lengthHistogramDaily]], [[distDrift]],
@@ -2304,12 +2319,7 @@ object SeriesOps {
     require(k >= 2 && k <= 64, s"k must be in [2, 64], got $k")
     require(maxDays >= 2 && maxDays <= 366,
       s"maxDays must be in [2, 366], got $maxDays")
-    TimeArith.requireUtcForNtz(transcripts, "ts")
-    val census = transcripts
-      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
-      .select(col("conv_id"), dayStartCol.as("day"))
-      .groupBy(col("conv_id"), col("day"))
-      .agg(count(lit(1)).as("cnt"))
+    val census = dayTurnCensus(transcripts, "cnt")
     val series = census
       .groupBy(col("conv_id"))
       // day is unique per conversation, so the struct sort is a total
@@ -2376,13 +2386,8 @@ object SeriesOps {
     */
   def peakDays(transcripts: DataFrame, w: Int = 3): DataFrame = {
     require(w >= 1 && w <= 30, s"w must be in [1, 30], got $w")
-    TimeArith.requireUtcForNtz(transcripts, "ts")
     val ord = Window.partitionBy(col("conv_id")).orderBy(col("day"))
-    transcripts
-      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
-      .select(col("conv_id"), dayStartCol.as("day"))
-      .groupBy(col("conv_id"), col("day"))
-      .agg(count(lit(1)).as("turn_count"))
+    dayTurnCensus(transcripts, "turn_count")
       .withColumn("_l", max(col("turn_count")).over(ord.rowsBetween(-w, -1)))
       .withColumn("_r", max(col("turn_count")).over(ord.rowsBetween(1, w)))
       .filter(col("turn_count") > coalesce(col("_l"), lit(0L)) &&
@@ -2428,9 +2433,11 @@ object SeriesOps {
         col("turn_idx").isNotNull)
       .select(col("conv_id"), col("turn_idx"), dayStartCol.as("day"),
         unix_micros(col("ts").cast("timestamp")).as("_us"))
+      // hoisted so the running max is ONE window buffer (and the shape
+      // mirrors the oracle's single hwm subquery column)
+      .withColumn("_hwm", max(col("_us")).over(w))
       .withColumn("_skew",
-        when(max(col("_us")).over(w) > col("_us"),
-          max(col("_us")).over(w) - col("_us")))
+        when(col("_hwm") > col("_us"), col("_hwm") - col("_us")))
       .groupBy(col("day"))
       .agg(
         count(lit(1)).as("events"),
