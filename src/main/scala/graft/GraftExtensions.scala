@@ -282,7 +282,10 @@ object GraftExtensions {
       arities = Set(1, 2)),
     tfn("ooo_skew",
       "(table) - per-day out-of-order skew census vs the conversation high-water mark (the watermark-sizing statistic)",
-      arities = Set(1)))
+      arities = Set(1)),
+    tfn("funnel",
+      "(table, step1[, step2, ... step8]) - ordered funnel conversion: conversations reaching each tool step strictly after the previous one",
+      arities = (2 to 9).toSet))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

@@ -500,7 +500,21 @@ object SparkEntry {
     "q111_ooo_skew_reversed" -> ((s, dir) =>
       graft.operators.SeriesOps.outOfOrderSkew(
         transcripts(s, dir).withColumn("turn_idx",
-          -org.apache.spark.sql.functions.col("turn_idx"))))
+          -org.apache.spark.sql.functions.col("turn_idx")))),
+    // ordered funnel over conversation OPENINGS (turn_idx < 8 keeps
+    // occurrences scarce so the ordered counts 120/76/25 differ from
+    // plain co-occurrence 120/103/77 at sf0.01 — the check would catch
+    // an unordered implementation): convs reaching signup, then
+    // purchase strictly after it, then error after that — step times
+    // are k conditional window mins over ONE exact packed
+    // (µs, turn_idx) key on one conv exchange; the oracle is the
+    // k-iterated-CTE join form, so the two engines derive the
+    // sequential containment independently
+    "q112_funnel" -> ((s, dir) =>
+      graft.operators.SeriesOps.funnel(
+        transcripts(s, dir)
+          .filter(org.apache.spark.sql.functions.col("turn_idx") < 8),
+        Seq("signup", "purchase", "error")))
   )
 
   private val rollupSelect: String =
@@ -2293,6 +2307,65 @@ object SparkEntry {
         |  quantile_cont(skew, 0.5) AS skew_p50_us,
         |  quantile_cont(skew, 0.95) AS skew_p95_us,
         |  CAST(MAX(skew) AS BIGINT) AS skew_max_us
-        |FROM s GROUP BY 1""".stripMargin)
+        |FROM s GROUP BY 1""".stripMargin),
+    // iterated-CTE form of the funnel (independent of the engine's
+    // window-chain form): step k = min packed key strictly after the
+    // conv's step k-1; HUGEINT pack ≡ the engine's DECIMAL(38,0)
+    "q112_funnel" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, tool,
+        |    CAST(EPOCH_US(ts) AS HUGEINT) * 4294967296
+        |      + (CAST(turn_idx AS BIGINT) + 2147483648) AS pk
+        |  FROM transcripts
+        |  WHERE ts IS NOT NULL AND conv_id IS NOT NULL
+        |    AND turn_idx IS NOT NULL AND tool IS NOT NULL
+        |    AND turn_idx < 8),
+        |s1 AS (
+        |  SELECT conv_id,
+        |    MIN(CASE WHEN tool = 'signup' THEN pk END) AS p1
+        |  FROM b GROUP BY 1),
+        |s2 AS (
+        |  SELECT b.conv_id,
+        |    MIN(CASE WHEN b.tool = 'purchase' AND b.pk > s1.p1
+        |        THEN b.pk END) AS p2
+        |  FROM b JOIN s1 USING (conv_id) GROUP BY 1),
+        |s3 AS (
+        |  SELECT b.conv_id,
+        |    MIN(CASE WHEN b.tool = 'error' AND b.pk > s2.p2
+        |        THEN b.pk END) AS p3
+        |  FROM b JOIN s2 USING (conv_id) GROUP BY 1),
+        |j AS (
+        |  SELECT
+        |    p1, p2, p3,
+        |    (p2 // 4294967296) - (p1 // 4294967296) AS d2,
+        |    (p3 // 4294967296) - (p2 // 4294967296) AS d3
+        |  FROM s1 JOIN s2 USING (conv_id) JOIN s3 USING (conv_id)),
+        |c AS (
+        |  SELECT COUNT(p1) AS c1, COUNT(p2) AS c2, COUNT(p3) AS c3,
+        |    SUM(d2) AS sd2, SUM(d3) AS sd3,
+        |    CAST(MAX(d2) AS BIGINT) AS md2, CAST(MAX(d3) AS BIGINT) AS md3
+        |  FROM j)
+        |SELECT 1 AS step, 'signup' AS tool, CAST(c1 AS BIGINT) AS convs,
+        |  CASE WHEN c1 > 0 THEN
+        |    ROUND(CAST(c1 AS DOUBLE) / CAST(c1 AS DOUBLE), 6)
+        |  END AS conversion,
+        |  CAST(NULL AS DOUBLE) AS avg_step_us,
+        |  CAST(NULL AS BIGINT) AS max_step_us FROM c
+        |UNION ALL
+        |SELECT 2, 'purchase', CAST(c2 AS BIGINT),
+        |  CASE WHEN c1 > 0 THEN
+        |    ROUND(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE), 6)
+        |  END,
+        |  CASE WHEN c2 > 0 THEN
+        |    ROUND(CAST(sd2 AS DOUBLE) / CAST(c2 AS DOUBLE), 6)
+        |  END, md2 FROM c
+        |UNION ALL
+        |SELECT 3, 'error', CAST(c3 AS BIGINT),
+        |  CASE WHEN c1 > 0 THEN
+        |    ROUND(CAST(c3 AS DOUBLE) / CAST(c1 AS DOUBLE), 6)
+        |  END,
+        |  CASE WHEN c3 > 0 THEN
+        |    ROUND(CAST(sd3 AS DOUBLE) / CAST(c3 AS DOUBLE), 6)
+        |  END, md3 FROM c""".stripMargin)
   )
 }

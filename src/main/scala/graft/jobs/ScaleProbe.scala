@@ -211,6 +211,8 @@ object ScaleProbe {
         .agg(count(col("edit_dist"))).head())
       val tOoo = stage("ooo")(graft.operators.SeriesOps.outOfOrderSkew(raw)
         .agg(count(col("late_share"))).head())
+      val tFunnel = stage("funnel")(graft.operators.SeriesOps.funnel(raw,
+        Seq("search", "browse", "code")).agg(count(col("convs"))).head())
       val evShaped = raw.select(
         pmod(hash(col("conv_id")), lit(997)).cast("long").as("user_id"),
         hash(col("conv_id"), col("turn_idx")).cast("long").as("event_id"),
@@ -226,7 +228,7 @@ object ScaleProbe {
         tCard + tCardA + tAcf + tLl + tGini + tSurv + tStreak + tNvr +
         tAdopt + tDup + tFano + tHalf + tWhale + tConc + tChurn + tRec +
         tLor + tDrift + tTermChurn + tTtr + tNov +
-        tDtw + tPeaks + tSeqEdit + tLttb + tOoo
+        tDtw + tPeaks + tSeqEdit + tLttb + tOoo + tFunnel
       println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
         f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs sessionize=$tSess%.2fs " +
         f"asof=$tAsof%.2fs interval=$tInterval%.2fs sliding=$tSliding%.2fs " +
@@ -251,7 +253,7 @@ object ScaleProbe {
         f"lorenz=$tLor%.2fs drift=$tDrift%.2fs " +
         f"termchurn=$tTermChurn%.2fs ttr=$tTtr%.2fs novelty=$tNov%.2fs " +
         f"dtw=$tDtw%.2fs peaks=$tPeaks%.2fs seqedit=$tSeqEdit%.2fs " +
-        f"lttb=$tLttb%.2fs ooo=$tOoo%.2fs " +
+        f"lttb=$tLttb%.2fs ooo=$tOoo%.2fs funnel=$tFunnel%.2fs " +
         f"total=$total%.2fs " +
         (if (tM1 > 0) f"throughput=${n / tM1}%.0f turns/s" else "throughput=n/a"))
       total

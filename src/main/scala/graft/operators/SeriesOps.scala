@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2453,5 +2453,127 @@ object SeriesOps {
         col("_q").getItem(0).as("skew_p50_us"),
         col("_q").getItem(1).as("skew_p95_us"),
         col("skew_max_us"))
+  }
+
+  /** Ordered funnel conversion over tool calls: how many conversations
+    * invoke `steps(0)`, then `steps(1)` STRICTLY AFTER their first
+    * `steps(0)`, then `steps(2)` strictly after that, … — the
+    * product-analytics funnel (ordered sequential containment), a
+    * capability class none of the co-occurrence/lead-lag/adoption
+    * operators covers: those ask "do A and B both appear?", this asks
+    * "does B happen after A?".
+    *
+    * Semantics: the funnel clock is the canonical event order
+    * `(ts, turn_idx)` — packed into ONE exact decimal key
+    * (`µs · 2³² + turn_idx + 2³¹`, the [[RefOps.lttbDownsample]]
+    * DECIMAL(38,0)-here-HUGEINT-there doctrine) so ts ties break on
+    * the stable turn order in both engines. Step k's time is the
+    * minimum packed key among turns calling `steps(k)` strictly after
+    * the conversation's step-(k−1) time; a conversation reaches step k
+    * iff that min exists (the chain makes reached-counts
+    * monotonically non-increasing). Turns with null ts / conv_id /
+    * turn_idx / tool are not funnel events (the family null doctrine:
+    * unplaceable, unorderable, unkeyable, or not a tool call).
+    *
+    * Output: one row per step — `(step, tool, convs,
+    * conversion = convs / step-1 convs, avg_step_us, max_step_us)`.
+    * `conversion` is the q110 fixed-shape ROUND-6 division (NULL when
+    * the entry step converted nothing). `avg_step_us`/`max_step_us`
+    * profile the transition latency from the previous step's time to
+    * this step's time over converted conversations (NULL for step 1
+    * and for steps nothing reached): the step µs is recovered from the
+    * pack EXACTLY (subtract `pmod(pk, 2³²)`, divide by 2³² — the
+    * quotient is an integer so the decimal division is exact;
+    * `//` HUGEINT division in the oracle), deltas sum in decimal(38,0)
+    * (10⁹ converted convs × 10¹³ µs overflows a long), and the avg is
+    * ONE final fixed-shape double division. Deliberately avg/max, not
+    * quantiles: the transition population is one value per converted
+    * CONVERSATION — a single global group — so an exact percentile
+    * buffer would be unbounded at 10¹²-turn scale where the per-group
+    * buffers of [[RefOps.turnGapStats]]/[[responseLatency]] are
+    * conversation-bounded; the GK-sketch sibling
+    * ([[graft.rollup.Rollup.charLenQuantilesApprox]]) is the
+    * documented path if a latency distribution is ever needed.
+    *
+    * Plan: the step times are k conditional whole-partition window
+    * MINs stacked on ONE conv_id exchange (each references the
+    * previous step's column, so no self-join and no per-group array
+    * state — the [[RefOps.cusumChangepoint]] shared-exchange idiom);
+    * the per-conv reduction rides the same partitioning, and the
+    * final census is one global k-column count. Per-task memory is
+    * the window buffer over one conversation's TOOL turns (spillable),
+    * not a collect_list aggregation buffer. Reference analogue: none —
+    * the reference never sequences events; semantics are defined here
+    * and pinned by the DuckDB iterated-CTE oracle (`q112`).
+    */
+  def funnel(transcripts: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8,
+      s"steps must have 1 to 8 entries, got ${steps.size}")
+    require(steps.forall(s => s != null && s.nonEmpty),
+      "every funnel step must be a non-empty tool name")
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val base = transcripts
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull &&
+        col("turn_idx").isNotNull && col("tool").isNotNull)
+      .select(col("conv_id"), col("tool"),
+        // exact total-order pack: µs·2³² + (turn_idx + 2³¹); decimal
+        // keeps it overflow-proof for any epoch µs × int turn_idx
+        (unix_micros(col("ts").cast("timestamp")).cast("decimal(38,0)") *
+          lit(4294967296L) +
+          (col("turn_idx").cast("long") + lit(2147483648L))).as("_pk"))
+    val w = Window.partitionBy(col("conv_id"))
+    val staged = steps.zipWithIndex.foldLeft(base) { case (df, (tool, i)) =>
+      val hit =
+        if (i == 0) col("tool") === tool
+        else col("tool") === tool && col("_pk") > col(s"_p$i")
+      df.withColumn(s"_p${i + 1}", min(when(hit, col("_pk"))).over(w))
+    }
+    val stepCols = steps.indices.map(i => col(s"_p${i + 1}"))
+    // per-conv collapse rides the window's conv_id partitioning (the
+    // step columns are conv-constant, so max == the value)
+    val perConv = staged.groupBy(col("conv_id"))
+      .agg(max(stepCols.head).as("_p1"),
+        stepCols.tail.zipWithIndex.map { case (c, i) =>
+          max(c).as(s"_p${i + 2}") }: _*)
+    // exact µs of a packed step time: the quotient is an integer, so
+    // after clearing the low 2³² the decimal division is exact
+    def stepUs(p: Column): Column =
+      ((p - pmod(p, lit(4294967296L))) / lit(4294967296L)).cast("long")
+    val withDeltas = steps.indices.tail.foldLeft(perConv) { (df, i) =>
+      df.withColumn(s"_d${i + 1}",
+        stepUs(col(s"_p${i + 1}")) - stepUs(col(s"_p$i")))
+    }
+    val deltaAggs = steps.indices.tail.flatMap { i =>
+      Seq(sum(col(s"_d${i + 1}").cast("decimal(38,0)")).as(s"_sd${i + 1}"),
+        max(col(s"_d${i + 1}")).as(s"_md${i + 1}"))
+    }
+    val counts = withDeltas.agg(
+      count(col("_p1")).as("_c1"),
+      steps.indices.tail.map(i =>
+        count(col(s"_p${i + 1}")).as(s"_c${i + 1}")) ++ deltaAggs: _*)
+    val rows = steps.zipWithIndex.map { case (tool, i) =>
+      val (avgUs, maxUs) =
+        if (i == 0) (lit(null).cast("double"), lit(null).cast("long"))
+        else (
+          when(col(s"_c${i + 1}") > 0,
+            round(col(s"_sd${i + 1}").cast("double") /
+              col(s"_c${i + 1}").cast("double"), 6)),
+          col(s"_md${i + 1}"))
+      struct(
+        lit(i + 1).as("step"),
+        lit(tool).as("tool"),
+        col(s"_c${i + 1}").as("convs"),
+        when(col("_c1") > 0,
+          round(col(s"_c${i + 1}").cast("double") /
+            col("_c1").cast("double"), 6)).as("conversion"),
+        avgUs.as("avg_step_us"),
+        maxUs.as("max_step_us"))
+    }
+    counts
+      .select(explode(array(rows: _*)).as("_r"))
+      .select(col("_r.step").as("step"), col("_r.tool").as("tool"),
+        col("_r.convs").as("convs"), col("_r.conversion").as("conversion"),
+        col("_r.avg_step_us").as("avg_step_us"),
+        col("_r.max_step_us").as("max_step_us"))
   }
 }

@@ -262,6 +262,8 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         else RefOps.lttbDownsample(session.table(args(0)))
       case "ooo_skew" =>
         SeriesOps.outOfOrderSkew(session.table(args(0)))
+      case "funnel" =>
+        SeriesOps.funnel(session.table(args(0)), args.drop(1))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

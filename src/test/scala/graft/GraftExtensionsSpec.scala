@@ -334,6 +334,9 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.RefOps.toolSeqEdit(tr, k = 4))
     assertSameRows(ext.sql("SELECT * FROM ooo_skew('tr4_ext')"),
       graft.operators.SeriesOps.outOfOrderSkew(tr))
+    assertSameRows(
+      ext.sql("SELECT * FROM funnel('tr4_ext', 'search', 'browse')"),
+      graft.operators.SeriesOps.funnel(tr, Seq("search", "browse")))
     // lttb wants the events shape — register a derived view
     val ev = tr.selectExpr("pmod(hash(conv_id), 97) AS user_id",
       "CAST(hash(conv_id, turn_idx) AS BIGINT) AS event_id", "ts",

@@ -1837,4 +1837,125 @@ class SeriesOpsSpec extends SparkTestBase {
     }.toMap
     assert(got == exp, s"peaks diverge:\n got ${got.size}\n exp ${exp.size}")
   }
+
+  // ---- funnel ---------------------------------------------------------
+
+  test("funnel golden: strict ordering, turn-order ties, null doctrine") {
+    val df = turnsDf(Seq(
+      // A: full in-order conversion
+      ("A", 0, "tool", "t", "signup", "2024-01-01 00:00:00"),
+      ("A", 1, "tool", "t", "purchase", "2024-01-01 00:10:00"),
+      ("A", 2, "tool", "t", "error", "2024-01-01 00:20:00"),
+      // B: purchase BEFORE signup — order violation, step 1 only
+      ("B", 0, "tool", "t", "purchase", "2024-01-01 00:00:00"),
+      ("B", 1, "tool", "t", "signup", "2024-01-01 00:10:00"),
+      // C: ts tie, purchase at the LATER turn_idx — strictly after
+      ("C", 0, "tool", "t", "signup", "2024-01-01 01:00:00"),
+      ("C", 1, "tool", "t", "purchase", "2024-01-01 01:00:00"),
+      // D: ts tie, purchase at the EARLIER turn_idx — not after
+      ("D", 0, "tool", "t", "purchase", "2024-01-01 01:00:00"),
+      ("D", 1, "tool", "t", "signup", "2024-01-01 01:00:00"),
+      // E: non-tool and unplaceable turns are not funnel events
+      ("E", 0, "tool", "t", "signup", "2024-01-01 02:00:00"),
+      ("E", 1, "user", "t", null, "2024-01-01 02:10:00"),
+      ("E", 2, "tool", "t", "purchase", null),
+      // F: never enters (no signup) — counts nowhere
+      ("F", 0, "tool", "t", "purchase", "2024-01-01 03:00:00"),
+      ("F", 1, "tool", "t", "error", "2024-01-01 03:10:00")))
+    val got = SeriesOps.funnel(df, Seq("signup", "purchase", "error"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)),
+          if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4)),
+          if (r.isNullAt(5)) null else java.lang.Long.valueOf(r.getLong(5)))))
+      .toMap
+    // step-2 transitions: A +600 s, C 0 s (same-ts tie) -> avg 300 s;
+    // step-3: A +600 s only. step 1 has no predecessor -> NULL latency
+    assert(got(1) == (("signup", 5L, java.lang.Double.valueOf(1.0),
+      null, null)))
+    assert(got(2) == (("purchase", 2L, java.lang.Double.valueOf(0.4),
+      java.lang.Double.valueOf(300000000.0), java.lang.Long.valueOf(600000000L))))
+    assert(got(3) == (("error", 1L, java.lang.Double.valueOf(0.2),
+      java.lang.Double.valueOf(600000000.0), java.lang.Long.valueOf(600000000L))))
+  }
+
+  test("funnel repeated step needs a SECOND strictly-later occurrence") {
+    val df = turnsDf(Seq(
+      ("G", 0, "tool", "t", "signup", "2024-01-01 00:00:00"),
+      ("H", 0, "tool", "t", "signup", "2024-01-01 00:00:00"),
+      ("H", 1, "tool", "t", "signup", "2024-01-01 00:00:01")))
+    val got = SeriesOps.funnel(df, Seq("signup", "signup")).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 2L, 2 -> 1L))
+  }
+
+  test("funnel zero-entry input reports zero counts and NULL conversion") {
+    val df = turnsDf(Seq(
+      ("A", 0, "tool", "t", "purchase", "2024-01-01 00:00:00")))
+    val got = SeriesOps.funnel(df, Seq("signup", "purchase")).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(2), r.isNullAt(3), r.isNullAt(4), r.isNullAt(5)))).toMap
+    assert(got == Map(1 -> ((0L, true, true, true)),
+      2 -> ((0L, true, true, true))))
+  }
+
+  test("funnel matches the brute per-conv sequential scan on synth") {
+    val steps = Seq("search", "browse", "code")
+    val got = SeriesOps.funnel(turns, steps).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2),
+          if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4)),
+          if (r.isNullAt(5)) null else java.lang.Long.valueOf(r.getLong(5)))))
+      .toMap
+    val rows = turns
+      .filter(col("ts").isNotNull && col("turn_idx").isNotNull &&
+        col("tool").isNotNull && col("conv_id").isNotNull)
+      .select(col("conv_id"), unix_micros(col("ts")).as("us"),
+        col("turn_idx"), col("tool"))
+      .collect()
+    val stepTimes = rows.groupBy(_.getString(0)).values.map { rs =>
+      val ordered = rs
+        .map(r => (r.getLong(1), r.getInt(2), r.getString(3)))
+        .sortBy(t => (t._1, t._2))
+      // greedy first-match IS the min-after-previous chain
+      val times = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ordered.foreach { case (us, _, tool) =>
+        if (times.size < steps.size && tool == steps(times.size)) times += us
+      }
+      times.toSeq
+    }.toSeq
+    steps.indices.foreach { i =>
+      val expConvs = stepTimes.count(_.size >= i + 1).toLong
+      val (tool, convs, avgUs, maxUs) = got(i + 1)
+      assert((tool, convs) == ((steps(i), expConvs)),
+        s"step ${i + 1}: got ($tool, $convs), expected (${steps(i)}, $expConvs)")
+      if (i > 0) {
+        val deltas = stepTimes.filter(_.size >= i + 1).map(t => t(i) - t(i - 1))
+        if (deltas.isEmpty) assert(avgUs == null && maxUs == null)
+        else {
+          assert(maxUs == java.lang.Long.valueOf(deltas.max),
+            s"step ${i + 1} max latency")
+          val expAvg = deltas.sum.toDouble / deltas.size
+          assert(math.abs(avgUs.doubleValue - expAvg) < 1e-5,
+            s"step ${i + 1} avg latency: got $avgUs, expected $expAvg")
+        }
+      } else assert(avgUs == null && maxUs == null)
+    }
+  }
+
+  test("funnel plan: one conv exchange plus the census, no joins") {
+    val p = SeriesOps.funnel(turns, Seq("search", "browse", "code"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 2,
+      s"expected conv exchange + single-partition census only:\n$p")
+    assert(!p.contains("Join"), s"expected no join:\n$p")
+  }
+
+  test("funnel rejects empty, oversized, and blank step lists") {
+    intercept[IllegalArgumentException](SeriesOps.funnel(turns, Seq.empty))
+    intercept[IllegalArgumentException](
+      SeriesOps.funnel(turns, Seq.fill(9)("search")))
+    intercept[IllegalArgumentException](SeriesOps.funnel(turns, Seq("")))
+  }
 }
