@@ -514,7 +514,25 @@ object SparkEntry {
       graft.operators.SeriesOps.funnel(
         transcripts(s, dir)
           .filter(org.apache.spark.sql.functions.col("turn_idx") < 8),
-        Seq("signup", "purchase", "error")))
+        Seq("signup", "purchase", "error"))),
+    // training-data curation family (Curation.scala): deterministic
+    // md5-permutation sampling — the selected ROWS are hash-checked,
+    // so the oracle pins the whole permutation, not just counts
+    "q113_sample_per_conv" -> ((s, dir) =>
+      graft.operators.Curation.samplePerConv(transcripts(s, dir), k = 5)),
+    // reproducible conv-level train/val/test split census
+    "q114_split_census" -> ((s, dir) =>
+      graft.operators.Curation.stratifiedSplit(transcripts(s, dir))),
+    // per-conversation ordered-content digest — the north rule's
+    // per-turn text-equality invariant as a checkable artifact: the
+    // oracle recomputes every conversation's md5 independently, so a
+    // pass proves per-turn text equality under stable turn ordering
+    // for the WHOLE corpus in one hash compare
+    "q115_conv_fingerprint" -> ((s, dir) =>
+      graft.operators.Curation.convFingerprint(transcripts(s, dir))),
+    // ordered tool-journey census (sequence discovery; q112 sibling)
+    "q116_tool_paths" -> ((s, dir) =>
+      graft.operators.Curation.toolPaths(transcripts(s, dir), k = 4))
   )
 
   private val rollupSelect: String =
@@ -2366,6 +2384,59 @@ object SparkEntry {
         |  END,
         |  CASE WHEN c3 > 0 THEN
         |    ROUND(CAST(sd3 AS DOUBLE) / CAST(c3 AS DOUBLE), 6)
-        |  END, md3 FROM c""".stripMargin)
+        |  END, md3 FROM c""".stripMargin),
+    // the md5 permutation is the same deterministic draw in both
+    // engines (the q20 dedup md5-parity doctrine), so the SELECTED
+    // ROWS hash-match, pinning the whole sample
+    "q113_sample_per_conv" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx, role, text, tool, ts
+        |FROM transcripts
+        |WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id
+        |  ORDER BY md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)),
+        |    turn_idx) <= 5""".stripMargin),
+    // 28-bit md5-prefix bucket mod 1000 (the h28 cross-engine trick)
+    "q114_split_census" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT
+        |    CASE WHEN CAST('0x' || substr(md5(conv_id), 1, 7) AS BIGINT)
+        |           % 1000 < 800 THEN 'train'
+        |         WHEN CAST('0x' || substr(md5(conv_id), 1, 7) AS BIGINT)
+        |           % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    conv_id, LENGTH(text) AS chars
+        |  FROM transcripts WHERE conv_id IS NOT NULL)
+        |SELECT split, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS convs,
+        |  CAST(COUNT(*) AS BIGINT) AS turns,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) /
+        |    CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS turn_share,
+        |  CAST(COALESCE(SUM(chars), 0) AS BIGINT) AS char_sum
+        |FROM b GROUP BY 1""".stripMargin),
+    // U+0001-joined texts in turn order, null text -> U+0002 marker;
+    // the oracle derives each digest independently from raw turns
+    "q115_conv_fingerprint" -> Transcripts.oracle(
+      """SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS turns,
+        |  CAST(COALESCE(SUM(LENGTH(text)), 0) AS BIGINT) AS char_sum,
+        |  md5(string_agg(COALESCE(text, chr(2)), chr(1)
+        |    ORDER BY turn_idx, COALESCE(text, chr(2)))) AS digest
+        |FROM transcripts
+        |WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+        |GROUP BY 1""".stripMargin),
+    "q116_tool_paths" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, turn_idx, tool
+        |  FROM transcripts
+        |  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+        |    AND tool IS NOT NULL
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id
+        |    ORDER BY turn_idx) <= 4),
+        |p AS (
+        |  SELECT conv_id, string_agg(tool, '>' ORDER BY turn_idx, tool)
+        |    AS path
+        |  FROM b GROUP BY 1)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS convs,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) /
+        |    CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+        |FROM p GROUP BY 1""".stripMargin)
   )
 }

@@ -5,7 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional third arg: a query-name regex (substring match), the
+    // ScaleProbe stage-filter convention — lets a dev loop re-check
+    // one family without dumping the whole suite. Driver calls use
+    // two args, so the driver path is unchanged (full dump).
+    val (sfDir, outDir, nameFilter) = args match {
+      case Array(sf, out)    => (sf, out, ".*")
+      case Array(sf, out, f) => (sf, out, f)
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [nameRegex]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +23,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val re = nameFilter.r
+    SparkEntry.queries
+      .filter { case (name, _) => re.findFirstIn(name).isDefined }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -39,6 +50,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => re.findFirstIn(k).isDefined }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -219,6 +219,17 @@ object ScaleProbe {
         col("ts"), length(col("text")).cast("double").as("value"))
       val tLttb = stage("lttb")(graft.operators.RefOps.lttbDownsample(evShaped)
         .agg(count(col("event_id"))).head())
+      // curation family: the sample counts a passthrough payload column
+      // (text) so the md5 window cannot be pruned; the fingerprint and
+      // paths count their aggregate outputs
+      val tSample = stage("sample")(graft.operators.Curation
+        .samplePerConv(raw, 5).agg(count(col("text"))).head())
+      val tSplitc = stage("splitcensus")(graft.operators.Curation
+        .stratifiedSplit(raw).agg(count(col("char_sum"))).head())
+      val tFp = stage("fingerprint")(graft.operators.Curation
+        .convFingerprint(raw).agg(count(col("digest"))).head())
+      val tPaths = stage("toolpaths")(graft.operators.Curation
+        .toolPaths(raw).agg(count(col("share"))).head())
       val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
@@ -228,7 +239,8 @@ object ScaleProbe {
         tCard + tCardA + tAcf + tLl + tGini + tSurv + tStreak + tNvr +
         tAdopt + tDup + tFano + tHalf + tWhale + tConc + tChurn + tRec +
         tLor + tDrift + tTermChurn + tTtr + tNov +
-        tDtw + tPeaks + tSeqEdit + tLttb + tOoo + tFunnel
+        tDtw + tPeaks + tSeqEdit + tLttb + tOoo + tFunnel +
+        tSample + tSplitc + tFp + tPaths
       println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
         f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs sessionize=$tSess%.2fs " +
         f"asof=$tAsof%.2fs interval=$tInterval%.2fs sliding=$tSliding%.2fs " +
@@ -254,6 +266,8 @@ object ScaleProbe {
         f"termchurn=$tTermChurn%.2fs ttr=$tTtr%.2fs novelty=$tNov%.2fs " +
         f"dtw=$tDtw%.2fs peaks=$tPeaks%.2fs seqedit=$tSeqEdit%.2fs " +
         f"lttb=$tLttb%.2fs ooo=$tOoo%.2fs funnel=$tFunnel%.2fs " +
+        f"sample=$tSample%.2fs splitcensus=$tSplitc%.2fs " +
+        f"fingerprint=$tFp%.2fs toolpaths=$tPaths%.2fs " +
         f"total=$total%.2fs " +
         (if (tM1 > 0) f"throughput=${n / tM1}%.0f turns/s" else "throughput=n/a"))
       total

@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators over the canonical transcripts
+  * table: deterministic sampling, reproducible dataset splits, and
+  * conversation-level content fingerprints.
+  *
+  * The family's common trick is the cross-engine md5 permutation
+  * already pinned by the dedup pipeline ([[Dedup]], q20/q93): Spark's
+  * `md5(string)` and DuckDB's `md5(string)` produce the same lowercase
+  * hex, so ordering or bucketing by an md5-derived key is a
+  * deterministic pseudo-random draw that BOTH engines reproduce
+  * bit-for-bit — no RNG, no seed plumbing, no driver state. That is
+  * exactly what a 100 TB training pipeline needs from its sampler:
+  * re-running the job (or re-running it next month on the same
+  * snapshot) selects the same rows, and the selection is verifiable
+  * by an independent engine.
+  *
+  * Reference analogue: none — the reference migrates whole files
+  * (`MigrateTask.java` drains every batch); sampling, splits, and
+  * corpus fingerprints are SURVEY.md §2.3 training-pipeline
+  * extensions.
+  */
+object Curation {
+
+  /** Deterministic uniform sample of up to `k` turns per conversation.
+    *
+    * The per-conversation permutation key is
+    * `md5(conv_id || ':' || turn_idx)` — uniform over turns, stable
+    * across runs and engines, and independent of the physical row
+    * order (a `TABLESAMPLE`/`rand()` sample is neither reproducible
+    * nor oracle-checkable). Ties (md5 collisions) break on `turn_idx`
+    * so the order is total. Output is the sampled rows with the
+    * canonical six columns, NOT renumbered: downstream rollups see
+    * the original turn identity, matching the per-row invariant
+    * ("per-turn text equality under stable (conv_id, turn_idx)
+    * ordering").
+    *
+    * Null doctrine: null `conv_id` (unkeyable) and null `turn_idx`
+    * (no stable identity to sample) drop; every other column rides
+    * through untouched, nulls included.
+    *
+    * Plan: ONE conv_id exchange — the row_number window is a
+    * sort-based window whose buffer is one conversation (spillable);
+    * no joins, no aggregation state. At 10¹² turns the exchange
+    * carries the full six-column row ONCE, the same wire volume class
+    * as the 1m rollup's conv-keyed exchange; the alternative
+    * (sample-after-rollup) is not equivalent because the sampler must
+    * see raw turn identity.
+    */
+  def samplePerConv(transcripts: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k must be in [1, 1000000], got $k")
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("_key"), col("turn_idx"))
+    transcripts
+      .filter(col("conv_id").isNotNull && col("turn_idx").isNotNull)
+      .withColumn("_key",
+        md5(concat(col("conv_id"), lit(":"), col("turn_idx").cast("string"))))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), col("ts"))
+  }
+
+  /** Reproducible conversation-level train/val/test split census.
+    *
+    * Every conversation lands in exactly one split — the split is a
+    * pure function of `conv_id` (bucket = 28-bit md5 prefix mod 1000,
+    * the [[Dedup.simhash]] `conv(substr(md5,1,N),16,10)` cross-engine
+    * trick), so turns of one conversation NEVER straddle splits, new
+    * data joins a split without reshuffling old assignments, and two
+    * jobs (or two engines) agree without coordination. Thresholds are
+    * per-mille: bucket < `trainPerMille` → train, < `trainPerMille +
+    * valPerMille` → val, else test.
+    *
+    * Output: one row per split — `(split, convs, turns, turn_share,
+    * char_sum)` — the census a pipeline gates on before materializing
+    * the actual split outputs (the expensive part a 100 TB run wants
+    * to sanity-check first). `turn_share` is the fixed-shape ROUND-6
+    * division of the family; `char_sum` skips null texts (SUM over
+    * NULL length), matching the oracle's SUM semantics.
+    *
+    * Null doctrine: null `conv_id` is unkeyable and drops.
+    *
+    * Plan: map-side bucket assignment (no shuffle to ASSIGN — the
+    * property that makes the split free at any scale), then one
+    * partial-aggregated census exchange; the distinct-conv count
+    * expands to Spark's two-phase distinct on (split, conv_id), still
+    * keyed small. Materializing the splits themselves is a pure
+    * filter on the same expression — zero-shuffle, pushdown-friendly.
+    */
+  def stratifiedSplit(
+      transcripts: DataFrame,
+      trainPerMille: Int = 800,
+      valPerMille: Int = 100): DataFrame = {
+    require(trainPerMille >= 1 && valPerMille >= 1 &&
+      trainPerMille + valPerMille <= 999,
+      s"per-mille thresholds must leave room for all three splits, " +
+        s"got train=$trainPerMille val=$valPerMille")
+    val bucket = pmod(
+      conv(substring(md5(col("conv_id")), 1, 7), 16, 10).cast("long"),
+      lit(1000L))
+    val wAll = Window.partitionBy()
+    transcripts
+      .filter(col("conv_id").isNotNull)
+      .select(
+        when(bucket < trainPerMille, "train")
+          .when(bucket < trainPerMille + valPerMille, "val")
+          .otherwise("test").as("split"),
+        col("conv_id"),
+        length(col("text")).cast("long").as("_chars"))
+      .groupBy(col("split"))
+      .agg(
+        countDistinct(col("conv_id")).as("convs"),
+        count(lit(1)).as("turns"),
+        coalesce(sum(col("_chars")), lit(0L)).as("char_sum"))
+      .withColumn("turn_share",
+        round(col("turns").cast("double") /
+          sum(col("turns")).over(wAll).cast("double"), 6))
+      .select(col("split"), col("convs"), col("turns"), col("turn_share"),
+        col("char_sum"))
+  }
+
+  /** Conversation content fingerprint: one md5 digest per conversation
+    * over its texts in canonical `turn_idx` order — the north rule's
+    * per-row invariant ("per-turn text equality under stable
+    * (conv_id, turn_idx) ordering") collapsed to a checkable
+    * conversation-level artifact. Two corpus snapshots (or two
+    * engines) agree on a conversation iff the digests match, which
+    * turns full-corpus parity checks into a digest anti-join instead
+    * of a text-by-text compare; the digest is also the key for exact
+    * conversation-level dedup (the conv-granularity sibling of
+    * [[Dedup.exact]]'s doc-granularity md5).
+    *
+    * Encoding: texts joined by U+0001 (never in the data), null text
+    * encoded as U+0002 so `(null)` ≠ `("")` ≠ absent; ties on a
+    * duplicated `turn_idx` (impossible in canonical data, possible in
+    * arbitrary input) break on the text so the digest stays
+    * deterministic. Null `conv_id` / `turn_idx` turns drop
+    * (unkeyable / unorderable).
+    *
+    * Output: `(conv_id, turns, char_sum, digest)`; `char_sum` counts
+    * original text chars (null text = 0), not the markers.
+    *
+    * Plan: ONE conv_id exchange into a single hash aggregation whose
+    * per-group buffer is one conversation's texts — the
+    * [[RefOps.turnGapStats]] conversation-bounded exact-buffer
+    * doctrine (10¹² turns arrive as ~10⁹ conversations of ~10³
+    * turns; the buffer spills by group, never by corpus). If
+    * conversations themselves outgrew memory the documented path is
+    * chunked Merkle digests (md5 of per-1k-turn block digests), which
+    * keeps the same cross-engine checkability; not needed at the
+    * transcript shapes the north rule targets.
+    */
+  def convFingerprint(transcripts: DataFrame): DataFrame = {
+    val txt = coalesce(col("text"), lit("\u0002"))
+    transcripts
+      .filter(col("conv_id").isNotNull && col("turn_idx").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), txt.as("_t"),
+        coalesce(length(col("text")).cast("long"), lit(0L)).as("_chars"))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("turns"),
+        sum(col("_chars")).as("char_sum"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("turn_idx"), col("_t")))),
+            x => x.getField("_t")),
+          "\u0001")).as("digest"))
+      .select(col("conv_id"), col("turns"), col("char_sum"), col("digest"))
+  }
+
+  /** Tool-journey census: the ordered sequence of each conversation's
+    * first `k` tool calls as a `>`-joined path, counted across the
+    * corpus — sequence mining the pairwise operators cannot express
+    * ([[SeriesOps.funnel]] asks "does this FIXED chain occur?"; this
+    * DISCOVERS which chains occur and how often). The path alphabet
+    * is the tool vocabulary, so distinct paths are bounded by
+    * Σ|tools|^i for i ≤ k — census-scale, not data-scale.
+    *
+    * Order is canonical `turn_idx` (the transcripts derivation makes
+    * turn_idx the total (ts, event_id) order, so no packed tie-break
+    * key is needed); conversations with zero tool calls do not appear
+    * and `share` denominates over tool-calling conversations only.
+    * Null `conv_id` / `turn_idx` / `tool` turns are not path events
+    * (the [[SeriesOps.funnel]] doctrine).
+    *
+    * Output: `(path, convs, share)` with the family ROUND-6 share.
+    *
+    * Plan: the tool filter projects 3 narrow columns BEFORE the ONE
+    * conv_id exchange (at the q112 anchor ~43% of turns × 3 columns);
+    * the row_number window and the per-conv path aggregation share
+    * that clustering (no second full exchange — the window's sort
+    * satisfies the groupBy), the per-group buffer is ≤ k tool names,
+    * and the census + share window move only path-cardinality rows.
+    */
+  def toolPaths(transcripts: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 32, s"k must be in [1, 32], got $k")
+    val wOrd = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val wAll = Window.partitionBy()
+    transcripts
+      .filter(col("conv_id").isNotNull && col("turn_idx").isNotNull &&
+        col("tool").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("tool"))
+      .withColumn("_rn", row_number().over(wOrd))
+      .filter(col("_rn") <= k)
+      .groupBy(col("conv_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("tool")))),
+          x => x.getField("tool")),
+        ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("convs"))
+      .withColumn("share",
+        round(col("convs").cast("double") /
+          sum(col("convs")).over(wAll).cast("double"), 6))
+      .select(col("path"), col("convs"), col("share"))
+  }
+}

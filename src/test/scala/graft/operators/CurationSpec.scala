@@ -1,0 +1,231 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ingest.Synth
+
+/** Specs for the training-data curation family: deterministic
+  * per-conversation sampling, reproducible splits, conversation
+  * fingerprints, and tool-journey paths.
+  */
+class CurationSpec extends SparkTestBase {
+
+  private lazy val turns = Synth.transcripts(
+    spark, nConvs = 25, avgTurns = 40, seed = 23L).toDF().cache()
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def turnsDf(rows: Seq[(String, Integer, String, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (c, i, r, x, tl) =>
+      (c, i, r, x, tl, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+  }
+
+  // ---- samplePerConv ----------------------------------------------------
+
+  test("samplePerConv matches the brute md5-permutation selection") {
+    val k = 7
+    val got = Curation.samplePerConv(turns, k)
+      .select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    val expected = turns
+      .filter(col("conv_id").isNotNull && col("turn_idx").isNotNull)
+      .select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1).values.flatMap { rs =>
+        rs.sortBy { case (c, i) => (md5Hex(s"$c:$i"), i) }.take(k)
+      }.toSet
+    assert(got == expected)
+  }
+
+  test("samplePerConv is invariant to physical row order and k >= size keeps all") {
+    val small = turns.limit(200).cache()
+    val a = Curation.samplePerConv(small, 3)
+      .select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    val b = Curation.samplePerConv(small.repartition(7).sortWithinPartitions(desc("text")), 3)
+      .select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(a == b)
+    val all = Curation.samplePerConv(small, 1000000).count()
+    assert(all == small.filter(col("conv_id").isNotNull &&
+      col("turn_idx").isNotNull).count())
+  }
+
+  test("samplePerConv null doctrine and row passthrough") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "hello", null),
+      ("A", 1, "assistant", null, "search"),
+      (null, 2, "user", "x", null),
+      ("B", null, "user", "y", null)))
+    val got = Curation.samplePerConv(df, 5).collect()
+    assert(got.length == 2)
+    val byIdx = got.map(r => r.getInt(1) -> r).toMap
+    assert(byIdx(0).getString(3) == "hello" && byIdx(0).getString(4) == null)
+    assert(byIdx(1).getString(3) == null && byIdx(1).getString(4) == "search")
+  }
+
+  test("samplePerConv plan: one conv exchange, no joins") {
+    val p = Curation.samplePerConv(turns, 5)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected one exchange:\n$p")
+    assert(!p.contains("Join"), s"expected no join:\n$p")
+  }
+
+  test("samplePerConv rejects out-of-range k") {
+    intercept[IllegalArgumentException](Curation.samplePerConv(turns, 0))
+    intercept[IllegalArgumentException](Curation.samplePerConv(turns, 1000001))
+  }
+
+  // ---- stratifiedSplit ----------------------------------------------------
+
+  test("stratifiedSplit: conv-level purity, totals, ROUND-6 share") {
+    val got = Curation.stratifiedSplit(turns).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val base = turns.filter(col("conv_id").isNotNull)
+    val bucketOf = base.select("conv_id").distinct().collect()
+      .map(_.getString(0))
+      .map { c =>
+        c -> java.lang.Long.parseLong(md5Hex(c).take(7), 16) % 1000
+      }.toMap
+    def splitOf(b: Long): String =
+      if (b < 800) "train" else if (b < 900) "val" else "test"
+    val rows = base.select("conv_id", "text").collect()
+      .map(r => (splitOf(bucketOf(r.getString(0))), r.getString(0),
+        Option(r.getString(1)).map(_.length.toLong)))
+    val totalTurns = rows.length.toLong
+    rows.groupBy(_._1).foreach { case (split, rs) =>
+      val (convs, ts, chars) = got(split) match {
+        case (c, t, _, ch) => (c, t, ch)
+      }
+      assert(convs == rs.map(_._2).distinct.length.toLong, s"$split convs")
+      assert(ts == rs.length.toLong, s"$split turns")
+      assert(chars == rs.flatMap(_._3).sum, s"$split chars")
+      val share = got(split)._3
+      val exp = math.rint(rs.length.toDouble / totalTurns * 1e6) / 1e6
+      assert(math.abs(share - exp) < 1e-9, s"$split share")
+    }
+    assert(got.values.map(_._2).sum == totalTurns)
+  }
+
+  test("stratifiedSplit thresholds move the boundary deterministically") {
+    val a = Curation.stratifiedSplit(turns, 500, 250).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Curation.stratifiedSplit(turns, 500, 250).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    intercept[IllegalArgumentException](Curation.stratifiedSplit(turns, 999, 1))
+    intercept[IllegalArgumentException](Curation.stratifiedSplit(turns, 0, 100))
+  }
+
+  // ---- convFingerprint ----------------------------------------------------
+
+  test("convFingerprint golden: canonical order, markers, exact md5") {
+    val df = turnsDf(Seq(
+      ("A", 1, "assistant", "world", null),
+      ("A", 0, "user", "hello", null),
+      ("B", 0, "user", null, null),
+      ("C", 0, "user", "", null)))
+    val got = Curation.convFingerprint(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got("A") == ((2L, 10L, md5Hex("hello\u0001world"))))
+    // null text digests as the U+0002 marker with zero chars...
+    assert(got("B") == ((1L, 0L, md5Hex("\u0002"))))
+    // ...which is distinct from the empty string
+    assert(got("C") == ((1L, 0L, md5Hex(""))))
+    assert(got("B")._3 != got("C")._3)
+  }
+
+  test("convFingerprint is order-independent and drops unkeyable turns") {
+    val base = turns.filter(col("conv_id").isNotNull && col("turn_idx").isNotNull)
+    val a = Curation.convFingerprint(turns).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    val b = Curation.convFingerprint(
+      turns.repartition(11).sortWithinPartitions(desc("turn_idx"))).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(a == b)
+    assert(a.keySet == base.select("conv_id").distinct().collect()
+      .map(_.getString(0)).toSet)
+  }
+
+  test("convFingerprint equal transcripts get equal digests, one-char drift differs") {
+    val df = turnsDf(Seq(
+      ("X", 0, "user", "same", null), ("X", 1, "user", "text", null),
+      ("Y", 0, "user", "same", null), ("Y", 1, "user", "text", null),
+      ("Z", 0, "user", "same", null), ("Z", 1, "user", "texT", null)))
+    val got = Curation.convFingerprint(df).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(got("X") == got("Y"))
+    assert(got("X") != got("Z"))
+  }
+
+  test("convFingerprint plan: one exchange, no joins") {
+    val p = Curation.convFingerprint(turns)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected one exchange:\n$p")
+    assert(!p.contains("Join"), s"expected no join:\n$p")
+  }
+
+  // ---- toolPaths ----------------------------------------------------------
+
+  test("toolPaths golden: ordered truncated paths with ROUND-6 share") {
+    val df = turnsDf(Seq(
+      ("A", 0, "tool", "t", "search"),
+      ("A", 1, "user", "t", null),
+      ("A", 2, "tool", "t", "code"),
+      ("A", 3, "tool", "t", "search"),
+      ("B", 5, "tool", "t", "search"),
+      ("B", 9, "tool", "t", "code"),
+      ("C", 0, "user", "t", null),
+      ("D", 2, "tool", "t", "browse"),
+      ("D", 0, "tool", "t", "search"),
+      ("D", 1, "tool", "t", "code"),
+      ("D", 3, "tool", "t", "browse")))
+    val got = Curation.toolPaths(df, k = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(
+      "search>code>search" -> ((1L, 0.333333)),
+      "search>code" -> ((1L, 0.333333)),
+      "search>code>browse" -> ((1L, 0.333333))))
+  }
+
+  test("toolPaths matches the brute per-conv path scan on synth") {
+    val k = 4
+    val got = Curation.toolPaths(turns, k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = turns
+      .filter(col("conv_id").isNotNull && col("turn_idx").isNotNull &&
+        col("tool").isNotNull)
+      .select("conv_id", "turn_idx", "tool").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).values
+      .map(_.sortBy(_._2).take(k).map(_._3).mkString(">"))
+      .groupBy(identity).map { case (p, ps) => p -> ps.size.toLong }
+    assert(got == expected)
+    val shareSum = Curation.toolPaths(turns, k)
+      .agg(sum("share")).collect()(0).getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-3)
+  }
+
+  test("toolPaths plan: shared conv exchange, census exchange, no joins") {
+    val p = Curation.toolPaths(turns, 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size <= 3, s"expected <=3 exchanges:\n$p")
+    assert(!p.contains("Join"), s"expected no join:\n$p")
+  }
+
+  test("toolPaths rejects out-of-range k") {
+    intercept[IllegalArgumentException](Curation.toolPaths(turns, 0))
+    intercept[IllegalArgumentException](Curation.toolPaths(turns, 33))
+  }
+}
