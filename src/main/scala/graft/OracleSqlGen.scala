@@ -313,4 +313,75 @@ object OracleSqlGen {
        |FROM live a JOIN live b ON a.f = b.f AND a.doc_id < b.doc_id
        |GROUP BY 1, 2
        |HAVING COUNT(*) >= $minShared""".stripMargin
+
+  /** Test-set decontamination — mirrors
+    * [[graft.operators.Dedup.decontaminate]] with corpus/benchmark
+    * carved out of `documents` by `doc_id % modulus` (benchmark =
+    * residue 0): same shingle/minhash/band-fold constants as
+    * [[minhashLsh]], a corpus×benchmark band join for candidates, the
+    * exact jaccard verify, then best-match-per-doc (max jaccard,
+    * bench_id tie-break).
+    */
+  def decontaminate(k: Int, bands: Int, threshold: Double,
+      modulus: Int): String = {
+    val rowsPerBand = k / bands
+    val P = graft.functions.TextFunctions.minhashP
+    val sigCols = (0 until k).map { i =>
+      val (a, b) = graft.functions.TextFunctions.minhashCoeffs(i)
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $P)) AS mh$i"
+    }.mkString(",\n    ")
+    val M = graft.operators.Dedup.bandFoldM
+    val P31 = graft.operators.Dedup.bandFoldP
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand).foldLeft(s"$b") { (acc, r) =>
+        s"(($acc) * $M + mh${b * rowsPerBand + r}) % $P31"
+      }
+      s"SELECT doc_id, $key AS bk FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $shingleCte,
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hs
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM hs),
+       |band AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+       |  FROM band c JOIN band b ON c.bk = b.bk
+       |  WHERE c.doc_id % $modulus != 0 AND b.doc_id % $modulus = 0),
+       |ds AS (SELECT doc_id, list_distinct(hs) AS s FROM hs),
+       |v AS (
+       |  SELECT cand.doc_id, cand.bench_id,
+       |    ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |          (CAST(len(x.s) + len(y.s) AS DOUBLE)
+       |           - CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)), 6) AS jaccard
+       |  FROM cand JOIN ds x ON cand.doc_id = x.doc_id
+       |            JOIN ds y ON cand.bench_id = y.doc_id)
+       |SELECT doc_id, bench_id, jaccard FROM v
+       |WHERE jaccard >= $threshold
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+       |  ORDER BY jaccard DESC, bench_id) = 1""".stripMargin
+  }
+
+  /** Embedding label-outlier flags — mirrors
+    * [[graft.operators.Similarity.labelOutliers]]: per-label min-id
+    * reference vector, ROUND-6 cosine, boolean flag below threshold.
+    */
+  def labelOutliers(threshold: Double): String =
+    s"""WITH r AS (
+       |  SELECT label, MIN(vec_id) AS ref_vec_id FROM embeddings GROUP BY 1),
+       |re AS (
+       |  SELECT r.label, r.ref_vec_id, e.embedding AS ref_embedding
+       |  FROM r JOIN embeddings e ON e.vec_id = r.ref_vec_id)
+       |SELECT e.vec_id, e.label, re.ref_vec_id,
+       |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                               CAST(re.ref_embedding AS DOUBLE[])), 6) AS sim,
+       |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                               CAST(re.ref_embedding AS DOUBLE[])), 6)
+       |    < $threshold AS is_outlier
+       |FROM embeddings e JOIN re ON e.label = re.label""".stripMargin
 }

@@ -532,7 +532,30 @@ object SparkEntry {
       graft.operators.Curation.convFingerprint(transcripts(s, dir))),
     // ordered tool-journey census (sequence discovery; q112 sibling)
     "q116_tool_paths" -> ((s, dir) =>
-      graft.operators.Curation.toolPaths(transcripts(s, dir), k = 4))
+      graft.operators.Curation.toolPaths(transcripts(s, dir), k = 4)),
+    // test-set decontamination: corpus×benchmark banded minhash with
+    // the benchmark side broadcast (corpus never shuffles); the
+    // benchmark is carved deterministically from the documents table
+    // (doc_id % 5 == 0 — the residue chosen so the injected near-dup
+    // population straddles the split: 14 true cross-split pairs at
+    // sf0.01, dense enough that the hash check pins band recall AND
+    // verify) so the oracle mirrors the split exactly
+    "q117_decontaminate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        k = 16, bands = 4, threshold = 0.5)
+    }),
+    // embedding label-outlier flags vs the label's min-id reference
+    // vector (deterministic, so oracle-exact — a centroid would not
+    // be); threshold calibrated to the driver corpus (diffuse labels:
+    // sims to the reference center on 0, so -0.1 flags the ~18% tail
+    // and the boolean actually discriminates)
+    "q118_label_outliers" -> ((s, dir) =>
+      graft.operators.Similarity.labelOutliers(
+        s.read.parquet(s"$dir/embeddings.parquet"), threshold = -0.1))
   )
 
   private val rollupSelect: String =
@@ -2437,6 +2460,9 @@ object SparkEntry {
         |SELECT path, CAST(COUNT(*) AS BIGINT) AS convs,
         |  ROUND(CAST(COUNT(*) AS DOUBLE) /
         |    CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
-        |FROM p GROUP BY 1""".stripMargin)
+        |FROM p GROUP BY 1""".stripMargin),
+    "q117_decontaminate" ->
+      OracleSqlGen.decontaminate(k = 16, bands = 4, threshold = 0.5, modulus = 5),
+    "q118_label_outliers" -> OracleSqlGen.labelOutliers(threshold = -0.1)
   )
 }

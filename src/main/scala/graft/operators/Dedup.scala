@@ -354,4 +354,75 @@ object Dedup {
         bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Test-set decontamination: flag every corpus document that is a
+    * near-duplicate of a BENCHMARK document — the cross-corpus variant
+    * of [[minhashLsh]], and the dedup operation a training pipeline
+    * runs before every release (eval contamination is a one-sided
+    * error: a missed near-dup silently inflates benchmark scores).
+    *
+    * Same primitives as the self-dedup path (shingle→minhash→band fold,
+    * constants shared with the oracle), but the PAIRING is a corpus×
+    * benchmark band join, not a self-join — and because the benchmark
+    * side is small by definition, its banded signatures BROADCAST: the
+    * corpus is never shuffled at all (candidate discovery is map-side),
+    * which is what makes the operator affordable as a routine gate at
+    * 100 TB where even one corpus exchange would dominate the run.
+    * Candidate volume is bounded by the benchmark's band table (each
+    * corpus row can match at most the broadcast side), so no
+    * [[pairsFromBuckets]]-style quadratic guard is needed; degenerate
+    * keys (empty/boilerplate text) cost at most |benchmark| matches
+    * per corpus doc, which the verify stage then filters exactly.
+    *
+    * Verification is the [[jaccardVerify]] exact n-gram check, computed
+    * only for candidate corpus docs (left-semi prune before shingling);
+    * each flagged doc reports its BEST match — max jaccard, bench_id
+    * tie-break — so the output is one row per contaminated doc:
+    * `(doc_id, bench_id, jaccard)`. Recall follows the LSH band curve
+    * exactly as in self-dedup (bounded in DedupSpec); the oracle
+    * mirrors bands AND verification term for term, so the driver check
+    * is hash-exact including recall behavior.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, s"bands=$bands must divide k=$k")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    def banded(docs: DataFrame, idName: String): DataFrame = {
+      val sig = minhashSignatures(docs, k)
+      val bandExprs = (0 until bands).map { b =>
+        (0 until rowsPerBand).foldLeft(lit(b.toLong).cast("long")) { (acc, r) =>
+          (acc * bandFoldM + col(s"mh${b * rowsPerBand + r}")) % bandFoldP
+        }
+      }
+      sig.select(col("doc_id").as(idName), explode(array(bandExprs: _*)).as("bk"))
+    }
+    val cand = banded(corpus, "doc_id")
+      .join(broadcast(banded(benchmark, "bench_id")), Seq("bk"))
+      .select(col("doc_id"), col("bench_id"))
+      .distinct()
+    def sets(docs: DataFrame, idName: String, shName: String): DataFrame =
+      docs.select(col("doc_id").as(idName),
+        array_distinct(graft.functions.TextOps.shingleHashes3(col("text")))
+          .as(shName))
+    val setsC = sets(
+      corpus.join(cand.select("doc_id").distinct(), Seq("doc_id"), "left_semi"),
+      "doc_id", "_sa")
+    val setsB = sets(benchmark, "bench_id", "_sb")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("bench_id"))
+    cand
+      .join(setsC, Seq("doc_id"))
+      .join(broadcast(setsB), Seq("bench_id"))
+      .withColumn("_i", size(array_intersect(col("_sa"), col("_sb"))).cast("double"))
+      .withColumn("_u",
+        (size(col("_sa")) + size(col("_sb"))).cast("double") - col("_i"))
+      .withColumn("jaccard", round(col("_i") / col("_u"), 6))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("bench_id"), col("jaccard"))
+  }
 }

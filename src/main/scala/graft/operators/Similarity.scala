@@ -266,4 +266,40 @@ object Similarity {
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("sim"))
       .distinct()
   }
+
+  /** Embedding-space label-outlier flagging: per-vector cosine to its
+    * label's deterministic reference vector (the embedding of the
+    * label's MIN vec_id), with an outlier flag below `threshold` — the
+    * embedding-table curation gate ("is this example in the wrong
+    * cluster / mislabeled / junk?") a training pipeline runs before
+    * the expensive ANN passes.
+    *
+    * The reference is min-id, NOT a centroid, deliberately: a centroid
+    * is a cross-row float SUM whose accumulation order differs between
+    * engines (and between runs at different parallelism), so a
+    * centroid-based flag is not reproducible — the min-id reference
+    * keeps every similarity a pure two-vector function (the q28 ROUND-6
+    * cosine doctrine) and the whole output oracle-exact. A reference
+    * row scores 1.0 against itself and stays in the output.
+    *
+    * Plan: the per-label min-id census partial-aggregates map-side
+    * (labels × partitions rows move); fetching the reference embeddings
+    * is a broadcast-filter scan (no corpus shuffle), and the scoring
+    * join broadcasts the tiny (label → reference) map — the corpus is
+    * NEVER shuffled, so the operator is a map-side pass at any scale.
+    * Output: `(vec_id, label, ref_vec_id, sim, is_outlier)`.
+    */
+  def labelOutliers(embeddings: DataFrame, threshold: Double = 0.5): DataFrame = {
+    require(threshold > -1 && threshold <= 1,
+      s"threshold must be in (-1, 1], got $threshold")
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val refIds = e.groupBy(col("label")).agg(min(col("vec_id")).as("ref_vec_id"))
+    val refs = e
+      .select(col("vec_id").as("ref_vec_id"), col("embedding").as("_ref"))
+      .join(broadcast(refIds), Seq("ref_vec_id"))
+    e.join(broadcast(refs), Seq("label"))
+      .withColumn("sim", round(VectorOps.cosineSim(col("embedding"), col("_ref")), 6))
+      .select(col("vec_id"), col("label"), col("ref_vec_id"), col("sim"),
+        (col("sim") < threshold).as("is_outlier"))
+  }
 }

@@ -289,4 +289,87 @@ class DedupSpec extends SparkTestBase {
     assert(df(0).isNullAt(1), "empty array must yield NULL, not sentinel minima")
     assert(!df(1).isNullAt(1) && df(1).getSeq[Long](1).length == 4)
   }
+
+  // ---- decontaminate ----------------------------------------------------
+
+  test("decontaminate golden: flags exact and near benchmark dups, best match only") {
+    import spark.implicits._
+    // bench doc 100 == corpus doc 0 (exact), near-dup of corpus doc 2;
+    // bench 101 unrelated
+    val corpus = docs.filter(col("doc_id") <= 5)
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "nothing in the training corpus resembles this benchmark question at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, bench, k = 16, bands = 8, threshold = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("bench_id"), r.getAs[Double]("jaccard")))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L), s"flagged: ${got.keySet}")
+    assert(got(0L) == ((100L, 1.0)) && got(1L) == ((100L, 1.0)))
+    assert(got(2L)._1 == 100L && got(2L)._2 > 0.5 && got(2L)._2 < 1.0)
+  }
+
+  test("decontaminate: no false positives, jaccards match the brute cross check") {
+    val all = graft.ingest.Synth.documents(spark, n = 400, seed = 11L)
+    // Synth injects pairs (id-2, id) at id%10 in {8,9}, i.e. base docs
+    // are id%10 in {6,7}: benching exactly those bases makes EVERY
+    // injected pair (exact and near) straddle the corpus/bench split
+    val isBench = col("doc_id") % 10 === 6 || col("doc_id") % 10 === 7
+    val corpus = all.filter(!isBench)
+    val bench = all.filter(isBench)
+    val got = Dedup.decontaminate(corpus, bench, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Double]("jaccard")))
+    assert(got.nonEmpty, "synth injected dups must straddle the split")
+    // brute ground truth: exact jaccard over distinct shingle sets
+    val sets = all.select(col("doc_id"),
+      array_distinct(TextOps.shingleHashes3(col("text"))).as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    def jac(a: Set[Long], b: Set[Long]): Double = {
+      val i = (a intersect b).size.toDouble
+      math.rint(i / (a.size + b.size - i) * 1e6) / 1e6
+    }
+    val benchIds = Set(6L, 7L)
+    got.foreach { case (d, b, j) =>
+      assert(!benchIds.contains(d % 10) && benchIds.contains(b % 10),
+        s"split violated: ($d, $b)")
+      val expected = jac(sets(d), sets(b))
+      assert(j == expected && j >= 0.5, s"($d,$b): got $j, brute $expected")
+      // best match: no OTHER bench doc has a strictly higher jaccard
+      // among those at/above threshold that banded with d — weaker but
+      // sufficient brute form: none strictly higher in the FULL bench
+      // unless LSH missed it (high-jaccard misses are ~impossible at
+      // these band settings for j > 0.9)
+      val better = sets.keys.filter(k =>
+        benchIds.contains(k % 10) && jac(sets(d), sets(k)) > j + 1e-9)
+      assert(better.forall(k => jac(sets(d), sets(k)) < 0.95),
+        s"doc $d: clearly better bench match missed: $better")
+    }
+    // every injected EXACT pair (corpus id%10==8 vs its bench base)
+    // must be flagged at jaccard 1.0 — band recall is 1 for identity
+    val exactIds = (0L until 400L).filter(i => i % 10 == 8 && i >= 2)
+    exactIds.foreach { i =>
+      val hit = got.find(_._1 == i)
+      assert(hit.exists(_._3 == 1.0), s"exact dup $i of bench ${i - 2} missed: $hit")
+    }
+  }
+
+  test("decontaminate plan: benchmark side broadcasts, corpus side never does") {
+    val all = graft.ingest.Synth.documents(spark, n = 200, seed = 11L)
+    val plan = Dedup.decontaminate(
+      all.filter(col("doc_id") % 5 =!= 0),
+      all.filter(col("doc_id") % 5 === 0)).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate discovery must be a broadcast join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"no BNLJ anywhere:\n$plan")
+  }
+
+  test("decontaminate rejects bad band/threshold parameters") {
+    intercept[IllegalArgumentException](
+      Dedup.decontaminate(docs, docs, k = 16, bands = 5))
+    intercept[IllegalArgumentException](
+      Dedup.decontaminate(docs, docs, threshold = 0.0))
+  }
 }

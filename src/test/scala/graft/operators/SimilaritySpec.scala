@@ -175,4 +175,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"lshPairsAbove must not BNLJ:\n$plan")
   }
+
+  // ---- labelOutliers ------------------------------------------------------
+
+  test("labelOutliers golden: min-id reference, exact cosine, flag semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, 1, Array(1.0f, 0.0f)),   // ref of label 1 (min id)
+      (11L, 1, Array(1.0f, 0.0f)),   // identical -> sim 1.0
+      (12L, 1, Array(0.0f, 1.0f)),   // orthogonal -> sim 0.0, outlier at 0.5
+      (20L, 2, Array(-1.0f, 0.0f)),  // ref of label 2
+      (21L, 2, Array(1.0f, 0.0f))    // opposite -> sim -1.0, outlier
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelOutliers(df, threshold = 0.5).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("ref_vec_id"), r.getAs[Double]("sim"),
+          r.getAs[Boolean]("is_outlier")))).toMap
+    assert(got(10L) == ((10L, 1.0, false)) && got(11L) == ((10L, 1.0, false)))
+    assert(got(12L) == ((10L, 0.0, true)))
+    assert(got(20L) == ((20L, 1.0, false)) && got(21L) == ((20L, -1.0, true)))
+  }
+
+  test("labelOutliers covers every vector; references score 1.0; flag == sim < t") {
+    val got = Similarity.labelOutliers(emb, threshold = -0.1)
+    val rows = got.collect()
+    assert(rows.length == emb.count())
+    val refIds = emb.groupBy("label").agg(min("vec_id").as("m")).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("m")).toMap
+    rows.foreach { r =>
+      val (v, l, ref, sim, o) = (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Long]("ref_vec_id"), r.getAs[Double]("sim"),
+        r.getAs[Boolean]("is_outlier"))
+      assert(ref == refIds(l), s"vec $v: wrong reference $ref for label $l")
+      if (v == ref) assert(sim == 1.0 && !o, s"reference $v must score 1.0")
+      assert(o == (sim < -0.1), s"vec $v: flag/threshold mismatch")
+    }
+  }
+
+  test("labelOutliers plan: corpus is never shuffled (broadcast joins only)") {
+    val plan = Similarity.labelOutliers(emb, threshold = -0.1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle through a join:\n$plan")
+    intercept[IllegalArgumentException](Similarity.labelOutliers(emb, threshold = 1.5))
+  }
 }
