@@ -2416,7 +2416,9 @@ object SparkEntry {
         |FROM transcripts
         |WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id
-        |  ORDER BY md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)),
+        |  ORDER BY CAST('0x' || substr(
+        |      md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 15)
+        |    AS BIGINT),
         |    turn_idx) <= 5""".stripMargin),
     // 28-bit md5-prefix bucket mod 1000 (the h28 cross-engine trick)
     "q114_split_census" -> Transcripts.oracle(

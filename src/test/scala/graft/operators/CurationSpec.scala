@@ -41,7 +41,9 @@ class CurationSpec extends SparkTestBase {
       .select("conv_id", "turn_idx").collect()
       .map(r => (r.getString(0), r.getInt(1)))
       .groupBy(_._1).values.flatMap { rs =>
-        rs.sortBy { case (c, i) => (md5Hex(s"$c:$i"), i) }.take(k)
+        rs.sortBy { case (c, i) =>
+          (java.lang.Long.parseLong(md5Hex(s"$c:$i").take(15), 16), i)
+        }.take(k)
       }.toSet
     assert(got == expected)
   }
