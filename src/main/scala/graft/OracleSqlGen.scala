@@ -368,20 +368,27 @@ object OracleSqlGen {
   }
 
   /** Embedding label-outlier flags — mirrors
-    * [[graft.operators.Similarity.labelOutliers]]: per-label min-id
-    * reference vector, ROUND-6 cosine, boolean flag below threshold.
+    * [[graft.operators.Similarity.labelOutliers]]: zero-norm vectors
+    * dropped first (the one input class where the engines' cosine
+    * primitives disagree — Spark 0.0, DuckDB -1.0), then per-label
+    * min-id reference vector, ROUND-6 cosine, boolean flag below
+    * threshold.
     */
   def labelOutliers(threshold: Double): String =
-    s"""WITH r AS (
-       |  SELECT label, MIN(vec_id) AS ref_vec_id FROM embeddings GROUP BY 1),
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding FROM embeddings
+       |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |                                x -> x * x)) > 0),
+       |r AS (
+       |  SELECT label, MIN(vec_id) AS ref_vec_id FROM e GROUP BY 1),
        |re AS (
        |  SELECT r.label, r.ref_vec_id, e.embedding AS ref_embedding
-       |  FROM r JOIN embeddings e ON e.vec_id = r.ref_vec_id)
+       |  FROM r JOIN e ON e.vec_id = r.ref_vec_id)
        |SELECT e.vec_id, e.label, re.ref_vec_id,
        |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
        |                               CAST(re.ref_embedding AS DOUBLE[])), 6) AS sim,
        |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
        |                               CAST(re.ref_embedding AS DOUBLE[])), 6)
        |    < $threshold AS is_outlier
-       |FROM embeddings e JOIN re ON e.label = re.label""".stripMargin
+       |FROM e JOIN re ON e.label = re.label""".stripMargin
 }

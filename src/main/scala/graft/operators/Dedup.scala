@@ -74,7 +74,17 @@ object Dedup {
   val bandFoldP = 2147483647L
 
   def lshCandidatePairs(signatures: DataFrame, k: Int, bands: Int,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64): DataFrame =
+    pairsFromBuckets(bandedKeys(signatures, k, bands, "doc_id"), maxBucket)
+
+  /** The ONE band-key derivation (numeric fold over the signature
+    * columns, exploded to (id, bk) rows) — shared by the self-dedup
+    * pairing and [[decontaminate]]'s cross-corpus join so the two
+    * paths can never diverge from each other or from the oracle's
+    * mirror of the same fold.
+    */
+  private[operators] def bandedKeys(signatures: DataFrame, k: Int,
+      bands: Int, idName: String): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, s"bands=$bands must divide k=$k")
     val bandExprs = (0 until bands).map { b =>
@@ -82,9 +92,8 @@ object Dedup {
         (acc * bandFoldM + col(s"mh${b * rowsPerBand + r}")) % bandFoldP
       }
     }
-    val banded = signatures
-      .select(col("doc_id"), explode(array(bandExprs: _*)).as("bk"))
-    pairsFromBuckets(banded, maxBucket)
+    signatures.select(col("doc_id").as(idName),
+      explode(array(bandExprs: _*)).as("bk"))
   }
 
   /** Shared banded-pairing kernel, built around ONE shuffle of
@@ -385,23 +394,21 @@ object Dedup {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = k / bands
-    require(bands * rowsPerBand == k, s"bands=$bands must divide k=$k")
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    def banded(docs: DataFrame, idName: String): DataFrame = {
-      val sig = minhashSignatures(docs, k)
-      val bandExprs = (0 until bands).map { b =>
-        (0 until rowsPerBand).foldLeft(lit(b.toLong).cast("long")) { (acc, r) =>
-          (acc * bandFoldM + col(s"mh${b * rowsPerBand + r}")) % bandFoldP
-        }
-      }
-      sig.select(col("doc_id").as(idName), explode(array(bandExprs: _*)).as("bk"))
-    }
-    val cand = banded(corpus, "doc_id")
-      .join(broadcast(banded(benchmark, "bench_id")), Seq("bk"))
+    // the candidate frame feeds TWO branches (the left-semi prune and
+    // the verify join); without a pin each branch re-derives the
+    // corpus-wide shingle-md5 + minhash + banding — the measured ~3×
+    // re-derivation the minhashLsh persist exists for. Same lazy
+    // MEMORY_AND_DISK pin, same caller-released lifecycle (see the
+    // minhashLsh scaladoc).
+    val cand = bandedKeys(minhashSignatures(corpus, k), k, bands, "doc_id")
+      .join(broadcast(
+        bandedKeys(minhashSignatures(benchmark, k), k, bands, "bench_id")),
+        Seq("bk"))
       .select(col("doc_id"), col("bench_id"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def sets(docs: DataFrame, idName: String, shName: String): DataFrame =
       docs.select(col("doc_id").as(idName),
         array_distinct(graft.functions.TextOps.shingleHashes3(col("text")))

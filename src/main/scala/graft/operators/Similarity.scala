@@ -292,7 +292,19 @@ object Similarity {
   def labelOutliers(embeddings: DataFrame, threshold: Double = 0.5): DataFrame = {
     require(threshold > -1 && threshold <= 1,
       s"threshold must be in (-1, 1], got $threshold")
-    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    // zero-norm vectors have no direction: they are unplaceable in
+    // cosine space and DROP (the transcripts family's null doctrine) —
+    // also the one input class where engines disagree (Spark's
+    // CosineSim returns 0.0 on a zero norm, DuckDB's
+    // list_cosine_similarity returns -1.0), so the filter is what
+    // keeps the oracle mirror exact, on both the scored rows AND the
+    // reference selection (a zero min-id vector would otherwise
+    // poison its whole label)
+    val sqNorm = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val e = embeddings
+      .filter(sqNorm > 0)
+      .select(col("vec_id"), col("label"), col("embedding"))
     val refIds = e.groupBy(col("label")).agg(min(col("vec_id")).as("ref_vec_id"))
     val refs = e
       .select(col("vec_id").as("ref_vec_id"), col("embedding").as("_ref"))

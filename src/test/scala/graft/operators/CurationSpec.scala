@@ -119,12 +119,20 @@ class CurationSpec extends SparkTestBase {
     assert(got.values.map(_._2).sum == totalTurns)
   }
 
-  test("stratifiedSplit thresholds move the boundary deterministically") {
-    val a = Curation.stratifiedSplit(turns, 500, 250).collect()
+  test("stratifiedSplit thresholds move the boundary (brute 500/250 check)") {
+    val got = Curation.stratifiedSplit(turns, 500, 250).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val b = Curation.stratifiedSplit(turns, 500, 250).collect()
+    val expected = turns.filter(col("conv_id").isNotNull)
+      .select("conv_id").distinct().collect().map(_.getString(0))
+      .groupBy { c =>
+        val b = java.lang.Long.parseLong(md5Hex(c).take(7), 16) % 1000
+        if (b < 500) "train" else if (b < 750) "val" else "test"
+      }.map { case (s, cs) => s -> cs.length.toLong }
+    assert(got == expected, s"got $got, brute $expected")
+    // and the 500/250 boundary must actually differ from the default
+    val default = Curation.stratifiedSplit(turns).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(a == b)
+    assert(got != default, "non-default thresholds must move conversations")
     intercept[IllegalArgumentException](Curation.stratifiedSplit(turns, 999, 1))
     intercept[IllegalArgumentException](Curation.stratifiedSplit(turns, 0, 100))
   }

@@ -212,6 +212,23 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("labelOutliers drops zero-norm vectors, even as would-be references") {
+    import spark.implicits._
+    // vec 30 is the MIN id of label 3 but has no direction: it must not
+    // become the reference (it would poison the label) nor be scored
+    val df = Seq(
+      (30L, 3, Array(0.0f, 0.0f)),
+      (31L, 3, Array(1.0f, 0.0f)),
+      (32L, 3, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelOutliers(df, threshold = 0.5).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("ref_vec_id"), r.getAs[Double]("sim")))).toMap
+    assert(!got.contains(30L), "zero-norm vector must drop")
+    assert(got(31L) == ((31L, 1.0)), "reference falls to the next min id")
+    assert(got(32L) == ((31L, 0.0)))
+  }
+
   test("labelOutliers plan: corpus is never shuffled (broadcast joins only)") {
     val plan = Similarity.labelOutliers(emb, threshold = -0.1)
       .queryExecution.executedPlan.toString
