@@ -285,7 +285,25 @@ object GraftExtensions {
       arities = Set(1)),
     tfn("funnel",
       "(table, step1[, step2, ... step8]) - ordered funnel conversion: conversations reaching each tool step strictly after the previous one",
-      arities = (2 to 9).toSet))
+      arities = (2 to 9).toSet),
+    tfn("sample_per_conv",
+      "(table, k) - deterministic md5-permutation sample of up to k turns per conversation",
+      arities = Set(2), intArgs = Set(1)),
+    tfn("split_census",
+      "(table[, train_per_mille, val_per_mille]) - reproducible conv-level train/val/test split census (defaults 800, 100)",
+      arities = Set(1, 3), intArgs = Set(1, 2)),
+    tfn("conv_fingerprint",
+      "(table) - per-conversation md5 digest over texts in canonical turn order",
+      arities = Set(1)),
+    tfn("tool_paths",
+      "(table[, k]) - census of each conversation's first-k tool-call path (default 4)",
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("decontaminate",
+      "(corpus_table, bench_table[, k, bands, threshold]) - corpus docs near-duplicating a benchmark doc (defaults 16, 4, 0.5)",
+      arities = Set(2, 5), intArgs = Set(2, 3), doubleArgs = Set(4)),
+    tfn("label_outliers",
+      "(table[, threshold]) - embedding outlier flags vs the label's min-id reference vector (default 0.5)",
+      arities = Set(1, 2), doubleArgs = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.operators.{AsofJoin, RangeJoin, RefOps, SeriesOps, Sessionize}
+import graft.operators.{AsofJoin, Curation, Dedup, RangeJoin, RefOps, SeriesOps, Sessionize, Similarity}
 import graft.rollup.Rollup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Attribute
@@ -264,6 +264,28 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         SeriesOps.outOfOrderSkew(session.table(args(0)))
       case "funnel" =>
         SeriesOps.funnel(session.table(args(0)), args.drop(1))
+      case "sample_per_conv" =>
+        Curation.samplePerConv(session.table(args(0)), args(1).toInt)
+      case "split_census" =>
+        if (args.length == 3)
+          Curation.stratifiedSplit(session.table(args(0)),
+            args(1).toInt, args(2).toInt)
+        else Curation.stratifiedSplit(session.table(args(0)))
+      case "conv_fingerprint" =>
+        Curation.convFingerprint(session.table(args(0)))
+      case "tool_paths" =>
+        if (args.length == 2)
+          Curation.toolPaths(session.table(args(0)), args(1).toInt)
+        else Curation.toolPaths(session.table(args(0)))
+      case "decontaminate" =>
+        if (args.length == 5)
+          Dedup.decontaminate(session.table(args(0)), session.table(args(1)),
+            args(2).toInt, args(3).toInt, args(4).toDouble)
+        else Dedup.decontaminate(session.table(args(0)), session.table(args(1)))
+      case "label_outliers" =>
+        if (args.length == 2)
+          Similarity.labelOutliers(session.table(args(0)), args(1).toDouble)
+        else Similarity.labelOutliers(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

@@ -396,4 +396,41 @@ class GraftExtensionsSpec extends SparkTestBase {
       .select(TextOps.simhash($"text", 60).as("sh")).collect()
     assert(one.length == 1)
   }
+
+  test("curation table functions in SQL == Column API (sample, split, fingerprint, paths, decontaminate, outliers)") {
+    val tr = graft.ingest.Synth.transcripts(ext, nConvs = 20, avgTurns = 30,
+      seed = 31L).toDF()
+    tr.createOrReplaceTempView("trc_ext")
+    assertSameRows(
+      ext.sql("SELECT * FROM sample_per_conv('trc_ext', 3)"),
+      graft.operators.Curation.samplePerConv(tr, 3))
+    assertSameRows(
+      ext.sql("SELECT * FROM split_census('trc_ext', 500, 250)"),
+      graft.operators.Curation.stratifiedSplit(tr, 500, 250))
+    assertSameRows(
+      ext.sql("SELECT * FROM conv_fingerprint('trc_ext')"),
+      graft.operators.Curation.convFingerprint(tr))
+    assertSameRows(
+      ext.sql("SELECT * FROM tool_paths('trc_ext', 3)"),
+      graft.operators.Curation.toolPaths(tr, 3))
+    val all = graft.ingest.Synth.documents(ext, n = 200, seed = 11L)
+    val isBench = col("doc_id") % 10 === 6 || col("doc_id") % 10 === 7
+    all.filter(!isBench).createOrReplaceTempView("corpus_ext")
+    all.filter(isBench).createOrReplaceTempView("bench_ext")
+    assertSameRows(
+      ext.sql("SELECT * FROM decontaminate('corpus_ext', 'bench_ext', 16, 8, 0.5)"),
+      graft.operators.Dedup.decontaminate(
+        all.filter(!isBench), all.filter(isBench), 16, 8, 0.5))
+    val emb = graft.ingest.Synth.embeddings(ext, 150, dims = 16, seed = 5L)
+      .withColumn("label", pmod(col("vec_id"), lit(5)).cast("int"))
+    emb.createOrReplaceTempView("emb_cur_ext")
+    assertSameRows(
+      ext.sql("SELECT * FROM label_outliers('emb_cur_ext', 0.2)"),
+      graft.operators.Similarity.labelOutliers(emb, 0.2))
+    // operator-level require() surfaces through the SQL path
+    val bad = intercept[Exception] {
+      ext.sql("SELECT * FROM sample_per_conv('trc_ext', 0)").collect()
+    }
+    assert(bad.getMessage.contains("k must be"), bad.getMessage)
+  }
 }
