@@ -26,7 +26,12 @@ import org.apache.spark.sql.functions._
   *   4. checkpoint rows: a partition is COMPLETED once it is closed
   *      (its day ends at or before the input watermark — no more data
   *      can arrive under monotone event time), else IN_PROGRESS and
-  *      recomputed next run;
+  *      recomputed next run; each checkpoint also records the day's
+  *      RAW input census (`rawCount`), and a later run whose census
+  *      disagrees marks the closed day DIRTY and recomputes it — the
+  *      late-data backfill the plain anti-join would silently skip
+  *      (detects additions/removals; in-place same-count mutations are
+  *      out of scope under the append-only input model);
   *   5. lineage + metrics rows, exactly-once per (jobId, tier).
   *
   * Transient commit failures retry with the reference's backoff policy
@@ -124,6 +129,10 @@ final class RollupJob(
       val watermarkUs =
         if (okStats.isEmpty) Long.MinValue else okStats.map(_.getLong(3)).max
       val rawParts = okStats.map(_.getString(1)).toSet
+      // per-day raw census from the SAME planning pass — recorded in
+      // every checkpoint and compared on resume: a CLOSED day whose
+      // census moved has late arrivals the plain anti-join would skip
+      val dayRawN = okStats.map(r => r.getString(1) -> r.getLong(2)).toMap
 
       val results = scala.collection.mutable.ArrayBuffer[TierResult]()
       var finerParts: Set[String] = Set.empty
@@ -147,7 +156,18 @@ final class RollupJob(
           state.commitMetrics(Seq(state.MetricsRow(
             jobId, tier.name, 0, poisoned.size, state.nextSeq())))
         }
-        val target = (allParts -- done -- poisoned).toSeq.sorted
+        // late-data backfill: COMPLETED days whose raw census moved are
+        // dirty — pulled back into the target set and recomputed through
+        // the same idempotent partition overwrite the resume path uses.
+        // Every tier compares its OWN recorded census, so a kill between
+        // tiers cannot strand a coarser tier on stale finer data.
+        val dirty = state.dirtyPartitions(tier.name, dayRawN)
+          .intersect(allParts) -- poisoned
+        if (dirty.nonEmpty)
+          state.log("WARNING", tier.name,
+            s"${dirty.size} closed day(s) have late arrivals; recomputing: " +
+              dirty.toSeq.sorted.mkString(","), jobId)
+        val target = (allParts -- done -- poisoned ++ dirty).toSeq.sorted
         phase(s"tier ${tier.name}: ${target.size} target partitions planned")
         if (target.nonEmpty) {
           val tierDf = tier match {
@@ -192,7 +212,8 @@ final class RollupJob(
               .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond) * 1000000L
             val closed = dayEndUs <= watermarkUs
             state.Checkpoint(tier.name, p, watermarkUs,
-              if (closed) "COMPLETED" else "IN_PROGRESS", jobId, state.nextSeq())
+              if (closed) "COMPLETED" else "IN_PROGRESS", jobId,
+              state.nextSeq(), dayRawN.getOrElse(p, -1L))
           }
           state.commitCheckpoints(cps)
           state.commitLineage(target.map(p => state.LineageRow(
@@ -221,7 +242,13 @@ final class RollupJob(
         if (poisoned.nonEmpty)
           state.log("WARNING", "blocks_1h",
             s"skipping ${poisoned.size} poisoned partition(s)", jobId)
-        val target = (rawParts -- done -- poisoned).toSeq.sorted
+        val dirty = state.dirtyPartitions("blocks_1h", dayRawN)
+          .intersect(rawParts) -- poisoned
+        if (dirty.nonEmpty)
+          state.log("WARNING", "blocks_1h",
+            s"${dirty.size} closed day(s) have late arrivals; recomputing: " +
+              dirty.toSeq.sorted.mkString(","), jobId)
+        val target = (rawParts -- done -- poisoned ++ dirty).toSeq.sorted
         phase(s"tier blocks_1h: ${target.size} target partitions planned")
         if (target.nonEmpty) {
           val src =
@@ -241,7 +268,7 @@ final class RollupJob(
               .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond) * 1000000L
             state.Checkpoint("blocks_1h", p, watermarkUs,
               if (dayEndUs <= watermarkUs) "COMPLETED" else "IN_PROGRESS",
-              jobId, state.nextSeq())
+              jobId, state.nextSeq(), dayRawN.getOrElse(p, -1L))
           })
           state.commitLineage(target.map(p => state.LineageRow(
             "blocks_1h", p, "COMPLETED", "", 0, rows, jobId, state.nextSeq())))

@@ -54,9 +54,16 @@ import scala.jdk.CollectionConverters._
   */
 class StateStore(root: String) {
 
+  /** `rawCount` records how many RAW input rows the partition's day had
+    * when the checkpoint was written — the late-arrival detector: a
+    * COMPLETED day whose current input census disagrees gets recomputed
+    * (idempotent overwrite) instead of silently keeping stale rollups.
+    * -1 = unknown (checkpoints written before the field existed, or
+    * callers without a census); unknown never reads as dirty.
+    */
   final case class Checkpoint(
       tier: String, partition: String, watermarkUs: Long, status: String,
-      jobId: String, seq: Long)
+      jobId: String, seq: Long, rawCount: Long = -1L)
 
   final case class LineageRow(
       tier: String, partition: String, status: String, error: String,
@@ -208,20 +215,41 @@ class StateStore(root: String) {
   private def numField(line: String, name: String): Long =
     s""""$name":(-?\\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(0L)
 
+  private def numFieldOr(line: String, name: String, default: Long): Long =
+    s""""$name":(-?\\d+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toLong).getOrElse(default)
+
   // --- checkpoints ----------------------------------------------------
 
   def commitCheckpoints(cps: Seq[Checkpoint]): Unit =
     writeLines("checkpoints", cps.map(c =>
-      s"""{"tier":"${esc(c.tier)}","partition":"${esc(c.partition)}","watermarkUs":${c.watermarkUs},"status":"${esc(c.status)}","jobId":"${esc(c.jobId)}","seq":${c.seq}}"""))
+      s"""{"tier":"${esc(c.tier)}","partition":"${esc(c.partition)}","watermarkUs":${c.watermarkUs},"status":"${esc(c.status)}","jobId":"${esc(c.jobId)}","seq":${c.seq},"rawCount":${c.rawCount}}"""))
 
   /** Latest checkpoint per (tier, partition), by seq. */
   def checkpoints: Map[(String, String), Checkpoint] =
     readLines("checkpoints")
       .map(l => Checkpoint(field(l, "tier"), field(l, "partition"),
         numField(l, "watermarkUs"), field(l, "status"), field(l, "jobId"),
-        numField(l, "seq")))
+        numField(l, "seq"),
+        // pre-rawCount lines read as unknown, not as count 0 — an
+        // upgraded store must not mark every old closed day dirty
+        numFieldOr(l, "rawCount", -1L)))
       .groupBy(c => (c.tier, c.partition))
       .map { case (k, vs) => k -> vs.maxBy(_.seq) }
+
+  /** COMPLETED partitions whose recorded raw-input census no longer
+    * matches the current one — late arrivals (or removals) for CLOSED
+    * days, which the plain resume anti-join would silently skip.
+    * Unknown recorded counts (-1) never read as dirty; a day missing
+    * from `currentCounts` entirely is not reported (there is nothing
+    * to recompute FROM — the append-only input model does not delete
+    * whole days).
+    */
+  def dirtyPartitions(tier: String, currentCounts: Map[String, Long]): Set[String] =
+    checkpoints.collect {
+      case ((t, p), c) if t == tier && c.status == "COMPLETED" &&
+        c.rawCount >= 0 && currentCounts.get(p).exists(_ != c.rawCount) => p
+    }.toSet
 
   /** Partitions of `tier` already COMPLETED — the resume planner's
     * anti-join set (reference: replay-only-failed,

@@ -66,6 +66,74 @@ class ResumeSpec extends SparkTestBase {
     assert(res2.find(_.tier == "1m").get.partitions.toSet.intersect(completed).isEmpty)
   }
 
+  test("late rows for a CLOSED day mark it dirty and recompute every tier") {
+    import org.apache.spark.sql.functions._
+    val wh = tmpDir("wh-late")
+    val input = freshInput().cache()
+    val job = new RollupJob(wh)
+    job.run(spark, input, "job-1")
+    val closed = job.state.completedPartitions("1m")
+    assert(closed.nonEmpty)
+    val lateDay = closed.min
+    // late arrivals: clone one turn of the closed day with a new
+    // turn_idx (same conv, same day, ts +1s — still inside the day)
+    val donor = input
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === lateDay)
+      .orderBy(col("conv_id"), col("turn_idx")).limit(1)
+      .withColumn("turn_idx", col("turn_idx") + 100000)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 SECOND"))
+    val withLate = input.union(donor)
+
+    val res2 = new RollupJob(wh).run(spark, withLate, "job-2")
+    // the dirty closed day is recomputed at EVERY tier; no other
+    // closed day is touched
+    for (t <- Seq("1m", "1h", "1d", "blocks_1h")) {
+      val parts = res2.find(_.tier == t).get.partitions.toSet
+      assert(parts.contains(lateDay), s"$t must recompute the late day")
+      assert(parts.intersect(closed - lateDay).isEmpty,
+        s"$t must not touch other closed days: $parts")
+    }
+    // and the warehouse now equals a fresh run over the late input
+    val ref = new RollupJob(tmpDir("wh-late-ref"))
+    ref.run(spark, withLate, "job-ref")
+    for (t <- Seq(Tier.M1, Tier.H1, Tier.D1)) {
+      assertSameRows(
+        ref.tierTable(t).read(spark),
+        new RollupJob(wh).tierTable(t).read(spark))
+    }
+    // a third run over the SAME late input is a no-op again (census
+    // matches the updated checkpoints)
+    val res3 = new RollupJob(wh).run(spark, withLate, "job-3")
+    for (t <- Seq("1m", "1h", "1d", "blocks_1h")) {
+      val parts = res3.find(_.tier == t).get.partitions.toSet
+      assert(!parts.contains(lateDay), s"$t must not recompute again: $parts")
+    }
+    // the warning surfaced in the log stream
+    assert(job.state.logs.exists(l =>
+      l.level == "WARNING" && l.message.contains("late arrivals")))
+    input.unpersist()
+  }
+
+  test("pre-rawCount checkpoints (unknown census) never read as dirty") {
+    val wh = tmpDir("wh-late-compat")
+    val input = freshInput()
+    val job = new RollupJob(wh)
+    job.run(spark, input, "job-1")
+    // simulate an upgraded store: strip rawCount from every checkpoint
+    // line (the pre-upgrade on-disk format)
+    val st = job.state
+    val rewritten = st.checkpoints.values.map(c =>
+      c.copy(rawCount = -1L, seq = st.nextSeq())).toSeq
+    st.commitCheckpoints(rewritten)
+    assert(st.dirtyPartitions("1m",
+      Map(st.completedPartitions("1m").min -> 999999L)).isEmpty,
+      "unknown recorded census must not be dirty")
+    val res2 = new RollupJob(wh).run(spark, input, "job-2")
+    val completed = job.state.completedPartitions("1m")
+    assert(res2.find(_.tier == "1m").get.partitions.toSet
+      .intersect(completed).isEmpty)
+  }
+
   test("transient commit failure retries with backoff and records RETRY lineage") {
     val wh = tmpDir("wh-flaky")
     val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
