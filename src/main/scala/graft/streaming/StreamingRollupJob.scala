@@ -56,6 +56,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * manifest key and logs a WARNING); it can no longer duplicate data —
   * the window the reference's insert-then-UPDATE ordering leaves open
   * (`MigrateTask.java:79-111`) is closed here by the atomic manifest.
+  *
+  * Late-data division of labor: events later than `watermarkDelay` are
+  * dropped by Structured Streaming's state eviction (measured, not
+  * guessed, via [[LateMonitor]]). They are NOT lost to the warehouse —
+  * the batch pipeline's census-based backfill
+  * ([[graft.jobs.RollupJob]] step 4: a CLOSED day whose raw census
+  * moved recomputes at every tier) repairs the affected days on the
+  * next batch pass over the full input. Streaming gives bounded-state
+  * freshness; the batch tiers stay the system of record.
   */
 object StreamingRollupJob {
 
