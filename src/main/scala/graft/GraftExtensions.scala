@@ -303,7 +303,13 @@ object GraftExtensions {
       arities = Set(2, 5), intArgs = Set(2, 3), doubleArgs = Set(4)),
     tfn("label_outliers",
       "(table[, threshold]) - embedding outlier flags vs the label's min-id reference vector (default 0.5)",
-      arities = Set(1, 2), doubleArgs = Set(1)))
+      arities = Set(1, 2), doubleArgs = Set(1)),
+    tfn("multi_granularity",
+      "(table[, tier]) - one-scan conv-level + corpus-level rollup via grouping sets; tier one of 1m/1h/1d (default 1h)",
+      arities = Set(1, 2)),
+    tfn("turn_integrity",
+      "(table) - per-conversation (conv_id, turn_idx) identity audit: dups, holes, span",
+      arities = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

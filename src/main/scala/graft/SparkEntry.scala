@@ -555,7 +555,22 @@ object SparkEntry {
     // and the boolean actually discriminates)
     "q118_label_outliers" -> ((s, dir) =>
       graft.operators.Similarity.labelOutliers(
-        s.read.parquet(s"$dir/embeddings.parquet"), threshold = -0.1))
+        s.read.parquet(s"$dir/embeddings.parquet"), threshold = -0.1)),
+    // one-scan multi-granularity rollup (conv-level + corpus-level per
+    // window via grouping sets)
+    "q119_rollup_grouping_sets" -> ((s, dir) =>
+      graft.rollup.Rollup.multiGranularity(transcripts(s, dir), Tier.H1)),
+    // turn-identity integrity audit; driver turn_idx is row_number-
+    // derived (always clean), so the query audits a frame with every
+    // turn_idx % 7 == 3 removed — holes and shifted spans become dense
+    // and the mismatch arithmetic is actually exercised (the q111
+    // reversal trick); the clean path and dup detection are spec-pinned
+    "q120_turn_integrity" -> ((s, dir) =>
+      graft.operators.Curation.turnIntegrity(
+        transcripts(s, dir).filter(
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("turn_idx"),
+            org.apache.spark.sql.functions.lit(7)) =!= 3)))
   )
 
   private val rollupSelect: String =
@@ -2465,6 +2480,31 @@ object SparkEntry {
         |FROM p GROUP BY 1""".stripMargin),
     "q117_decontaminate" ->
       OracleSqlGen.decontaminate(k = 16, bands = 4, threshold = 0.5, modulus = 5),
-    "q118_label_outliers" -> OracleSqlGen.labelOutliers(threshold = -0.1)
+    "q118_label_outliers" -> OracleSqlGen.labelOutliers(threshold = -0.1),
+    "q119_rollup_grouping_sets" -> Transcripts.oracle(
+      """SELECT CAST(GROUPING(conv_id) AS INT) AS scope, conv_id,
+        |  DATE_TRUNC('hour', ts) AS window_start,
+        |  CAST(COUNT(*) AS BIGINT) AS turn_count,
+        |  CAST(COUNT(tool) AS BIGINT) AS tool_calls,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS char_len_sum
+        |FROM transcripts
+        |GROUP BY GROUPING SETS ((conv_id, DATE_TRUNC('hour', ts)),
+        |                        (DATE_TRUNC('hour', ts)))""".stripMargin),
+    "q120_turn_integrity" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, turn_idx FROM transcripts
+        |  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+        |    AND turn_idx % 7 != 3)
+        |SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS turns,
+        |  CAST(COUNT(DISTINCT turn_idx) AS BIGINT) AS distinct_turns,
+        |  CAST(MIN(turn_idx) AS BIGINT) AS min_idx,
+        |  CAST(MAX(turn_idx) AS BIGINT) AS max_idx,
+        |  CAST(COUNT(*) - COUNT(DISTINCT turn_idx) AS BIGINT) AS dup_keys,
+        |  CAST(MAX(turn_idx) - MIN(turn_idx) + 1
+        |    - COUNT(DISTINCT turn_idx) AS BIGINT) AS missing_turns,
+        |  (COUNT(*) = COUNT(DISTINCT turn_idx)
+        |    AND MAX(turn_idx) - MIN(turn_idx) + 1 = COUNT(DISTINCT turn_idx)
+        |    AND MIN(turn_idx) = 0) AS contiguous
+        |FROM b GROUP BY 1""".stripMargin)
   )
 }

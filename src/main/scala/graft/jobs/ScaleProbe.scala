@@ -230,6 +230,10 @@ object ScaleProbe {
         .convFingerprint(raw).agg(count(col("digest"))).head())
       val tPaths = stage("toolpaths")(graft.operators.Curation
         .toolPaths(raw).agg(count(col("share"))).head())
+      val tMg = stage("multigran")(Rollup.multiGranularity(raw, Tier.H1)
+        .agg(count(col("char_len_sum"))).head())
+      val tTi = stage("integrity")(graft.operators.Curation
+        .turnIntegrity(raw).agg(count(col("missing_turns"))).head())
       val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
@@ -240,7 +244,7 @@ object ScaleProbe {
         tAdopt + tDup + tFano + tHalf + tWhale + tConc + tChurn + tRec +
         tLor + tDrift + tTermChurn + tTtr + tNov +
         tDtw + tPeaks + tSeqEdit + tLttb + tOoo + tFunnel +
-        tSample + tSplitc + tFp + tPaths
+        tSample + tSplitc + tFp + tPaths + tMg + tTi
       println(f"[scale-probe] rep=$r cores=$cores turns=$n rollup_1m=$tM1%.2fs " +
         f"cascade=$tCascade%.2fs blocks=$tBlocks%.2fs sessionize=$tSess%.2fs " +
         f"asof=$tAsof%.2fs interval=$tInterval%.2fs sliding=$tSliding%.2fs " +
@@ -268,6 +272,7 @@ object ScaleProbe {
         f"lttb=$tLttb%.2fs ooo=$tOoo%.2fs funnel=$tFunnel%.2fs " +
         f"sample=$tSample%.2fs splitcensus=$tSplitc%.2fs " +
         f"fingerprint=$tFp%.2fs toolpaths=$tPaths%.2fs " +
+        f"multigran=$tMg%.2fs integrity=$tTi%.2fs " +
         f"total=$total%.2fs " +
         (if (tM1 > 0) f"throughput=${n / tM1}%.0f turns/s" else "throughput=n/a"))
       total

@@ -203,6 +203,47 @@ object Curation {
     * satisfies the groupBy), the per-group buffer is ≤ k tool names,
     * and the census + share window move only path-cardinality rows.
     */
+  /** Turn-identity integrity audit: per conversation, does the
+    * `(conv_id, turn_idx)` key actually carry the invariant every
+    * downstream operator assumes — unique, zero-based, gap-free?
+    * A corpus assembled from partial exports, retried writers, or a
+    * buggy upstream renumbering breaks it silently; this is the gate a
+    * pipeline runs BEFORE trusting turn-order semantics (fingerprints,
+    * funnels, as-of joins), the data-quality sibling of the
+    * reference's fail-fast schema validation
+    * (`IoTDBSchemaValidator.java:111-140` — which validates SHAPE;
+    * this validates IDENTITY).
+    *
+    * Output per conversation: `(conv_id, turns, distinct_turns,
+    * min_idx, max_idx, dup_keys = turns - distinct, missing_turns =
+    * span - distinct, contiguous = dups 0 AND holes 0 AND min 0)`.
+    * All exact longs + one boolean — hash-checkable. Null `turn_idx` /
+    * `conv_id` rows drop (unorderable / unkeyable — the family
+    * doctrine): an identity-less row has no place in the span
+    * arithmetic, and the ingest reject side-output is where such rows
+    * are already counted and surfaced.
+    *
+    * Plan: ONE conv_id exchange into a single partial-aggregated pass
+    * (count + count distinct turn_idx within the group is planned as
+    * two-phase but stays on the same clustering); no windows, no
+    * joins.
+    */
+  def turnIntegrity(transcripts: DataFrame): DataFrame =
+    transcripts
+      .filter(col("conv_id").isNotNull && col("turn_idx").isNotNull)
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("turns"),
+        countDistinct(col("turn_idx")).as("distinct_turns"),
+        min(col("turn_idx")).cast("long").as("min_idx"),
+        max(col("turn_idx")).cast("long").as("max_idx"))
+      .withColumn("dup_keys", col("turns") - col("distinct_turns"))
+      .withColumn("missing_turns",
+        col("max_idx") - col("min_idx") + 1 - col("distinct_turns"))
+      .withColumn("contiguous",
+        col("dup_keys") === 0 && col("missing_turns") === 0 &&
+          col("min_idx") === 0)
+
   def toolPaths(transcripts: DataFrame, k: Int = 4): DataFrame = {
     require(k >= 1 && k <= 32, s"k must be in [1, 32], got $k")
     val wOrd = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))

@@ -286,6 +286,17 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         if (args.length == 2)
           Similarity.labelOutliers(session.table(args(0)), args(1).toDouble)
         else Similarity.labelOutliers(session.table(args(0)))
+      case "multi_granularity" =>
+        val tier = args.lift(1).getOrElse("1h") match {
+          case "1m" => graft.model.Tier.M1
+          case "1h" => graft.model.Tier.H1
+          case "1d" => graft.model.Tier.D1
+          case other => throw new IllegalArgumentException(
+            s"multi_granularity: tier must be 1m/1h/1d, got '$other'")
+        }
+        Rollup.multiGranularity(session.table(args(0)), tier)
+      case "turn_integrity" =>
+        Curation.turnIntegrity(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

@@ -263,4 +263,40 @@ object Rollup {
           .as("char_len_p50"),
         expr(s"CAST(approx_percentile(length(text), 0.95, $accuracy) AS DOUBLE)")
           .as("char_len_p95"))
+
+  /** Multi-granularity continuous aggregate: the per-conversation AND
+    * the corpus-wide per-window rollup from ONE scan via GROUPING SETS
+    * `((conv_id, window), (window))` — the "materialize every
+    * granularity the dashboards read" pattern a TSDB serves with
+    * separate continuous aggregates, collapsed into one pass. `scope`
+    * disambiguates (0 = conversation row, 1 = corpus row — `GROUPING
+    * (conv_id)`), so a genuine null conv_id group (scope 0, conv_id
+    * null) is never confused with the corpus row.
+    *
+    * Aggregates are the decomposable core (counts/sums) only — no
+    * DISTINCT: Catalyst plans the set expansion map-side (`Expand`,
+    * ×2 rows BEFORE partial aggregation) and both granularities
+    * partial-aggregate into the SAME single exchange, so the wire
+    * carries conv-level groups + window-level groups (~+ε over the
+    * plain rollup); a distinct aggregate would force a second
+    * expansion and a wider shuffle.
+    *
+    * Same null doctrine as [[fromRaw]]: nothing is filtered, null keys
+    * group as null in both engines.
+    */
+  def multiGranularity(transcripts: DataFrame, tier: Tier): DataFrame =
+    transcripts
+      .withColumn("window_start",
+        window(col("ts"), tier.windowExpr).getField("start"))
+      .withColumn("char_len", length(col("text")).cast("long"))
+      .groupingSets(
+        Seq(Seq(col("conv_id"), col("window_start")), Seq(col("window_start"))),
+        col("conv_id"), col("window_start"))
+      .agg(
+        grouping(col("conv_id")).cast("int").as("scope"),
+        count(lit(1)).as("turn_count"),
+        count(col("tool")).as("tool_calls"),
+        sum(col("char_len")).as("char_len_sum"))
+      .select(col("scope"), col("conv_id"), col("window_start"),
+        col("turn_count"), col("tool_calls"), col("char_len_sum"))
 }

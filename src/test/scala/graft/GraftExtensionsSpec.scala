@@ -432,5 +432,15 @@ class GraftExtensionsSpec extends SparkTestBase {
       ext.sql("SELECT * FROM sample_per_conv('trc_ext', 0)").collect()
     }
     assert(bad.getMessage.contains("k must be"), bad.getMessage)
+    assertSameRows(
+      ext.sql("SELECT * FROM multi_granularity('trc_ext', '1h')"),
+      graft.rollup.Rollup.multiGranularity(tr, graft.model.Tier.H1))
+    assertSameRows(
+      ext.sql("SELECT * FROM turn_integrity('trc_ext')"),
+      graft.operators.Curation.turnIntegrity(tr))
+    val badTier = intercept[Exception] {
+      ext.sql("SELECT * FROM multi_granularity('trc_ext', '5m')").collect()
+    }
+    assert(badTier.getMessage.contains("1m/1h/1d"), badTier.getMessage)
   }
 }

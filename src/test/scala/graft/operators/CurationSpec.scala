@@ -186,6 +186,40 @@ class CurationSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"expected no join:\n$p")
   }
 
+  // ---- turnIntegrity --------------------------------------------------------
+
+  test("turnIntegrity golden: dups, holes, shifted span, clean conv") {
+    val df = turnsDf(Seq(
+      ("A", 0, "user", "t", null), ("A", 1, "user", "t", null),
+      ("A", 1, "user", "t", null), ("A", 4, "user", "t", null), // dup 1, holes 2-3
+      ("B", 2, "user", "t", null), ("B", 3, "user", "t", null), // shifted (min 2)
+      ("C", 0, "user", "t", null), ("C", 1, "user", "t", null), // clean
+      ("D", null, "user", "t", null),                           // unorderable drops
+      (null, 0, "user", "t", null)))                            // unkeyable drops
+    val got = Curation.turnIntegrity(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    assert(got.keySet == Set("A", "B", "C"))
+    assert(got("A") == ((4L, 3L, 0L, 4L, 1L, 2L, false)))
+    assert(got("B") == ((2L, 2L, 2L, 3L, 0L, 0L, false)))
+    assert(got("C") == ((2L, 2L, 0L, 1L, 0L, 0L, true)))
+  }
+
+  test("turnIntegrity: canonical synth is contiguous everywhere; holes detected after filtering") {
+    val all = Curation.turnIntegrity(turns)
+    assert(all.filter(!col("contiguous")).count() == 0,
+      "row_number-derived turn_idx must audit clean")
+    val holed = Curation.turnIntegrity(turns.filter(pmod(col("turn_idx"), lit(7)) =!= 3))
+    assert(holed.filter(col("missing_turns") > 0).count() > 0)
+    assert(holed.filter(col("dup_keys") > 0).count() == 0)
+  }
+
+  test("turnIntegrity plan: one aggregation family, no joins or windows") {
+    val p = Curation.turnIntegrity(turns).queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Window"), s"plan:\n$p")
+  }
+
   // ---- toolPaths ----------------------------------------------------------
 
   test("toolPaths golden: ordered truncated paths with ROUND-6 share") {

@@ -119,4 +119,35 @@ class RollupSpec extends SparkTestBase {
       assert(rankOk(a95, 0.95), s"$k: p95 $a95 not rank-correct (n=${vals.length})")
     }
   }
+
+  test("multiGranularity: conv scope equals plain rollup; corpus scope equals its sum") {
+    import org.apache.spark.sql.functions._
+    val mg = Rollup.multiGranularity(turns, Tier.H1).cache()
+    // scope 0 == the plain per-conv rollup's shared columns
+    val convScope = mg.filter(col("scope") === 0)
+      .select("conv_id", "window_start", "turn_count", "tool_calls", "char_len_sum")
+    val plain = Rollup.fromRaw(turns, Tier.H1)
+      .select("conv_id", "window_start", "turn_count", "tool_calls", "char_len_sum")
+    assertSameRows(convScope, plain)
+    // scope 1 == the conv scope summed per window (decomposability)
+    val corpusScope = mg.filter(col("scope") === 1)
+      .select("window_start", "turn_count", "tool_calls", "char_len_sum")
+    val summed = convScope.groupBy("window_start")
+      .agg(sum("turn_count").as("turn_count"),
+        sum("tool_calls").as("tool_calls"),
+        sum("char_len_sum").as("char_len_sum"))
+      .select("window_start", "turn_count", "tool_calls", "char_len_sum")
+    assertSameRows(corpusScope, summed)
+    // corpus rows carry null conv_id and scope disambiguates
+    assert(mg.filter(col("scope") === 1 && col("conv_id").isNotNull).count() == 0)
+    mg.unpersist()
+  }
+
+  test("multiGranularity plan: one exchange, map-side Expand, no join") {
+    val p = Rollup.multiGranularity(turns, Tier.H1)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected ONE exchange:\n$p")
+    assert(p.contains("Expand"), s"grouping sets must expand map-side:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
 }
