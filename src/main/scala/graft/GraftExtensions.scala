@@ -309,7 +309,13 @@ object GraftExtensions {
       arities = Set(1, 2)),
     tfn("turn_integrity",
       "(table) - per-conversation (conv_id, turn_idx) identity audit: dups, holes, span",
-      arities = Set(1)))
+      arities = Set(1)),
+    tfn("histogram_quantile",
+      "(table[, tier, bucket_width]) - read-time p50/p95 reconstructed from the mergeable per-window length histogram; tier one of 1m/1h/1d (defaults 1h, 50)",
+      arities = Set(1, 3), intArgs = Set(2)),
+    tfn("weighted_sample",
+      "(table, k) - deterministic weighted sample of k turns, priority ln(u)/w with md5-hash u and weight len(text)+1",
+      arities = Set(2), intArgs = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

@@ -570,7 +570,16 @@ object SparkEntry {
         transcripts(s, dir).filter(
           org.apache.spark.sql.functions.pmod(
             org.apache.spark.sql.functions.col("turn_idx"),
-            org.apache.spark.sql.functions.lit(7)) =!= 3)))
+            org.apache.spark.sql.functions.lit(7)) =!= 3))),
+    // read-time quantiles FROM the mergeable bucket histogram (the
+    // Prometheus histogram_quantile reconstruction over q49's census)
+    "q121_histogram_quantile" -> ((s, dir) =>
+      graft.rollup.Rollup.histogramQuantile(transcripts(s, dir),
+        Tier.H1, bucketWidth = 50)),
+    // Efraimidis-Spirakis weighted sample (priority ln(u)/w, hash u);
+    // selection-only doubles — the output carries no float column
+    "q122_weighted_sample" -> ((s, dir) =>
+      graft.operators.Curation.weightedSample(transcripts(s, dir), k = 200))
   )
 
   private val rollupSelect: String =
@@ -2505,6 +2514,55 @@ object SparkEntry {
         |  (COUNT(*) = COUNT(DISTINCT turn_idx)
         |    AND MAX(turn_idx) - MIN(turn_idx) + 1 = COUNT(DISTINCT turn_idx)
         |    AND MIN(turn_idx) = 0) AS contiguous
-        |FROM b GROUP BY 1""".stripMargin)
+        |FROM b GROUP BY 1""".stripMargin),
+    // the histogram census mirrors q49 (minus the null-text bucket);
+    // the crossing pick and interpolation mirror histogramQuantile's
+    // arithmetic term-for-term (r = q*total; value = b*w + w*(r-cb)/cnt)
+    "q121_histogram_quantile" -> Transcripts.oracle(
+      """, h AS (
+        |  SELECT MAKE_TIMESTAMP(EPOCH_US(ts)
+        |           - ((EPOCH_US(ts) % 3600000000) + 3600000000) % 3600000000)
+        |           AS window_start,
+        |         LENGTH(text) // 50 AS bucket
+        |  FROM transcripts WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT window_start, bucket, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+        |c AS (
+        |  SELECT window_start, bucket, cnt,
+        |    SUM(cnt) OVER (PARTITION BY window_start ORDER BY bucket
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY window_start) AS total
+        |  FROM g)
+        |SELECT window_start, CAST(MAX(total) AS BIGINT) AS turns,
+        |  ROUND(MIN(CASE WHEN CAST(cum - cnt AS DOUBLE)
+        |                   < 0.5 * CAST(total AS DOUBLE)
+        |                  AND 0.5 * CAST(total AS DOUBLE)
+        |                   <= CAST(cum AS DOUBLE)
+        |    THEN CAST(bucket AS DOUBLE) * 50.0
+        |      + 50.0 * (0.5 * CAST(total AS DOUBLE)
+        |                - CAST(cum - cnt AS DOUBLE))
+        |        / CAST(cnt AS DOUBLE) END), 6) AS hq_p50,
+        |  ROUND(MIN(CASE WHEN CAST(cum - cnt AS DOUBLE)
+        |                   < 0.95 * CAST(total AS DOUBLE)
+        |                  AND 0.95 * CAST(total AS DOUBLE)
+        |                   <= CAST(cum AS DOUBLE)
+        |    THEN CAST(bucket AS DOUBLE) * 50.0
+        |      + 50.0 * (0.95 * CAST(total AS DOUBLE)
+        |                - CAST(cum - cnt AS DOUBLE))
+        |        / CAST(cnt AS DOUBLE) END), 6) AS hq_p95
+        |FROM c GROUP BY 1""".stripMargin),
+    // same md5-uniform, same ln(u)/w priority, same tie-break; the
+    // priority stays out of the projection on BOTH sides
+    "q122_weighted_sample" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx, role,
+        |  CAST(COALESCE(LENGTH(text), 0) + 1 AS BIGINT) AS weight
+        |FROM transcripts
+        |WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+        |ORDER BY LN((CAST(CAST('0x' || substr(
+        |      md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 15)
+        |    AS BIGINT) AS DOUBLE) + 1.0) / 1152921504606846976.0)
+        |  / CAST(COALESCE(LENGTH(text), 0) + 1 AS DOUBLE) DESC,
+        |  conv_id, turn_idx
+        |LIMIT 200""".stripMargin)
   )
 }

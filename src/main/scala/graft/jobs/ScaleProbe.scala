@@ -234,7 +234,11 @@ object ScaleProbe {
         .agg(count(col("char_len_sum"))).head())
       val tTi = stage("integrity")(graft.operators.Curation
         .turnIntegrity(raw).agg(count(col("missing_turns"))).head())
-      val total = tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
+      val tHq = stage("histquant")(Rollup.histogramQuantile(raw, Tier.H1)
+        .agg(count(col("hq_p95"))).head())
+      val tWs = stage("wsample")(graft.operators.Curation
+        .weightedSample(raw, 200).agg(count(col("weight"))).head())
+      val total = tHq + tWs + tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
         tVocab + tProf + tOhlc + tDaily + tGapRep + tSax + tTheil +

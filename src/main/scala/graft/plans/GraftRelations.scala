@@ -297,6 +297,19 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         Rollup.multiGranularity(session.table(args(0)), tier)
       case "turn_integrity" =>
         Curation.turnIntegrity(session.table(args(0)))
+      case "histogram_quantile" =>
+        val tier = args.lift(1).getOrElse("1h") match {
+          case "1m" => graft.model.Tier.M1
+          case "1h" => graft.model.Tier.H1
+          case "1d" => graft.model.Tier.D1
+          case other => throw new IllegalArgumentException(
+            s"histogram_quantile: tier must be 1m/1h/1d, got '$other'")
+        }
+        if (args.length == 3)
+          Rollup.histogramQuantile(session.table(args(0)), tier, args(2).toInt)
+        else Rollup.histogramQuantile(session.table(args(0)), tier)
+      case "weighted_sample" =>
+        Curation.weightedSample(session.table(args(0)), args(1).toInt)
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

@@ -215,6 +215,68 @@ object Rollup {
           sum(col("cnt")).over(W.partitionBy(col("window_start"))))
   }
 
+  /** Read-time interpolated quantiles FROM the bucketed histogram —
+    * the observability-stack classic (Prometheus `histogram_quantile`,
+    * M3/statsd timers): bucket counts are the MERGEABLE artifact
+    * (shards/days merge by summing counts — unlike raw quantiles,
+    * which don't compose), and the quantile is reconstructed at read
+    * time by linear interpolation inside the bucket where the
+    * cumulative count crosses `q × total`. The price of mergeability
+    * is resolution: the answer is exact only up to `bucketWidth`
+    * (contrast [[charLenQuantiles]], exact but non-mergeable, and
+    * [[charLenQuantilesApprox]], sketch-mergeable with rank error).
+    *
+    * Definition (mirrored verbatim by the oracle): per window with
+    * buckets `b` of width `w`, counts `cnt`, running `cum`, and
+    * `total`, the rank is `r = q × total` (double); the crossing
+    * bucket is the unique one with `cum − cnt < r ≤ cum`, and the
+    * value is `b·w + w × (r − (cum − cnt)) / cnt` — interpolating the
+    * continuous rank across the bucket's span. `q = 1` lands on the
+    * last bucket's upper edge; round-6 absorbs the double arithmetic.
+    *
+    * Output per window: `(window_start, turns, hq_p50, hq_p95)`.
+    *
+    * Plan: the ONE real exchange is the partial-aggregated
+    * `(window, bucket)` histogram census over raw (identical to
+    * [[charLenHistogram]] — collapsed map-side); the cumulative sum
+    * and the per-quantile crossing pick run on the AGGREGATED frame
+    * (windows × buckets rows, O(metadata)), one conditional-aggregate
+    * pass, no joins. At 100 TB this is the cheapest quantile in the
+    * family: raw rows are touched once, map-side.
+    */
+  def histogramQuantile(transcripts: DataFrame, tier: Tier = Tier.H1,
+      bucketWidth: Int = 50): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val wCum = W.partitionBy(col("window_start")).orderBy(col("bucket"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wTot = W.partitionBy(col("window_start"))
+    // null text has no length — it drops from the distribution (the
+    // null bucket would otherwise sort differently across engines)
+    val hist = transcripts
+      .filter(col("text").isNotNull)
+      .select(
+        window(col("ts"), tier.windowExpr).getField("start").as("window_start"),
+        floor(length(col("text")).cast("long") / lit(bucketWidth)).as("bucket"))
+      .groupBy(col("window_start"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wTot))
+    def pick(q: Double): Column = {
+      val r = lit(q) * col("total").cast("double")
+      val cb = (col("cum") - col("cnt")).cast("double")
+      val value = col("bucket").cast("double") * lit(bucketWidth.toDouble) +
+        lit(bucketWidth.toDouble) * (r - cb) / col("cnt").cast("double")
+      min(when(cb < r && r <= col("cum").cast("double"), value))
+    }
+    hist
+      .groupBy(col("window_start"))
+      .agg(
+        max(col("total")).as("turns"),
+        round(pick(0.5), 6).as("hq_p50"),
+        round(pick(0.95), 6).as("hq_p95"))
+  }
+
   /** Exact per-window quantiles of turn length — the distribution
     * companion the avg/min/max columns can't answer (p95 text length
     * per conversation-hour). Spark's `percentile` is the EXACT

@@ -442,5 +442,11 @@ class GraftExtensionsSpec extends SparkTestBase {
       ext.sql("SELECT * FROM multi_granularity('trc_ext', '5m')").collect()
     }
     assert(badTier.getMessage.contains("1m/1h/1d"), badTier.getMessage)
+    assertSameRows(
+      ext.sql("SELECT * FROM histogram_quantile('trc_ext', '1h', 50)"),
+      graft.rollup.Rollup.histogramQuantile(tr, graft.model.Tier.H1, 50))
+    assertSameRows(
+      ext.sql("SELECT * FROM weighted_sample('trc_ext', 25)"),
+      graft.operators.Curation.weightedSample(tr, 25))
   }
 }

@@ -272,4 +272,48 @@ class CurationSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Curation.toolPaths(turns, 0))
     intercept[IllegalArgumentException](Curation.toolPaths(turns, 33))
   }
+
+  test("weightedSample: k >= corpus returns every keyed row; weight = len+1") {
+    val rows = turnsDf(Seq(
+      ("a", 0, "user", "hello", null),
+      ("a", 1, "asst", null, null), // null text -> weight 1
+      (null, 2, "user", "dropped", null), // unkeyable
+      ("b", null.asInstanceOf[Integer], "user", "dropped", null)))
+    val out = Curation.weightedSample(rows, k = 10).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(3))).sorted
+    assert(out.toSeq == Seq(("a", 0, 6L), ("a", 1, 1L)))
+  }
+
+  test("weightedSample: deterministic and weight-biased") {
+    import spark.implicits._
+    // 300 heavy rows (len 400 -> w 401) vs 300 light (len 4 -> w 5);
+    // md5 randomness is fixed, so the counts are exact reruns apart
+    val rows = ((0 until 300).map(i => ("h" + i, 0, "user", "x" * 400)) ++
+      (0 until 300).map(i => ("l" + i, 0, "user", "x" * 4)))
+      .map { case (c, i, r, t) =>
+        (c, i, r, t, null.asInstanceOf[String],
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val s1 = Curation.weightedSample(rows, k = 100).collect()
+    val s2 = Curation.weightedSample(rows, k = 100).collect()
+    assert(s1.map(_.toString).sorted.sameElements(s2.map(_.toString).sorted))
+    val heavy = s1.count(_.getString(0).startsWith("h"))
+    // P(light in sample) ~ 5/401 per slot; expect heavy to dominate
+    assert(heavy >= 85, s"weighting not biasing selection: heavy=$heavy/100")
+    assert(heavy < 100, "sample should not be heavy-only at these odds")
+  }
+
+  test("weightedSample plan: no exchange, TakeOrderedAndProject top-k") {
+    // over a materialized frame (as a stored table would be) the
+    // sampler is map-only + per-partition heap: NOTHING shuffles
+    val p = Curation.weightedSample(turns, 50)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+    assert(!p.contains("Exchange"), s"sampler must not shuffle the corpus:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
+
+  test("weightedSample rejects out-of-range k") {
+    intercept[IllegalArgumentException](Curation.weightedSample(turns, 0))
+  }
 }

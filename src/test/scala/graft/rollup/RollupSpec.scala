@@ -150,4 +150,57 @@ class RollupSpec extends SparkTestBase {
     assert(p.contains("Expand"), s"grouping sets must expand map-side:\n$p")
     assert(!p.contains("Join"), s"no join expected:\n$p")
   }
+
+  test("histogramQuantile: hand-computed crossing + interpolation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one window: 5 turns in bucket 0 (len 25), 5 in bucket 1 (len 75)
+    val rows = (0 until 10).map { i =>
+      ("c" + i, 0, "user", "x" * (if (i < 5) 25 else 75),
+        null.asInstanceOf[String],
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:01"))
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val out = Rollup.histogramQuantile(rows).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("turns") == 10L)
+    // p50: rank 5.0 crosses bucket 0 exactly at its upper edge
+    assert(r.getAs[Double]("hq_p50") == 50.0)
+    // p95: rank 9.5 interpolates bucket 1: 50 + 50*(9.5-5)/5 = 95
+    assert(r.getAs[Double]("hq_p95") == 95.0)
+  }
+
+  test("histogramQuantile: null text drops; bucket-resolution rank bound") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val withNull = turns.withColumn("text",
+      when(col("turn_idx") % 17 === 0, lit(null: String))
+        .otherwise(col("text")))
+    val hq = Rollup.histogramQuantile(withNull, Tier.H1).cache()
+    // turns per window counts only non-null texts
+    val counted = withNull.filter(col("text").isNotNull)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"))
+      .agg(count(lit(1)).as("n"))
+    assertSameRows(
+      hq.select(col("window_start"), col("turns")),
+      counted.select(col("window_start"), col("n").as("turns")))
+    // the reconstructed quantile is within one bucket of the exact one
+    val exact = withNull.filter(col("text").isNotNull)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"))
+      .agg(expr("percentile(length(text), 0.95)").as("exact_p95"))
+    val joined = hq.join(exact, "window_start")
+      .select(abs(col("hq_p95") - col("exact_p95")).as("err"))
+      .agg(max(col("err"))).head().getDouble(0)
+    assert(joined <= 50.0, s"hist quantile off by more than a bucket: $joined")
+    hq.unpersist()
+  }
+
+  test("histogramQuantile plan: one real exchange + one metadata window exchange") {
+    val p = Rollup.histogramQuantile(turns, Tier.H1)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 2,
+      s"expected exactly two exchanges (census + aggregated-frame window):\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+    assert(!p.contains("Expand"), s"no distinct-agg Expand expected:\n$p")
+  }
 }
