@@ -315,7 +315,13 @@ object GraftExtensions {
       arities = Set(1, 3), intArgs = Set(2)),
     tfn("weighted_sample",
       "(table, k) - deterministic weighted sample of k turns, priority ln(u)/w with md5-hash u and weight len(text)+1",
-      arities = Set(2), intArgs = Set(1)))
+      arities = Set(2), intArgs = Set(1)),
+    tfn("histogram_merge",
+      "(table, from_tier, to_tier[, bucket_width]) - coarse-tier length histogram computed by MERGING the finer tier's histogram artifacts (counts summed, pct recomputed); identical to computing it from raw",
+      arities = Set(3, 4), intArgs = Set(3)),
+    tfn("term_topk_sketch",
+      "(table, k, capacity) - corpus term top-k via the mergeable Misra-Gries sketch; exact when capacity >= vocabulary, est within N/(capacity+1) below",
+      arities = Set(3), intArgs = Set(1, 2)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

@@ -579,7 +579,20 @@ object SparkEntry {
     // Efraimidis-Spirakis weighted sample (priority ln(u)/w, hash u);
     // selection-only doubles — the output carries no float column
     "q122_weighted_sample" -> ((s, dir) =>
-      graft.operators.Curation.weightedSample(transcripts(s, dir), k = 200))
+      graft.operators.Curation.weightedSample(transcripts(s, dir), k = 200)),
+    // mergeability proof-by-query: the 1h histogram computed by MERGING
+    // stored 1m histogram artifacts (counts summed, pct recomputed) —
+    // the oracle computes it directly from raw; both must be identical
+    "q123_histogram_merge" -> ((s, dir) =>
+      graft.rollup.Rollup.mergeHistogram(
+        graft.rollup.Rollup.charLenHistogram(transcripts(s, dir),
+          Tier.M1, bucketWidth = 50), Tier.H1)),
+    // Misra-Gries heavy hitters at exhaustive capacity (no trim fires,
+    // counts exact) vs the q75 exact-top-k oracle — the ANN-family
+    // exhaustive-settings verification pattern for the sketch machinery
+    "q124_term_topk_sketch" -> ((s, dir) =>
+      graft.operators.SeriesOps.termTopKSketch(transcripts(s, dir),
+        k = 50, capacity = 65536))
   )
 
   private val rollupSelect: String =
@@ -2563,6 +2576,39 @@ object SparkEntry {
         |    AS BIGINT) AS DOUBLE) + 1.0) / 1152921504606846976.0)
         |  / CAST(COALESCE(LENGTH(text), 0) + 1 AS DOUBLE) DESC,
         |  conv_id, turn_idx
-        |LIMIT 200""".stripMargin)
+        |LIMIT 200""".stripMargin),
+    // the oracle computes the 1h histogram DIRECTLY from raw (the q49
+    // shape); the Spark side merges 1m artifacts — identical counts
+    // prove the histogram is a mergeable summary, and the pct division
+    // runs on the same longs on both sides
+    "q123_histogram_merge" -> Transcripts.oracle(
+      """, h AS (
+        |  SELECT MAKE_TIMESTAMP(EPOCH_US(ts)
+        |           - ((EPOCH_US(ts) % 3600000000) + 3600000000) % 3600000000)
+        |           AS window_start,
+        |         LENGTH(text) // 50 AS bucket
+        |  FROM transcripts)
+        |SELECT window_start, CAST(bucket AS BIGINT) AS bucket,
+        |  COUNT(*) AS cnt,
+        |  CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(SUM(COUNT(*)) OVER (PARTITION BY window_start) AS DOUBLE) AS pct
+        |FROM h GROUP BY 1, 2""".stripMargin),
+    // exact top-k oracle (the q75 shape): at capacity >= vocabulary the
+    // sketch never trims, so its counts ARE the exact counts
+    "q124_term_topk_sketch" -> Transcripts.oracle(
+      """, tk AS (
+        |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term
+        |  FROM transcripts WHERE text IS NOT NULL),
+        |tc AS (SELECT term, COUNT(*) AS occurrences FROM tk GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(occurrences) AS BIGINT) AS total FROM tc),
+        |top AS (
+        |  SELECT term, occurrences FROM tc
+        |  ORDER BY occurrences DESC, term LIMIT 50)
+        |SELECT
+        |  CAST(ROW_NUMBER() OVER (ORDER BY occurrences DESC, term) AS BIGINT)
+        |    AS rank,
+        |  term, occurrences,
+        |  ROUND(CAST(occurrences AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        |FROM top, tt""".stripMargin)
   )
 }

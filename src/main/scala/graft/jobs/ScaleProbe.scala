@@ -238,7 +238,16 @@ object ScaleProbe {
         .agg(count(col("hq_p95"))).head())
       val tWs = stage("wsample")(graft.operators.Curation
         .weightedSample(raw, 200).agg(count(col("weight"))).head())
-      val total = tHq + tWs + tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
+      // histmerge times the MERGE's own cost: its input histogram is
+      // recomputed inside the stage (same plan at both core counts, so
+      // the N-vs-4N ratio stays meaningful — the interval-join idiom)
+      val tHm = stage("histmerge")(Rollup.mergeHistogram(
+          Rollup.charLenHistogram(raw, Tier.M1), Tier.H1)
+        .agg(count(col("pct"))).head())
+      // sub-exhaustive capacity: the real sketch regime (trims fire)
+      val tMgs = stage("mgsketch")(graft.operators.SeriesOps
+        .termTopKSketch(raw, 50, 4096).agg(count(col("share"))).head())
+      val total = tHm + tMgs + tHq + tWs + tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
         tVocab + tProf + tOhlc + tDaily + tGapRep + tSax + tTheil +
@@ -277,6 +286,8 @@ object ScaleProbe {
         f"sample=$tSample%.2fs splitcensus=$tSplitc%.2fs " +
         f"fingerprint=$tFp%.2fs toolpaths=$tPaths%.2fs " +
         f"multigran=$tMg%.2fs integrity=$tTi%.2fs " +
+        f"histquant=$tHq%.2fs wsample=$tWs%.2fs " +
+        f"histmerge=$tHm%.2fs mgsketch=$tMgs%.2fs " +
         f"total=$total%.2fs " +
         (if (tM1 > 0) f"throughput=${n / tM1}%.0f turns/s" else "throughput=n/a"))
       total

@@ -639,6 +639,54 @@ object SeriesOps {
           .as("share"))
   }
 
+  /** Corpus term top-k via the Misra–Gries sketch — [[termTopK]]'s
+    * mergeable, cardinality-independent sibling. The exact form's ONE
+    * exchange carries a `(term, count)` pair per DISTINCT term; at a
+    * web-scale vocabulary (URLs, ids, n-grams over 10¹² turns) that
+    * exchange IS the job. Here each partition folds its terms into a
+    * bounded [[graft.functions.MisraGries]] summary (O(capacity) state,
+    * amortized O(1) per token, never serialized within the partition)
+    * and the exchange moves ONE summary row per partition — wire volume
+    * `partitions × capacity`, independent of both corpus size and
+    * vocabulary size, with the estimate for every term within
+    * `N / (capacity+1)` of truth.
+    *
+    * Verification contract (the ANN-family exhaustive-settings
+    * pattern): with `capacity ≥ distinct terms` no trim fires, counts
+    * are EXACT, and the output is bit-identical to [[termTopK]] — the
+    * driver query runs there (hash-exact vs the q75 oracle). Below
+    * capacity the spec asserts the error bound and that every true
+    * heavy hitter above the bound survives; the counter VALUES are
+    * merge-order-dependent, as for any MG summary.
+    *
+    * Output mirrors [[termTopK]]: `(rank, term, occurrences, share)`
+    * with share over the EXACT total token mass (a plain count rides
+    * the same aggregation — totals are trivially mergeable; only
+    * per-key counts need the sketch).
+    */
+  def termTopKSketch(transcripts: DataFrame, k: Int = 50,
+      capacity: Int = 65536): DataFrame = {
+    require(k >= 1 && k <= capacity,
+      s"k must be in [1, capacity=$capacity], got $k")
+    val sketched = transcripts
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .agg(
+        graft.functions.MisraGries.sketch(capacity)(col("term")).as("sketch"),
+        count(lit(1)).as("_total"))
+    sketched
+      .select(explode(col("sketch")).as(Seq("term", "occurrences")),
+        col("_total"))
+      .orderBy(col("occurrences").desc, col("term"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("occurrences").desc, col("term"))).cast("long"))
+      .select(col("rank"), col("term"), col("occurrences"),
+        round(col("occurrences").cast("double") / col("_total").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Per-conversation distinctive terms by relative-frequency lift:
     * for each conversation, the `k` tokens whose in-conversation
     * relative frequency most exceeds their corpus relative frequency —

@@ -310,6 +310,15 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         else Rollup.histogramQuantile(session.table(args(0)), tier)
       case "weighted_sample" =>
         Curation.weightedSample(session.table(args(0)), args(1).toInt)
+      case "histogram_merge" =>
+        val width = if (args.length == 4) args(3).toInt else 50
+        Rollup.mergeHistogram(
+          Rollup.charLenHistogram(session.table(args(0)),
+            graft.model.Tier.byName(args(1)), width),
+          graft.model.Tier.byName(args(2)))
+      case "term_topk_sketch" =>
+        graft.operators.SeriesOps.termTopKSketch(
+          session.table(args(0)), args(1).toInt, args(2).toInt)
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

@@ -215,6 +215,38 @@ object Rollup {
           sum(col("cnt")).over(W.partitionBy(col("window_start"))))
   }
 
+  /** Merge finer-tier histogram ARTIFACTS into a coarser tier — the
+    * proof-by-construction that [[charLenHistogram]] is mergeable: the
+    * 1h histogram is the 1m histograms with their window floored to
+    * the hour and their counts SUMMED (`pct` recomputed from the merged
+    * counts — ratios never merge), and the result is bit-identical to
+    * computing the coarse histogram from raw. This is the read path a
+    * 100 TB deployment actually runs: stored per-window bucket counts
+    * (small: windows × buckets rows) roll up to any coarser grain
+    * without touching raw — the same never-re-read-raw contract as
+    * [[cascade]], extended from moments to distributions.
+    *
+    * Input: a [[charLenHistogram]] frame `(window_start, bucket, cnt,
+    * pct)` at a tier FINER than `to` (window starts must be aligned,
+    * which every tier in the cascade guarantees: 60 | 3600 | 86400).
+    *
+    * Plan: ONE exchange on the AGGREGATED frame (`(window', bucket)`
+    * keys — metadata scale, raw is not in the plan at all) plus the
+    * pct window over the same clustering; no joins.
+    */
+  def mergeHistogram(hist: DataFrame, to: Tier): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    hist
+      .groupBy(
+        window(col("window_start"), to.windowExpr).getField("start")
+          .as("window_start"),
+        col("bucket"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+      .withColumn("pct",
+        col("cnt").cast("double") /
+          sum(col("cnt")).over(W.partitionBy(col("window_start"))))
+  }
+
   /** Read-time interpolated quantiles FROM the bucketed histogram —
     * the observability-stack classic (Prometheus `histogram_quantile`,
     * M3/statsd timers): bucket counts are the MERGEABLE artifact

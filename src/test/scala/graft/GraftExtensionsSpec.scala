@@ -448,5 +448,13 @@ class GraftExtensionsSpec extends SparkTestBase {
     assertSameRows(
       ext.sql("SELECT * FROM weighted_sample('trc_ext', 25)"),
       graft.operators.Curation.weightedSample(tr, 25))
+    assertSameRows(
+      ext.sql("SELECT * FROM histogram_merge('trc_ext', '1m', '1h', 50)"),
+      graft.rollup.Rollup.mergeHistogram(
+        graft.rollup.Rollup.charLenHistogram(tr, graft.model.Tier.M1, 50),
+        graft.model.Tier.H1))
+    assertSameRows(
+      ext.sql("SELECT * FROM term_topk_sketch('trc_ext', 10, 4096)"),
+      graft.operators.SeriesOps.termTopKSketch(tr, 10, 4096))
   }
 }

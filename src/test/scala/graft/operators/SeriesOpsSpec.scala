@@ -562,6 +562,58 @@ class SeriesOpsSpec extends SparkTestBase {
     }
   }
 
+  // ---- term top-k sketch (Misra-Gries) --------------------------------
+
+  test("termTopKSketch exhaustive capacity == exact termTopK bit-for-bit") {
+    // synth vocabulary is small, so capacity 4096 never trims: every
+    // counter is exact and the sketch output IS the exact top-k
+    assertSameRows(
+      SeriesOps.termTopKSketch(turns, k = 10, capacity = 4096),
+      SeriesOps.termTopK(turns, k = 10))
+    // partitioning-invariant at exhaustive capacity (mergeability with
+    // no trims: merge order cannot matter when nothing is ever dropped)
+    assertSameRows(
+      SeriesOps.termTopKSketch(turns.repartition(13), 10, 4096),
+      SeriesOps.termTopK(turns, k = 10))
+    intercept[IllegalArgumentException] {
+      SeriesOps.termTopKSketch(turns, k = 100, capacity = 50)
+    }
+  }
+
+  test("termTopKSketch sub-capacity: MG error bound holds, heavy terms survive") {
+    import spark.implicits._
+    // skewed stream: term t0 x 600, t1 x 300, then 200 distinct singletons
+    val texts = Seq.fill(600)("t0") ++ Seq.fill(300)("t1") ++
+      (0 until 200).map(i => s"rare$i")
+    val df = texts.zipWithIndex.map { case (t, i) =>
+      ("c" + (i % 7), i / 7, "user", t, null.asInstanceOf[String],
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val n = 1100.0
+    val cap = 16
+    val out = SeriesOps.termTopKSketch(df, k = 5, capacity = cap)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val trueCounts = Map("t0" -> 600L, "t1" -> 300L).withDefaultValue(1L)
+    // every estimate is an underestimate within N/(capacity+1)
+    out.foreach { case (t, est) =>
+      assert(est <= trueCounts(t), s"$t overestimated: $est")
+      assert(est >= trueCounts(t) - (n / (cap + 1)).toLong - 1,
+        s"$t below the MG bound: $est")
+    }
+    // the true heavy hitters clear the bound and must be in the top-k
+    assert(out.contains("t0") && out.contains("t1"))
+    assert(out("t0") > out("t1"))
+  }
+
+  test("termTopKSketch plan: single-row exchange, no per-term shuffle") {
+    val p = SeriesOps.termTopKSketch(turns, 10, 4096)
+      .queryExecution.executedPlan.toString
+    // the global sketch aggregation exchanges ONE summary row per
+    // partition (SinglePartition), never a (term, count) pair per term
+    assert(p.contains("SinglePartition"), s"expected single-group agg:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
+
   // ---- term lift ------------------------------------------------------
 
   test("termLift golden: exact-rational lift, minTf cut after mass count") {

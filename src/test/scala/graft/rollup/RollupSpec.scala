@@ -195,6 +195,23 @@ class RollupSpec extends SparkTestBase {
     hq.unpersist()
   }
 
+  test("mergeHistogram: merged fine-tier artifacts == coarse tier from raw") {
+    // the mergeability contract at both cascade hops — counts summed,
+    // pct recomputed from merged counts, bit-identical to direct
+    val m1 = Rollup.charLenHistogram(turns, Tier.M1)
+    assertSameRows(
+      Rollup.mergeHistogram(m1, Tier.H1),
+      Rollup.charLenHistogram(turns, Tier.H1))
+    val h1 = Rollup.charLenHistogram(turns, Tier.H1)
+    assertSameRows(
+      Rollup.mergeHistogram(h1, Tier.D1),
+      Rollup.charLenHistogram(turns, Tier.D1))
+    // two-hop merge == one-hop merge (associativity across tiers)
+    assertSameRows(
+      Rollup.mergeHistogram(Rollup.mergeHistogram(m1, Tier.H1), Tier.D1),
+      Rollup.charLenHistogram(turns, Tier.D1))
+  }
+
   test("histogramQuantile plan: one real exchange + one metadata window exchange") {
     val p = Rollup.histogramQuantile(turns, Tier.H1)
       .queryExecution.executedPlan.toString
