@@ -592,7 +592,12 @@ object SparkEntry {
     // exhaustive-settings verification pattern for the sketch machinery
     "q124_term_topk_sketch" -> ((s, dir) =>
       graft.operators.SeriesOps.termTopKSketch(transcripts(s, dir),
-        k = 50, capacity = 65536))
+        k = 50, capacity = 65536)),
+    // bounded-state top-k per key (mergeable k-summary aggregation, the
+    // skew-immune sibling of q37's window form) — same QUALIFY oracle
+    "q125_topk_per_key_agg" -> ((s, dir) =>
+      graft.operators.RefOps.topKPerKeyAgg(
+        s.read.parquet(s"$dir/events.parquet"), k = 3))
   )
 
   private val rollupSelect: String =
@@ -2609,6 +2614,15 @@ object SparkEntry {
         |    AS rank,
         |  term, occurrences,
         |  ROUND(CAST(occurrences AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
-        |FROM top, tt""".stripMargin)
+        |FROM top, tt""".stripMargin),
+    // the q37 oracle with event_id widened to BIGINT (the aggregator
+    // orders longs); selection and rank order are the identical total
+    // order (ts DESC, event_id DESC)
+    "q125_topk_per_key_agg" ->
+      """SELECT user_id, CAST(event_id AS BIGINT) AS event_id, ts,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS rank
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        |QUALIFY rank <= 3""".stripMargin
   )
 }

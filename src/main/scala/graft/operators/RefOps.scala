@@ -208,6 +208,38 @@ object RefOps {
       .select(col("user_id"), col("event_id"), col("ts"), col("rank"))
   }
 
+  /** [[topKPerKey]]'s bounded-state sibling — SAME semantics (hash-
+    * exact against the same QUALIFY oracle), different physics. The
+    * window form shuffles EVERY row of a key to one task; a hot key
+    * arrives whole. This form aggregates with
+    * [[graft.functions.BoundedTopK]] (a mergeable k-item summary), so
+    * partials combine map-side and the exchange carries at most
+    * k × partitions rows per key regardless of key heat — the skew
+    * answer is the algebra, not salting. Use the window form when rows
+    * are wide and keys balanced (no re-materialization); use this one
+    * when keys skew or only the k survivors matter.
+    *
+    * `ts` round-trips through `unix_micros` (the aggregator orders
+    * longs) and is restored to the INPUT's own timestamp type via the
+    * session-UTC cast — bit-identical for both timestamp and the
+    * engine's canonical timestamp-ntz.
+    */
+  def topKPerKeyAgg(events: DataFrame, k: Int): DataFrame = {
+    TimeArith.requireUtcForNtz(events, "ts")
+    val tsType = events.schema("ts").dataType
+    events
+      .groupBy(col("user_id"))
+      .agg(graft.functions.BoundedTopK(k)(
+        unix_micros(col("ts").cast("timestamp")),
+        col("event_id").cast("long")).as("top"))
+      .select(col("user_id"), posexplode(col("top")).as(Seq("_pos", "_item")))
+      .select(
+        col("user_id"),
+        col("_item.ord2").as("event_id"),
+        timestamp_micros(col("_item.ord1")).cast(tsType).as("ts"),
+        (col("_pos") + 1).cast("int").as("rank"))
+  }
+
   /** Counter rate with reset semantics — the timeseries tier's
     * derivative operator (the PromQL `rate()` / IoTDB `non_negative_derivative`
     * analogue) over a cumulative counter column: per key, ordered by

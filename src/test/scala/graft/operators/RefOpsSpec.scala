@@ -32,6 +32,38 @@ class RefOpsSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(plan).size == 1, s"one key exchange expected:\n$plan")
   }
 
+  test("topKPerKeyAgg == window topKPerKey; mergeable under repartition") {
+    // the bounded-aggregator form must be bit-identical to the window
+    // form on the same input, under any partitioning (merge order)
+    val events = (1L to 200L).map { i =>
+      (i, ts(f"2024-03-01 10:${(i % 50) / 10}%02d:${i % 60}%02d"),
+        i % 7, i.toDouble)
+    }.toDF("event_id", "ts", "user_id", "value")
+    assertSameRows(
+      RefOps.topKPerKeyAgg(events, 3),
+      RefOps.topKPerKey(events, 3))
+    assertSameRows(
+      RefOps.topKPerKeyAgg(events.repartition(13), 5),
+      RefOps.topKPerKey(events, 5))
+    // k >= group size returns whole groups, still rank-ordered
+    assertSameRows(
+      RefOps.topKPerKeyAgg(events, 1000),
+      RefOps.topKPerKey(events, 1000))
+    intercept[IllegalArgumentException](RefOps.topKPerKeyAgg(events, 0))
+  }
+
+  test("topKPerKeyAgg plan: partial-aggregated, no window sort of the corpus") {
+    val events = Seq((1L, ts("2024-03-01 10:00:00"), 1L, 1.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val p = RefOps.topKPerKeyAgg(events, 3).queryExecution.executedPlan.toString
+    // ObjectHashAggregate partial->final around ONE exchange: the
+    // k-item summaries combine map-side (the skew story), and there is
+    // no Window/Sort over the raw rows
+    assert(p.contains("ObjectHashAggregate"), s"expected object agg plan:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"one key exchange expected:\n$p")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+  }
+
   test("downsampleMinMax: extreme samples per window, deterministic ties") {
     val events = Seq(
       (1L, ts("2024-03-01 10:05:00"), 1L, 5.0),
