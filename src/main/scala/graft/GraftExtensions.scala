@@ -321,7 +321,10 @@ object GraftExtensions {
       arities = Set(3, 4), intArgs = Set(3)),
     tfn("term_topk_sketch",
       "(table, k, capacity) - corpus term top-k via the mergeable Misra-Gries sketch; exact when capacity >= vocabulary, est within N/(capacity+1) below",
-      arities = Set(3), intArgs = Set(1, 2)))
+      arities = Set(3), intArgs = Set(1, 2)),
+    tfn("doc_repetition",
+      "(table[, line_tokens]) - Gopher-style within-document repetition metrics: duplicate chunk-line fractions, top-bigram char share, duplicate bigram/trigram position fractions (default line_tokens 2)",
+      arities = Set(1, 2), intArgs = Set(1)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

@@ -597,7 +597,14 @@ object SparkEntry {
     // skew-immune sibling of q37's window form) — same QUALIFY oracle
     "q125_topk_per_key_agg" -> ((s, dir) =>
       graft.operators.RefOps.topKPerKeyAgg(
-        s.read.parquet(s"$dir/events.parquet"), k = 3))
+        s.read.parquet(s"$dir/events.parquet"), k = 3)),
+    // Gopher-style within-doc repetition quality gate: fixed 2-token
+    // chunk "lines" (the corpus is single-line; W=2 is where chunk
+    // repeats actually occur — 181/500 docs nonzero at sf0.01) plus
+    // bigram/trigram repetition shares; zero-shuffle map pass
+    "q126_doc_repetition" -> ((s, dir) =>
+      graft.operators.TextAnalysis.repetition(
+        s.read.parquet(s"$dir/documents.parquet"), lineTokens = 2))
   )
 
   private val rollupSelect: String =
@@ -2623,6 +2630,44 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER w AS INT) AS rank
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
-        |QUALIFY rank <= 3""".stripMargin
+        |QUALIFY rank <= 3""".stripMargin,
+    // term-for-term mirror of TextAnalysis.repetition: 2-token chunk
+    // lines via inclusive list slices (Spark slice(arr, i*2+1, 2) ==
+    // DuckDB arr[i*2+1 : i*2+2]), the same count×length product for
+    // the top-bigram maximum (tie-free), and exact-integer doubles on
+    // both sides of every division
+    "q126_doc_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, STRING_SPLIT(text, ' ') AS toks
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(STRING_SPLIT(text, ' ')) >= 3),
+        |l AS (
+        |  SELECT doc_id, text, toks,
+        |    [array_to_string(toks[(i*2+1):(i*2+2)], ' ')
+        |     for i in generate_series(0, (len(toks)-1)//2)] AS lines,
+        |    [concat(toks[i], ' ', toks[i+1])
+        |     for i in generate_series(1, len(toks)-1)] AS bg,
+        |    [concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])
+        |     for i in generate_series(1, len(toks)-2)] AS tg
+        |  FROM b)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+        |    / CAST(len(lines) AS DOUBLE), 6) AS dup_line_frac,
+        |  ROUND(CAST(list_sum([length(x) for x in lines])
+        |      - list_sum([length(x) for x in list_distinct(lines)]) AS DOUBLE)
+        |    / CAST(list_sum([length(x) for x in lines]) AS DOUBLE), 6)
+        |    AS dup_line_char_frac,
+        |  ROUND(CAST(list_max([len(list_filter(bg, y -> y = x)) * length(x)
+        |      for x in list_distinct(bg)]) AS DOUBLE)
+        |    / CAST(LENGTH(text) AS DOUBLE), 6) AS top_bigram_char_frac,
+        |  ROUND(CAST(len(list_filter(bg,
+        |      x -> len(list_filter(bg, y -> y = x)) > 1)) AS DOUBLE)
+        |    / CAST(len(bg) AS DOUBLE), 6) AS dup_bigram_frac,
+        |  ROUND(CAST(len(list_filter(tg,
+        |      x -> len(list_filter(tg, y -> y = x)) > 1)) AS DOUBLE)
+        |    / CAST(len(tg) AS DOUBLE), 6) AS dup_trigram_frac
+        |FROM l""".stripMargin
   )
 }

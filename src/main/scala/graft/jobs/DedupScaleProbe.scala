@@ -38,10 +38,15 @@ object DedupScaleProbe {
       val (ex, tEx) = timed(Dedup.exact(docs).count())
       val (mh, tMh) = timed(Dedup.minhashLsh(docs, k = 16, bands = 8, threshold = 0.8).count())
       val (sh, tSh) = timed(Dedup.simhashPairs(Dedup.simhash(docs)).count())
+      // payload-count idiom (see ScaleProbe): counting a computed
+      // column keeps the optimizer from pruning the map-only metrics
+      val (rp, tRp) = timed(graft.operators.TextAnalysis.repetition(docs)
+        .agg(count(col("dup_bigram_frac"))).head().getLong(0))
       println(f"[dedup-probe] rep=$r cores=$cores docs=$n " +
         f"exact=$tEx%.2fs (${n / tEx}%.0f docs/s, $ex groups) " +
         f"minhash_lsh=$tMh%.2fs (${n / tMh}%.0f docs/s, $mh pairs) " +
-        f"simhash_pairs=$tSh%.2fs (${n / tSh}%.0f docs/s, $sh pairs)")
+        f"simhash_pairs=$tSh%.2fs (${n / tSh}%.0f docs/s, $sh pairs) " +
+        f"repetition=$tRp%.2fs (${n / tRp}%.0f docs/s, $rp docs)")
     }
 
     // embedding near-dup stage: n/4 vectors with injected cosine≈0.995

@@ -26,6 +26,68 @@ object TextAnalysis {
       LangId.col(col("text")).as("lang_pred"),
       col("lang").as("lang_label"))
 
+  /** Gopher-style within-document repetition metrics (Rae et al. 2021,
+    * table A1) — the canonical LLM training-data quality gate the stats
+    * family doesn't cover: documents that repeat themselves (boilerplate,
+    * scraper loops, template spam) score high here and get filtered
+    * before dedup even runs.
+    *
+    * Metrics, all per document:
+    *   - `dup_line_frac` / `dup_line_char_frac`: fraction of "lines"
+    *     (fixed `lineTokens`-token chunks — the corpus is single-line,
+    *     so physical newlines carry no signal; a chunk is the
+    *     order-preserving analogue) that are repeats of an earlier
+    *     line, by count and by character mass.
+    *   - `top_bigram_char_frac`: characters covered by the most
+    *     frequent word 2-gram (count × length, tie-free because the
+    *     maximum is taken over the product) over total characters.
+    *   - `dup_bigram_frac` / `dup_trigram_frac`: fraction of n-gram
+    *     positions whose n-gram occurs more than once in the document.
+    *
+    * Everything is per-row array-HOF arithmetic (codegen'd, ZERO
+    * shuffles — the 100 TB cost is one scan); the per-doc n-gram
+    * counting is O(distinct × n) on short documents, bounded by the
+    * tokenizer, never by the corpus. Documents with fewer than 3
+    * tokens (trigram undefined) are dropped, mirroring the oracle.
+    */
+  def repetition(docs: DataFrame, lineTokens: Int = 2): DataFrame = {
+    val w = lineTokens
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("text"), col("toks"),
+        expr(s"transform(sequence(0, (size(toks) - 1) div $w), " +
+          s"i -> array_join(slice(toks, i * $w + 1, $w), ' '))").as("lines"),
+        expr("transform(sequence(1, size(toks) - 1), i -> " +
+          "concat(element_at(toks, i), ' ', element_at(toks, i + 1)))").as("bg"),
+        expr("transform(sequence(1, size(toks) - 2), i -> " +
+          "concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', " +
+          "element_at(toks, i + 2)))").as("tg"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("lines")).cast("long").as("n_lines"),
+        round((size(col("lines")) - size(array_distinct(col("lines"))))
+          .cast("double") / size(col("lines")).cast("double"), 6)
+          .as("dup_line_frac"),
+        round(expr(
+          "cast(aggregate(lines, 0L, (a, x) -> a + length(x)) - " +
+          "aggregate(array_distinct(lines), 0L, (a, x) -> a + length(x)) as double) / " +
+          "cast(aggregate(lines, 0L, (a, x) -> a + length(x)) as double)"), 6)
+          .as("dup_line_char_frac"),
+        round(expr(
+          "cast(aggregate(array_distinct(bg), 0L, (m, x) -> " +
+          "greatest(m, cast(size(filter(bg, y -> y = x)) * length(x) as bigint))) as double) / " +
+          "cast(length(text) as double)"), 6).as("top_bigram_char_frac"),
+        round(expr(
+          "cast(size(filter(bg, x -> size(filter(bg, y -> y = x)) > 1)) as double) / " +
+          "cast(size(bg) as double)"), 6).as("dup_bigram_frac"),
+        round(expr(
+          "cast(size(filter(tg, x -> size(filter(tg, y -> y = x)) > 1)) as double) / " +
+          "cast(size(tg) as double)"), 6).as("dup_trigram_frac"))
+  }
+
   def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
     docs.select(
       col("doc_id"),

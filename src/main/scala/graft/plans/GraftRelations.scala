@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.operators.{AsofJoin, Curation, Dedup, RangeJoin, RefOps, SeriesOps, Sessionize, Similarity}
+import graft.operators.{AsofJoin, Curation, Dedup, RangeJoin, RefOps, SeriesOps, Sessionize, Similarity, TextAnalysis}
 import graft.rollup.Rollup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Attribute
@@ -319,6 +319,10 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
       case "term_topk_sketch" =>
         graft.operators.SeriesOps.termTopKSketch(
           session.table(args(0)), args(1).toInt, args(2).toInt)
+      case "doc_repetition" =>
+        if (args.length == 2)
+          TextAnalysis.repetition(session.table(args(0)), args(1).toInt)
+        else TextAnalysis.repetition(session.table(args(0)))
       case other =>
         throw new IllegalStateException(s"unknown graft relation: $other")
     }

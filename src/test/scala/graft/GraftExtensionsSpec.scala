@@ -457,4 +457,15 @@ class GraftExtensionsSpec extends SparkTestBase {
       ext.sql("SELECT * FROM term_topk_sketch('trc_ext', 10, 4096)"),
       graft.operators.SeriesOps.termTopKSketch(tr, 10, 4096))
   }
+
+  test("doc_repetition table function == Column API, default and explicit width") {
+    val docs = graft.ingest.Synth.documents(ext, 120)
+    docs.createOrReplaceTempView("docs_rep_ext")
+    assertSameRows(
+      ext.sql("SELECT * FROM doc_repetition('docs_rep_ext')"),
+      graft.operators.TextAnalysis.repetition(docs))
+    assertSameRows(
+      ext.sql("SELECT * FROM doc_repetition('docs_rep_ext', 3)"),
+      graft.operators.TextAnalysis.repetition(docs, lineTokens = 3))
+  }
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+
+import graft.SparkTestBase
+
+/** Specs for the within-document repetition quality metrics
+  * (TextAnalysis.repetition) — hand-computed fixtures so every
+  * fraction is pinned to exact arithmetic, plus a naive Scala
+  * reference over a generated corpus.
+  */
+class TextAnalysisSpec extends SparkTestBase {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("repetition matches the hand-computed fixture") {
+    // toks = [a, b, a, b, c]; W=2 lines = ["a b", "a b", "c"]
+    // bg = ["a b", "b a", "a b", "b c"]; tg = ["a b a", "b a b", "a b c"]
+    val out = TextAnalysis.repetition(docs(Seq((1L, "a b a b c"))), lineTokens = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("n_tokens")) == 5L)
+    assert(r.getLong(r.fieldIndex("n_lines")) == 3L)
+    // (3 lines - 2 distinct) / 3
+    assert(r.getDouble(r.fieldIndex("dup_line_frac")) == 0.333333)
+    // line chars 3+3+1=7, distinct 3+1=4 -> 3/7
+    assert(r.getDouble(r.fieldIndex("dup_line_char_frac")) == 0.428571)
+    // "a b" count 2 * len 3 = 6 chars of 9
+    assert(r.getDouble(r.fieldIndex("top_bigram_char_frac")) == 0.666667)
+    // 2 of 4 bigram positions are the duplicated "a b"
+    assert(r.getDouble(r.fieldIndex("dup_bigram_frac")) == 0.5)
+    // all trigrams unique
+    assert(r.getDouble(r.fieldIndex("dup_trigram_frac")) == 0.0)
+  }
+
+  test("repetition: unique text floors every metric except the top bigram") {
+    val r = TextAnalysis.repetition(docs(Seq((1L, "p q r s t u"))))
+      .collect().head
+    assert(r.getDouble(r.fieldIndex("dup_line_frac")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("dup_line_char_frac")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("dup_bigram_frac")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("dup_trigram_frac")) == 0.0)
+    // each bigram occurs once; max count*len = len("p q") = 3 of 11
+    assert(r.getDouble(r.fieldIndex("top_bigram_char_frac")) == 0.272727)
+  }
+
+  test("repetition: a fully-repeated doc saturates the fractions") {
+    // toks = [x y] * 4; lines = ["x y"] * 4 -> dup 3/4, chars 9/12
+    val r = TextAnalysis.repetition(docs(Seq((1L, "x y x y x y x y"))))
+      .collect().head
+    assert(r.getDouble(r.fieldIndex("dup_line_frac")) == 0.75)
+    assert(r.getDouble(r.fieldIndex("dup_line_char_frac")) == 0.75)
+    // "x y" occurs 4 times * 3 chars = 12 of 15
+    assert(r.getDouble(r.fieldIndex("top_bigram_char_frac")) == 0.8)
+    // every bigram position duplicated ("x y" x4, "y x" x3)
+    assert(r.getDouble(r.fieldIndex("dup_bigram_frac")) == 1.0)
+    assert(r.getDouble(r.fieldIndex("dup_trigram_frac")) == 1.0)
+  }
+
+  test("repetition drops null text and docs under 3 tokens") {
+    val out = TextAnalysis.repetition(
+      docs(Seq((1L, null), (2L, "a b"), (3L, "a b c"))))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("repetition matches a naive Scala reference on a generated corpus") {
+    val corpus = (0L until 60L).map { i =>
+      val rnd = new scala.util.Random(i)
+      val vocab = Vector("a", "bb", "ccc", "dd", "e")
+      (i, Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = corpus.map { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val lines = toks.grouped(2).map(_.mkString(" ")).toSeq
+      val bg = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val tg = toks.sliding(3).map(_.mkString(" ")).toSeq
+      def dupFrac(xs: Seq[String]) =
+        round6((xs.size - xs.distinct.size).toDouble / xs.size)
+      val lineChars = lines.map(_.length.toLong).sum
+      val distChars = lines.distinct.map(_.length.toLong).sum
+      val counts = bg.groupBy(identity).view.mapValues(_.size)
+      Row(id, toks.size.toLong, lines.size.toLong,
+        dupFrac(lines),
+        round6((lineChars - distChars).toDouble / lineChars),
+        round6(counts.map { case (g, c) => c.toLong * g.length }.max.toDouble
+          / text.length),
+        round6(bg.count(x => counts(x) > 1).toDouble / bg.size),
+        round6(tg.count(x => tg.count(_ == x) > 1).toDouble / tg.size))
+    }
+    val got = TextAnalysis.repetition(docs(corpus)).collect()
+      .sortBy(_.getLong(0)).toSeq
+    assert(got.map(_.toString) == expected.map(_.toString))
+  }
+}
