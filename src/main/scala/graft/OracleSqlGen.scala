@@ -367,6 +367,39 @@ object OracleSqlGen {
        |  ORDER BY jaccard DESC, bench_id) = 1""".stripMargin
   }
 
+  /** EXACT all-pairs decontamination — the oracle for
+    * [[graft.operators.Dedup.decontaminateBloom]]. No band curve to
+    * mirror: the bloom prescreen is provably lossless (no false
+    * negatives), so the oracle is the full corpus×benchmark jaccard
+    * over distinct shingle hashes, computed via an unnest-join (the
+    * same intersection counting the Spark side does on survivors),
+    * with the identical ROUND-6 division shape and best-match-per-doc
+    * selection as [[decontaminate]].
+    */
+  def decontaminateExact(threshold: Double, modulus: Int): String =
+    s"""WITH $shingleCte,
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hs
+       |  FROM sh),
+       |ds AS (SELECT doc_id, list_distinct(hs) AS s FROM hs),
+       |c AS (SELECT doc_id, s FROM ds WHERE doc_id % $modulus != 0),
+       |b AS (SELECT doc_id AS bench_id, s FROM ds WHERE doc_id % $modulus = 0),
+       |cu AS (SELECT doc_id, UNNEST(s) AS h FROM c),
+       |bu AS (SELECT bench_id, UNNEST(s) AS h FROM b),
+       |i AS (
+       |  SELECT cu.doc_id, bu.bench_id, CAST(COUNT(*) AS DOUBLE) AS i
+       |  FROM cu JOIN bu USING (h) GROUP BY 1, 2),
+       |v AS (
+       |  SELECT i.doc_id, i.bench_id,
+       |    ROUND(i.i / (CAST(len(x.s) + len(y.s) AS DOUBLE) - i.i), 6) AS jaccard
+       |  FROM i JOIN c x ON i.doc_id = x.doc_id
+       |         JOIN b y ON i.bench_id = y.bench_id)
+       |SELECT doc_id, bench_id, jaccard FROM v
+       |WHERE jaccard >= $threshold
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+       |  ORDER BY jaccard DESC, bench_id) = 1""".stripMargin
+
   /** Embedding label-outlier flags — mirrors
     * [[graft.operators.Similarity.labelOutliers]]: zero-norm vectors
     * dropped first (the one input class where the engines' cosine

@@ -604,7 +604,21 @@ object SparkEntry {
     // bigram/trigram repetition shares; zero-shuffle map pass
     "q126_doc_repetition" -> ((s, dir) =>
       graft.operators.TextAnalysis.repetition(
-        s.read.parquet(s"$dir/documents.parquet"), lineTokens = 2))
+        s.read.parquet(s"$dir/documents.parquet"), lineTokens = 2)),
+    // bloom-prescreen decontamination — EXACT recall (the bloom has no
+    // false negatives, so unlike q117's banded form the oracle is the
+    // full all-pairs jaccard): the benchmark's shingle bitset is a
+    // mergeable broadcast artifact and the corpus is touched once,
+    // map-side; same doc_id % 5 split as q117 so the two operators'
+    // outputs are directly comparable (bloom ⊇ banded)
+    "q127_decontaminate_bloom" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        threshold = 0.5, numBits = 1 << 18, numHashes = 3)
+    })
   )
 
   private val rollupSelect: String =
@@ -2668,6 +2682,11 @@ object SparkEntry {
         |  ROUND(CAST(len(list_filter(tg,
         |      x -> len(list_filter(tg, y -> y = x)) > 1)) AS DOUBLE)
         |    / CAST(len(tg) AS DOUBLE), 6) AS dup_trigram_frac
-        |FROM l""".stripMargin
+        |FROM l""".stripMargin,
+    // EXACT all-pairs oracle (no band curve): bloom prescreen is
+    // provably lossless, so oracle-exactness here verifies the whole
+    // prescreen+verify machinery, not a mirrored approximation
+    "q127_decontaminate_bloom" ->
+      OracleSqlGen.decontaminateExact(threshold = 0.5, modulus = 5)
   )
 }

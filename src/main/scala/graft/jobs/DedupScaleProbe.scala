@@ -49,6 +49,24 @@ object DedupScaleProbe {
         f"repetition=$tRp%.2fs (${n / tRp}%.0f docs/s, $rp docs)")
     }
 
+    // decontamination head-to-head: banded minhash (LSH recall curve)
+    // vs bloom prescreen (exact recall) on the same %10∈{6,7} split
+    // the spec's brute-truth test uses, so injected pairs straddle it.
+    // Bloom flags ≥ banded flags ALWAYS (exact recall ⊇ band curve) —
+    // printed counts make the containment visible at probe scale.
+    val isBench = col("doc_id") % 10 === 6 || col("doc_id") % 10 === 7
+    val corpusD = docs.filter(!isBench)
+    val benchD = docs.filter(isBench)
+    for (r <- 1 to reps) {
+      val (db, tDb) = timed(
+        Dedup.decontaminate(corpusD, benchD, k = 16, bands = 8, threshold = 0.5).count())
+      val (bl, tBl) = timed(
+        Dedup.decontaminateBloom(corpusD, benchD, threshold = 0.5).count())
+      println(f"[dedup-probe] rep=$r cores=$cores decontaminate=$tDb%.2fs " +
+        f"(${n / tDb}%.0f docs/s, $db flagged) " +
+        f"decontaminate_bloom=$tBl%.2fs (${n / tBl}%.0f docs/s, $bl flagged)")
+    }
+
     // embedding near-dup stage: n/4 vectors with injected cosine≈0.995
     // pairs; bits sized so buckets stay ~30 vectors (corpus/2^bits)
     val nv = math.max(1000L, n / 4)

@@ -282,6 +282,11 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
           Dedup.decontaminate(session.table(args(0)), session.table(args(1)),
             args(2).toInt, args(3).toInt, args(4).toDouble)
         else Dedup.decontaminate(session.table(args(0)), session.table(args(1)))
+      case "decontaminate_bloom" =>
+        if (args.length == 5)
+          Dedup.decontaminateBloom(session.table(args(0)), session.table(args(1)),
+            args(2).toDouble, args(3).toInt, args(4).toInt)
+        else Dedup.decontaminateBloom(session.table(args(0)), session.table(args(1)))
       case "label_outliers" =>
         if (args.length == 2)
           Similarity.labelOutliers(session.table(args(0)), args(1).toDouble)

@@ -421,6 +421,10 @@ class GraftExtensionsSpec extends SparkTestBase {
       ext.sql("SELECT * FROM decontaminate('corpus_ext', 'bench_ext', 16, 8, 0.5)"),
       graft.operators.Dedup.decontaminate(
         all.filter(!isBench), all.filter(isBench), 16, 8, 0.5))
+    assertSameRows(
+      ext.sql("SELECT * FROM decontaminate_bloom('corpus_ext', 'bench_ext', 0.5, 4096, 3)"),
+      graft.operators.Dedup.decontaminateBloom(
+        all.filter(!isBench), all.filter(isBench), 0.5, 4096, 3))
     val emb = graft.ingest.Synth.embeddings(ext, 150, dims = 16, seed = 5L)
       .withColumn("label", pmod(col("vec_id"), lit(5)).cast("int"))
     emb.createOrReplaceTempView("emb_cur_ext")

@@ -372,4 +372,103 @@ class DedupSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Dedup.decontaminate(docs, docs, threshold = 0.0))
   }
+
+  test("decontaminateBloom golden: same flags and jaccards as the banded form") {
+    import spark.implicits._
+    val corpus = docs.filter(col("doc_id") <= 5)
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "nothing in the training corpus resembles this benchmark question at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminateBloom(corpus, bench, threshold = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("bench_id"), r.getAs[Double]("jaccard")))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L), s"flagged: ${got.keySet}")
+    assert(got(0L) == ((100L, 1.0)) && got(1L) == ((100L, 1.0)))
+    assert(got(2L)._1 == 100L && got(2L)._2 > 0.5 && got(2L)._2 < 1.0)
+  }
+
+  test("decontaminateBloom == brute all-pairs truth (exact recall, no band curve)") {
+    val all = graft.ingest.Synth.documents(spark, n = 400, seed = 11L)
+    val isBench = col("doc_id") % 10 === 6 || col("doc_id") % 10 === 7
+    val got = Dedup.decontaminateBloom(
+      all.filter(!isBench), all.filter(isBench), threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    // brute ground truth over distinct shingle sets: EVERY corpus doc
+    // with a qualifying match must be flagged with its best match —
+    // full set equality, which the banded form cannot promise
+    val sets = all.select(col("doc_id"),
+      array_distinct(TextOps.shingleHashes3(col("text"))).as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    def jac(a: Set[Long], b: Set[Long]): Double = {
+      val i = (a intersect b).size.toDouble
+      math.rint(i / (a.size + b.size - i) * 1e6) / 1e6
+    }
+    val benchIds = sets.keys.filter(k => k % 10 == 6 || k % 10 == 7).toSeq
+    val truth = sets.keys.filterNot(k => k % 10 == 6 || k % 10 == 7).flatMap { d =>
+      val scored = benchIds.map(b => (b, jac(sets(d), sets(b))))
+        .filter(_._2 >= 0.5)
+      if (scored.isEmpty) None
+      else Some {
+        val best = scored.minBy { case (b, j) => (-j, b) }
+        (d, best._1, best._2)
+      }
+    }.toSet
+    assert(truth.nonEmpty, "synth must inject cross-split dups")
+    assert(got == truth,
+      s"missing: ${truth -- got}\nextra: ${got -- truth}")
+  }
+
+  test("decontaminateBloom output is bloom-parameter independent (worst-case FPR)") {
+    val all = graft.ingest.Synth.documents(spark, n = 200, seed = 7L)
+    // the %10∈{6,7} residues are the injected-pair bases (see the
+    // brute-truth test) so the split is guaranteed to produce matches
+    val isBench = col("doc_id") % 10 === 6 || col("doc_id") % 10 === 7
+    def run(bits: Int, hashes: Int) =
+      Dedup.decontaminateBloom(all.filter(!isBench), all.filter(isBench),
+        threshold = 0.5, numBits = bits, numHashes = hashes)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"),
+          r.getAs[Double]("jaccard"))).toSet
+    // 64 bits saturates instantly: every prescreen probe passes (the
+    // worst possible false-positive rate) — output must not change
+    val tiny = run(64, 1)
+    val big = run(1 << 18, 3)
+    assert(tiny == big, s"bloom params changed the OUTPUT:\n$tiny\nvs\n$big")
+    assert(big.nonEmpty)
+  }
+
+  test("bloomBits artifact merges: union of shard bitsets == bitset of the union") {
+    val all = graft.ingest.Synth.documents(spark, n = 120, seed = 3L)
+    val h1 = all.filter(col("doc_id") < 60)
+    val h2 = all.filter(col("doc_id") >= 60)
+    def words(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      Dedup.bloomBits(df, numBits = 1 << 12, numHashes = 3)
+        .collect()(0).getMap[Int, Long](0).toMap
+    val merged = (words(h1).keySet ++ words(h2).keySet).map { w =>
+      w -> (words(h1).getOrElse(w, 0L) | words(h2).getOrElse(w, 0L))
+    }.toMap
+    assert(merged == words(all), "bit_or shard merge must equal whole-corpus bitset")
+  }
+
+  test("decontaminateBloom plan: bloom broadcasts (one-row BNLJ), pairing is BHJ") {
+    val all = graft.ingest.Synth.documents(spark, n = 200, seed = 11L)
+    val plan = Dedup.decontaminateBloom(
+      all.filter(col("doc_id") % 5 =!= 0),
+      all.filter(col("doc_id") % 5 === 0)).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the one-row bloom artifact must ride a broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"survivor-shingle pairing must be a broadcast hash join:\n$plan")
+  }
+
+  test("decontaminateBloom/bloomBits reject bad parameters") {
+    intercept[IllegalArgumentException](Dedup.bloomBits(docs, numBits = 100))
+    intercept[IllegalArgumentException](Dedup.bloomBits(docs, numHashes = 0))
+    intercept[IllegalArgumentException](
+      Dedup.decontaminateBloom(docs, docs, threshold = 0.0))
+  }
 }
