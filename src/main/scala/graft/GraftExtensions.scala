@@ -301,6 +301,9 @@ object GraftExtensions {
     tfn("decontaminate",
       "(corpus_table, bench_table[, k, bands, threshold]) - corpus docs near-duplicating a benchmark doc (defaults 16, 4, 0.5)",
       arities = Set(2, 5), intArgs = Set(2, 3), doubleArgs = Set(4)),
+    tfn("snapshot_diff",
+      "(old_table, new_table, key_cols, measure_cols) - added/removed/changed keys between two snapshots; key_cols/measure_cols are comma-separated column lists",
+      arities = Set(4)),
     tfn("decontaminate_bloom",
       "(corpus_table, bench_table[, threshold, num_bits, num_hashes]) - exact-recall decontamination via a bloom-prescreened all-pairs jaccard (defaults 0.5, 262144, 3)",
       arities = Set(2, 5), doubleArgs = Set(2), intArgs = Set(3, 4)),

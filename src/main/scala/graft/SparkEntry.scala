@@ -618,6 +618,23 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 5 === 0),
         threshold = 0.5, numBits = 1 << 18, numHashes = 3)
+    }),
+    // snapshot diff between two 1d-rollup builds: 'old' sees only rows
+    // before a MID-DAY cutoff (2024-01-20 12:00), 'new' sees all — so
+    // the boundary day exercises 'changed' (same key, moved measures)
+    // and later days exercise 'added'; the incremental==rebuild audit
+    // as a driver query
+    "q128_rollup_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val tr = transcripts(s, dir)
+      val sel = Seq("conv_id", "window_start", "turn_count",
+        "char_len_sum", "tool_calls").map(col)
+      val cut = lit("2024-01-20 12:00:00").cast("timestamp_ntz")
+      graft.operators.SnapshotDiff.diff(
+        Rollup.fromRaw(tr.filter(col("ts") < cut), Tier.D1).select(sel: _*),
+        Rollup.fromRaw(tr, Tier.D1).select(sel: _*),
+        keys = Seq("conv_id", "window_start"),
+        measures = Seq("turn_count", "char_len_sum", "tool_calls"))
     })
   )
 
@@ -2687,6 +2704,40 @@ object SparkEntry {
     // provably lossless, so oracle-exactness here verifies the whole
     // prescreen+verify machinery, not a mirrored approximation
     "q127_decontaminate_bloom" ->
-      OracleSqlGen.decontaminateExact(threshold = 0.5, modulus = 5)
+      OracleSqlGen.decontaminateExact(threshold = 0.5, modulus = 5),
+    // both CTEs re-derive the 1d rollup (the q02/q04 shape) over full
+    // vs pre-cutoff input; FULL JOIN with null-safe key equality
+    // (IS NOT DISTINCT FROM ≡ Spark <=>) and null-safe measure drift
+    "q128_rollup_diff" -> Transcripts.oracle(
+      """, m AS (
+        |  SELECT conv_id, DATE_TRUNC('day', ts) AS window_start,
+        |    COUNT(*) AS turn_count,
+        |    CAST(SUM(LENGTH(text)) AS BIGINT) AS char_len_sum,
+        |    COUNT(tool) AS tool_calls, 1 AS _p
+        |  FROM transcripts WHERE ts < TIMESTAMP '2024-01-20 12:00:00'
+        |  GROUP BY 1, 2),
+        |n AS (
+        |  SELECT conv_id, DATE_TRUNC('day', ts) AS window_start,
+        |    COUNT(*) AS turn_count,
+        |    CAST(SUM(LENGTH(text)) AS BIGINT) AS char_len_sum,
+        |    COUNT(tool) AS tool_calls, 1 AS _p
+        |  FROM transcripts
+        |  GROUP BY 1, 2)
+        |SELECT
+        |  COALESCE(m.conv_id, n.conv_id) AS conv_id,
+        |  COALESCE(m.window_start, n.window_start) AS window_start,
+        |  CASE WHEN m._p IS NULL THEN 'added'
+        |       WHEN n._p IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  m.turn_count AS old_turn_count, n.turn_count AS new_turn_count,
+        |  m.char_len_sum AS old_char_len_sum, n.char_len_sum AS new_char_len_sum,
+        |  m.tool_calls AS old_tool_calls, n.tool_calls AS new_tool_calls
+        |FROM m FULL JOIN n
+        |  ON m.conv_id IS NOT DISTINCT FROM n.conv_id
+        | AND m.window_start IS NOT DISTINCT FROM n.window_start
+        |WHERE m._p IS NULL OR n._p IS NULL
+        |   OR m.turn_count IS DISTINCT FROM n.turn_count
+        |   OR m.char_len_sum IS DISTINCT FROM n.char_len_sum
+        |   OR m.tool_calls IS DISTINCT FROM n.tool_calls""".stripMargin)
   )
 }

@@ -37,6 +37,12 @@ object ScaleProbe {
     // control stages the regex names) without paying the full chain;
     // skipped stages report 0.00s and drop out of the total
     val stageFilter = if (args.length > 2) Some(args(2).r) else None
+    // snapshot-diff cutoff: input ts midpoint, computed once (O(1) agg)
+    val tsMid = {
+      val r = raw.agg(min(col("ts")).cast("long").as("a"),
+        max(col("ts")).cast("long").as("b")).head()
+      (r.getLong(0) + r.getLong(1)) / 2
+    }
     def stage(name: String)(body: => Unit): Double =
       if (stageFilter.forall(_.findFirstIn(name).isDefined)) timed(body)
       else 0.0
@@ -247,7 +253,22 @@ object ScaleProbe {
       // sub-exhaustive capacity: the real sketch regime (trims fire)
       val tMgs = stage("mgsketch")(graft.operators.SeriesOps
         .termTopKSketch(raw, 50, 4096).agg(count(col("share"))).head())
-      val total = tHm + tMgs + tHq + tWs + tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
+      // snapshot diff: old = rollup over the input's first half (ts
+      // midpoint), new = full rollup — the histmerge idiom: both
+      // rollups recompute inside the stage, same plan at both core
+      // counts, so the N-vs-4N ratio stays meaningful
+      val tSd = stage("snapdiff") {
+        val selD = Seq("conv_id", "window_start", "turn_count",
+          "char_len_sum").map(col)
+        graft.operators.SnapshotDiff.diff(
+          Rollup.fromRaw(raw.filter(col("ts") < lit(tsMid).cast("timestamp")),
+            Tier.H1).select(selD: _*),
+          Rollup.fromRaw(raw, Tier.H1).select(selD: _*),
+          keys = Seq("conv_id", "window_start"),
+          measures = Seq("turn_count", "char_len_sum"))
+          .agg(count(col("status"))).head()
+      }
+      val total = tSd + tHm + tMgs + tHq + tWs + tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
         tVocab + tProf + tOhlc + tDaily + tGapRep + tSax + tTheil +
@@ -287,7 +308,7 @@ object ScaleProbe {
         f"fingerprint=$tFp%.2fs toolpaths=$tPaths%.2fs " +
         f"multigran=$tMg%.2fs integrity=$tTi%.2fs " +
         f"histquant=$tHq%.2fs wsample=$tWs%.2fs " +
-        f"histmerge=$tHm%.2fs mgsketch=$tMgs%.2fs " +
+        f"histmerge=$tHm%.2fs mgsketch=$tMgs%.2fs snapdiff=$tSd%.2fs " +
         f"total=$total%.2fs " +
         (if (tM1 > 0) f"throughput=${n / tM1}%.0f turns/s" else "throughput=n/a"))
       total

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.operators.{AsofJoin, Curation, Dedup, RangeJoin, RefOps, SeriesOps, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Curation, Dedup, RangeJoin, RefOps, SeriesOps, Sessionize, Similarity, SnapshotDiff, TextAnalysis}
 import graft.rollup.Rollup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Attribute
@@ -282,6 +282,10 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
           Dedup.decontaminate(session.table(args(0)), session.table(args(1)),
             args(2).toInt, args(3).toInt, args(4).toDouble)
         else Dedup.decontaminate(session.table(args(0)), session.table(args(1)))
+      case "snapshot_diff" =>
+        val Seq(o, n, ks, ms) = args.take(4)
+        SnapshotDiff.diff(session.table(o), session.table(n),
+          ks.split(",").map(_.trim).toSeq, ms.split(",").map(_.trim).toSeq)
       case "decontaminate_bloom" =>
         if (args.length == 5)
           Dedup.decontaminateBloom(session.table(args(0)), session.table(args(1)),

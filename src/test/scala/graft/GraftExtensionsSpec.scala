@@ -425,6 +425,16 @@ class GraftExtensionsSpec extends SparkTestBase {
       ext.sql("SELECT * FROM decontaminate_bloom('corpus_ext', 'bench_ext', 0.5, 4096, 3)"),
       graft.operators.Dedup.decontaminateBloom(
         all.filter(!isBench), all.filter(isBench), 0.5, 4096, 3))
+    val r1 = graft.rollup.Rollup.fromRaw(tr, graft.model.Tier.H1)
+      .select(col("conv_id"), col("window_start"), col("turn_count"))
+    r1.filter(col("turn_count") > 1).createOrReplaceTempView("snap_old_ext")
+    r1.createOrReplaceTempView("snap_new_ext")
+    assertSameRows(
+      ext.sql("SELECT * FROM snapshot_diff('snap_old_ext', 'snap_new_ext', " +
+        "'conv_id,window_start', 'turn_count')"),
+      graft.operators.SnapshotDiff.diff(
+        r1.filter(col("turn_count") > 1), r1,
+        Seq("conv_id", "window_start"), Seq("turn_count")))
     val emb = graft.ingest.Synth.embeddings(ext, 150, dims = 16, seed = 5L)
       .withColumn("label", pmod(col("vec_id"), lit(5)).cast("int"))
     emb.createOrReplaceTempView("emb_cur_ext")
