@@ -301,6 +301,9 @@ object GraftExtensions {
     tfn("decontaminate",
       "(corpus_table, bench_table[, k, bands, threshold]) - corpus docs near-duplicating a benchmark doc (defaults 16, 4, 0.5)",
       arities = Set(2, 5), intArgs = Set(2, 3), doubleArgs = Set(4)),
+    tfn("hampel_outliers",
+      "(table[, window_days, k]) - rolling median+MAD robust outlier flags on the daily turn series (defaults 7, 3.0)",
+      arities = Set(1, 3), intArgs = Set(1), doubleArgs = Set(2)),
     tfn("snapshot_diff",
       "(old_table, new_table, key_cols, measure_cols) - added/removed/changed keys between two snapshots; key_cols/measure_cols are comma-separated column lists",
       arities = Set(4)),

@@ -635,7 +635,14 @@ object SparkEntry {
         Rollup.fromRaw(tr, Tier.D1).select(sel: _*),
         keys = Seq("conv_id", "window_start"),
         measures = Seq("turn_count", "char_len_sum", "tool_calls"))
-    })
+    }),
+    // Hampel robust-outlier filter: trailing-7-day rolling median +
+    // MAD band over the daily turn series — exact order statistics
+    // from the window array (no engine median() on either side), so
+    // the oracle mirrors the element arithmetic bit-for-bit
+    "q129_hampel_outliers" -> ((s, dir) =>
+      graft.operators.SeriesOps.hampelDaily(transcripts(s, dir),
+        w = 7, k = 3.0))
   )
 
   private val rollupSelect: String =
@@ -2738,6 +2745,40 @@ object SparkEntry {
         |WHERE m._p IS NULL OR n._p IS NULL
         |   OR m.turn_count IS DISTINCT FROM n.turn_count
         |   OR m.char_len_sum IS DISTINCT FROM n.char_len_sum
-        |   OR m.tool_calls IS DISTINCT FROM n.tool_calls""".stripMargin)
+        |   OR m.tool_calls IS DISTINCT FROM n.tool_calls""".stripMargin),
+    // mirrors SeriesOps.hampelDaily term for term: sorted-array median
+    // element arithmetic (odd = middle, even = mean of middles), MAD
+    // from the UNrounded median, rounding only at projection
+    "q129_hampel_outliers" -> Transcripts.oracle(
+      """, d AS (
+        |  SELECT DATE_TRUNC('day', ts) AS day, COUNT(*) AS turn_count
+        |  FROM transcripts WHERE ts IS NOT NULL GROUP BY 1),
+        |wl AS (
+        |  SELECT day, turn_count,
+        |    list_sort(list(turn_count) OVER (
+        |      ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS a
+        |  FROM d),
+        |m AS (
+        |  SELECT day, turn_count, a,
+        |    CASE WHEN len(a) % 2 = 1 THEN CAST(a[(len(a)+1)//2] AS DOUBLE)
+        |         ELSE (CAST(a[len(a)//2] AS DOUBLE)
+        |               + CAST(a[len(a)//2 + 1] AS DOUBLE)) / 2.0 END AS med
+        |  FROM wl),
+        |m2 AS (
+        |  SELECT day, turn_count, a, med,
+        |    list_sort(list_transform(a,
+        |      x -> abs(CAST(x AS DOUBLE) - med))) AS b
+        |  FROM m),
+        |m3 AS (
+        |  SELECT day, turn_count, a, med,
+        |    CASE WHEN len(b) % 2 = 1 THEN b[(len(b)+1)//2]
+        |         ELSE (b[len(b)//2] + b[len(b)//2 + 1]) / 2.0 END AS mad
+        |  FROM m2)
+        |SELECT day, turn_count,
+        |  CAST(len(a) AS INT) AS n_window,
+        |  ROUND(med, 6) AS med,
+        |  ROUND(mad, 6) AS mad,
+        |  abs(CAST(turn_count AS DOUBLE) - med) > 3.0 * mad AS is_outlier
+        |FROM m3""".stripMargin)
   )
 }

@@ -2624,4 +2624,72 @@ object SeriesOps {
         col("_r.avg_step_us").as("avg_step_us"),
         col("_r.max_step_us").as("max_step_us"))
   }
+
+  /** Interpolated median of a (possibly unsorted) numeric array —
+    * sorted-array element arithmetic, NOT an engine `median()` call,
+    * so the Spark and DuckDB definitions cannot drift: odd n takes the
+    * middle element, even n averages the two middles. Integer division
+    * via double-divide-then-int-cast (truncation == floor for the
+    * positive sizes here). Shared by [[hampelDaily]]'s median and MAD.
+    */
+  private def medianOfArray(arr: Column): Column = {
+    val s = sort_array(arr)
+    val n = size(s)
+    val half = (n / lit(2)).cast("int")
+    when(pmod(n, lit(2)) === 1,
+      element_at(s, ((n + lit(1)) / lit(2)).cast("int")).cast("double"))
+      .otherwise((element_at(s, half).cast("double") +
+        element_at(s, half + lit(1)).cast("double")) / 2.0)
+  }
+
+  /** Hampel robust-outlier filter over the daily turn series: per UTC
+    * day, the trailing-`w`-day rolling MEDIAN and rolling MAD (median
+    * absolute deviation), flagging days where
+    * `|count − med| > k·MAD` — the standard robust alternative to the
+    * z-score monitor ([[graft.operators.RefOps.rollingZscore]] family):
+    * one whale day cannot drag the baseline the way it drags a rolling
+    * mean/stddev, so level shifts flag crisply instead of poisoning
+    * the next `w` days' threshold.
+    *
+    * Both statistics are EXACT order statistics computed from the
+    * window-collected array with [[medianOfArray]]'s element
+    * arithmetic — all values are halves/quarters of integers, exact in
+    * binary, so the oracle (same list arithmetic in DuckDB) matches
+    * bit-for-bit; an engine-native `median()` on either side could
+    * disagree in definition, not just ulps.
+    *
+    * Window semantics: trailing ROWS frame over observed days (a
+    * missing calendar day shrinks lookback, [[dailyAutocorr]]
+    * convention); the first days flag against their short window
+    * (n_window reports the actual size). MAD = 0 (constant window)
+    * flags any deviation, and a day equal to its median never flags.
+    *
+    * Plan: daily census partial-aggregates map-side into ONE exchange;
+    * the rolling window is a single-partition sort over day-count rows
+    * (thousands of days — metadata scale, the [[dailyAutocorr]]
+    * doctrine), with the array buffer bounded by `w`.
+    */
+  def hampelDaily(transcripts: DataFrame, w: Int = 7,
+      k: Double = 3.0): DataFrame = {
+    require(w >= 2 && w <= 3660, s"window must be in [2, 3660] days, got $w")
+    require(k > 0, s"k must be positive, got $k")
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val daily = transcripts
+      .filter(col("ts").isNotNull)
+      .select(dayStartCol.as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("turn_count"))
+    val win = Window.orderBy(col("day")).rowsBetween(-(w - 1), 0)
+    daily
+      .withColumn("_a", collect_list(col("turn_count")).over(win))
+      .withColumn("med", medianOfArray(col("_a")))
+      .withColumn("mad", medianOfArray(
+        transform(col("_a"), x => abs(x.cast("double") - col("med")))))
+      .select(col("day"), col("turn_count"),
+        size(col("_a")).as("n_window"),
+        round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"),
+        (abs(col("turn_count").cast("double") - col("med")) >
+          lit(k) * col("mad")).as("is_outlier"))
+  }
 }

@@ -282,6 +282,11 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
           Dedup.decontaminate(session.table(args(0)), session.table(args(1)),
             args(2).toInt, args(3).toInt, args(4).toDouble)
         else Dedup.decontaminate(session.table(args(0)), session.table(args(1)))
+      case "hampel_outliers" =>
+        if (args.length == 3)
+          SeriesOps.hampelDaily(session.table(args(0)), args(1).toInt,
+            args(2).toDouble)
+        else SeriesOps.hampelDaily(session.table(args(0)))
       case "snapshot_diff" =>
         val Seq(o, n, ks, ms) = args.take(4)
         SnapshotDiff.diff(session.table(o), session.table(n),

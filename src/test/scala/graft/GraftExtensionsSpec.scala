@@ -314,6 +314,8 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.SeriesOps.toolsetChurn(tr))
     assertSameRows(ext.sql("SELECT * FROM record_days('tr4_ext')"),
       graft.operators.SeriesOps.recordDays(tr))
+    assertSameRows(ext.sql("SELECT * FROM hampel_outliers('tr4_ext', 5, 2.5)"),
+      graft.operators.SeriesOps.hampelDaily(tr, w = 5, k = 2.5))
     assertSameRows(ext.sql("SELECT * FROM lorenz_deciles('tr4_ext', 4)"),
       graft.operators.SeriesOps.lorenzDeciles(tr, buckets = 4))
     assertSameRows(ext.sql("SELECT * FROM dist_drift('tr4_ext')"),

@@ -2010,4 +2010,49 @@ class SeriesOpsSpec extends SparkTestBase {
       SeriesOps.funnel(turns, Seq.fill(9)("search")))
     intercept[IllegalArgumentException](SeriesOps.funnel(turns, Seq("")))
   }
+
+  test("hampelDaily: spike flags; the whale day does NOT poison the next window") {
+    import spark.implicits._
+    // 8 days of 10 turns with a 100-turn spike on day 5: the rolling
+    // MEDIAN stays 10 through the whale's lookback, so day 5 flags and
+    // days 6-8 do not — the robustness a rolling mean/stddev lacks
+    val tr = (1 to 8).flatMap { d =>
+      val n = if (d == 5) 100 else 10
+      (0 until n).map(_ => Timestamp.valueOf(f"2024-03-0$d 01:00:00"))
+    }.toDF("ts")
+    val got = SeriesOps.hampelDaily(tr, w = 5, k = 3.0).orderBy("day").collect()
+    assert(got.length == 8)
+    assert(got.map(_.getAs[Boolean]("is_outlier")).toSeq ==
+      Seq(false, false, false, false, true, false, false, false))
+    val day5 = got(4)
+    assert(day5.getAs[Double]("med") == 10.0 && day5.getAs[Double]("mad") == 0.0)
+    // short head windows report their true size; tail windows saturate at w
+    assert(got(0).getAs[Int]("n_window") == 1)
+    assert(got(1).getAs[Int]("n_window") == 2)
+    assert(got(7).getAs[Int]("n_window") == 5)
+  }
+
+  test("hampelDaily: even-window median interpolates; MAD uses the unrounded median") {
+    import spark.implicits._
+    // day1=4 turns, day2=7 turns: day-2 window [4,7] → med 5.5,
+    // deviations [1.5, 1.5] → mad 1.5; flag iff 1.5 > k·1.5
+    val tr = ((0 until 4).map(_ => Timestamp.valueOf("2024-03-01 01:00:00")) ++
+      (0 until 7).map(_ => Timestamp.valueOf("2024-03-02 01:00:00"))).toDF("ts")
+    val sensitive = SeriesOps.hampelDaily(tr, w = 7, k = 0.5)
+      .orderBy("day").collect()
+    assert(sensitive(1).getAs[Double]("med") == 5.5)
+    assert(sensitive(1).getAs[Double]("mad") == 1.5)
+    assert(sensitive(1).getAs[Boolean]("is_outlier")) // 1.5 > 0.75
+    val default = SeriesOps.hampelDaily(tr, w = 7, k = 3.0)
+      .orderBy("day").collect()
+    assert(!default(1).getAs[Boolean]("is_outlier")) // 1.5 <= 4.5
+  }
+
+  test("hampelDaily plan: census + one window, no joins; rejects bad params") {
+    val plan = SeriesOps.hampelDaily(turns).queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected the rolling window:\n$plan")
+    assert(!plan.contains("Join"), s"no joins expected:\n$plan")
+    intercept[IllegalArgumentException](SeriesOps.hampelDaily(turns, w = 1))
+    intercept[IllegalArgumentException](SeriesOps.hampelDaily(turns, k = 0.0))
+  }
 }
