@@ -301,6 +301,9 @@ object GraftExtensions {
     tfn("decontaminate",
       "(corpus_table, bench_table[, k, bands, threshold]) - corpus docs near-duplicating a benchmark doc (defaults 16, 4, 0.5)",
       arities = Set(2, 5), intArgs = Set(2, 3), doubleArgs = Set(4)),
+    tfn("session_coverage",
+      "(table[, gap_seconds]) - per-day interval-union active time + peak session concurrency (default gap 1800)",
+      arities = Set(1, 2), numericArgs = Set(1)),
     tfn("hampel_outliers",
       "(table[, window_days, k]) - rolling median+MAD robust outlier flags on the daily turn series (defaults 7, 3.0)",
       arities = Set(1, 3), intArgs = Set(1), doubleArgs = Set(2)),

@@ -642,7 +642,13 @@ object SparkEntry {
     // the oracle mirrors the element arithmetic bit-for-bit
     "q129_hampel_outliers" -> ((s, dir) =>
       graft.operators.SeriesOps.hampelDaily(transcripts(s, dir),
-        w = 7, k = 3.0))
+        w = 7, k = 3.0)),
+    // daily session coverage: interval-union active time + sweep-line
+    // peak concurrency over day-sliced sessions — the utilization
+    // statistic q97's opened/closed counts don't give
+    "q130_session_coverage" -> ((s, dir) =>
+      graft.operators.SeriesOps.sessionCoverageDaily(transcripts(s, dir),
+        gapSeconds = 1800L))
   )
 
   private val rollupSelect: String =
@@ -2779,6 +2785,47 @@ object SparkEntry {
         |  ROUND(med, 6) AS med,
         |  ROUND(mad, 6) AS mad,
         |  abs(CAST(turn_count AS DOUBLE) - med) > 3.0 * mad AS is_outlier
-        |FROM m3""".stripMargin)
+        |FROM m3""".stripMargin),
+    // mirrors SeriesOps.sessionCoverageDaily: the q19 session CTE,
+    // day-sliced intervals, incremental-coverage window (running max
+    // of previous ends), ±1 sweep line ordered (t, delta)
+    "q130_session_coverage" -> Transcripts.oracle(sessionCte +
+      """,
+        |sess AS (
+        |  SELECT EPOCH_US(MIN(ts)) AS s, EPOCH_US(MAX(ts)) AS e
+        |  FROM assigned GROUP BY conv_id, session_idx),
+        |sl0 AS (
+        |  SELECT s, e,
+        |    UNNEST(generate_series(s // 86400000000, e // 86400000000)) AS d
+        |  FROM sess),
+        |sl AS (
+        |  SELECT d, GREATEST(s, d * 86400000000) AS ss,
+        |    LEAST(e, (d + 1) * 86400000000) AS se
+        |  FROM sl0),
+        |pm AS (
+        |  SELECT d, ss, se,
+        |    MAX(se) OVER (PARTITION BY d ORDER BY ss, se
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM sl),
+        |cov AS (
+        |  SELECT d, COUNT(*) AS n_sessions,
+        |    CAST(SUM(GREATEST(0, se - GREATEST(ss, COALESCE(pmax, ss))))
+        |      AS BIGINT) AS covered_us
+        |  FROM pm GROUP BY 1),
+        |ev AS (
+        |  SELECT d, ss AS t, 1 AS delta FROM sl
+        |  UNION ALL
+        |  SELECT d, se AS t, -1 AS delta FROM sl),
+        |sw AS (
+        |  SELECT d, CAST(SUM(delta) OVER (PARTITION BY d ORDER BY t, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |  FROM ev),
+        |conc AS (SELECT d, MAX(c) AS max_concurrent FROM sw GROUP BY 1)
+        |SELECT MAKE_TIMESTAMP(cov.d * 86400000000) AS day,
+        |  cov.n_sessions, cov.covered_us,
+        |  ROUND(CAST(cov.covered_us AS DOUBLE) / 86400000000.0, 6)
+        |    AS coverage_frac,
+        |  conc.max_concurrent
+        |FROM cov JOIN conc ON cov.d = conc.d""".stripMargin)
   )
 }

@@ -270,7 +270,9 @@ object ScaleProbe {
       }
       val tHamp = stage("hampel")(graft.operators.SeriesOps
         .hampelDaily(raw).agg(count(col("mad"))).head())
-      val total = tHamp + tSd + tHm + tMgs + tHq + tWs + tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
+      val tCov = stage("coverage")(graft.operators.SeriesOps
+        .sessionCoverageDaily(raw).agg(count(col("covered_us"))).head())
+      val total = tCov + tHamp + tSd + tHm + tMgs + tHq + tWs + tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
         tVocab + tProf + tOhlc + tDaily + tGapRep + tSax + tTheil +
@@ -311,7 +313,7 @@ object ScaleProbe {
         f"multigran=$tMg%.2fs integrity=$tTi%.2fs " +
         f"histquant=$tHq%.2fs wsample=$tWs%.2fs " +
         f"histmerge=$tHm%.2fs mgsketch=$tMgs%.2fs snapdiff=$tSd%.2fs " +
-        f"hampel=$tHamp%.2fs " +
+        f"hampel=$tHamp%.2fs coverage=$tCov%.2fs " +
         f"total=$total%.2fs " +
         (if (tM1 > 0) f"throughput=${n / tM1}%.0f turns/s" else "throughput=n/a"))
       total

@@ -2625,6 +2625,79 @@ object SeriesOps {
         col("_r.max_step_us").as("max_step_us"))
   }
 
+  /** Daily session-coverage census: for each UTC day, how much of the
+    * day is covered by AT LEAST one active session (interval union of
+    * [[Sessionize]] sessions, day-sliced), and the day's peak session
+    * concurrency (sweep line) — the utilization statistic behind
+    * capacity planning that [[convConcurrency]]'s opened/closed/open
+    * counts do not give (ten 1-minute sessions and one 10-hour session
+    * both count "10 opened"; they cover 10 min vs 10 h).
+    *
+    * Algorithm, all integer µs arithmetic (the [[dayNumCol]] µs-floor
+    * doctrine — exact, engine-mirrorable):
+    *   1. sessions → [start,end] µs intervals, SPLIT at day boundaries
+    *      (`sequence(day(s), day(e))` explode), so every downstream
+    *      window partitions by day and distributes;
+    *   2. union length per day via the incremental-coverage window:
+    *      sort slices by (start, end), `inc = max(0, end − max(start,
+    *      running-max-of-previous-ends))`, sum — no island grouping
+    *      needed;
+    *   3. peak concurrency via sweep line: ±1 events at slice
+    *      start/end, running sum ordered by (t, delta) — the `-1`
+    *      sorts first so touching sessions ([a,t],[t,b]) do NOT count
+    *      concurrent, matching the union's closed-interval algebra
+    *      (they merge: a point has zero measure).
+    *
+    * A session spanning k days contributes one slice to each
+    * (n_sessions counts slices touching the day, by design).
+    *
+    * Plan: ONE conv exchange inside [[Sessionize.summarize]], then
+    * session-granularity rows only — day-partitioned windows + one
+    * metadata-scale day join; raw turns never reach the coverage
+    * machinery. A pathologically hot day bounds a partition at that
+    * day's session count (sessions ≪ turns), the [[whaleConvsDaily]]
+    * skew posture.
+    */
+  def sessionCoverageDaily(transcripts: DataFrame,
+      gapSeconds: Long = 1800L): DataFrame = {
+    require(gapSeconds > 0 && gapSeconds <= capS,
+      s"gapSeconds must be in (0, $capS], got $gapSeconds")
+    val dayUs = 86400L * 1000000L
+    val sess = Sessionize.summarize(transcripts, gapSeconds)
+      .select(
+        unix_micros(col("session_start").cast("timestamp")).as("_s"),
+        unix_micros(col("session_end").cast("timestamp")).as("_e"))
+    val slices = sess
+      .withColumn("_d", explode(sequence(
+        expr(s"_s div $dayUs"), expr(s"_e div $dayUs"))))
+      .select(col("_d"),
+        greatest(col("_s"), col("_d") * dayUs).as("_ss"),
+        least(col("_e"), (col("_d") + lit(1L)) * dayUs).as("_se"))
+    val wPrev = Window.partitionBy(col("_d")).orderBy(col("_ss"), col("_se"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = slices
+      .withColumn("_pm", max(col("_se")).over(wPrev))
+      .withColumn("_inc", greatest(lit(0L),
+        col("_se") - greatest(col("_ss"), coalesce(col("_pm"), col("_ss")))))
+      .groupBy(col("_d"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("_inc")).as("covered_us"))
+    val events = slices.select(col("_d"), col("_ss").as("_t"), lit(1L).as("_delta"))
+      .unionByName(slices.select(col("_d"), col("_se").as("_t"),
+        lit(-1L).as("_delta")))
+    val wSweep = Window.partitionBy(col("_d")).orderBy(col("_t"), col("_delta"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val conc = events
+      .withColumn("_c", sum(col("_delta")).over(wSweep))
+      .groupBy(col("_d"))
+      .agg(max(col("_c")).as("max_concurrent"))
+    cov.join(conc, Seq("_d"))
+      .select(timestamp_micros(col("_d") * dayUs).as("day"),
+        col("n_sessions"), col("covered_us"),
+        round(col("covered_us").cast("double") / lit(dayUs.toDouble), 6)
+          .as("coverage_frac"),
+        col("max_concurrent"))
+  }
+
   /** Interpolated median of a (possibly unsorted) numeric array —
     * sorted-array element arithmetic, NOT an engine `median()` call,
     * so the Spark and DuckDB definitions cannot drift: odd n takes the

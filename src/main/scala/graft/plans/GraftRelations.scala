@@ -282,6 +282,10 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
           Dedup.decontaminate(session.table(args(0)), session.table(args(1)),
             args(2).toInt, args(3).toInt, args(4).toDouble)
         else Dedup.decontaminate(session.table(args(0)), session.table(args(1)))
+      case "session_coverage" =>
+        if (args.length == 2)
+          SeriesOps.sessionCoverageDaily(session.table(args(0)), args(1).toLong)
+        else SeriesOps.sessionCoverageDaily(session.table(args(0)))
       case "hampel_outliers" =>
         if (args.length == 3)
           SeriesOps.hampelDaily(session.table(args(0)), args(1).toInt,

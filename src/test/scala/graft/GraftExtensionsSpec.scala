@@ -316,6 +316,8 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.SeriesOps.recordDays(tr))
     assertSameRows(ext.sql("SELECT * FROM hampel_outliers('tr4_ext', 5, 2.5)"),
       graft.operators.SeriesOps.hampelDaily(tr, w = 5, k = 2.5))
+    assertSameRows(ext.sql("SELECT * FROM session_coverage('tr4_ext', 900)"),
+      graft.operators.SeriesOps.sessionCoverageDaily(tr, gapSeconds = 900L))
     assertSameRows(ext.sql("SELECT * FROM lorenz_deciles('tr4_ext', 4)"),
       graft.operators.SeriesOps.lorenzDeciles(tr, buckets = 4))
     assertSameRows(ext.sql("SELECT * FROM dist_drift('tr4_ext')"),

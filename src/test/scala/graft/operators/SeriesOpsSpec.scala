@@ -2048,6 +2048,49 @@ class SeriesOpsSpec extends SparkTestBase {
     assert(!default(1).getAs[Boolean]("is_outlier")) // 1.5 <= 4.5
   }
 
+  test("sessionCoverageDaily golden: union merges overlaps, splits at midnight, counts concurrency") {
+    import spark.implicits._
+    val tr = Seq(
+      // A and B overlap: union [10:00,10:20] = 1200 s, concurrency 2
+      ("A", 0, Timestamp.valueOf("2024-03-01 10:00:00")),
+      ("A", 1, Timestamp.valueOf("2024-03-01 10:10:00")),
+      ("B", 0, Timestamp.valueOf("2024-03-01 10:05:00")),
+      ("B", 1, Timestamp.valueOf("2024-03-01 10:20:00")),
+      // C: single-turn session — a point, zero measure
+      ("C", 0, Timestamp.valueOf("2024-03-01 23:59:30")),
+      // D: one session crossing midnight (20-min gap < 30-min cutoff)
+      ("D", 0, Timestamp.valueOf("2024-03-01 23:50:00")),
+      ("D", 1, Timestamp.valueOf("2024-03-02 00:10:00"))
+    ).toDF("conv_id", "turn_idx", "ts")
+    val got = SeriesOps.sessionCoverageDaily(tr, gapSeconds = 1800L)
+      .orderBy("day").collect()
+    assert(got.length == 2)
+    val d1 = got(0)
+    assert(d1.getAs[Long]("n_sessions") == 4)
+    assert(d1.getAs[Long]("covered_us") == (1200L + 600L) * 1000000L)
+    assert(d1.getAs[Long]("max_concurrent") == 2)
+    val d2 = got(1)
+    assert(d2.getAs[Long]("n_sessions") == 1)
+    assert(d2.getAs[Long]("covered_us") == 600L * 1000000L)
+    assert(d2.getAs[Long]("max_concurrent") == 1)
+  }
+
+  test("sessionCoverageDaily: touching sessions merge in coverage but are NOT concurrent") {
+    import spark.implicits._
+    val tr = Seq(
+      ("E", 0, Timestamp.valueOf("2024-03-01 01:00:00")),
+      ("E", 1, Timestamp.valueOf("2024-03-01 01:20:00")),
+      ("F", 0, Timestamp.valueOf("2024-03-01 01:20:00")),
+      ("F", 1, Timestamp.valueOf("2024-03-01 01:40:00"))
+    ).toDF("conv_id", "turn_idx", "ts")
+    val got = SeriesOps.sessionCoverageDaily(tr, gapSeconds = 1800L).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("covered_us") == 2400L * 1000000L)
+    assert(got(0).getAs[Long]("max_concurrent") == 1)
+    intercept[IllegalArgumentException](
+      SeriesOps.sessionCoverageDaily(tr, gapSeconds = 0L))
+  }
+
   test("hampelDaily plan: census + one window, no joins; rejects bad params") {
     val plan = SeriesOps.hampelDaily(turns).queryExecution.executedPlan.toString
     assert(plan.contains("Window"), s"expected the rolling window:\n$plan")
