@@ -301,6 +301,12 @@ object GraftExtensions {
     tfn("decontaminate",
       "(corpus_table, bench_table[, k, bands, threshold]) - corpus docs near-duplicating a benchmark doc (defaults 16, 4, 0.5)",
       arities = Set(2, 5), intArgs = Set(2, 3), doubleArgs = Set(4)),
+    tfn("rolling_active",
+      "(table[, window_days]) - exact trailing-window distinct active conversations per day (default 7)",
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("rolling_active_sketch",
+      "(table[, window_days, lg_k]) - HLL-sketch rolling distinct actives (mergeable daily artifacts; defaults 7, 12)",
+      arities = Set(1, 3), intArgs = Set(1, 2)),
     tfn("session_coverage",
       "(table[, gap_seconds]) - per-day interval-union active time + peak session concurrency (default gap 1800)",
       arities = Set(1, 2), numericArgs = Set(1)),

@@ -648,7 +648,18 @@ object SparkEntry {
     // statistic q97's opened/closed counts don't give
     "q130_session_coverage" -> ((s, dir) =>
       graft.operators.SeriesOps.sessionCoverageDaily(transcripts(s, dir),
-        gapSeconds = 1800L))
+        gapSeconds = 1800L)),
+    // exact trailing-7-day distinct actives (DAU + WAU) via the
+    // presence-explode identity — no windowed COUNT(DISTINCT) exists
+    // distributively in either engine
+    "q131_rolling_active" -> ((s, dir) =>
+      graft.operators.SeriesOps.rollingActiveDaily(transcripts(s, dir), w = 7)),
+    // DataSketches-HLL mergeable-artifact sibling (rows-only: DuckDB
+    // cannot reproduce HLL binaries; error bound pinned vs q131 in
+    // SeriesOpsSpec)
+    "q132_rolling_active_sketch" -> ((s, dir) =>
+      graft.operators.SeriesOps.rollingActiveSketchDaily(
+        transcripts(s, dir), w = 7, lgK = 12))
   )
 
   private val rollupSelect: String =
@@ -2826,6 +2837,27 @@ object SparkEntry {
         |  ROUND(CAST(cov.covered_us AS DOUBLE) / 86400000000.0, 6)
         |    AS coverage_frac,
         |  conc.max_concurrent
-        |FROM cov JOIN conc ON cov.d = conc.d""".stripMargin)
+        |FROM cov JOIN conc ON cov.d = conc.d""".stripMargin),
+    // presence-explode identity mirrored: window-ends restricted to
+    // observed days; q132 (the HLL artifact) is rows-only by design —
+    // its error bound is pinned against THIS query in SeriesOpsSpec
+    "q131_rolling_active" -> Transcripts.oracle(
+      """, p AS (
+        |  SELECT DISTINCT conv_id,
+        |    (EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |      + 86400000000) % 86400000000) // 86400000000 AS d
+        |  FROM transcripts WHERE ts IS NOT NULL AND conv_id IS NOT NULL),
+        |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS active_convs
+        |        FROM p GROUP BY 1),
+        |ex AS (
+        |  SELECT DISTINCT conv_id, e FROM (
+        |    SELECT conv_id, UNNEST(generate_series(d, d + 6)) AS e FROM p)),
+        |wau AS (
+        |  SELECT ex.e AS d, CAST(COUNT(*) AS BIGINT) AS rolling_active
+        |  FROM ex JOIN (SELECT DISTINCT d FROM p) o ON ex.e = o.d
+        |  GROUP BY 1)
+        |SELECT MAKE_TIMESTAMP(dau.d * 86400000000) AS day,
+        |  dau.active_convs, wau.rolling_active
+        |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin)
   )
 }

@@ -272,7 +272,11 @@ object ScaleProbe {
         .hampelDaily(raw).agg(count(col("mad"))).head())
       val tCov = stage("coverage")(graft.operators.SeriesOps
         .sessionCoverageDaily(raw).agg(count(col("covered_us"))).head())
-      val total = tCov + tHamp + tSd + tHm + tMgs + tHq + tWs + tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
+      val tWau = stage("wauexact")(graft.operators.SeriesOps
+        .rollingActiveDaily(raw).agg(count(col("rolling_active"))).head())
+      val tWauS = stage("wausketch")(graft.operators.SeriesOps
+        .rollingActiveSketchDaily(raw).agg(count(col("rolling_active_est"))).head())
+      val total = tWau + tWauS + tCov + tHamp + tSd + tHm + tMgs + tHq + tWs + tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
         tVocab + tProf + tOhlc + tDaily + tGapRep + tSax + tTheil +
@@ -314,6 +318,7 @@ object ScaleProbe {
         f"histquant=$tHq%.2fs wsample=$tWs%.2fs " +
         f"histmerge=$tHm%.2fs mgsketch=$tMgs%.2fs snapdiff=$tSd%.2fs " +
         f"hampel=$tHamp%.2fs coverage=$tCov%.2fs " +
+        f"wauexact=$tWau%.2fs wausketch=$tWauS%.2fs " +
         f"total=$total%.2fs " +
         (if (tM1 > 0) f"throughput=${n / tM1}%.0f turns/s" else "throughput=n/a"))
       total

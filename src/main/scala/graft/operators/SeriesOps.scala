@@ -2698,6 +2698,87 @@ object SeriesOps {
         col("max_concurrent"))
   }
 
+  /** Rolling distinct-actives census (DAU/WAU family): per observed UTC
+    * day, the day's distinct active conversations AND the distinct
+    * count over the trailing `w` days — EXACT, not sketched, via the
+    * presence-explode identity: a conversation is active in the window
+    * ending at day `e` iff one of its presence days `d` satisfies
+    * `e−(w−1) ≤ d ≤ e`, i.e. iff `e ∈ [d, d+w−1]` for some presence
+    * day — so exploding each (conv, day) presence row into its `w`
+    * window-ends and de-duplicating counts every conversation exactly
+    * once per covering window. No windowed COUNT(DISTINCT) needed
+    * (neither engine supports it distributively).
+    *
+    * Window-ends are restricted to OBSERVED days (a silent day has no
+    * row — the [[dailyAutocorr]] observed-grid convention, chosen so
+    * the output is keyed like [[dailyCardinality]]).
+    *
+    * Plan: presence census = ONE (conv, day) exchange partial-
+    * aggregated map-side; the ×w explode is map-side; the (conv,
+    * window-end) distinct is the second exchange (w× presence rows, 16
+    * bytes each — at 10¹² turns presence ≈ users×days ≪ turns, so both
+    * exchanges are orders below the rollup's); final per-day count
+    * partial-aggregates. The sketch sibling
+    * [[rollingActiveSketchDaily]] replaces the w× explode-distinct
+    * with daily-artifact merges for the 100 TB fast path.
+    */
+  def rollingActiveDaily(transcripts: DataFrame, w: Int = 7): DataFrame = {
+    require(w >= 1 && w <= 366, s"window must be in [1, 366] days, got $w")
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val presence = transcripts
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .select(col("conv_id"), dayNumCol.as("_d"))
+      .distinct()
+    val dau = presence.groupBy(col("_d")).agg(count(lit(1)).as("active_convs"))
+    val windowEnds = presence
+      .select(col("conv_id"),
+        explode(sequence(col("_d"), col("_d") + lit((w - 1).toLong))).as("_e"))
+      .distinct()
+    val wau = windowEnds
+      .join(dau.select(col("_d").as("_e")), Seq("_e"), "left_semi")
+      .groupBy(col("_e"))
+      .agg(count(lit(1)).as("rolling_active"))
+    dau.join(wau, dau("_d") === wau("_e"))
+      .select(timestamp_micros(col("_d") * lit(dayUs)).as("day"),
+        col("active_convs"), col("rolling_active"))
+  }
+
+  /** HLL-sketch sibling of [[rollingActiveDaily]] — the mergeable-
+    * artifact fast path (the [[graft.rollup.Rollup.mergeHistogram]]
+    * doctrine, here with Apache DataSketches HLL via Spark's native
+    * `hll_sketch_agg`/`hll_union_agg`): ONE sketch per day absorbs
+    * duplicate presence map-side (no distinct exchange at all — the
+    * raw (conv, day) stream feeds the sketch directly), the daily
+    * binary artifacts union over each trailing-`w` window, and the
+    * rolling estimate reads off the merged sketch. At 100 TB the daily
+    * sketches persist beside the rollup tiers and a w-day re-estimate
+    * merges w fixed-size artifacts instead of re-touching presence at
+    * all; estimates are deterministic for a given input (bounded-error
+    * vs the exact sibling in SeriesOpsSpec, rows-only at the driver by
+    * design — DuckDB cannot reproduce DataSketches HLL).
+    */
+  def rollingActiveSketchDaily(transcripts: DataFrame, w: Int = 7,
+      lgK: Int = 12): DataFrame = {
+    require(w >= 1 && w <= 366, s"window must be in [1, 366] days, got $w")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    TimeArith.requireUtcForNtz(transcripts, "ts")
+    val dayUs = 86400L * 1000000L
+    val daily = transcripts
+      .filter(col("ts").isNotNull && col("conv_id").isNotNull)
+      .select(col("conv_id"), dayNumCol.as("_d"))
+      .groupBy(col("_d"))
+      .agg(hll_sketch_agg(col("conv_id"), lit(lgK)).as("_sk"))
+    daily
+      .select(explode(sequence(col("_d"), col("_d") + lit((w - 1).toLong)))
+        .as("_e"), col("_sk"))
+      .join(daily.select(col("_d").as("_e")), Seq("_e"), "left_semi")
+      .groupBy(col("_e"))
+      .agg(hll_union_agg(col("_sk")).as("_u"))
+      .select(timestamp_micros(col("_e") * lit(dayUs)).as("day"),
+        hll_sketch_estimate(col("_u")).as("rolling_active_est"))
+  }
+
   /** Interpolated median of a (possibly unsorted) numeric array —
     * sorted-array element arithmetic, NOT an engine `median()` call,
     * so the Spark and DuckDB definitions cannot drift: odd n takes the

@@ -282,6 +282,15 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
           Dedup.decontaminate(session.table(args(0)), session.table(args(1)),
             args(2).toInt, args(3).toInt, args(4).toDouble)
         else Dedup.decontaminate(session.table(args(0)), session.table(args(1)))
+      case "rolling_active" =>
+        if (args.length == 2)
+          SeriesOps.rollingActiveDaily(session.table(args(0)), args(1).toInt)
+        else SeriesOps.rollingActiveDaily(session.table(args(0)))
+      case "rolling_active_sketch" =>
+        if (args.length == 3)
+          SeriesOps.rollingActiveSketchDaily(session.table(args(0)),
+            args(1).toInt, args(2).toInt)
+        else SeriesOps.rollingActiveSketchDaily(session.table(args(0)))
       case "session_coverage" =>
         if (args.length == 2)
           SeriesOps.sessionCoverageDaily(session.table(args(0)), args(1).toLong)

@@ -318,6 +318,10 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.SeriesOps.hampelDaily(tr, w = 5, k = 2.5))
     assertSameRows(ext.sql("SELECT * FROM session_coverage('tr4_ext', 900)"),
       graft.operators.SeriesOps.sessionCoverageDaily(tr, gapSeconds = 900L))
+    assertSameRows(ext.sql("SELECT * FROM rolling_active('tr4_ext', 5)"),
+      graft.operators.SeriesOps.rollingActiveDaily(tr, w = 5))
+    assertSameRows(ext.sql("SELECT * FROM rolling_active_sketch('tr4_ext', 5, 12)"),
+      graft.operators.SeriesOps.rollingActiveSketchDaily(tr, w = 5, lgK = 12))
     assertSameRows(ext.sql("SELECT * FROM lorenz_deciles('tr4_ext', 4)"),
       graft.operators.SeriesOps.lorenzDeciles(tr, buckets = 4))
     assertSameRows(ext.sql("SELECT * FROM dist_drift('tr4_ext')"),

@@ -2091,6 +2091,44 @@ class SeriesOpsSpec extends SparkTestBase {
       SeriesOps.sessionCoverageDaily(tr, gapSeconds = 0L))
   }
 
+  test("rollingActiveDaily golden: window membership, observed-day grid") {
+    import spark.implicits._
+    val tr = Seq(
+      ("A", 0, Timestamp.valueOf("2024-03-01 10:00:00")),
+      ("A", 1, Timestamp.valueOf("2024-03-09 10:00:00")),
+      ("B", 0, Timestamp.valueOf("2024-03-02 10:00:00"))
+    ).toDF("conv_id", "turn_idx", "ts")
+    val got = SeriesOps.rollingActiveDaily(tr, w = 7).orderBy("day").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("day").toString.take(10),
+        r.getAs[Long]("active_convs"), r.getAs[Long]("rolling_active")))
+    // day 2: A (active day 1, inside the 7-day window) + B = 2 rolling;
+    // day 9: only A's fresh presence — day-1 A and day-2 B both aged out
+    assert(got.toSeq == Seq(
+      ("2024-03-01", 1L, 1L), ("2024-03-02", 1L, 2L), ("2024-03-09", 1L, 1L)))
+    intercept[IllegalArgumentException](SeriesOps.rollingActiveDaily(tr, w = 0))
+  }
+
+  test("rollingActiveSketchDaily: bounded error vs exact, deterministic, dup-immune") {
+    val got = SeriesOps.rollingActiveSketchDaily(turns, w = 7).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("day") ->
+        r.getAs[Long]("rolling_active_est")).toMap
+    val exact = SeriesOps.rollingActiveDaily(turns, w = 7).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("day") ->
+        r.getAs[Long]("rolling_active")).toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (d, ex) =>
+      val err = math.abs(got(d) - ex).toDouble / ex
+      assert(err <= 0.05, s"day $d: est ${got(d)} vs exact $ex (err $err)")
+    }
+    // deterministic re-run (same sketches, same estimates)
+    val again = SeriesOps.rollingActiveSketchDaily(turns, w = 7).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("day") ->
+        r.getAs[Long]("rolling_active_est")).toMap
+    assert(again == got)
+    intercept[IllegalArgumentException](
+      SeriesOps.rollingActiveSketchDaily(turns, lgK = 2))
+  }
+
   test("hampelDaily plan: census + one window, no joins; rejects bad params") {
     val plan = SeriesOps.hampelDaily(turns).queryExecution.executedPlan.toString
     assert(plan.contains("Window"), s"expected the rolling window:\n$plan")
