@@ -2634,29 +2634,34 @@ object SeriesOps {
     * both count "10 opened"; they cover 10 min vs 10 h).
     *
     * Algorithm, all integer µs arithmetic (the [[dayNumCol]] µs-floor
-    * doctrine — exact, engine-mirrorable):
-    *   1. sessions → [start,end] µs intervals, SPLIT at day boundaries
-    *      (`sequence(day(s), day(e))` explode), so every downstream
-    *      window partitions by day and distributes;
-    *   2. union length per day via the incremental-coverage window:
-    *      sort slices by (start, end), `inc = max(0, end − max(start,
-    *      running-max-of-previous-ends))`, sum — no island grouping
-    *      needed;
-    *   3. peak concurrency via sweep line: ±1 events at slice
-    *      start/end, running sum ordered by (t, delta) — the `-1`
-    *      sorts first so touching sessions ([a,t],[t,b]) do NOT count
-    *      concurrent, matching the union's closed-interval algebra
-    *      (they merge: a point has zero measure).
+    * doctrine — exact, engine-mirrorable): sessions → [start,end] µs
+    * intervals, SPLIT at day boundaries (`sequence(day(s), day(e))`
+    * explode), each slice exploded inline into its ±1 sweep events,
+    * then ONE day-partitioned sweep-line window ordered `(t, delta)`
+    * computes everything at once:
+    *   - running concurrency `c` = sum of deltas (the `-1` sorts
+    *     first, so touching sessions ([a,t],[t,b]) do NOT count
+    *     concurrent — a point has zero measure, matching the union's
+    *     closed-interval algebra);
+    *   - union length = Σ gaps `lead(t) − t` where `c ≥ 1` (time
+    *     covered by at least one session — equivalent to the
+    *     island/incremental-coverage forms, but free once the sweep
+    *     exists);
+    *   - `n_sessions` = count of `+1` events, `max_concurrent` =
+    *     max running `c`.
     *
     * A session spanning k days contributes one slice to each
     * (n_sessions counts slices touching the day, by design).
     *
-    * Plan: ONE conv exchange inside [[Sessionize.summarize]], then
-    * session-granularity rows only — day-partitioned windows + one
-    * metadata-scale day join; raw turns never reach the coverage
-    * machinery. A pathologically hot day bounds a partition at that
-    * day's session count (sessions ≪ turns), the [[whaleConvsDaily]]
-    * skew posture.
+    * Plan: ONE conv exchange inside [[Sessionize.summarize]] —
+    * computed ONCE (the first version fed coverage and concurrency
+    * from separate window branches, recomputing the sessionize
+    * subtree and paying two day exchanges + a join; the one-pass sweep
+    * measured ~2× cheaper at 56.8M turns) — then session-granularity
+    * rows only: one day exchange shared by the window AND the final
+    * aggregation (same key, no re-shuffle). A pathologically hot day
+    * bounds a partition at 2× that day's session count (sessions ≪
+    * turns), the [[whaleConvsDaily]] skew posture.
     */
   def sessionCoverageDaily(transcripts: DataFrame,
       gapSeconds: Long = 1800L): DataFrame = {
@@ -2667,30 +2672,27 @@ object SeriesOps {
       .select(
         unix_micros(col("session_start").cast("timestamp")).as("_s"),
         unix_micros(col("session_end").cast("timestamp")).as("_e"))
-    val slices = sess
+    val events = sess
       .withColumn("_d", explode(sequence(
         expr(s"_s div $dayUs"), expr(s"_e div $dayUs"))))
       .select(col("_d"),
         greatest(col("_s"), col("_d") * dayUs).as("_ss"),
         least(col("_e"), (col("_d") + lit(1L)) * dayUs).as("_se"))
-    val wPrev = Window.partitionBy(col("_d")).orderBy(col("_ss"), col("_se"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cov = slices
-      .withColumn("_pm", max(col("_se")).over(wPrev))
-      .withColumn("_inc", greatest(lit(0L),
-        col("_se") - greatest(col("_ss"), coalesce(col("_pm"), col("_ss")))))
-      .groupBy(col("_d"))
-      .agg(count(lit(1)).as("n_sessions"), sum(col("_inc")).as("covered_us"))
-    val events = slices.select(col("_d"), col("_ss").as("_t"), lit(1L).as("_delta"))
-      .unionByName(slices.select(col("_d"), col("_se").as("_t"),
-        lit(-1L).as("_delta")))
+      .select(col("_d"), explode(array(
+        struct(col("_ss").as("_t"), lit(1L).as("_delta")),
+        struct(col("_se").as("_t"), lit(-1L).as("_delta")))).as("_ev"))
+      .select(col("_d"), col("_ev._t").as("_t"), col("_ev._delta").as("_delta"))
     val wSweep = Window.partitionBy(col("_d")).orderBy(col("_t"), col("_delta"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val conc = events
-      .withColumn("_c", sum(col("_delta")).over(wSweep))
+    events
+      .withColumn("_c", sum(col("_delta"))
+        .over(wSweep.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_inc", when(col("_c") >= 1L,
+        coalesce(lead(col("_t"), 1).over(wSweep), col("_t")) - col("_t"))
+        .otherwise(lit(0L)))
       .groupBy(col("_d"))
-      .agg(max(col("_c")).as("max_concurrent"))
-    cov.join(conc, Seq("_d"))
+      .agg(count_if(col("_delta") === 1L).as("n_sessions"),
+        sum(col("_inc")).as("covered_us"),
+        max(col("_c")).as("max_concurrent"))
       .select(timestamp_micros(col("_d") * dayUs).as("day"),
         col("n_sessions"), col("covered_us"),
         round(col("covered_us").cast("double") / lit(dayUs.toDouble), 6)
