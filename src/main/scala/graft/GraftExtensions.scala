@@ -316,6 +316,9 @@ object GraftExtensions {
     tfn("snapshot_diff",
       "(old_table, new_table, key_cols, measure_cols) - added/removed/changed keys between two snapshots; key_cols/measure_cols are comma-separated column lists",
       arities = Set(4)),
+    tfn("minhash_calibration",
+      "(docs_table[, k, bands, max_bucket]) - estimated vs exact jaccard per banded candidate pair (defaults 16, 4, 64)",
+      arities = Set(1, 4), intArgs = Set(1, 2, 3)),
     tfn("decontaminate_bloom",
       "(corpus_table, bench_table[, threshold, num_bits, num_hashes]) - exact-recall decontamination via a bloom-prescreened all-pairs jaccard (defaults 0.5, 262144, 3)",
       arities = Set(2, 5), doubleArgs = Set(2), intArgs = Set(3, 4)),

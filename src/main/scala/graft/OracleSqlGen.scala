@@ -73,6 +73,74 @@ object OracleSqlGen {
        |            CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) >= $threshold""".stripMargin
   }
 
+  /** MinHash calibration — mirrors
+    * [[graft.operators.Dedup.minhashCalibration]]: identical
+    * signature/band/star-guard CTEs as [[minhashLsh]], estimated
+    * jaccard = agreeing components / k (NULL components agree on
+    * nothing via CASE), exact jaccard with the threshold-0 filter the
+    * Spark verify applies (drops 0/0-undefined pairs on both sides).
+    */
+  def minhashCalibration(k: Int, bands: Int, maxBucket: Int = 64): String = {
+    val rowsPerBand = k / bands
+    val P = graft.functions.TextFunctions.minhashP
+    val sigCols = (0 until k).map { i =>
+      val (a, b) = graft.functions.TextFunctions.minhashCoeffs(i)
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $P)) AS mh$i"
+    }.mkString(",\n    ")
+    val M = graft.operators.Dedup.bandFoldM
+    val P31 = graft.operators.Dedup.bandFoldP
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand).foldLeft(s"$b") { (acc, r) =>
+        s"(($acc) * $M + mh${b * rowsPerBand + r}) % $P31"
+      }
+      s"SELECT doc_id, $key AS bk FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val agree = (0 until k).map(i =>
+      s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $shingleCte,
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hs
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM hs),
+       |band AS (
+       |  $bandSelects),
+       |stats AS (
+       |  SELECT bk, COUNT(*) AS n, MIN(doc_id) AS rep
+       |  FROM band GROUP BY 1 HAVING COUNT(*) > 1),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM band a
+       |    JOIN band b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |    JOIN stats s ON s.bk = a.bk
+       |    WHERE s.n <= $maxBucket
+       |    UNION ALL
+       |    SELECT s.rep AS doc_a, x.doc_id AS doc_b
+       |    FROM band x JOIN stats s ON s.bk = x.bk
+       |    WHERE s.n > $maxBucket AND x.doc_id != s.rep)),
+       |ds AS (SELECT doc_id, list_distinct(hs) AS s FROM hs),
+       |est AS (
+       |  SELECT cand.doc_a, cand.doc_b,
+       |    ROUND(CAST($agree AS DOUBLE) / $k.0, 6) AS est_jaccard
+       |  FROM cand JOIN sig a ON cand.doc_a = a.doc_id
+       |            JOIN sig b ON cand.doc_b = b.doc_id),
+       |ex AS (
+       |  SELECT doc_a, doc_b,
+       |    ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |          (CAST(len(x.s) + len(y.s) AS DOUBLE)
+       |           - CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)), 6) AS exact_jaccard
+       |  FROM cand JOIN ds x ON cand.doc_a = x.doc_id
+       |            JOIN ds y ON cand.doc_b = y.doc_id)
+       |SELECT est.doc_a, est.doc_b, est.est_jaccard, ex.exact_jaccard,
+       |  ROUND(abs(est.est_jaccard - ex.exact_jaccard), 6) AS abs_err
+       |FROM est JOIN ex ON est.doc_a = ex.doc_a AND est.doc_b = ex.doc_b
+       |WHERE ex.exact_jaccard >= 0.0""".stripMargin
+  }
+
   def simhashSigCte(bits: Int): String = {
     val bitSums = (0 until bits).map(j =>
       s"SUM(cnt * (((h >> $j) & 1) * 2 - 1)) AS bs$j").mkString(",\n    ")

@@ -659,7 +659,13 @@ object SparkEntry {
     // SeriesOpsSpec)
     "q132_rolling_active_sketch" -> ((s, dir) =>
       graft.operators.SeriesOps.rollingActiveSketchDaily(
-        transcripts(s, dir), w = 7, lgK = 12))
+        transcripts(s, dir), w = 7, lgK = 12)),
+    // minhash calibration audit: signature-estimated vs exact jaccard
+    // per banded candidate pair — the (k, bands, threshold) tuning
+    // report, oracle-exact including the estimator itself
+    "q133_minhash_calibration" -> ((s, dir) =>
+      graft.operators.Dedup.minhashCalibration(
+        s.read.parquet(s"$dir/documents.parquet"), k = 16, bands = 4))
   )
 
   private val rollupSelect: String =
@@ -2858,6 +2864,8 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT MAKE_TIMESTAMP(dau.d * 86400000000) AS day,
         |  dau.active_convs, wau.rolling_active
-        |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin)
+        |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin),
+    "q133_minhash_calibration" ->
+      OracleSqlGen.minhashCalibration(k = 16, bands = 4)
   )
 }

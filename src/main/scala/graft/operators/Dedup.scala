@@ -433,6 +433,53 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("jaccard"))
   }
 
+  /** MinHash calibration audit: for every banded candidate pair, the
+    * signature-ESTIMATED jaccard (fraction of agreeing minhash
+    * components — the unbiased estimator LSH thresholds actually act
+    * on) next to the EXACT shingle jaccard, plus their absolute error.
+    * This is the tuning report behind every (k, bands, threshold)
+    * choice in the dedup family: the estimator's observed error
+    * distribution on the real corpus tells you whether k is large
+    * enough for the band curve you assumed, BEFORE a production run
+    * trusts it — sketch-calibration as a first-class query, the same
+    * audit posture as [[graft.operators.SnapshotDiff]] for rollups.
+    *
+    * NULL signatures (empty/short docs — minhash of an empty hash
+    * array is NULL by pin) agree on no component: est 0, and the exact
+    * side drops undefined jaccards (0/0), so degenerate pairs never
+    * reach the report. Candidate discovery reuses the banded kernel
+    * verbatim (star guard included); the oracle mirrors signatures,
+    * banding, star guard, and both divisions term for term.
+    *
+    * Plan: the candidate frame is referenced by the estimate join AND
+    * the verify's three uses — same lazy pin + caller-released
+    * lifecycle as [[minhashLsh]]. Signature recomputation for the two
+    * estimate sides is map-side only; pairs (vanishing vs corpus) are
+    * the only joined rows.
+    */
+  def minhashCalibration(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      maxBucket: Int = 64): DataFrame = {
+    val sigs = minhashSignatures(docs, k)
+    val cand = lshCandidatePairs(sigs, k, bands, maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def side(name: String) = sigs.select(
+      col("doc_id").as(name) +:
+        (0 until k).map(i => col(s"mh$i").as(s"_${name}_$i")): _*)
+    val agree = (0 until k).map(i =>
+      when(col(s"_doc_a_$i") === col(s"_doc_b_$i"), lit(1)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val est = cand
+      .join(side("doc_a"), Seq("doc_a"))
+      .join(side("doc_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(agree.cast("double") / lit(k.toDouble), 6).as("est_jaccard"))
+    val exact = jaccardVerify(docs, cand, threshold = 0.0)
+    est.join(exact, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        col("jaccard").as("exact_jaccard"),
+        round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
+  }
+
   /** Dynamic-shift `1L << amount` — the Scala `functions.shiftleft`
     * wrapper only takes a literal Int amount, but the underlying
     * Catalyst ShiftLeft takes any expression; bridge it so the bloom

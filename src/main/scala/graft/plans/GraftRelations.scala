@@ -304,6 +304,11 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         val Seq(o, n, ks, ms) = args.take(4)
         SnapshotDiff.diff(session.table(o), session.table(n),
           ks.split(",").map(_.trim).toSeq, ms.split(",").map(_.trim).toSeq)
+      case "minhash_calibration" =>
+        if (args.length == 4)
+          Dedup.minhashCalibration(session.table(args(0)), args(1).toInt,
+            args(2).toInt, args(3).toInt)
+        else Dedup.minhashCalibration(session.table(args(0)))
       case "decontaminate_bloom" =>
         if (args.length == 5)
           Dedup.decontaminateBloom(session.table(args(0)), session.table(args(1)),

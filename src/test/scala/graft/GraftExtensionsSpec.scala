@@ -433,6 +433,10 @@ class GraftExtensionsSpec extends SparkTestBase {
       ext.sql("SELECT * FROM decontaminate_bloom('corpus_ext', 'bench_ext', 0.5, 4096, 3)"),
       graft.operators.Dedup.decontaminateBloom(
         all.filter(!isBench), all.filter(isBench), 0.5, 4096, 3))
+    all.createOrReplaceTempView("docs_cal_ext")
+    assertSameRows(
+      ext.sql("SELECT * FROM minhash_calibration('docs_cal_ext', 16, 8, 64)"),
+      graft.operators.Dedup.minhashCalibration(all, 16, 8, 64))
     val r1 = graft.rollup.Rollup.fromRaw(tr, graft.model.Tier.H1)
       .select(col("conv_id"), col("window_start"), col("turn_count"))
     r1.filter(col("turn_count") > 1).createOrReplaceTempView("snap_old_ext")

@@ -465,6 +465,31 @@ class DedupSpec extends SparkTestBase {
       s"survivor-shingle pairing must be a broadcast hash join:\n$plan")
   }
 
+  test("minhashCalibration: exact dups estimate 1.0; estimates quantized to 1/k; injected pairs present") {
+    val all = graft.ingest.Synth.documents(spark, n = 300, seed = 11L)
+    val got = Dedup.minhashCalibration(all, k = 16, bands = 8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Double]("est_jaccard"), r.getAs[Double]("exact_jaccard"),
+          r.getAs[Double]("abs_err")))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (pair, (est, exact, err)) =>
+      // estimator is (# agreeing components)/16 — quantized to 1/16
+      assert((est * 16).round / 16.0 == est, s"$pair est not a 16th: $est")
+      assert(est >= 0.0 && est <= 1.0 && exact >= 0.0 && exact <= 1.0)
+      assert(math.abs(err - math.rint(math.abs(est - exact) * 1e6) / 1e6) < 1e-9,
+        s"$pair err mismatch: $err vs |$est - $exact|")
+    }
+    // injected exact duplicates (id%10==8, anchored at id-2): identical
+    // text => identical signatures => est 1.0 AND exact 1.0
+    val exactPairs = (8L until 300L by 10L).map(i => (i - 2, i))
+    exactPairs.foreach { p =>
+      val hit = got.get(p)
+      assert(hit.exists(v => v._1 == 1.0 && v._2 == 1.0), s"exact dup $p: $hit")
+    }
+    intercept[IllegalArgumentException](
+      Dedup.minhashCalibration(docs, k = 16, bands = 5))
+  }
+
   test("decontaminateBloom/bloomBits reject bad parameters") {
     intercept[IllegalArgumentException](Dedup.bloomBits(docs, numBits = 100))
     intercept[IllegalArgumentException](Dedup.bloomBits(docs, numHashes = 0))
