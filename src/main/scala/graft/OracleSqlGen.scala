@@ -351,6 +351,64 @@ object OracleSqlGen {
        |FROM documents""".stripMargin
   }
 
+  /** Quality-gate mirror — [[graft.operators.TextAnalysis.qualityGate]]
+    * term for term: the [[textStats]] ratio shapes, the q126
+    * chunk-line/bigram shapes guarded NULL below 3 tokens (COALESCE
+    * false in the repetition flag), and `keep` recomputed from the
+    * same subexpressions.
+    */
+  def qualityGate(minTokens: Long, maxTokens: Long,
+      minMeanTokChars: Double, maxMeanTokChars: Double,
+      maxPunct: Double, minStopword: Double,
+      maxDupLineChar: Double, maxDupBigram: Double): String = {
+    val stop = graft.functions.TextFunctions.stopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH b AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (
+       |  SELECT doc_id, text, toks,
+       |    CASE WHEN len(toks) >= 3 THEN
+       |      [array_to_string(toks[(i*2+1):(i*2+2)], ' ')
+       |       for i in generate_series(0, (len(toks)-1)//2)] END AS lines,
+       |    CASE WHEN len(toks) >= 3 THEN
+       |      [concat(toks[i], ' ', toks[i+1])
+       |       for i in generate_series(1, len(toks)-1)] END AS bg
+       |  FROM b),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum([length(x) for x in toks]) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS meantok,
+       |    CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE
+       |      CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+       |        / CAST(LENGTH(text) AS DOUBLE) END AS punct_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+       |      CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
+       |        / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+       |    CASE WHEN lines IS NULL THEN NULL ELSE
+       |      CAST(list_sum([length(x) for x in lines])
+       |        - list_sum([length(x) for x in list_distinct(lines)]) AS DOUBLE)
+       |        / CAST(list_sum([length(x) for x in lines]) AS DOUBLE) END AS dlc,
+       |    CASE WHEN bg IS NULL THEN NULL ELSE
+       |      CAST(len(list_filter(bg,
+       |        x -> len(list_filter(bg, y -> y = x)) > 1)) AS DOUBLE)
+       |        / CAST(len(bg) AS DOUBLE) END AS dbg
+       |  FROM g)
+       |SELECT doc_id, n_tokens,
+       |  n_tokens < $minTokens AS too_short,
+       |  n_tokens > $maxTokens AS too_long,
+       |  (meantok < $minMeanTokChars OR meantok > $maxMeanTokChars) AS bad_word_len,
+       |  punct_ratio > $maxPunct AS high_punct,
+       |  stopword_ratio < $minStopword AS low_stopword,
+       |  COALESCE(dlc > $maxDupLineChar OR dbg > $maxDupBigram, FALSE) AS repetitive,
+       |  NOT (n_tokens < $minTokens OR n_tokens > $maxTokens
+       |    OR meantok < $minMeanTokChars OR meantok > $maxMeanTokChars
+       |    OR punct_ratio > $maxPunct OR stopword_ratio < $minStopword
+       |    OR COALESCE(dlc > $maxDupLineChar OR dbg > $maxDupBigram, FALSE)) AS keep
+       |FROM m""".stripMargin
+  }
+
   /** q27 mirror — winnowing fingerprint pairs: md5-prefix k-gram
     * hashes (the [[graft.functions.TextOps]] `h28` form), sliding
     * w-window minimum (docs with fewer than w gram positions take the

@@ -665,7 +665,18 @@ object SparkEntry {
     // report, oracle-exact including the estimator itself
     "q133_minhash_calibration" -> ((s, dir) =>
       graft.operators.Dedup.minhashCalibration(
-        s.read.parquet(s"$dir/documents.parquet"), k = 16, bands = 4))
+        s.read.parquet(s"$dir/documents.parquet"), k = 16, bands = 4)),
+    // Gopher-style composite quality gate: per-doc keep/drop verdict
+    // with boolean reason flags — the curation filter a training
+    // pipeline runs before dedup ever shuffles; one scan, zero
+    // shuffles. minTokens/maxDupLineChar set at the driver corpus's
+    // p5/p95+ so three flags actually discriminate here (too_short,
+    // low_stopword, repetitive); punct/meantok flags are pinned by
+    // crafted docs in TextAnalysisSpec (this corpus has no punctuation)
+    "q134_quality_gate" -> ((s, dir) =>
+      graft.operators.TextAnalysis.qualityGate(
+        s.read.parquet(s"$dir/documents.parquet"),
+        minTokens = 16L, maxDupLineChar = 0.1))
   )
 
   private val rollupSelect: String =
@@ -2866,6 +2877,14 @@ object SparkEntry {
         |  dau.active_convs, wau.rolling_active
         |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin),
     "q133_minhash_calibration" ->
-      OracleSqlGen.minhashCalibration(k = 16, bands = 4)
+      OracleSqlGen.minhashCalibration(k = 16, bands = 4),
+    // mirrors TextAnalysis.qualityGate: q21's ratio shapes, q126's
+    // chunk/bigram shapes (guarded NULL below 3 tokens, COALESCE
+    // false), keep = NOT(any flag) over the same subexpressions
+    "q134_quality_gate" -> OracleSqlGen.qualityGate(
+      minTokens = 16, maxTokens = 100000,
+      minMeanTokChars = 2.0, maxMeanTokChars = 12.0,
+      maxPunct = 0.3, minStopword = 0.01,
+      maxDupLineChar = 0.1, maxDupBigram = 0.5)
   )
 }

@@ -42,11 +42,14 @@ object DedupScaleProbe {
       // column keeps the optimizer from pruning the map-only metrics
       val (rp, tRp) = timed(graft.operators.TextAnalysis.repetition(docs)
         .agg(count(col("dup_bigram_frac"))).head().getLong(0))
+      val (qg, tQg) = timed(graft.operators.TextAnalysis.qualityGate(docs)
+        .agg(count(col("keep"))).head().getLong(0))
       println(f"[dedup-probe] rep=$r cores=$cores docs=$n " +
         f"exact=$tEx%.2fs (${n / tEx}%.0f docs/s, $ex groups) " +
         f"minhash_lsh=$tMh%.2fs (${n / tMh}%.0f docs/s, $mh pairs) " +
         f"simhash_pairs=$tSh%.2fs (${n / tSh}%.0f docs/s, $sh pairs) " +
-        f"repetition=$tRp%.2fs (${n / tRp}%.0f docs/s, $rp docs)")
+        f"repetition=$tRp%.2fs (${n / tRp}%.0f docs/s, $rp docs) " +
+        f"quality_gate=$tQg%.2fs (${n / tQg}%.0f docs/s, $qg docs)")
     }
 
     // decontamination head-to-head: banded minhash (LSH recall curve)

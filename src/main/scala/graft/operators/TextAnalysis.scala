@@ -88,6 +88,76 @@ object TextAnalysis {
           "cast(size(tg) as double)"), 6).as("dup_trigram_frac"))
   }
 
+  /** Gopher-style composite quality GATE — the keep/drop decision a
+    * training pipeline actually runs, assembled from the exact metrics
+    * this family already computes ([[stats]] ratios, [[repetition]]
+    * chunk/bigram fractions) as per-document boolean reason flags plus
+    * the final `keep` verdict. Filtering with reasons (not just a
+    * score) is the curation norm: reason counts per shard are the
+    * drift dashboard, and a rule can be loosened by re-deriving `keep`
+    * from the flags without re-touching text.
+    *
+    * Rules (all thresholds are parameters; defaults in the Gopher
+    * neighborhood adapted to this corpus's single-line documents):
+    * token-count band, mean-token-length band, punctuation-ratio cap,
+    * stopword-ratio floor (non-natural text), and the repetition rule
+    * (duplicate-chunk char mass / duplicate-bigram positions) — the
+    * repetition metrics are undefined below 3 tokens and count as NOT
+    * repetitive there (such docs already fail the token band).
+    *
+    * ONE scan, zero shuffles: every metric is per-row array/regexp
+    * arithmetic inlined into a single projection (the q126 expression
+    * set, guarded), codegen'd end to end — at 100 TB the gate costs a
+    * map pass over text, and it runs BEFORE dedup ever shuffles.
+    */
+  def qualityGate(docs: DataFrame,
+      minTokens: Long = 10L, maxTokens: Long = 100000L,
+      minMeanTokChars: Double = 2.0, maxMeanTokChars: Double = 12.0,
+      maxPunct: Double = 0.3, minStopword: Double = 0.01,
+      maxDupLineChar: Double = 0.3, maxDupBigram: Double = 0.5): DataFrame = {
+    require(minTokens >= 1 && maxTokens > minTokens,
+      s"token band must satisfy 1 <= min < max, got [$minTokens, $maxTokens]")
+    require(minMeanTokChars > 0 && maxMeanTokChars > minMeanTokChars,
+      "mean-token-chars band must satisfy 0 < min < max")
+    val guarded = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        when(size(col("toks")) >= 3, expr(
+          "transform(sequence(0, (size(toks) - 1) div 2), " +
+            "i -> array_join(slice(toks, i * 2 + 1, 2), ' '))")).as("lines"),
+        when(size(col("toks")) >= 3, expr(
+          "transform(sequence(1, size(toks) - 1), i -> " +
+            "concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("bg"))
+    val n = size(col("toks")).cast("long")
+    val meanTok =
+      expr("cast(aggregate(toks, 0L, (a, x) -> a + length(x)) as double)") /
+        n.cast("double")
+    val dupLineChar = expr(
+      "cast(aggregate(lines, 0L, (a, x) -> a + length(x)) - " +
+        "aggregate(array_distinct(lines), 0L, (a, x) -> a + length(x)) as double) / " +
+        "cast(aggregate(lines, 0L, (a, x) -> a + length(x)) as double)")
+    val dupBigram = expr(
+      "cast(size(filter(bg, x -> size(filter(bg, y -> y = x)) > 1)) as double) / " +
+        "cast(size(bg) as double)")
+    val flagged = guarded.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      (n < minTokens).as("too_short"),
+      (n > maxTokens).as("too_long"),
+      (meanTok < minMeanTokChars || meanTok > maxMeanTokChars)
+        .as("bad_word_len"),
+      (TextFunctions.punctRatio(col("text")) > maxPunct).as("high_punct"),
+      (TextFunctions.stopwordRatio(col("text")) < minStopword)
+        .as("low_stopword"),
+      coalesce(dupLineChar > maxDupLineChar || dupBigram > maxDupBigram,
+        lit(false)).as("repetitive"))
+    flagged.withColumn("keep",
+      !(col("too_short") || col("too_long") || col("bad_word_len") ||
+        col("high_punct") || col("low_stopword") || col("repetitive")))
+  }
+
   def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
     docs.select(
       col("doc_id"),

@@ -304,6 +304,11 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         val Seq(o, n, ks, ms) = args.take(4)
         SnapshotDiff.diff(session.table(o), session.table(n),
           ks.split(",").map(_.trim).toSeq, ms.split(",").map(_.trim).toSeq)
+      case "quality_gate" =>
+        if (args.length == 3)
+          TextAnalysis.qualityGate(session.table(args(0)),
+            minTokens = args(1).toLong, maxTokens = args(2).toLong)
+        else TextAnalysis.qualityGate(session.table(args(0)))
       case "minhash_calibration" =>
         if (args.length == 4)
           Dedup.minhashCalibration(session.table(args(0)), args(1).toInt,

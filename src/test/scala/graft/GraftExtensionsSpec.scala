@@ -437,6 +437,10 @@ class GraftExtensionsSpec extends SparkTestBase {
     assertSameRows(
       ext.sql("SELECT * FROM minhash_calibration('docs_cal_ext', 16, 8, 64)"),
       graft.operators.Dedup.minhashCalibration(all, 16, 8, 64))
+    assertSameRows(
+      ext.sql("SELECT * FROM quality_gate('docs_cal_ext', 20, 5000)"),
+      graft.operators.TextAnalysis.qualityGate(all,
+        minTokens = 20L, maxTokens = 5000L))
     val r1 = graft.rollup.Rollup.fromRaw(tr, graft.model.Tier.H1)
       .select(col("conv_id"), col("window_start"), col("turn_count"))
     r1.filter(col("turn_count") > 1).createOrReplaceTempView("snap_old_ext")

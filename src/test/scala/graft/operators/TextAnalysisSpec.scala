@@ -97,4 +97,55 @@ class TextAnalysisSpec extends SparkTestBase {
       .sortBy(_.getLong(0)).toSeq
     assert(got.map(_.toString) == expected.map(_.toString))
   }
+
+  test("qualityGate: each rule fires on its crafted doc; clean doc keeps") {
+    val corpus = Seq(
+      // 0: clean English-ish doc - every rule passes
+      (0L, "the cat sat on the mat and it was a very good day in the park"),
+      // 1: too short (4 tokens < 10)
+      (1L, "the cat sat down"),
+      // 2: mean token length too high (no stopwords either)
+      (2L, "extraordinarily incomprehensible characteristically " +
+        "disproportionately overwhelmingly institutionalization " +
+        "compartmentalization internationalization misinterpretation " +
+        "counterproductively"),
+      // 3: punctuation-heavy (also repetitive bigrams)
+      (3L, "the ?!?! ?!?! ?!?! ?!?! ?!?! ?!?! ?!?! ?!?! ?!?! of !!!"),
+      // 4: no stopwords at all
+      (4L, "cats dogs birds fish horses sheep goats cows pigs ducks " +
+        "geese swans foxes wolves bears"),
+      // 5: repetitive - one chunk repeated throughout
+      (5L, "the cat the cat the cat the cat the cat the cat the cat " +
+        "the cat the cat the cat")
+    )
+    val got = TextAnalysis.qualityGate(docs(corpus),
+        minTokens = 10L, maxDupLineChar = 0.3, maxDupBigram = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def flags(id: Long) = Seq("too_short", "too_long", "bad_word_len",
+      "high_punct", "low_stopword", "repetitive")
+      .filter(f => got(id).getAs[Boolean](f))
+    assert(got(0L).getAs[Boolean]("keep"), s"doc 0 flagged: ${flags(0L)}")
+    assert(flags(1L).contains("too_short") && !got(1L).getAs[Boolean]("keep"))
+    assert(flags(2L).contains("bad_word_len"), s"doc 2: ${flags(2L)}")
+    assert(flags(3L).contains("high_punct"), s"doc 3: ${flags(3L)}")
+    assert(flags(4L).contains("low_stopword"), s"doc 4: ${flags(4L)}")
+    assert(flags(5L).contains("repetitive") && !got(5L).getAs[Boolean]("keep"),
+      s"doc 5: ${flags(5L)}")
+    // a keep verdict is exactly the negation of the flag disjunction
+    got.values.foreach { r =>
+      val any = Seq("too_short", "too_long", "bad_word_len", "high_punct",
+        "low_stopword", "repetitive").exists(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("keep") == !any)
+    }
+  }
+
+  test("qualityGate: one scan, zero exchanges; rejects inverted bands") {
+    val plan = TextAnalysis.qualityGate(docs(Seq((1L, "a b c"))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate must be map-only:\n$plan")
+    intercept[IllegalArgumentException](
+      TextAnalysis.qualityGate(docs(Seq()), minTokens = 5, maxTokens = 5))
+    intercept[IllegalArgumentException](
+      TextAnalysis.qualityGate(docs(Seq()), minMeanTokChars = 9, maxMeanTokChars = 3))
+  }
 }
