@@ -316,6 +316,9 @@ object GraftExtensions {
     tfn("snapshot_diff",
       "(old_table, new_table, key_cols, measure_cols) - added/removed/changed keys between two snapshots; key_cols/measure_cols are comma-separated column lists",
       arities = Set(4)),
+    tfn("embedding_audit",
+      "(embeddings_table) - per-dimension health stats: quantized mean, min/max, zero count, constant-dim flag",
+      arities = Set(1)),
     tfn("quality_gate",
       "(docs_table[, min_tokens, max_tokens]) - Gopher-style keep/drop verdict with boolean reason flags (defaults 10, 100000; ratio thresholds at operator defaults)",
       arities = Set(1, 3), intArgs = Set(1, 2)),

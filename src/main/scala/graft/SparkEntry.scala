@@ -676,7 +676,12 @@ object SparkEntry {
     "q134_quality_gate" -> ((s, dir) =>
       graft.operators.TextAnalysis.qualityGate(
         s.read.parquet(s"$dir/documents.parquet"),
-        minTokens = 16L, maxDupLineChar = 0.1))
+        minTokens = 16L, maxDupLineChar = 0.1)),
+    // per-dimension embedding audit — float sums made order-independent
+    // (and so oracle-exact) by integer quantization
+    "q135_embedding_audit" -> ((s, dir) =>
+      graft.operators.Similarity.embeddingAudit(
+        s.read.parquet(s"$dir/embeddings.parquet")))
   )
 
   private val rollupSelect: String =
@@ -2885,6 +2890,29 @@ object SparkEntry {
       minTokens = 16, maxTokens = 100000,
       minMeanTokChars = 2.0, maxMeanTokChars = 12.0,
       maxPunct = 0.3, minStopword = 0.01,
-      maxDupLineChar = 0.1, maxDupBigram = 0.5)
+      maxDupLineChar = 0.1, maxDupBigram = 0.5),
+    // zipped parallel UNNESTs give (value, 0-based dim); the quantized
+    // floor(x·1e6) BIGINT sum mirrors the order-independent Spark sum
+    "q135_embedding_audit" ->
+      """WITH e AS (
+        |  SELECT UNNEST(embedding) AS x,
+        |    UNNEST(generate_series(0, len(embedding) - 1)) AS dim
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT dim, CAST(x AS DOUBLE) AS xd,
+        |    CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+        |  FROM e),
+        |a AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(qv) AS BIGINT) AS sum_q6,
+        |    MIN(xd) AS min_v, MAX(xd) AS max_v,
+        |    CAST(COUNT(*) FILTER (WHERE xd = 0.0) AS BIGINT) AS zero_n
+        |  FROM q GROUP BY 1)
+        |SELECT dim, n, sum_q6,
+        |  ROUND((CAST(sum_q6 AS DOUBLE) / 1000000.0)
+        |    / CAST(n AS DOUBLE), 6) AS mean_q,
+        |  min_v, max_v, zero_n,
+        |  min_v = max_v AS is_constant
+        |FROM a""".stripMargin
   )
 }

@@ -314,4 +314,48 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("ref_vec_id"), col("sim"),
         (col("sim") < threshold).as("is_outlier"))
   }
+
+  /** Embedding-space audit: per-DIMENSION health statistics for the
+    * whole corpus — the QA pass an embedding pipeline runs before
+    * trusting an encoder version (dead or constant dimensions mean a
+    * truncated/buggy export; a shifted per-dim mean against last
+    * snapshot's audit means the encoder changed under you; zero
+    * inflation means padding leaked in).
+    *
+    * Float summation across rows is ORDER-DEPENDENT and engine
+    * ordering is not reproducible, so the mean is computed from a
+    * QUANTIZED integer sum: `floor(x·10⁶)` per value (float→double
+    * widening is exact, the product and floor are identical IEEE ops
+    * in both engines), summed as BIGINT — associative, deterministic,
+    * oracle-exact; min/max/counts involve no arithmetic at all. The
+    * 10⁻⁶ quantization bias is bounded by 1e-6 per value, below any
+    * drift a dashboard would act on.
+    *
+    * Output per dim (0-based): `n`, `sum_q6` (quantized sum),
+    * `mean_q` (ROUND-6 readout), exact `min_v`/`max_v`, `zero_n`,
+    * `is_constant` (min == max — dead or collapsed dimension).
+    *
+    * Plan: posexplode map-side, ONE exchange of dims×partial rows
+    * (fully decomposable aggregates, partial-aggregated before the
+    * shuffle — at 10⁹ vectors × 1k dims the exchange carries
+    * partitions×dims summary rows, never values).
+    */
+  def embeddingAudit(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "_x")))
+      .select(col("dim"),
+        floor(col("_x").cast("double") * lit(1000000.0)).cast("long").as("_q"),
+        col("_x").cast("double").as("_xd"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_q")).as("sum_q6"),
+        min(col("_xd")).as("min_v"),
+        max(col("_xd")).as("max_v"),
+        count_if(col("_xd") === 0.0).as("zero_n"))
+      .select(col("dim"), col("n"), col("sum_q6"),
+        round((col("sum_q6").cast("double") / lit(1000000.0)) /
+          col("n").cast("double"), 6).as("mean_q"),
+        col("min_v"), col("max_v"), col("zero_n"),
+        (col("min_v") === col("max_v")).as("is_constant"))
 }

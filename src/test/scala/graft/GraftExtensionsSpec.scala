@@ -457,6 +457,9 @@ class GraftExtensionsSpec extends SparkTestBase {
     assertSameRows(
       ext.sql("SELECT * FROM label_outliers('emb_cur_ext', 0.2)"),
       graft.operators.Similarity.labelOutliers(emb, 0.2))
+    assertSameRows(
+      ext.sql("SELECT * FROM embedding_audit('emb_cur_ext')"),
+      graft.operators.Similarity.embeddingAudit(emb))
     // operator-level require() surfaces through the SQL path
     val bad = intercept[Exception] {
       ext.sql("SELECT * FROM sample_per_conv('trc_ext', 0)").collect()

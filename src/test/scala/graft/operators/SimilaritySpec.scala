@@ -237,4 +237,37 @@ class SimilaritySpec extends SparkTestBase {
       s"corpus must not shuffle through a join:\n$plan")
     intercept[IllegalArgumentException](Similarity.labelOutliers(emb, threshold = 1.5))
   }
+
+  test("embeddingAudit golden: quantized means, dead dims, zero counts; null vectors drop") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.5f)),
+      (2L, Seq(2.0f, 0.0f, -0.5f)),
+      (3L, Seq(3.0f, 0.0f, 0.25f)),
+      (4L, null.asInstanceOf[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingAudit(emb).collect()
+      .map(r => r.getAs[Int]("dim") -> r).toMap
+    assert(got.keySet == Set(0, 1, 2))
+    // dim 0: mean (1+2+3)/3 = 2.0, spread alive
+    assert(got(0).getAs[Long]("n") == 3 && got(0).getAs[Double]("mean_q") == 2.0)
+    assert(!got(0).getAs[Boolean]("is_constant"))
+    // dim 1: all zeros — constant AND fully zero-inflated
+    assert(got(1).getAs[Boolean]("is_constant") && got(1).getAs[Long]("zero_n") == 3)
+    assert(got(1).getAs[Long]("sum_q6") == 0L)
+    // dim 2: floor quantization — floor(-0.5e6) = -500000 exactly;
+    // sum = 500000 - 500000 + 250000 = 250000 → mean 0.083333
+    assert(got(2).getAs[Long]("sum_q6") == 250000L)
+    assert(got(2).getAs[Double]("mean_q") == 0.083333)
+    assert(got(2).getAs[Double]("min_v") == -0.5 && got(2).getAs[Double]("max_v") == 0.5)
+  }
+
+  test("embeddingAudit plan: one exchange, partial aggregation before it") {
+    val emb = graft.ingest.Synth.embeddings(spark, 200, dims = 16, seed = 9L)
+    val plan = Similarity.embeddingAudit(emb)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"expected exactly one exchange:\n$plan")
+    assert(!plan.contains("Join"), s"no joins expected:\n$plan")
+  }
 }
