@@ -681,7 +681,12 @@ object SparkEntry {
     // (and so oracle-exact) by integer quantization
     "q135_embedding_audit" -> ((s, dir) =>
       graft.operators.Similarity.embeddingAudit(
-        s.read.parquet(s"$dir/embeddings.parquet")))
+        s.read.parquet(s"$dir/embeddings.parquet"))),
+    // order-independent whole-corpus checksum — one mergeable scalar
+    // for cross-warehouse parity (q115's fingerprints drill down when
+    // the scalars disagree)
+    "q136_corpus_checksum" -> ((s, dir) =>
+      graft.operators.Curation.corpusChecksum(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -2913,6 +2918,22 @@ object SparkEntry {
         |    / CAST(n AS DOUBLE), 6) AS mean_q,
         |  min_v, max_v, zero_n,
         |  min_v = max_v AS is_constant
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    // canonical row string (chr(1) joins, chr(2) null markers, epoch
+    // micros for ts), 60-bit md5 prefix, HUGEINT-exact sum rendered
+    // through DECIMAL(38,0) as text
+    "q136_corpus_checksum" -> Transcripts.oracle(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+        |FROM (
+        |  SELECT CAST('0x' || substr(md5(concat_ws(chr(1),
+        |    COALESCE(conv_id, chr(2)),
+        |    COALESCE(CAST(turn_idx AS VARCHAR), chr(2)),
+        |    COALESCE(role, chr(2)),
+        |    COALESCE(text, chr(2)),
+        |    COALESCE(tool, chr(2)),
+        |    COALESCE(CAST(EPOCH_US(ts) AS VARCHAR), chr(2)))), 1, 15)
+        |    AS BIGINT) AS h
+        |  FROM transcripts)""".stripMargin)
   )
 }

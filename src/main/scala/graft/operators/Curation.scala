@@ -223,6 +223,48 @@ object Curation {
       .select(col("conv_id"), col("turns"), col("char_sum"), col("digest"))
   }
 
+  /** Order-independent corpus checksum: ONE scalar row `(n_rows,
+    * checksum)` over the whole transcripts table — the corpus-parity
+    * audit at its coarsest granularity, complementing
+    * [[convFingerprint]] (one digest per conversation) with a single
+    * comparable number per warehouse/snapshot.
+    *
+    * Each row canonicalizes to a `U+0001`-joined string of all six
+    * columns (null → `U+0002` marker, timestamps as epoch micros), is
+    * hashed to the cross-engine 60-bit md5 prefix, and the hashes SUM
+    * as DECIMAL — addition is commutative/associative, so the checksum
+    * is independent of partitioning, row order, and engine, and shard
+    * checksums MERGE by plain addition (the [[graft.operators.Dedup.bloomBits]]
+    * artifact doctrine: per-shard audits add up to the corpus audit
+    * without a re-scan). A 10¹²-row corpus sums to < 10³⁰, far inside
+    * DECIMAL(38,0); no overflow, no modulus needed.
+    *
+    * Detects any changed/added/dropped/duplicated row ANYWHERE with
+    * hash-collision probability ≈ n²/2⁶¹; it cannot say WHERE — that
+    * is [[convFingerprint]]'s job (drill down only when the scalars
+    * disagree).
+    *
+    * Plan: map-side hash + partial sums into a single-row final
+    * aggregate — one scan, the cheapest possible exchange (one partial
+    * row per task).
+    */
+  def corpusChecksum(transcripts: DataFrame): DataFrame = {
+    val m = lit("\u0002")
+    val canon = concat_ws("\u0001",
+      coalesce(col("conv_id"), m),
+      coalesce(col("turn_idx").cast("string"), m),
+      coalesce(col("role"), m),
+      coalesce(col("text"), m),
+      coalesce(col("tool"), m),
+      coalesce(unix_micros(col("ts").cast("timestamp")).cast("string"), m))
+    transcripts
+      .select(conv(substring(md5(canon), 1, 15), 16, 10)
+        .cast("decimal(20,0)").as("_h"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("_h")).as("_s"))
+      .select(col("n_rows"),
+        col("_s").cast("decimal(38,0)").cast("string").as("checksum"))
+  }
+
   /** Tool-journey census: the ordered sequence of each conversation's
     * first `k` tool calls as a `>`-joined path, counted across the
     * corpus — sequence mining the pairwise operators cannot express

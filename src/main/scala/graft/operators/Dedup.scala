@@ -508,20 +508,25 @@ object Dedup {
       i => pmod(h1 + i.cast("long") * h2, lit(numBits.toLong)))
   }
 
-  /** True iff every probe bit for `h` is set in the packed bloom map
-    * (word-index → 64-bit word). Absent word = all-zero word.
+  /** True iff every probe bit for `h` is set in the DENSE bloom word
+    * array (1-based `element_at` on ArrayType — an O(1) indexed read;
+    * the first cut kept the words in a map<int,long>, and MapType
+    * `element_at` is a LINEAR scan of the entries, which turned the
+    * prescreen into O(words) per probe — measured 200 s vs 5 s on the
+    * 500k-doc probe's cold pass).
     */
   private def bloomHit(bloom: Column, h: Column, numBits: Int,
       numHashes: Int): Column =
     forall(bloomProbes(h, numBits, numHashes), bit =>
-      coalesce(element_at(bloom, shiftright(bit, 6).cast("int")), lit(0L))
+      element_at(bloom, shiftright(bit, 6).cast("int") + lit(1))
         .bitwiseAND(shiftLeftDyn(lit(1L), pmod(bit, lit(64L)).cast("int")))
         =!= lit(0L))
 
   /** Bloom-filter bitset over a benchmark corpus's distinct 3-word
-    * shingle hashes, as a ONE-row frame `(bloom: map<int,bigint>)` of
-    * packed 64-bit words (only non-zero words are materialized, so an
-    * undersized benchmark costs less than `numBits/8` bytes).
+    * shingle hashes, as a ONE-row frame `(bloom: array<bigint>)` of
+    * exactly `numBits/64` packed words — DENSE, so the prescreen's
+    * probe reads are O(1) indexed `element_at`s (default 2¹⁸ bits =
+    * 32 KB on the broadcast wire; even 2²² bits is half a megabyte).
     *
     * This is a mergeable, reusable ARTIFACT in the q121/q123 histogram
     * sense: `bit_or` over word indices is associative and commutative,
@@ -549,7 +554,12 @@ object Dedup {
       .agg(expr("bit_or(_m)").as("_m"))
       .groupBy()
       .agg(map_from_entries(
-        array_sort(collect_list(struct(col("_w"), col("_m"))))).as("bloom"))
+        array_sort(collect_list(struct(col("_w"), col("_m"))))).as("_map"))
+      // densify ONCE (single row): map lookups here cost O(set words)
+      // each, paid numBits/64 times total — never per corpus row
+      .select(transform(sequence(lit(0), lit(numBits / 64 - 1)),
+        i => coalesce(element_at(col("_map"), i.cast("int")), lit(0L)))
+        .as("bloom"))
   }
 
   /** Test-set decontamination with a bloom-filter prescreen — the

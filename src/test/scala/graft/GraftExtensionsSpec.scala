@@ -460,6 +460,9 @@ class GraftExtensionsSpec extends SparkTestBase {
     assertSameRows(
       ext.sql("SELECT * FROM embedding_audit('emb_cur_ext')"),
       graft.operators.Similarity.embeddingAudit(emb))
+    assertSameRows(
+      ext.sql("SELECT * FROM corpus_checksum('trc_ext')"),
+      graft.operators.Curation.corpusChecksum(tr))
     // operator-level require() surfaces through the SQL path
     val bad = intercept[Exception] {
       ext.sql("SELECT * FROM sample_per_conv('trc_ext', 0)").collect()

@@ -316,4 +316,38 @@ class CurationSpec extends SparkTestBase {
   test("weightedSample rejects out-of-range k") {
     intercept[IllegalArgumentException](Curation.weightedSample(turns, 0))
   }
+
+  private def checksumOf(df: org.apache.spark.sql.DataFrame): (Long, BigInt) = {
+    val r = Curation.corpusChecksum(df).collect()(0)
+    (r.getAs[Long]("n_rows"), BigInt(r.getAs[String]("checksum")))
+  }
+
+  test("corpusChecksum: order/partition independent, merge-additive, change-sensitive") {
+    val tdf = turns.toDF()
+    val (n0, c0) = checksumOf(tdf)
+    assert(n0 > 0)
+    // physical layout must not matter
+    assert(checksumOf(tdf.repartition(7)) == ((n0, c0)))
+    assert(checksumOf(tdf.orderBy(col("text"))) == ((n0, c0)))
+    // shard checksums ADD to the corpus checksum (mergeable artifact)
+    val h1 = tdf.filter(col("turn_idx") % 2 === 0)
+    val h2 = tdf.filter(col("turn_idx") % 2 =!= 0)
+    val ((n1, c1), (n2, c2)) = (checksumOf(h1), checksumOf(h2))
+    assert(n1 + n2 == n0 && c1 + c2 == c0)
+    // any single-row mutation moves the scalar
+    val mutated = tdf.withColumn("text",
+      when(col("turn_idx") === 0 && col("conv_id") === "conv1",
+        concat(col("text"), lit("!"))).otherwise(col("text")))
+    assert(checksumOf(mutated)._2 != c0)
+    assert(checksumOf(tdf.limit(100))._2 != c0)
+  }
+
+  test("corpusChecksum distinguishes null text from empty text") {
+    import spark.implicits._
+    val a = Seq(("c1", 0, "user", null.asInstanceOf[String], null.asInstanceOf[String],
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val b = a.withColumn("text", lit(""))
+    assert(checksumOf(a)._2 != checksumOf(b)._2)
+  }
 }

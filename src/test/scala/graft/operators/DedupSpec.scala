@@ -445,13 +445,14 @@ class DedupSpec extends SparkTestBase {
     val all = graft.ingest.Synth.documents(spark, n = 120, seed = 3L)
     val h1 = all.filter(col("doc_id") < 60)
     val h2 = all.filter(col("doc_id") >= 60)
-    def words(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+    def words(df: org.apache.spark.sql.DataFrame): Seq[Long] =
       Dedup.bloomBits(df, numBits = 1 << 12, numHashes = 3)
-        .collect()(0).getMap[Int, Long](0).toMap
-    val merged = (words(h1).keySet ++ words(h2).keySet).map { w =>
-      w -> (words(h1).getOrElse(w, 0L) | words(h2).getOrElse(w, 0L))
-    }.toMap
-    assert(merged == words(all), "bit_or shard merge must equal whole-corpus bitset")
+        .collect()(0).getSeq[Long](0)
+    val (w1, w2, wAll) = (words(h1), words(h2), words(all))
+    assert(w1.length == (1 << 12) / 64 && wAll.length == w1.length,
+      "dense bitset must have exactly numBits/64 words")
+    val merged = w1.zip(w2).map { case (a, b) => a | b }
+    assert(merged == wAll, "bit_or shard merge must equal whole-corpus bitset")
   }
 
   test("decontaminateBloom plan: bloom broadcasts (one-row BNLJ), pairing is BHJ") {
