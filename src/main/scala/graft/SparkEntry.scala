@@ -686,7 +686,12 @@ object SparkEntry {
     // for cross-warehouse parity (q115's fingerprints drill down when
     // the scalars disagree)
     "q136_corpus_checksum" -> ((s, dir) =>
-      graft.operators.Curation.corpusChecksum(transcripts(s, dir)))
+      graft.operators.Curation.corpusChecksum(transcripts(s, dir))),
+    // per-day checksum slice (day rows ADD up to q136's scalar; null-ts
+    // rows keep a NULL day group so dirty rows stay in the parity
+    // domain); streaming sibling pinned batch≡stream
+    "q137_daily_checksum" -> ((s, dir) =>
+      graft.operators.Curation.corpusChecksumDaily(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -2934,6 +2939,22 @@ object SparkEntry {
         |    COALESCE(tool, chr(2)),
         |    COALESCE(CAST(EPOCH_US(ts) AS VARCHAR), chr(2)))), 1, 15)
         |    AS BIGINT) AS h
-        |  FROM transcripts)""".stripMargin)
+        |  FROM transcripts)""".stripMargin),
+    // q136's hash grouped by the µs-floor day (NULL ts → NULL day)
+    "q137_daily_checksum" -> Transcripts.oracle(
+      """SELECT
+        |  MAKE_TIMESTAMP(EPOCH_US(ts) - ((EPOCH_US(ts) % 86400000000)
+        |    + 86400000000) % 86400000000) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(SUM(CAST('0x' || substr(md5(concat_ws(chr(1),
+        |    COALESCE(conv_id, chr(2)),
+        |    COALESCE(CAST(turn_idx AS VARCHAR), chr(2)),
+        |    COALESCE(role, chr(2)),
+        |    COALESCE(text, chr(2)),
+        |    COALESCE(tool, chr(2)),
+        |    COALESCE(CAST(EPOCH_US(ts) AS VARCHAR), chr(2)))), 1, 15)
+        |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+        |FROM transcripts
+        |GROUP BY 1""".stripMargin)
   )
 }

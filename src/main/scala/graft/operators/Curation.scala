@@ -248,7 +248,15 @@ object Curation {
     * aggregate — one scan, the cheapest possible exchange (one partial
     * row per task).
     */
-  def corpusChecksum(transcripts: DataFrame): DataFrame = {
+  /** The ONE row-checksum derivation (canonical U+0001-joined string,
+    * U+0002 null markers, epoch-µs ts → 60-bit md5 prefix as DECIMAL)
+    * shared by [[corpusChecksum]], [[corpusChecksumDaily]], and the
+    * streaming sibling
+    * [[graft.streaming.StreamingRollup.dailyChecksum]] — the
+    * single-definition doctrine: the three parity surfaces can never
+    * drift from each other or from the oracle's mirror.
+    */
+  private[graft] def rowChecksumCol: org.apache.spark.sql.Column = {
     val m = lit("\u0002")
     val canon = concat_ws("\u0001",
       coalesce(col("conv_id"), m),
@@ -257,11 +265,36 @@ object Curation {
       coalesce(col("text"), m),
       coalesce(col("tool"), m),
       coalesce(unix_micros(col("ts").cast("timestamp")).cast("string"), m))
+    conv(substring(md5(canon), 1, 15), 16, 10).cast("decimal(20,0)")
+  }
+
+  def corpusChecksum(transcripts: DataFrame): DataFrame =
     transcripts
-      .select(conv(substring(md5(canon), 1, 15), 16, 10)
-        .cast("decimal(20,0)").as("_h"))
+      .select(rowChecksumCol.as("_h"))
       .agg(count(lit(1)).as("n_rows"), sum(col("_h")).as("_s"))
       .select(col("n_rows"),
+        col("_s").cast("decimal(38,0)").cast("string").as("checksum"))
+
+  /** Per-UTC-day slice of [[corpusChecksum]] — the granularity between
+    * the corpus scalar and [[convFingerprint]]'s per-conv digests:
+    * when two warehouses' scalars disagree, the day table localizes
+    * WHICH days diverged, and day checksums still ADD up to the
+    * scalar, so the drill-down is consistent by construction. Rows
+    * with null `ts` group under a NULL day — they stay IN the parity
+    * domain (dropping them would let a dirty-row divergence hide).
+    *
+    * Plan: map-side hash + µs-floor day, partial sums into ONE
+    * day-keyed exchange of (day, count, sum) partials.
+    */
+  def corpusChecksumDaily(transcripts: DataFrame): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    transcripts
+      .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
+        rowChecksumCol.as("_h"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("_h")).as("_s"))
+      .select(col("day"), col("n_rows"),
         col("_s").cast("decimal(38,0)").cast("string").as("checksum"))
   }
 

@@ -171,4 +171,28 @@ object StreamingRollup {
         graft.operators.SeriesOps.lenBucketCol.as("bucket"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("day"), col("bucket"), col("n"))
+
+  /** Streaming sibling of
+    * [[graft.operators.Curation.corpusChecksumDaily]] — per closed UTC
+    * day, `(day, n_rows, checksum)` with the SAME shared row-checksum
+    * derivation ([[graft.operators.Curation.rowChecksumCol]]), so an
+    * ingest stream's emitted day equals the batch source's day row
+    * bit-for-bit (spec-pinned): continuous parity monitoring of a
+    * pipeline against its source without re-scanning either side. The
+    * DECIMAL sum is commutative, so trigger boundaries and state-merge
+    * order cannot change the emitted value. Null-ts rows cannot be
+    * watermarked and drop here (the [[lengthHistogram]] doctrine) —
+    * the BATCH daily table keeps them under a NULL day, which is
+    * where a stream-vs-batch parity run looks for them.
+    */
+  def dailyChecksum(stream: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .filter(col("ts").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(graft.operators.Curation.rowChecksumCol).as("_s"))
+      .select(col("w.start").as("day"), col("n_rows"),
+        col("_s").cast("decimal(38,0)").cast("string").as("checksum"))
 }

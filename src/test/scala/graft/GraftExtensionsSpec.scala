@@ -463,6 +463,9 @@ class GraftExtensionsSpec extends SparkTestBase {
     assertSameRows(
       ext.sql("SELECT * FROM corpus_checksum('trc_ext')"),
       graft.operators.Curation.corpusChecksum(tr))
+    assertSameRows(
+      ext.sql("SELECT * FROM daily_checksum('trc_ext')"),
+      graft.operators.Curation.corpusChecksumDaily(tr))
     // operator-level require() surfaces through the SQL path
     val bad = intercept[Exception] {
       ext.sql("SELECT * FROM sample_per_conv('trc_ext', 0)").collect()

@@ -342,6 +342,19 @@ class CurationSpec extends SparkTestBase {
     assert(checksumOf(tdf.limit(100))._2 != c0)
   }
 
+  test("corpusChecksumDaily: day rows add up to the scalar; null ts keeps a NULL day group") {
+    import spark.implicits._
+    val tdf = turns.toDF().withColumn("ts",
+      when(col("turn_idx") === 3, lit(null).cast("timestamp"))
+        .otherwise(col("ts")))
+    val days = Curation.corpusChecksumDaily(tdf).collect()
+    assert(days.exists(_.isNullAt(0)), "null-ts rows must keep a NULL day group")
+    val (n0, c0) = checksumOf(tdf)
+    assert(days.map(_.getAs[Long]("n_rows")).sum == n0)
+    assert(days.map(r => BigInt(r.getAs[String]("checksum"))).sum == c0,
+      "day checksums must ADD to the corpus scalar")
+  }
+
   test("corpusChecksum distinguishes null text from empty text") {
     import spark.implicits._
     val a = Seq(("c1", 0, "user", null.asInstanceOf[String], null.asInstanceOf[String],
