@@ -186,7 +186,49 @@ object TextOps {
     sig
   }
 
+  /** Bloom prescreen hit count: how many of a row's shingle hashes have
+    * ALL `numHashes` probe bits set in the dense `bloom` word array.
+    * The probe math MUST stay identical to `Dedup.bloomProbes` (the
+    * Column form the BITSET BUILD uses): h1/h2 are Catalyst XxHash64
+    * (seed 42, then the salt folded as a second hashed value), folded
+    * into [0, 2^31) before the Kirsch-Mitzenmacher combination, h2
+    * forced odd. A drift between the two would create bloom FALSE
+    * NEGATIVES — caught by DedupSpec's brute-equality test, but fix it
+    * HERE, in lockstep with bloomProbes.
+    */
+  val bloomSalt: Long = 0x9E3779B97F4A7C15L
+  def bloomHits(hashes: ArrayData, bloom: Array[Long], numBits: Long,
+      numHashes: Int): Int = {
+    val two31 = 1L << 31
+    var hits = 0
+    var i = 0
+    val n = hashes.numElements()
+    while (i < n) {
+      val h = hashes.getLong(i)
+      val x1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, 42L)
+      val h1 = ((x1 % two31) + two31) % two31
+      val x2 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(bloomSalt, x1)
+      val h2 = (((x2 % two31) + two31) % two31) | 1L
+      var k = 0
+      var ok = true
+      while (ok && k < numHashes) {
+        val bit = (((h1 + k * h2) % numBits) + numBits) % numBits
+        if ((bloom((bit >>> 6).toInt) & (1L << (bit & 63L).toInt)) == 0L)
+          ok = false
+        k += 1
+      }
+      if (ok) hits += 1
+      i += 1
+    }
+    hits
+  }
+
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def bloomHitsCount(hashes: Column, bloom: Array[Long], numBits: Int,
+      numHashes: Int): Column =
+    column(BloomHits(expression(hashes), bloom, numBits, numHashes))
 
   def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
     column(Winnow(expression(text), k, w))
@@ -235,6 +277,36 @@ case class ShingleHash3(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.shingleHash3($s)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHash3 =
+    copy(child = newChild)
+}
+
+/** Native expression: bloom prescreen hit count over a shingle-hash
+  * array, with the dense bitset as a codegen reference object (the
+  * [[CentroidSims]] pattern) — stays inside whole-stage codegen where
+  * the higher-order-function formulation (filter+forall, both
+  * CodegenFallback) ran interpreted per element: measured 8.9 s → see
+  * BENCH round-4 session-4 notes.
+  */
+case class BloomHits(child: Expression, bloom: Array[Long], numBits: Int,
+    numHashes: Int) extends UnaryExpression {
+  require(bloom.length.toLong * 64 == numBits.toLong,
+    s"bloom array must hold exactly numBits/64 words: ${bloom.length} vs $numBits")
+  require(numHashes >= 1 && numHashes <= 16,
+    s"numHashes must be in [1,16], got $numHashes")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_hits expects array<bigint>, got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    TextOps.bloomHits(v.asInstanceOf[ArrayData], bloom, numBits.toLong, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom, "long[]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.TextOps.bloomHits($v, $ref, ${numBits}L, $numHashes)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomHits =
     copy(child = newChild)
 }
 

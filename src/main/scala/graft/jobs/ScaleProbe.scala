@@ -37,8 +37,9 @@ object ScaleProbe {
     // control stages the regex names) without paying the full chain;
     // skipped stages report 0.00s and drop out of the total
     val stageFilter = if (args.length > 2) Some(args(2).r) else None
-    // snapshot-diff cutoff: input ts midpoint, computed once (O(1) agg)
-    val tsMid = {
+    // snapshot-diff cutoff: input ts midpoint — LAZY so a stage filter
+    // that skips snapdiff never pays this (untimed) min/max scan
+    lazy val tsMid = {
       val r = raw.agg(min(col("ts")).cast("long").as("a"),
         max(col("ts")).cast("long").as("b")).head()
       (r.getLong(0) + r.getLong(1)) / 2

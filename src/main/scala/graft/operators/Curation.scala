@@ -236,8 +236,9 @@ object Curation {
     * is independent of partitioning, row order, and engine, and shard
     * checksums MERGE by plain addition (the [[graft.operators.Dedup.bloomBits]]
     * artifact doctrine: per-shard audits add up to the corpus audit
-    * without a re-scan). A 10¹²-row corpus sums to < 10³⁰, far inside
-    * DECIMAL(38,0); no overflow, no modulus needed.
+    * without a re-scan). The hashes widen to DECIMAL(28,0) before the
+    * sum so the accumulator is the full DECIMAL(38,0) — safe past
+    * 10¹⁹ rows; no overflow, no modulus needed.
     *
     * Detects any changed/added/dropped/duplicated row ANYWHERE with
     * hash-collision probability ≈ n²/2⁶¹; it cannot say WHERE — that
@@ -268,12 +269,19 @@ object Curation {
     conv(substring(md5(canon), 1, 15), 16, 10).cast("decimal(20,0)")
   }
 
-  def corpusChecksum(transcripts: DataFrame): DataFrame =
+  def corpusChecksum(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
     transcripts
-      .select(rowChecksumCol.as("_h"))
+      // decimal(28,0) BEFORE the sum: Spark types sum(decimal(p,0)) as
+      // decimal(min(38, p+10), 0), so 28 yields the full decimal(38,0)
+      // accumulator — mean hash ~5.8e17 puts 10^12 rows at ~5.8e29,
+      // which a decimal(30,0) accumulator (from the narrower 20-digit
+      // cast) would overflow by ~1.7e12 rows; 38 digits is safe past
+      // 10^19 rows
+      .select(rowChecksumCol.cast("decimal(28,0)").as("_h"))
       .agg(count(lit(1)).as("n_rows"), sum(col("_h")).as("_s"))
-      .select(col("n_rows"),
-        col("_s").cast("decimal(38,0)").cast("string").as("checksum"))
+      .select(col("n_rows"), col("_s").cast("string").as("checksum"))
+  }
 
   /** Per-UTC-day slice of [[corpusChecksum]] — the granularity between
     * the corpus scalar and [[convFingerprint]]'s per-conv digests:
@@ -287,15 +295,16 @@ object Curation {
     * day-keyed exchange of (day, count, sum) partials.
     */
   def corpusChecksumDaily(transcripts: DataFrame): DataFrame = {
+    TimeArith.requireUtcForNtz(transcripts, "ts")
     val dayUs = 86400L * 1000000L
     val us = unix_micros(col("ts").cast("timestamp"))
     transcripts
       .select(timestamp_micros(us - pmod(us, lit(dayUs))).as("day"),
-        rowChecksumCol.as("_h"))
+        rowChecksumCol.cast("decimal(28,0)").as("_h"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_rows"), sum(col("_h")).as("_s"))
       .select(col("day"), col("n_rows"),
-        col("_s").cast("decimal(38,0)").cast("string").as("checksum"))
+        col("_s").cast("string").as("checksum"))
   }
 
   /** Tool-journey census: the ordered sequence of each conversation's

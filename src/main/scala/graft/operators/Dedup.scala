@@ -502,25 +502,11 @@ object Dedup {
     */
   private def bloomProbes(h: Column, numBits: Int, numHashes: Int): Column = {
     val h1 = pmod(xxhash64(h), lit(1L << 31))
-    val h2 = pmod(xxhash64(h, lit(0x9E3779B97F4A7C15L)), lit(1L << 31))
-      .bitwiseOR(lit(1L))
+    val h2 = pmod(xxhash64(h, lit(graft.functions.TextOps.bloomSalt)),
+      lit(1L << 31)).bitwiseOR(lit(1L))
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => pmod(h1 + i.cast("long") * h2, lit(numBits.toLong)))
   }
-
-  /** True iff every probe bit for `h` is set in the DENSE bloom word
-    * array (1-based `element_at` on ArrayType — an O(1) indexed read;
-    * the first cut kept the words in a map<int,long>, and MapType
-    * `element_at` is a LINEAR scan of the entries, which turned the
-    * prescreen into O(words) per probe — measured 200 s vs 5 s on the
-    * 500k-doc probe's cold pass).
-    */
-  private def bloomHit(bloom: Column, h: Column, numBits: Int,
-      numHashes: Int): Column =
-    forall(bloomProbes(h, numBits, numHashes), bit =>
-      element_at(bloom, shiftright(bit, 6).cast("int") + lit(1))
-        .bitwiseAND(shiftLeftDyn(lit(1L), pmod(bit, lit(64L)).cast("int")))
-        =!= lit(0L))
 
   /** Bloom-filter bitset over a benchmark corpus's distinct 3-word
     * shingle hashes, as a ONE-row frame `(bloom: array<bigint>)` of
@@ -538,13 +524,23 @@ object Dedup {
     * broadcast to every curation run — a few hundred KB on the wire
     * instead of re-shuffling benchmark shingles per run.
     */
-  def bloomBits(benchmark: DataFrame, numBits: Int = 1 << 18,
-      numHashes: Int = 3): DataFrame = {
+  /** The dense word array itself, materialized DRIVER-side: the
+    * distributed part is the map-side probe + ONE `bit_or` exchange of
+    * at most `numBits/64` (word, mask) rows; collecting those summary
+    * rows is an O(metadata) planning action (the IVF-centroid
+    * precedent — `Similarity.trainCentroids` collects nlist×dims the
+    * same way), and the plain-Scala densify replaces what was an
+    * in-plan `transform(sequence(...), element_at(map))` costing
+    * numWords × mapSize INTERPRETED map scans — measured 21.5 s of the
+    * 22 s q127 cold pass at 2¹⁸ bits before this change, 0 after.
+    */
+  def bloomBitsArray(benchmark: DataFrame, numBits: Int = 1 << 18,
+      numHashes: Int = 3): Array[Long] = {
     require(numBits >= 64 && numBits % 64 == 0,
       s"numBits must be a positive multiple of 64, got $numBits")
     require(numHashes >= 1 && numHashes <= 16,
       s"numHashes must be in [1,16], got $numHashes")
-    benchmark
+    val sparse = benchmark
       .select(explode(graft.functions.TextOps.shingleHashes3(col("text")))
         .as("_h"))
       .select(explode(bloomProbes(col("_h"), numBits, numHashes)).as("_bit"))
@@ -552,14 +548,18 @@ object Dedup {
         shiftLeftDyn(lit(1L), pmod(col("_bit"), lit(64L)).cast("int")).as("_m"))
       .groupBy(col("_w"))
       .agg(expr("bit_or(_m)").as("_m"))
-      .groupBy()
-      .agg(map_from_entries(
-        array_sort(collect_list(struct(col("_w"), col("_m"))))).as("_map"))
-      // densify ONCE (single row): map lookups here cost O(set words)
-      // each, paid numBits/64 times total — never per corpus row
-      .select(transform(sequence(lit(0), lit(numBits / 64 - 1)),
-        i => coalesce(element_at(col("_map"), i.cast("int")), lit(0L)))
-        .as("bloom"))
+      .collect()
+    val arr = new Array[Long](numBits / 64)
+    sparse.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  def bloomBits(benchmark: DataFrame, numBits: Int = 1 << 18,
+      numHashes: Int = 3): DataFrame = {
+    val arr = bloomBitsArray(benchmark, numBits, numHashes)
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(arr.toSeq)).toDF("bloom")
   }
 
   /** Test-set decontamination with a bloom-filter prescreen — the
@@ -602,34 +602,35 @@ object Dedup {
       numHashes: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val bloom = bloomBits(benchmark, numBits, numHashes)
+    val bloomArr = bloomBitsArray(benchmark, numBits, numHashes)
     def sets(docs: DataFrame, idName: String): DataFrame =
       docs.select(col("doc_id").as(idName),
         array_distinct(graft.functions.TextOps.shingleHashes3(col("text")))
           .as("_s"))
     val setsB = sets(benchmark, "bench_id")
-    // prescreen survivors feed TWO branches (the shingle explode and
-    // the size join) — same lazy pin + caller-released lifecycle as
-    // decontaminate's candidate frame
+    // the bitset rides as a LITERAL array (the VectorOps centroid
+    // reference-object pattern): the prescreen is a pure map-side
+    // filter, evaluated ONCE (single consumer — no persist needed)
+    // survivors carry their own set size through the explode (4 bytes
+    // per shingle row), so NO self-join is needed to recover it — the
+    // corpus side never meets a join until the survivor-shingle BHJ
     val pre = sets(corpus, "doc_id")
-      .crossJoin(broadcast(bloom))
-      .withColumn("_hits", size(filter(col("_s"),
-        h => bloomHit(col("bloom"), h, numBits, numHashes))))
+      .withColumn("_hits", graft.functions.TextOps.bloomHitsCount(
+        col("_s"), bloomArr, numBits, numHashes))
       .filter(col("_hits") >= lit(1) &&
         col("_hits").cast("double") * (1.0 + threshold) >=
           size(col("_s")).cast("double") * threshold - lit(1e-9))
-      .select(col("doc_id"), col("_s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inter = pre.select(col("doc_id"), explode(col("_s")).as("_h"))
+      .select(col("doc_id"), size(col("_s")).as("_a"),
+        explode(col("_s")).as("_h"))
+    val inter = pre
       .join(broadcast(setsB.select(col("bench_id"), explode(col("_s")).as("_h"))),
         Seq("_h"))
-      .groupBy(col("doc_id"), col("bench_id"))
+      .groupBy(col("doc_id"), col("_a"), col("bench_id"))
       .agg(count(lit(1)).cast("double").as("_i"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("jaccard").desc, col("bench_id"))
     inter
-      .join(pre.select(col("doc_id"), size(col("_s")).as("_a")), Seq("doc_id"))
       .join(broadcast(setsB.select(col("bench_id"), size(col("_s")).as("_b"))),
         Seq("bench_id"))
       .withColumn("jaccard",

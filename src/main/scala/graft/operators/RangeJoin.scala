@@ -63,7 +63,7 @@ object RangeJoin {
 }
 
 /** Shared timestamp-arithmetic guard for the timeseries operators. */
-private[operators] object TimeArith {
+private[graft] object TimeArith {
   /** Gap/cell arithmetic casts TIMESTAMP_NTZ through the SESSION
     * timezone; any zone with DST would warp wall-clock differences
     * across transitions (a 15-minute gap spanning fall-back reads as

@@ -2672,9 +2672,14 @@ object SeriesOps {
       .select(
         unix_micros(col("session_start").cast("timestamp")).as("_s"),
         unix_micros(col("session_end").cast("timestamp")).as("_e"))
+    // µs-FLOOR day (the dayNumCol pmod idiom, NOT bare `div`: `div`
+    // truncates toward zero, which for a pre-epoch session start would
+    // disagree with both the floor the oracle's `//` computes and the
+    // file's own day-bucketing doctrine)
     val events = sess
       .withColumn("_d", explode(sequence(
-        expr(s"_s div $dayUs"), expr(s"_e div $dayUs"))))
+        expr(s"(_s - pmod(_s, $dayUs)) div $dayUs"),
+        expr(s"(_e - pmod(_e, $dayUs)) div $dayUs"))))
       .select(col("_d"),
         greatest(col("_s"), col("_d") * dayUs).as("_ss"),
         least(col("_e"), (col("_d") + lit(1L)) * dayUs).as("_se"))

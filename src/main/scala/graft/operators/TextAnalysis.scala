@@ -26,6 +26,33 @@ object TextAnalysis {
       LangId.col(col("text")).as("lang_pred"),
       col("lang").as("lang_label"))
 
+  /** The ONE set of repetition-shape expression strings (chunk
+    * "lines", positional bigrams, duplicate-chunk char mass, duplicate
+    * bigram positions) shared by [[repetition]] (q126) and
+    * [[qualityGate]] (q134) — the rowChecksumCol single-definition
+    * doctrine: each shape has a DuckDB oracle mirror, and a shared
+    * definition means the two operators (and both oracles) cannot
+    * drift apart. All operate on prior columns `toks`/`text`.
+    */
+  private def linesExpr(w: Int): String =
+    s"transform(sequence(0, (size(toks) - 1) div $w), " +
+      s"i -> array_join(slice(toks, i * $w + 1, $w), ' '))"
+  private val bgExpr: String =
+    "transform(sequence(1, size(toks) - 1), i -> " +
+      "concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+  private val tgExpr: String =
+    "transform(sequence(1, size(toks) - 2), i -> " +
+      "concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', " +
+      "element_at(toks, i + 2)))"
+  private val dupLineCharExpr: String =
+    "cast(aggregate(lines, 0L, (a, x) -> a + length(x)) - " +
+      "aggregate(array_distinct(lines), 0L, (a, x) -> a + length(x)) as double) / " +
+      "cast(aggregate(lines, 0L, (a, x) -> a + length(x)) as double)"
+  private val dupBigramExpr: String =
+    "cast(size(filter(bg, x -> size(filter(bg, y -> y = x)) > 1)) as double) / " +
+      "cast(size(bg) as double)"
+
+
   /** Gopher-style within-document repetition metrics (Rae et al. 2021,
     * table A1) — the canonical LLM training-data quality gate the stats
     * family doesn't cover: documents that repeat themselves (boilerplate,
@@ -51,19 +78,14 @@ object TextAnalysis {
     * tokens (trigram undefined) are dropped, mirroring the oracle.
     */
   def repetition(docs: DataFrame, lineTokens: Int = 2): DataFrame = {
-    val w = lineTokens
     docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("text"), col("toks"),
-        expr(s"transform(sequence(0, (size(toks) - 1) div $w), " +
-          s"i -> array_join(slice(toks, i * $w + 1, $w), ' '))").as("lines"),
-        expr("transform(sequence(1, size(toks) - 1), i -> " +
-          "concat(element_at(toks, i), ' ', element_at(toks, i + 1)))").as("bg"),
-        expr("transform(sequence(1, size(toks) - 2), i -> " +
-          "concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', " +
-          "element_at(toks, i + 2)))").as("tg"))
+        expr(linesExpr(lineTokens)).as("lines"),
+        expr(bgExpr).as("bg"),
+        expr(tgExpr).as("tg"))
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -71,18 +93,12 @@ object TextAnalysis {
         round((size(col("lines")) - size(array_distinct(col("lines"))))
           .cast("double") / size(col("lines")).cast("double"), 6)
           .as("dup_line_frac"),
-        round(expr(
-          "cast(aggregate(lines, 0L, (a, x) -> a + length(x)) - " +
-          "aggregate(array_distinct(lines), 0L, (a, x) -> a + length(x)) as double) / " +
-          "cast(aggregate(lines, 0L, (a, x) -> a + length(x)) as double)"), 6)
-          .as("dup_line_char_frac"),
+        round(expr(dupLineCharExpr), 6).as("dup_line_char_frac"),
         round(expr(
           "cast(aggregate(array_distinct(bg), 0L, (m, x) -> " +
           "greatest(m, cast(size(filter(bg, y -> y = x)) * length(x) as bigint))) as double) / " +
           "cast(length(text) as double)"), 6).as("top_bigram_char_frac"),
-        round(expr(
-          "cast(size(filter(bg, x -> size(filter(bg, y -> y = x)) > 1)) as double) / " +
-          "cast(size(bg) as double)"), 6).as("dup_bigram_frac"),
+        round(expr(dupBigramExpr), 6).as("dup_bigram_frac"),
         round(expr(
           "cast(size(filter(tg, x -> size(filter(tg, y -> y = x)) > 1)) as double) / " +
           "cast(size(tg) as double)"), 6).as("dup_trigram_frac"))
@@ -123,24 +139,14 @@ object TextAnalysis {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("text"), col("toks"),
-        when(size(col("toks")) >= 3, expr(
-          "transform(sequence(0, (size(toks) - 1) div 2), " +
-            "i -> array_join(slice(toks, i * 2 + 1, 2), ' '))")).as("lines"),
-        when(size(col("toks")) >= 3, expr(
-          "transform(sequence(1, size(toks) - 1), i -> " +
-            "concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-          .as("bg"))
+        when(size(col("toks")) >= 3, expr(linesExpr(2))).as("lines"),
+        when(size(col("toks")) >= 3, expr(bgExpr)).as("bg"))
     val n = size(col("toks")).cast("long")
     val meanTok =
       expr("cast(aggregate(toks, 0L, (a, x) -> a + length(x)) as double)") /
         n.cast("double")
-    val dupLineChar = expr(
-      "cast(aggregate(lines, 0L, (a, x) -> a + length(x)) - " +
-        "aggregate(array_distinct(lines), 0L, (a, x) -> a + length(x)) as double) / " +
-        "cast(aggregate(lines, 0L, (a, x) -> a + length(x)) as double)")
-    val dupBigram = expr(
-      "cast(size(filter(bg, x -> size(filter(bg, y -> y = x)) > 1)) as double) / " +
-        "cast(size(bg) as double)")
+    val dupLineChar = expr(dupLineCharExpr)
+    val dupBigram = expr(dupBigramExpr)
     val flagged = guarded.select(
       col("doc_id"),
       n.as("n_tokens"),

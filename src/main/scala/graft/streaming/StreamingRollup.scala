@@ -186,13 +186,18 @@ object StreamingRollup {
     * where a stream-vs-batch parity run looks for them.
     */
   def dailyChecksum(stream: DataFrame,
-      watermarkDelay: String = "10 minutes"): DataFrame =
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    graft.operators.TimeArith.requireUtcForNtz(stream, "ts")
     stream
       .filter(col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(graft.operators.Curation.rowChecksumCol).as("_s"))
+        // decimal(28,0) pre-sum → full decimal(38,0) accumulator (the
+        // corpusChecksum overflow-margin note)
+        sum(graft.operators.Curation.rowChecksumCol.cast("decimal(28,0)"))
+          .as("_s"))
       .select(col("w.start").as("day"), col("n_rows"),
-        col("_s").cast("decimal(38,0)").cast("string").as("checksum"))
+        col("_s").cast("string").as("checksum"))
+  }
 }

@@ -455,15 +455,20 @@ class DedupSpec extends SparkTestBase {
     assert(merged == wAll, "bit_or shard merge must equal whole-corpus bitset")
   }
 
-  test("decontaminateBloom plan: bloom broadcasts (one-row BNLJ), pairing is BHJ") {
+  test("decontaminateBloom plan: prescreen is join-free map-side, pairing is BHJ") {
     val all = graft.ingest.Synth.documents(spark, n = 200, seed = 11L)
     val plan = Dedup.decontaminateBloom(
       all.filter(col("doc_id") % 5 =!= 0),
       all.filter(col("doc_id") % 5 === 0)).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"the one-row bloom artifact must ride a broadcast:\n$plan")
+    // the bitset is a literal array (the centroid reference-object
+    // pattern) — NO join of any kind reaches the corpus before the
+    // survivor explode
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"no BNLJ: the bloom rides as a literal, not a joined row:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"survivor-shingle pairing must be a broadcast hash join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle through a join:\n$plan")
   }
 
   test("minhashCalibration: exact dups estimate 1.0; estimates quantized to 1/k; injected pairs present") {
