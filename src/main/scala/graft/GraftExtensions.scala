@@ -316,6 +316,9 @@ object GraftExtensions {
     tfn("snapshot_diff",
       "(old_table, new_table, key_cols, measure_cols) - added/removed/changed keys between two snapshots; key_cols/measure_cols are comma-separated column lists",
       arities = Set(4)),
+    tfn("ols_trend",
+      "(table) - per-conversation OLS fit of turn length over turn position: slope, intercept, r2",
+      arities = Set(1)),
     tfn("daily_checksum",
       "(table) - per-UTC-day parity checksums (rows add up to corpus_checksum; NULL-ts rows keep a NULL day group)",
       arities = Set(1)),

@@ -691,7 +691,12 @@ object SparkEntry {
     // rows keep a NULL day group so dirty rows stay in the parity
     // domain); streaming sibling pinned batch≡stream
     "q137_daily_checksum" -> ((s, dir) =>
-      graft.operators.Curation.corpusChecksumDaily(transcripts(s, dir)))
+      graft.operators.Curation.corpusChecksumDaily(transcripts(s, dir))),
+    // classical OLS fit per conversation (slope/intercept/R²) — the
+    // q48/q67 regression family completed; exact integer moments, the
+    // pearsonFromMoments exactness discipline
+    "q138_ols_trend" -> ((s, dir) =>
+      graft.operators.RefOps.olsTrend(transcripts(s, dir)))
   )
 
   private val rollupSelect: String =
@@ -2955,6 +2960,32 @@ object SparkEntry {
         |    COALESCE(CAST(EPOCH_US(ts) AS VARCHAR), chr(2)))), 1, 15)
         |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
         |FROM transcripts
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin),
+    // the q48 moment CTEs verbatim, read out as slope/intercept/R²;
+    // intercept uses the UNROUNDED cov/vx, mirroring the Spark side
+    "q138_ols_trend" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, COUNT(*) AS n,
+        |    CAST(SUM(turn_idx) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(SUM(turn_idx * CAST(LENGTH(text) AS BIGINT)) AS BIGINT) AS sxy,
+        |    CAST(SUM(CAST(turn_idx AS BIGINT) * turn_idx) AS BIGINT) AS sxx,
+        |    CAST(SUM(CAST(LENGTH(text) AS BIGINT) * LENGTH(text)) AS BIGINT) AS syy
+        |  FROM transcripts
+        |  WHERE text IS NOT NULL AND turn_idx IS NOT NULL GROUP BY 1),
+        |v AS (
+        |  SELECT conv_id, n, sx, sy,
+        |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov,
+        |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+        |    CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy
+        |  FROM b)
+        |SELECT conv_id, n,
+        |  CASE WHEN n >= 3 AND vx > 0 THEN ROUND(cov / vx, 6) END AS slope,
+        |  CASE WHEN n >= 3 AND vx > 0 THEN
+        |    ROUND((CAST(sy AS DOUBLE) - (cov / vx) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE), 6) END AS intercept,
+        |  CASE WHEN n >= 3 AND vx > 0 AND vy > 0 THEN
+        |    ROUND((cov * cov) / (vx * vy), 6) END AS r2
+        |FROM v""".stripMargin)
   )
 }

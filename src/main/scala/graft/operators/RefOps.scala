@@ -585,6 +585,48 @@ object RefOps {
         round(cov / sqrt(vx * vy), 6)).as(outName))
   }
 
+  /** Per-conversation OLS linear trend of turn length over turn
+    * position — slope, intercept, and R², the classical-fit complement
+    * to [[graft.operators.SeriesOps.theilSenSlope]] (robust slope, no
+    * intercept/fit-quality) and [[lengthDriftCorr]] (direction
+    * strength only): slope says how fast turns grow/shrink, intercept
+    * anchors the fit, R² says whether a line explains the series at
+    * all. Same exactness discipline as [[pearsonFromMoments]]: exact
+    * integer group moments, then fixed double expressions whose
+    * operand order the oracle mirrors verbatim; the intercept uses the
+    * UNROUNDED slope (rounding feeds only the projection). Degenerate
+    * groups (n < 3, zero x-variance; R² additionally needs y-variance)
+    * pin NULL. Null on either axis drops the observation
+    * ([[lengthDriftCorr]] doctrine).
+    *
+    * Plan: ONE conv exchange, moments partial-aggregated map-side.
+    */
+  def olsTrend(transcripts: DataFrame): DataFrame = {
+    val s = transcripts
+      .select(col("conv_id"),
+        col("turn_idx").cast("long").as("x"),
+        length(col("text")).cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val m = s.groupBy(col("conv_id")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    val cov = n * col("sxy") - col("sx").cast("double") * col("sy")
+    val vx = n * col("sxx") - col("sx").cast("double") * col("sx")
+    val vy = n * col("syy") - col("sy").cast("double") * col("sy")
+    m.select(
+      col("conv_id"), col("n"),
+      when(col("n") >= 3 && vx > 0, round(cov / vx, 6)).as("slope"),
+      when(col("n") >= 3 && vx > 0,
+        round((col("sy").cast("double") - (cov / vx) *
+          col("sx").cast("double")) / n, 6)).as("intercept"),
+      when(col("n") >= 3 && vx > 0 && vy > 0,
+        round((cov * cov) / (vx * vy), 6)).as("r2"))
+  }
+
   /** Exponentially-weighted moving average of turn length per
     * conversation — the inherently SEQUENTIAL recurrence
     * `acc = α·x + (1−α)·acc` (seeded with the first sample) that no

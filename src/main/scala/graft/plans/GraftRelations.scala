@@ -304,6 +304,8 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         val Seq(o, n, ks, ms) = args.take(4)
         SnapshotDiff.diff(session.table(o), session.table(n),
           ks.split(",").map(_.trim).toSeq, ms.split(",").map(_.trim).toSeq)
+      case "ols_trend" =>
+        RefOps.olsTrend(session.table(args(0)))
       case "daily_checksum" =>
         Curation.corpusChecksumDaily(session.table(args(0)))
       case "corpus_checksum" =>

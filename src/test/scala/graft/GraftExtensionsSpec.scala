@@ -466,6 +466,9 @@ class GraftExtensionsSpec extends SparkTestBase {
     assertSameRows(
       ext.sql("SELECT * FROM daily_checksum('trc_ext')"),
       graft.operators.Curation.corpusChecksumDaily(tr))
+    assertSameRows(
+      ext.sql("SELECT * FROM ols_trend('trc_ext')"),
+      graft.operators.RefOps.olsTrend(tr))
     // operator-level require() surfaces through the SQL path
     val bad = intercept[Exception] {
       ext.sql("SELECT * FROM sample_per_conv('trc_ext', 0)").collect()

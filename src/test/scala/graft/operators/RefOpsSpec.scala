@@ -240,4 +240,37 @@ class RefOpsSpec extends SparkTestBase {
     val e = intercept[Exception] { RefOps.toolSeqEdit(big, k = 2).collect() }
     assert(e.getMessage != null && e.toString.contains("alphabet"), e.toString)
   }
+
+  test("olsTrend: exact line recovers slope/intercept with r2=1; degenerate groups pin NULL") {
+    // conv A: char_len = 3 + 2*turn_idx exactly (texts of length 3,5,7,9)
+    val tr = Seq(
+      ("A", 0, "aaa"), ("A", 1, "aaaaa"), ("A", 2, "aaaaaaa"), ("A", 3, "aaaaaaaaa"),
+      // conv B: constant length — slope 0, vy = 0 => r2 NULL
+      ("B", 0, "xx"), ("B", 1, "xx"), ("B", 2, "xx"),
+      // conv C: n = 2 < 3 => all NULL
+      ("C", 0, "a"), ("C", 1, "aaaa"),
+      // conv D: one null text observation drops, leaving n = 3 on a line
+      ("D", 0, "aa"), ("D", 1, null), ("D", 2, "aaaa"), ("D", 4, "aaaaaaaa")
+    ).toDF("conv_id", "turn_idx", "text")
+    val got = RefOps.olsTrend(tr).collect()
+      .map(r => r.getAs[String]("conv_id") -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Long]("n") == 4)
+    assert(a.getAs[Double]("slope") == 2.0)
+    assert(a.getAs[Double]("intercept") == 3.0)
+    assert(a.getAs[Double]("r2") == 1.0)
+    val b = got("B")
+    assert(b.getAs[Double]("slope") == 0.0 && b.getAs[Double]("intercept") == 2.0)
+    assert(b.isNullAt(b.fieldIndex("r2")), "zero y-variance must pin r2 NULL")
+    val c = got("C")
+    Seq("slope", "intercept", "r2").foreach(f =>
+      assert(c.isNullAt(c.fieldIndex(f)), s"n<3 must pin $f NULL"))
+    // D: points (0,2),(2,4),(4,8) — slope 36/24 = 1.5,
+    // intercept (14 − 1.5·6)/3 = 5/3, r2 = 36²/(24·56) = 27/28
+    val d = got("D")
+    assert(d.getAs[Long]("n") == 3)
+    assert(d.getAs[Double]("slope") == 1.5)
+    assert(d.getAs[Double]("intercept") == math.rint(5.0 / 3.0 * 1e6) / 1e6)
+    assert(d.getAs[Double]("r2") == math.rint(27.0 / 28.0 * 1e6) / 1e6)
+  }
 }
