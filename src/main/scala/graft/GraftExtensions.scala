@@ -313,6 +313,9 @@ object GraftExtensions {
     tfn("hampel_outliers",
       "(table[, window_days, k]) - rolling median+MAD robust outlier flags on the daily turn series (defaults 7, 3.0)",
       arities = Set(1, 3), intArgs = Set(1), doubleArgs = Set(2)),
+    tfn("key_coverage",
+      "(left_table, right_table, left_key, right_key) - referential-integrity census: matched keys, orphans both sides, coverage shares",
+      arities = Set(4)),
     tfn("snapshot_diff",
       "(old_table, new_table, key_cols, measure_cols) - added/removed/changed keys between two snapshots; key_cols/measure_cols are comma-separated column lists",
       arities = Set(4)),

@@ -40,6 +40,45 @@ object SnapshotDiff {
     * Output: `keys…, status ('added'|'removed'|'changed'),
     * old_<m>, new_<m>` for each measure, one row per drifted key.
     */
+  /** Referential-integrity census between two keyed tables — the
+    * cross-table sibling of [[diff]]: ONE summary row counting matched
+    * keys, left-only orphans, right-only orphans, and the ROUND-6
+    * coverage shares. The pipeline health check for any id-linked
+    * pair (documents ↔ embeddings: docs the encoder missed / vectors
+    * whose source was culled; transcripts ↔ rollup: conversations a
+    * tier lost). Keys are de-duplicated per side (multiplicity is
+    * [[diff]]'s job) and null keys drop (unkeyable — the samplePerConv
+    * doctrine).
+    *
+    * Plan: two distinct exchanges on 8-byte keys + one full-outer SMJ
+    * of the de-duplicated key sets, then a single-row aggregate —
+    * payloads never move.
+    */
+  def keyCoverage(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String): DataFrame = {
+    val l = left.select(col(leftKey).as("_id"))
+      .filter(col("_id").isNotNull).distinct()
+      .withColumn("_l", lit(1))
+    val r = right.select(col(rightKey).as("_id"))
+      .filter(col("_id").isNotNull).distinct()
+      .withColumn("_r", lit(1))
+    l.join(r, Seq("_id"), "full_outer")
+      .agg(
+        count_if(col("_l").isNotNull && col("_r").isNotNull).as("matched"),
+        count_if(col("_r").isNull).as("left_only"),
+        count_if(col("_l").isNull).as("right_only"))
+      .select(
+        (col("matched") + col("left_only")).as("left_n"),
+        (col("matched") + col("right_only")).as("right_n"),
+        col("matched"), col("left_only"), col("right_only"),
+        round(col("matched").cast("double") /
+          (col("matched") + col("left_only")).cast("double"), 6)
+          .as("left_coverage"),
+        round(col("matched").cast("double") /
+          (col("matched") + col("right_only")).cast("double"), 6)
+          .as("right_coverage"))
+  }
+
   def diff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
       measures: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "diff needs at least one key column")

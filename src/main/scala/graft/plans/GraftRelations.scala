@@ -300,6 +300,9 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
           SeriesOps.hampelDaily(session.table(args(0)), args(1).toInt,
             args(2).toDouble)
         else SeriesOps.hampelDaily(session.table(args(0)))
+      case "key_coverage" =>
+        val Seq(lt, rt, lk, rk) = args.take(4)
+        SnapshotDiff.keyCoverage(session.table(lt), session.table(rt), lk, rk)
       case "snapshot_diff" =>
         val Seq(o, n, ks, ms) = args.take(4)
         SnapshotDiff.diff(session.table(o), session.table(n),

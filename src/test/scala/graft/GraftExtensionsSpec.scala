@@ -461,6 +461,9 @@ class GraftExtensionsSpec extends SparkTestBase {
       ext.sql("SELECT * FROM embedding_audit('emb_cur_ext')"),
       graft.operators.Similarity.embeddingAudit(emb))
     assertSameRows(
+      ext.sql("SELECT * FROM key_coverage('docs_cal_ext', 'emb_cur_ext', 'doc_id', 'vec_id')"),
+      graft.operators.SnapshotDiff.keyCoverage(all, emb, "doc_id", "vec_id"))
+    assertSameRows(
       ext.sql("SELECT * FROM corpus_checksum('trc_ext')"),
       graft.operators.Curation.corpusChecksum(tr))
     assertSameRows(
