@@ -4,6 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -224,7 +226,97 @@ object TextOps {
     hits
   }
 
+  /** Within-document repetition metrics in ONE compiled pass — the
+    * native form of the q126 higher-order-function pipeline (filter/
+    * transform/aggregate are CodegenFallback, so the HOF form ran
+    * INTERPRETED per n-gram: measured 5.7-6.4 s for q126 at sf0.1,
+    * the whole suite's slowest query). Semantics are a term-for-term
+    * mirror of the HOF expressions ([[TextAnalysis]] shared strings):
+    * single-space split keeping empties, `lineTokens`-chunk "lines"
+    * joined with a space, first-occurrence-distinct, code-point
+    * lengths (UTF8String/DuckDB LENGTH semantics, NOT UTF-16 units),
+    * and UNROUNDED double ratios computed with the identical IEEE
+    * operand order — callers apply `round(_, 6)` on top exactly where
+    * the HOF form did. Documents under 3 tokens return null (the
+    * upstream filter's contract). The q126 oracle and the
+    * naive-Scala-reference property test are the drift nets.
+    */
+  def repetitionStats(text: UTF8String, w: Int): InternalRow = {
+    val s = text.toString
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    if (n < 3) return null
+    def cp(x: String): Long = x.codePointCount(0, x.length).toLong
+    // lines: ceil(n / w) chunks, 1-based slice semantics
+    val nLines = (n - 1) / w + 1
+    var lineSum = 0L
+    var distinctLineSum = 0L
+    val seenLines = new java.util.HashSet[String]()
+    var distinctLines = 0
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i < nLines) {
+      sb.setLength(0)
+      val from = i * w
+      val until = math.min(from + w, n)
+      var j = from
+      while (j < until) {
+        if (j > from) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      val line = sb.toString
+      val len = cp(line)
+      lineSum += len
+      if (seenLines.add(line)) { distinctLines += 1; distinctLineSum += len }
+      i += 1
+    }
+    // positional bigrams/trigrams with occurrence counts
+    val bgCount = new java.util.HashMap[String, Integer]()
+    val bgs = new Array[String](n - 1)
+    i = 0
+    while (i < n - 1) {
+      val g = toks(i) + " " + toks(i + 1)
+      bgs(i) = g
+      bgCount.merge(g, 1, (a, b) => a + b)
+      i += 1
+    }
+    val tgCount = new java.util.HashMap[String, Integer]()
+    val tgs = new Array[String](n - 2)
+    i = 0
+    while (i < n - 2) {
+      val g = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+      tgs(i) = g
+      tgCount.merge(g, 1, (a, b) => a + b)
+      i += 1
+    }
+    var topBg = 0L
+    val it = bgCount.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val mass = e.getValue.toLong * cp(e.getKey)
+      if (mass > topBg) topBg = mass
+    }
+    var dupBg = 0
+    i = 0
+    while (i < bgs.length) { if (bgCount.get(bgs(i)) > 1) dupBg += 1; i += 1 }
+    var dupTg = 0
+    i = 0
+    while (i < tgs.length) { if (tgCount.get(tgs(i)) > 1) dupTg += 1; i += 1 }
+    new GenericInternalRow(Array[Any](
+      n.toLong,
+      nLines.toLong,
+      (nLines - distinctLines).toDouble / nLines.toDouble,
+      (lineSum - distinctLineSum).toDouble / lineSum.toDouble,
+      topBg.toDouble / cp(s).toDouble,
+      dupBg.toDouble / bgs.length.toDouble,
+      dupTg.toDouble / tgs.length.toDouble))
+  }
+
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def repetitionStatsCol(text: Column, w: Int): Column =
+    column(RepetitionStats(expression(text), w))
 
   def bloomHitsCount(hashes: Column, bloom: Array[Long], numBits: Int,
       numHashes: Int): Column =
@@ -307,6 +399,41 @@ case class BloomHits(child: Expression, bloom: Array[Long], numBits: Int,
       v => s"graft.functions.TextOps.bloomHits($v, $ref, ${numBits}L, $numHashes)")
   }
   override protected def withNewChildInternal(newChild: Expression): BloomHits =
+    copy(child = newChild)
+}
+
+/** Native expression: the q126 repetition metrics as a struct of
+  * UNROUNDED doubles, one compiled pass per document (see
+  * [[TextOps.repetitionStats]]). Null text or < 3 tokens → null row.
+  */
+case class RepetitionStats(child: Expression, lineTokens: Int)
+    extends UnaryExpression {
+  require(lineTokens >= 1 && lineTokens <= 64,
+    s"lineTokens must be in [1,64], got $lineTokens")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats expects string, got $other")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_line_char_frac", DoubleType, nullable = false),
+    StructField("top_bigram_char_frac", DoubleType, nullable = false),
+    StructField("dup_bigram_frac", DoubleType, nullable = false),
+    StructField("dup_trigram_frac", DoubleType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    TextOps.repetitionStats(v.asInstanceOf[UTF8String], lineTokens)
+  // NOT defineCodeGen: the helper returns null for < 3 tokens, and
+  // defineCodeGen would leave isNull=false with a null value slot
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"""
+      ${ev.value} = graft.functions.TextOps.repetitionStats($s, $lineTokens);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)
 }
 

@@ -26,33 +26,6 @@ object TextAnalysis {
       LangId.col(col("text")).as("lang_pred"),
       col("lang").as("lang_label"))
 
-  /** The ONE set of repetition-shape expression strings (chunk
-    * "lines", positional bigrams, duplicate-chunk char mass, duplicate
-    * bigram positions) shared by [[repetition]] (q126) and
-    * [[qualityGate]] (q134) — the rowChecksumCol single-definition
-    * doctrine: each shape has a DuckDB oracle mirror, and a shared
-    * definition means the two operators (and both oracles) cannot
-    * drift apart. All operate on prior columns `toks`/`text`.
-    */
-  private def linesExpr(w: Int): String =
-    s"transform(sequence(0, (size(toks) - 1) div $w), " +
-      s"i -> array_join(slice(toks, i * $w + 1, $w), ' '))"
-  private val bgExpr: String =
-    "transform(sequence(1, size(toks) - 1), i -> " +
-      "concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
-  private val tgExpr: String =
-    "transform(sequence(1, size(toks) - 2), i -> " +
-      "concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', " +
-      "element_at(toks, i + 2)))"
-  private val dupLineCharExpr: String =
-    "cast(aggregate(lines, 0L, (a, x) -> a + length(x)) - " +
-      "aggregate(array_distinct(lines), 0L, (a, x) -> a + length(x)) as double) / " +
-      "cast(aggregate(lines, 0L, (a, x) -> a + length(x)) as double)"
-  private val dupBigramExpr: String =
-    "cast(size(filter(bg, x -> size(filter(bg, y -> y = x)) > 1)) as double) / " +
-      "cast(size(bg) as double)"
-
-
   /** Gopher-style within-document repetition metrics (Rae et al. 2021,
     * table A1) — the canonical LLM training-data quality gate the stats
     * family doesn't cover: documents that repeat themselves (boilerplate,
@@ -71,38 +44,31 @@ object TextAnalysis {
     *   - `dup_bigram_frac` / `dup_trigram_frac`: fraction of n-gram
     *     positions whose n-gram occurs more than once in the document.
     *
-    * Everything is per-row array-HOF arithmetic (codegen'd, ZERO
-    * shuffles — the 100 TB cost is one scan); the per-doc n-gram
-    * counting is O(distinct × n) on short documents, bounded by the
-    * tokenizer, never by the corpus. Documents with fewer than 3
-    * tokens (trigram undefined) are dropped, mirroring the oracle.
+    * Everything is ONE native compiled pass per document
+    * ([[graft.functions.TextOps.repetitionStats]] — the original
+    * higher-order-function formulation ran INTERPRETED per n-gram,
+    * measured 5.7-6.4 s at sf0.1 vs well under a second native; ZERO
+    * shuffles either way, the 100 TB cost is one scan); per-doc
+    * n-gram counting is O(n) hash-map work bounded by the tokenizer,
+    * never by the corpus. Documents with fewer than 3 tokens (trigram
+    * undefined) are dropped, mirroring the oracle; ROUND-6 applies
+    * here, on the expression's unrounded IEEE-identical ratios.
     */
-  def repetition(docs: DataFrame, lineTokens: Int = 2): DataFrame = {
+  def repetition(docs: DataFrame, lineTokens: Int = 2): DataFrame =
     docs
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("text"), col("toks"),
-        expr(linesExpr(lineTokens)).as("lines"),
-        expr(bgExpr).as("bg"),
-        expr(tgExpr).as("tg"))
+      .select(col("doc_id"),
+        TextOps.repetitionStatsCol(col("text"), lineTokens).as("_r"))
+      .filter(col("_r").isNotNull)
       .select(
         col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(col("lines")).cast("long").as("n_lines"),
-        round((size(col("lines")) - size(array_distinct(col("lines"))))
-          .cast("double") / size(col("lines")).cast("double"), 6)
-          .as("dup_line_frac"),
-        round(expr(dupLineCharExpr), 6).as("dup_line_char_frac"),
-        round(expr(
-          "cast(aggregate(array_distinct(bg), 0L, (m, x) -> " +
-          "greatest(m, cast(size(filter(bg, y -> y = x)) * length(x) as bigint))) as double) / " +
-          "cast(length(text) as double)"), 6).as("top_bigram_char_frac"),
-        round(expr(dupBigramExpr), 6).as("dup_bigram_frac"),
-        round(expr(
-          "cast(size(filter(tg, x -> size(filter(tg, y -> y = x)) > 1)) as double) / " +
-          "cast(size(tg) as double)"), 6).as("dup_trigram_frac"))
-  }
+        col("_r.n_tokens").as("n_tokens"),
+        col("_r.n_lines").as("n_lines"),
+        round(col("_r.dup_line_frac"), 6).as("dup_line_frac"),
+        round(col("_r.dup_line_char_frac"), 6).as("dup_line_char_frac"),
+        round(col("_r.top_bigram_char_frac"), 6).as("top_bigram_char_frac"),
+        round(col("_r.dup_bigram_frac"), 6).as("dup_bigram_frac"),
+        round(col("_r.dup_trigram_frac"), 6).as("dup_trigram_frac"))
 
   /** Gopher-style composite quality GATE — the keep/drop decision a
     * training pipeline actually runs, assembled from the exact metrics
@@ -137,16 +103,15 @@ object TextAnalysis {
       "mean-token-chars band must satisfy 0 < min < max")
     val guarded = docs
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("text"), col("toks"),
-        when(size(col("toks")) >= 3, expr(linesExpr(2))).as("lines"),
-        when(size(col("toks")) >= 3, expr(bgExpr)).as("bg"))
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"),
+        TextOps.repetitionStatsCol(col("text"), 2).as("_r"))
     val n = size(col("toks")).cast("long")
     val meanTok =
       expr("cast(aggregate(toks, 0L, (a, x) -> a + length(x)) as double)") /
         n.cast("double")
-    val dupLineChar = expr(dupLineCharExpr)
-    val dupBigram = expr(dupBigramExpr)
+    // null struct (< 3 tokens) nulls both fractions → coalesce(false)
+    val dupLineChar = col("_r.dup_line_char_frac")
+    val dupBigram = col("_r.dup_bigram_frac")
     val flagged = guarded.select(
       col("doc_id"),
       n.as("n_tokens"),
