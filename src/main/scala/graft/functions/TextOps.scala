@@ -238,7 +238,11 @@ object TextOps {
     * and UNROUNDED double ratios computed with the identical IEEE
     * operand order — callers apply `round(_, 6)` on top exactly where
     * the HOF form did. Documents under 3 tokens return null (the
-    * upstream filter's contract). The q126 oracle and the
+    * upstream filter's contract). Degenerate inputs keep the HOF
+    * arithmetic bit-for-bit: a doc whose every "line" is empty (all
+    * empty tokens at w=1) yields lineSum=0 and dup_line_char_frac =
+    * 0/0 = NaN, exactly as the transform/aggregate form divided — NOT
+    * silently coerced to 0. The q126 oracle and the
     * naive-Scala-reference property test are the drift nets.
     */
   def repetitionStats(text: UTF8String, w: Int): InternalRow = {
@@ -408,8 +412,9 @@ case class BloomHits(child: Expression, bloom: Array[Long], numBits: Int,
   */
 case class RepetitionStats(child: Expression, lineTokens: Int)
     extends UnaryExpression {
-  require(lineTokens >= 1 && lineTokens <= 64,
-    s"lineTokens must be in [1,64], got $lineTokens")
+  // lower bound only: the HOF form this replaces accepted any positive
+  // chunk width (w beyond the doc length = one whole-doc line)
+  require(lineTokens >= 1, s"lineTokens must be >= 1, got $lineTokens")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

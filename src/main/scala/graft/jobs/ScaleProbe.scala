@@ -38,12 +38,15 @@ object ScaleProbe {
     // skipped stages report 0.00s and drop out of the total
     val stageFilter = if (args.length > 2) Some(args(2).r) else None
     // snapshot-diff cutoff: input ts midpoint — LAZY so a stage filter
-    // that skips snapdiff never pays this (untimed) min/max scan
+    // that skips snapdiff never pays the min/max scan, FORCED here
+    // (outside any timed stage) when snapdiff will run, so rep 1's
+    // snapdiff measurement never absorbs the scan
     lazy val tsMid = {
       val r = raw.agg(min(col("ts")).cast("long").as("a"),
         max(col("ts")).cast("long").as("b")).head()
       (r.getLong(0) + r.getLong(1)) / 2
     }
+    if (stageFilter.forall(_.findFirstIn("snapdiff").isDefined)) tsMid
     def stage(name: String)(body: => Unit): Double =
       if (stageFilter.forall(_.findFirstIn(name).isDefined)) timed(body)
       else 0.0

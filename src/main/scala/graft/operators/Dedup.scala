@@ -596,6 +596,14 @@ object Dedup {
     * Output contract matches [[decontaminate]]: one row per
     * contaminated doc, `(doc_id, bench_id, jaccard)`, best match by
     * (jaccard DESC, bench_id).
+    *
+    * NOTE: the bitset is materialised EAGERLY at call time (an action
+    * over `benchmark`, same as the IVF k-means centroids in
+    * [[Similarity.ivfTopK]]) and embedded as a literal — the returned
+    * frame does NOT re-read `benchmark`'s bloom side on execution. A
+    * benchmark that changes between this call and the action sees the
+    * stale bitset in the prescreen (never in the exact verify, which
+    * joins the live frame) — rebuild the plan after benchmark updates.
     */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
       threshold: Double = 0.5, numBits: Int = 1 << 18,

@@ -71,11 +71,15 @@ object SnapshotDiff {
         (col("matched") + col("left_only")).as("left_n"),
         (col("matched") + col("right_only")).as("right_n"),
         col("matched"), col("left_only"), col("right_only"),
-        round(col("matched").cast("double") /
-          (col("matched") + col("left_only")).cast("double"), 6)
+        // an EMPTY side (no non-null keys) has no defined coverage:
+        // NULL, not a 0/0 that ANSI mode turns into DIVIDE_BY_ZERO
+        when(col("matched") + col("left_only") > 0,
+          round(col("matched").cast("double") /
+            (col("matched") + col("left_only")).cast("double"), 6))
           .as("left_coverage"),
-        round(col("matched").cast("double") /
-          (col("matched") + col("right_only")).cast("double"), 6)
+        when(col("matched") + col("right_only") > 0,
+          round(col("matched").cast("double") /
+            (col("matched") + col("right_only")).cast("double"), 6))
           .as("right_coverage"))
   }
 
