@@ -708,7 +708,14 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet")
           .filter(col("vec_id") % 7 =!= 0),
         leftKey = "doc_id", rightKey = "vec_id")
-    })
+    }),
+    // arbitrary-range continuous aggregate answered FROM the tier
+    // cascade (whole days from 1d, edge hours/minutes from 1h/1m, raw
+    // only sub-minute) — the ragged range exercises every ladder level;
+    // oracle = direct aggregation of raw turns over the same range
+    "q140_tier_stitch" -> ((s, dir) =>
+      Rollup.stitchRange(transcripts(s, dir),
+        "2024-01-03 07:41:23", "2024-01-27 18:22:05"))
   )
 
   private val rollupSelect: String =
@@ -3021,6 +3028,28 @@ object SparkEntry {
         |    / CAST(matched + left_only AS DOUBLE), 6) AS left_coverage,
         |  ROUND(CAST(matched AS DOUBLE)
         |    / CAST(matched + right_only AS DOUBLE), 6) AS right_coverage
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    // stitched tier answer ≡ direct aggregation of raw over the range:
+    // the oracle never sees tiers — it IS the semantics being stitched
+    "q140_tier_stitch" -> Transcripts.oracle(
+      """SELECT
+        |  conv_id,
+        |  COUNT(*) AS turn_count,
+        |  COUNT(*) FILTER (WHERE role = 'user') AS user_turns,
+        |  COUNT(*) FILTER (WHERE role = 'assistant') AS assistant_turns,
+        |  COUNT(tool) AS tool_calls,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS char_len_sum,
+        |  CAST(MIN(LENGTH(text)) AS BIGINT) AS char_len_min,
+        |  CAST(MAX(LENGTH(text)) AS BIGINT) AS char_len_max,
+        |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS token_sum,
+        |  MIN(turn_idx) AS min_turn_idx,
+        |  MAX(turn_idx) AS max_turn_idx,
+        |  ARG_MIN(text, turn_idx) AS first_text,
+        |  ARG_MAX(text, turn_idx) AS last_text,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) * 1.0 / COUNT(*) AS char_len_avg
+        |FROM transcripts
+        |WHERE ts >= TIMESTAMP '2024-01-03 07:41:23'
+        |  AND ts < TIMESTAMP '2024-01-27 18:22:05'
+        |GROUP BY 1""".stripMargin)
   )
 }

@@ -393,4 +393,136 @@ object Rollup {
         sum(col("char_len")).as("char_len_sum"))
       .select(col("scope"), col("conv_id"), col("window_start"),
         col("turn_count"), col("tool_calls"), col("char_len_sum"))
+
+  /** The additive/decomposable metric columns a stitch merges (the
+    * [[columns]] list minus `window_start` and the derived pair). */
+  private val stitchCols: Seq[String] = Seq(
+    "conv_id", "turn_count", "user_turns", "assistant_turns",
+    "tool_calls", "char_len_sum", "char_len_min", "char_len_max",
+    "token_sum", "min_turn_idx", "max_turn_idx", "first_text",
+    "last_text")
+
+  /** Tier-ladder decomposition of the half-open range `[from, to)`
+    * into the minimal cover of aligned tier windows plus raw edges —
+    * the read side of a continuous-aggregate engine (TimescaleDB
+    * real-time aggregates, Druid granularity descent): whole days are
+    * answered from the 1d table, the remaining whole hours from 1h,
+    * whole minutes from 1m, and only the sub-minute edges ever touch
+    * raw turns.
+    *
+    * All tiers are epoch-aligned on the naive UTC timeline (Spark's
+    * `window()` floor; a day is exactly 86400 s — no zones, no DST),
+    * so coarser windows nest exactly in finer ones and a recursive
+    * descent is sound: at each granularity, emit the maximal aligned
+    * middle `[ceil(from), floor(to))` if non-empty and recurse on the
+    * two remainders one level finer. At most 2 slices per finer tier
+    * + 1 day run + 2 raw edges, disjoint, ordered, covering exactly
+    * `[from, to)` (StitchSpec pins all four properties).
+    */
+  def rangeSlices(from: java.time.LocalDateTime, to: java.time.LocalDateTime)
+      : Seq[(String, java.time.LocalDateTime, java.time.LocalDateTime)] = {
+    import java.time.temporal.ChronoUnit
+    require(!to.isBefore(from), s"empty/inverted range: [$from, $to)")
+    val ladder = Seq(("1d", ChronoUnit.DAYS), ("1h", ChronoUnit.HOURS),
+      ("1m", ChronoUnit.MINUTES))
+    def ceil(t: java.time.LocalDateTime, u: ChronoUnit) = {
+      val f = t.truncatedTo(u)
+      if (f == t) t else f.plus(1, u)
+    }
+    def go(lo: java.time.LocalDateTime, hi: java.time.LocalDateTime,
+        lvl: Int): Seq[(String, java.time.LocalDateTime, java.time.LocalDateTime)] =
+      if (!lo.isBefore(hi)) Nil
+      else if (lvl == ladder.length) Seq(("raw", lo, hi))
+      else {
+        val (tier, u) = ladder(lvl)
+        val a = ceil(lo, u)
+        val b = hi.truncatedTo(u)
+        if (a.isBefore(b))
+          go(lo, a, lvl + 1) ++ Seq((tier, a, b)) ++ go(b, hi, lvl + 1)
+        else go(lo, hi, lvl + 1)
+      }
+    go(from, to, 0)
+  }
+
+  /** Arbitrary-range continuous aggregate served FROM the rollup
+    * cascade: per-conversation totals over `[from, to)` (ISO-ish
+    * `yyyy-MM-dd HH:mm:ss`, naive UTC) computed by stitching the
+    * [[rangeSlices]] cover — 1d windows for whole days, 1h / 1m for
+    * the edges, raw turns only for the sub-minute remainders — and
+    * merging the decomposable metrics exactly as [[cascade]] does
+    * (counts/sums add, min/max nest, first/last resolve by the unique
+    * carried turn_idx). Output ≡ aggregating raw over the range
+    * directly (the driver oracle), but a 30-day query touches ~30 1d
+    * rows + ≤46 hour rows + ≤118 minute rows + ≤2 minutes of raw per
+    * conversation instead of every turn.
+    *
+    * Plan/scale: the tier tables are filtered on `window_start` —
+    * partition-prunable predicates against stored rollups in a real
+    * deployment (here the cascade is recomputed per the driver
+    * contract, with the range predicate pushed to the raw scan:
+    * tiers are built only from `[floor-minute(from), to)`). The union
+    * merges slice frames that are already per-(conv, window)
+    * aggregates, so the final groupBy(conv_id) exchanges O(windows in
+    * range), never raw turns.
+    */
+  def stitchRange(transcripts: DataFrame, fromTs: String, toTs: String)
+      : DataFrame = {
+    val from = java.time.LocalDateTime.parse(fromTs.replace(' ', 'T'))
+    val to = java.time.LocalDateTime.parse(toTs.replace(' ', 'T'))
+    val slices = rangeSlices(from, to)
+    // boundary literals take the INPUT's timestamp flavor (NTZ from the
+    // driver parquet, zoned from the Turn fixture — both naive-UTC under
+    // the pinned session zone), so no cross-type coercion enters the plan
+    val tsType = transcripts.schema("ts").dataType
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    def ntz(t: java.time.LocalDateTime): Column = lit(t.format(fmt)).cast(tsType)
+    // tiers only ever serve windows inside [floor-minute(from), to):
+    // push that range onto the raw scan before the 1m aggregation.
+    // In a deployment the tiers are STORED tables (one scan each); in
+    // recompute mode the persists stand in for them — without them
+    // every union branch re-aggregates raw→1m(→1h) independently and
+    // the raw table is scanned once per slice (7× for a ragged range)
+    lazy val m1 = fromRaw(
+      transcripts.filter(
+        col("ts") >= ntz(from.truncatedTo(java.time.temporal.ChronoUnit.MINUTES)) &&
+          col("ts") < ntz(to)),
+      Tier.M1).persist()
+    lazy val h1 = cascade(m1, Tier.H1).persist()
+    lazy val d1 = cascade(h1, Tier.D1)
+    val parts = slices.map {
+      case ("raw", lo, hi) =>
+        // a raw edge is < 1 minute wide; fromRaw at 1m reuses the
+        // exact per-row metric expressions (and stays correct even if
+        // a slice ever spanned windows: the merge below re-sums)
+        fromRaw(transcripts.filter(col("ts") >= ntz(lo) && col("ts") < ntz(hi)),
+          Tier.M1).select(stitchCols.map(col): _*)
+      case (tier, lo, hi) =>
+        val t = tier match {
+          case "1m" => m1; case "1h" => h1; case _ => d1
+        }
+        t.filter(col("window_start") >= ntz(lo) && col("window_start") < ntz(hi))
+          .select(stitchCols.map(col): _*)
+    }
+    val unioned = parts.reduceOption(_ union _).getOrElse(
+      fromRaw(transcripts.filter(lit(false)), Tier.M1)
+        .select(stitchCols.map(col): _*))
+    unioned
+      .groupBy(col("conv_id"))
+      .agg(
+        sum(col("turn_count")).as("turn_count"),
+        sum(col("user_turns")).as("user_turns"),
+        sum(col("assistant_turns")).as("assistant_turns"),
+        sum(col("tool_calls")).as("tool_calls"),
+        sum(col("char_len_sum")).as("char_len_sum"),
+        min(col("char_len_min")).as("char_len_min"),
+        max(col("char_len_max")).as("char_len_max"),
+        sum(col("token_sum")).as("token_sum"),
+        min(col("min_turn_idx")).as("min_turn_idx"),
+        max(col("max_turn_idx")).as("max_turn_idx"),
+        min_by(col("first_text"), col("min_turn_idx")).as("first_text"),
+        max_by(col("last_text"), col("max_turn_idx")).as("last_text"))
+      .withColumn("char_len_avg",
+        col("char_len_sum") * lit(1.0) / col("turn_count"))
+  }
 }

@@ -1,0 +1,131 @@
+package graft.rollup
+
+import graft.SparkTestBase
+import graft.ingest.Synth
+import java.time.LocalDateTime
+import java.time.temporal.ChronoUnit
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tier-stitch range queries ([[Rollup.rangeSlices]] /
+  * [[Rollup.stitchRange]]): the ladder decomposition is exact (cover /
+  * order / alignment / bounded slice counts) and the stitched answer
+  * equals direct aggregation of raw turns over the range — for ragged,
+  * aligned, sub-minute, and empty ranges.
+  */
+class StitchSpec extends SparkTestBase {
+
+  private lazy val turns = Synth.transcripts(
+    spark, nConvs = 30, avgTurns = 50, seed = 11L, hotConvs = 1, hotFactor = 30)
+    .toDF().cache()
+
+  /** The q140 oracle's semantics in Spark: aggregate raw directly. */
+  private def direct(lo: String, hi: String): DataFrame = {
+    val tsType = turns.schema("ts").dataType
+    val f = turns.filter(
+      col("ts") >= lit(lo).cast(tsType) && col("ts") < lit(hi).cast(tsType))
+    f.withColumn("char_len", length(col("text")).cast("long"))
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("turn_count"),
+        count_if(col("role") === "user").as("user_turns"),
+        count_if(col("role") === "assistant").as("assistant_turns"),
+        count(col("tool")).as("tool_calls"),
+        sum(col("char_len")).as("char_len_sum"),
+        min(col("char_len")).as("char_len_min"),
+        max(col("char_len")).as("char_len_max"),
+        sum(col("tokens")).as("token_sum"),
+        min(col("turn_idx")).as("min_turn_idx"),
+        max(col("turn_idx")).as("max_turn_idx"),
+        min_by(col("text"), col("turn_idx")).as("first_text"),
+        max_by(col("text"), col("turn_idx")).as("last_text"))
+      .withColumn("char_len_avg",
+        col("char_len_sum") * lit(1.0) / col("turn_count"))
+  }
+
+  test("rangeSlices: hand-checked ladder for the q140 ragged range") {
+    val s = Rollup.rangeSlices(
+      LocalDateTime.parse("2024-01-03T07:41:23"),
+      LocalDateTime.parse("2024-01-27T18:22:05"))
+    def t(x: String) = LocalDateTime.parse(x)
+    assert(s == Seq(
+      ("raw", t("2024-01-03T07:41:23"), t("2024-01-03T07:42:00")),
+      ("1m", t("2024-01-03T07:42:00"), t("2024-01-03T08:00:00")),
+      ("1h", t("2024-01-03T08:00:00"), t("2024-01-04T00:00:00")),
+      ("1d", t("2024-01-04T00:00:00"), t("2024-01-27T00:00:00")),
+      ("1h", t("2024-01-27T00:00:00"), t("2024-01-27T18:00:00")),
+      ("1m", t("2024-01-27T18:00:00"), t("2024-01-27T18:22:00")),
+      ("raw", t("2024-01-27T18:22:00"), t("2024-01-27T18:22:05"))))
+  }
+
+  test("rangeSlices: no-whole-day range never emits a misaligned tier slice") {
+    val s = Rollup.rangeSlices(
+      LocalDateTime.parse("2024-01-05T23:10:30"),
+      LocalDateTime.parse("2024-01-06T01:50:00"))
+    def t(x: String) = LocalDateTime.parse(x)
+    assert(s == Seq(
+      ("raw", t("2024-01-05T23:10:30"), t("2024-01-05T23:11:00")),
+      ("1m", t("2024-01-05T23:11:00"), t("2024-01-06T00:00:00")),
+      ("1h", t("2024-01-06T00:00:00"), t("2024-01-06T01:00:00")),
+      ("1m", t("2024-01-06T01:00:00"), t("2024-01-06T01:50:00"))))
+  }
+
+  test("rangeSlices properties: cover, order, alignment, bounded counts") {
+    val unitOf = Map("1m" -> ChronoUnit.MINUTES, "1h" -> ChronoUnit.HOURS,
+      "1d" -> ChronoUnit.DAYS)
+    val ranges = Seq(
+      ("2024-01-03T07:41:23", "2024-01-27T18:22:05"),
+      ("2024-01-01T00:00:00", "2024-01-31T00:00:00"), // fully day-aligned
+      ("2024-01-10T00:00:00", "2024-01-10T00:00:41"), // sub-minute, aligned lo
+      ("2024-01-10T13:59:59", "2024-01-10T14:00:01"), // raw straddling an hour
+      ("2024-01-05T23:10:30", "2024-01-06T01:50:00"),
+      ("2024-01-10T06:30:00", "2024-01-10T06:30:00"), // empty
+      ("2023-12-31T23:59:59", "2024-02-01T00:00:01"))
+    for ((a, b) <- ranges) {
+      val lo = LocalDateTime.parse(a); val hi = LocalDateTime.parse(b)
+      val s = Rollup.rangeSlices(lo, hi)
+      if (lo == hi) assert(s.isEmpty)
+      else {
+        assert(s.head._2 == lo && s.last._3 == hi, s"cover fails for [$a,$b)")
+        s.sliding(2).foreach {
+          case Seq((_, _, h1), (_, l2, _)) => assert(h1 == l2, s"gap in [$a,$b)")
+          case _ =>
+        }
+        s.foreach { case (tier, l, h) =>
+          assert(l.isBefore(h), s"empty slice $tier in [$a,$b)")
+          unitOf.get(tier).foreach { u =>
+            assert(l.truncatedTo(u) == l && h.truncatedTo(u) == h,
+              s"misaligned $tier slice [$l,$h) in [$a,$b)")
+          }
+        }
+        val n = s.groupBy(_._1).view.mapValues(_.size).toMap
+        assert(n.getOrElse("raw", 0) <= 2 && n.getOrElse("1m", 0) <= 2 &&
+          n.getOrElse("1h", 0) <= 2 && n.getOrElse("1d", 0) <= 1,
+          s"slice counts $n for [$a,$b)")
+      }
+    }
+  }
+
+  test("stitchRange equals direct raw aggregation on every range shape") {
+    val ranges = Seq(
+      ("2024-01-03 07:41:23", "2024-01-27 18:22:05"),
+      ("2024-01-02 00:00:00", "2024-01-29 00:00:00"),
+      ("2024-01-10 00:00:00", "2024-01-10 00:00:41"),
+      ("2024-01-10 13:59:59", "2024-01-10 14:00:01"),
+      ("2024-01-05 23:10:30", "2024-01-06 01:50:00"))
+    for ((a, b) <- ranges) {
+      val st = Rollup.stitchRange(turns, a, b)
+      assertSameRows(st, direct(a, b))
+    }
+  }
+
+  test("stitchRange: empty range yields zero rows with the full schema") {
+    val st = Rollup.stitchRange(turns, "2024-01-10 06:30:00", "2024-01-10 06:30:00")
+    assert(st.columns.toSeq == Seq("conv_id", "turn_count", "user_turns",
+      "assistant_turns", "tool_calls", "char_len_sum", "char_len_min",
+      "char_len_max", "token_sum", "min_turn_idx", "max_turn_idx",
+      "first_text", "last_text", "char_len_avg"))
+    assert(st.count() == 0L)
+  }
+}
