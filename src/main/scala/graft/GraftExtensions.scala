@@ -361,6 +361,9 @@ object GraftExtensions {
     tfn("term_topk_sketch",
       "(table, k, capacity) - corpus term top-k via the mergeable Misra-Gries sketch; exact when capacity >= vocabulary, est within N/(capacity+1) below",
       arities = Set(3), intArgs = Set(1, 2)),
+    tfn("tier_stitch",
+      "(table, from_ts, to_ts) - per-conversation totals over [from_ts, to_ts) answered from the rollup tier ladder (whole days from 1d, edge hours/minutes from 1h/1m, raw only sub-minute); timestamps 'yyyy-MM-dd HH:mm:ss'",
+      arities = Set(3)),
     tfn("doc_repetition",
       "(table[, line_tokens]) - Gopher-style within-document repetition metrics: duplicate chunk-line fractions, top-bigram char share, duplicate bigram/trigram position fractions (default line_tokens 2)",
       arities = Set(1, 2), intArgs = Set(1)))

@@ -41,12 +41,14 @@ object ScaleProbe {
     // that skips snapdiff never pays the min/max scan, FORCED here
     // (outside any timed stage) when snapdiff will run, so rep 1's
     // snapdiff measurement never absorbs the scan
-    lazy val tsMid = {
+    lazy val tsRange = {
       val r = raw.agg(min(col("ts")).cast("long").as("a"),
         max(col("ts")).cast("long").as("b")).head()
-      (r.getLong(0) + r.getLong(1)) / 2
+      (r.getLong(0), r.getLong(1))
     }
-    if (stageFilter.forall(_.findFirstIn("snapdiff").isDefined)) tsMid
+    lazy val tsMid = (tsRange._1 + tsRange._2) / 2
+    if (stageFilter.forall(f => f.findFirstIn("snapdiff").isDefined ||
+        f.findFirstIn("stitch").isDefined)) tsRange
     def stage(name: String)(body: => Unit): Double =
       if (stageFilter.forall(_.findFirstIn(name).isDefined)) timed(body)
       else 0.0
@@ -280,7 +282,20 @@ object ScaleProbe {
         .rollingActiveDaily(raw).agg(count(col("rolling_active"))).head())
       val tWauS = stage("wausketch")(graft.operators.SeriesOps
         .rollingActiveSketchDaily(raw).agg(count(col("rolling_active_est"))).head())
-      val total = tWau + tWauS + tCov + tHamp + tSd + tHm + tMgs + tHq + tWs + tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
+      // tier-stitch range query over a deliberately RAGGED span (±1h1m1s
+      // off the input's endpoints so every ladder level is exercised).
+      // Its internal m1/h1 persists stay cached between reps — the
+      // dailyacf census idiom: identical warmth at both core counts.
+      // Payload = first_text so the min_by merge cannot be pruned.
+      val tStitch = stage("stitch") {
+        val fmtS = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss")
+        def at(s: Long) = java.time.LocalDateTime
+          .ofEpochSecond(s, 0, java.time.ZoneOffset.UTC).format(fmtS)
+        Rollup.stitchRange(raw, at(tsRange._1 + 3661L), at(tsRange._2 - 3661L))
+          .agg(count(col("first_text"))).head()
+      }
+      val total = tStitch + tWau + tWauS + tCov + tHamp + tSd + tHm + tMgs + tHq + tWs + tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
         tVocab + tProf + tOhlc + tDaily + tGapRep + tSax + tTheil +
@@ -322,7 +337,7 @@ object ScaleProbe {
         f"histquant=$tHq%.2fs wsample=$tWs%.2fs " +
         f"histmerge=$tHm%.2fs mgsketch=$tMgs%.2fs snapdiff=$tSd%.2fs " +
         f"hampel=$tHamp%.2fs coverage=$tCov%.2fs " +
-        f"wauexact=$tWau%.2fs wausketch=$tWauS%.2fs " +
+        f"wauexact=$tWau%.2fs wausketch=$tWauS%.2fs stitch=$tStitch%.2fs " +
         f"total=$total%.2fs " +
         (if (tM1 > 0) f"throughput=${n / tM1}%.0f turns/s" else "throughput=n/a"))
       total

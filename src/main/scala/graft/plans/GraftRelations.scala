@@ -309,6 +309,8 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
           ks.split(",").map(_.trim).toSeq, ms.split(",").map(_.trim).toSeq)
       case "ols_trend" =>
         RefOps.olsTrend(session.table(args(0)))
+      case "tier_stitch" =>
+        Rollup.stitchRange(session.table(args(0)), args(1), args(2))
       case "daily_checksum" =>
         Curation.corpusChecksumDaily(session.table(args(0)))
       case "corpus_checksum" =>

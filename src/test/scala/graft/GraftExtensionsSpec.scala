@@ -472,6 +472,9 @@ class GraftExtensionsSpec extends SparkTestBase {
     assertSameRows(
       ext.sql("SELECT * FROM ols_trend('trc_ext')"),
       graft.operators.RefOps.olsTrend(tr))
+    assertSameRows(
+      ext.sql("SELECT * FROM tier_stitch('trc_ext', '2024-01-04 05:06:07', '2024-01-20 10:11:12')"),
+      graft.rollup.Rollup.stitchRange(tr, "2024-01-04 05:06:07", "2024-01-20 10:11:12"))
     // operator-level require() surfaces through the SQL path
     val bad = intercept[Exception] {
       ext.sql("SELECT * FROM sample_per_conv('trc_ext', 0)").collect()
