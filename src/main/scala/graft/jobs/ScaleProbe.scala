@@ -37,10 +37,10 @@ object ScaleProbe {
     // control stages the regex names) without paying the full chain;
     // skipped stages report 0.00s and drop out of the total
     val stageFilter = if (args.length > 2) Some(args(2).r) else None
-    // snapshot-diff cutoff: input ts midpoint — LAZY so a stage filter
-    // that skips snapdiff never pays the min/max scan, FORCED here
-    // (outside any timed stage) when snapdiff will run, so rep 1's
-    // snapdiff measurement never absorbs the scan
+    // input ts (min, max): the snapdiff cutoff midpoint AND the stitch
+    // range endpoints — LAZY so a stage filter skipping both never pays
+    // the min/max scan, FORCED here (outside any timed stage) when
+    // either will run, so neither stage's rep-1 sample absorbs the scan
     lazy val tsRange = {
       val r = raw.agg(min(col("ts")).cast("long").as("a"),
         max(col("ts")).cast("long").as("b")).head()
@@ -284,10 +284,17 @@ object ScaleProbe {
         .rollingActiveSketchDaily(raw).agg(count(col("rolling_active_est"))).head())
       // tier-stitch range query over a deliberately RAGGED span (±1h1m1s
       // off the input's endpoints so every ladder level is exercised).
-      // Its internal m1/h1 persists stay cached between reps — the
-      // dailyacf census idiom: identical warmth at both core counts.
+      // Each rep pays the FULL recompute-mode cost: the internal m1/h1
+      // localCheckpoints are per-call (they free with the frame — no
+      // cross-rep cache), so the measured time = tier build + stitched
+      // read, the same plan both sides of an N-vs-4N pair. Skipped
+      // (0.00s) when the input spans < 2×(1h1m1s)+1m — a smoke input
+      // has no ladder to exercise and an inverted range would throw.
       // Payload = first_text so the min_by merge cannot be pruned.
-      val tStitch = stage("stitch") {
+      val tStitch =
+        if (stageFilter.forall(_.findFirstIn("stitch").isDefined) &&
+            tsRange._2 - tsRange._1 < 2 * 3661L + 60L) 0.0
+        else stage("stitch") {
         val fmtS = java.time.format.DateTimeFormatter
           .ofPattern("yyyy-MM-dd HH:mm:ss")
         def at(s: Long) = java.time.LocalDateTime

@@ -70,28 +70,33 @@ object Rollup {
     derived(agg, tier)
   }
 
-  /** Tier k-1 rollup → tier k rollup, reading ONLY the finer tier.
-    * Decomposable merges: counts/sums add, min/max nest, first/last
-    * resolve by the carried unique `min_turn_idx`/`max_turn_idx`.
+  /** The decomposable-merge aggregate list — counts/sums add, min/max
+    * nest, first/last resolve by the carried unique
+    * `min_turn_idx`/`max_turn_idx`. ONE definition shared by
+    * [[cascade]], [[fromRawSalted]]'s final phase, and [[stitchRange]]
+    * so the three merge sites cannot drift.
     */
+  private def mergeAggs: Seq[Column] = Seq(
+    sum(col("turn_count")).as("turn_count"),
+    sum(col("user_turns")).as("user_turns"),
+    sum(col("assistant_turns")).as("assistant_turns"),
+    sum(col("tool_calls")).as("tool_calls"),
+    sum(col("char_len_sum")).as("char_len_sum"),
+    min(col("char_len_min")).as("char_len_min"),
+    max(col("char_len_max")).as("char_len_max"),
+    sum(col("token_sum")).as("token_sum"),
+    min(col("min_turn_idx")).as("min_turn_idx"),
+    max(col("max_turn_idx")).as("max_turn_idx"),
+    min_by(col("first_text"), col("min_turn_idx")).as("first_text"),
+    max_by(col("last_text"), col("max_turn_idx")).as("last_text"))
+
+  /** Tier k-1 rollup → tier k rollup, reading ONLY the finer tier. */
   def cascade(finer: DataFrame, to: Tier): DataFrame = {
     val agg = finer
       .groupBy(
         col("conv_id"),
         window(col("window_start"), to.windowExpr).getField("start").as("window_start"))
-      .agg(
-        sum(col("turn_count")).as("turn_count"),
-        sum(col("user_turns")).as("user_turns"),
-        sum(col("assistant_turns")).as("assistant_turns"),
-        sum(col("tool_calls")).as("tool_calls"),
-        sum(col("char_len_sum")).as("char_len_sum"),
-        min(col("char_len_min")).as("char_len_min"),
-        max(col("char_len_max")).as("char_len_max"),
-        sum(col("token_sum")).as("token_sum"),
-        min(col("min_turn_idx")).as("min_turn_idx"),
-        max(col("max_turn_idx")).as("max_turn_idx"),
-        min_by(col("first_text"), col("min_turn_idx")).as("first_text"),
-        max_by(col("last_text"), col("max_turn_idx")).as("last_text"))
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
     derived(agg, to)
   }
 
@@ -126,19 +131,7 @@ object Rollup {
         max_by(col("text"), col("turn_idx")).as("last_text"))
     val merged = phase1
       .groupBy(col("conv_id"), col("window_start"))
-      .agg(
-        sum(col("turn_count")).as("turn_count"),
-        sum(col("user_turns")).as("user_turns"),
-        sum(col("assistant_turns")).as("assistant_turns"),
-        sum(col("tool_calls")).as("tool_calls"),
-        sum(col("char_len_sum")).as("char_len_sum"),
-        min(col("char_len_min")).as("char_len_min"),
-        max(col("char_len_max")).as("char_len_max"),
-        sum(col("token_sum")).as("token_sum"),
-        min(col("min_turn_idx")).as("min_turn_idx"),
-        max(col("max_turn_idx")).as("max_turn_idx"),
-        min_by(col("first_text"), col("min_turn_idx")).as("first_text"),
-        max_by(col("last_text"), col("max_turn_idx")).as("last_text"))
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
     derived(merged, tier)
   }
 
@@ -394,13 +387,11 @@ object Rollup {
       .select(col("scope"), col("conv_id"), col("window_start"),
         col("turn_count"), col("tool_calls"), col("char_len_sum"))
 
-  /** The additive/decomposable metric columns a stitch merges (the
-    * [[columns]] list minus `window_start` and the derived pair). */
-  private val stitchCols: Seq[String] = Seq(
-    "conv_id", "turn_count", "user_turns", "assistant_turns",
-    "tool_calls", "char_len_sum", "char_len_min", "char_len_max",
-    "token_sum", "min_turn_idx", "max_turn_idx", "first_text",
-    "last_text")
+  /** The additive/decomposable metric columns a stitch merges — derived
+    * from [[columns]] (not retyped) so a new tier metric flows into
+    * stitching automatically or fails the merge loudly. */
+  private val stitchCols: Seq[String] =
+    columns.filterNot(Set("window_start", "char_len_avg", "turn_rate"))
 
   /** Tier-ladder decomposition of the half-open range `[from, to)`
     * into the minimal cover of aligned tier windows plus raw edges —
@@ -467,12 +458,21 @@ object Rollup {
     */
   def stitchRange(transcripts: DataFrame, fromTs: String, toTs: String)
       : DataFrame = {
+    // the boundary-literal cast parses in the SESSION zone for zoned
+    // TimestampType while window() stays epoch-aligned — the TimeArith
+    // doctrine: enforce UTC where the arithmetic happens, both types
+    graft.operators.TimeArith.requireUtcForCalendar(transcripts, "ts")
     val from = java.time.LocalDateTime.parse(fromTs.replace(' ', 'T'))
     val to = java.time.LocalDateTime.parse(toTs.replace(' ', 'T'))
+    // LocalDateTime.parse accepts fractional seconds the boundary
+    // formatter below would silently TRUNCATE out of the filters —
+    // reject rather than shift the range edges
+    require(from.getNano == 0 && to.getNano == 0,
+      s"stitch boundaries must be whole seconds ('yyyy-MM-dd HH:mm:ss'): [$fromTs, $toTs)")
     val slices = rangeSlices(from, to)
     // boundary literals take the INPUT's timestamp flavor (NTZ from the
     // driver parquet, zoned from the Turn fixture — both naive-UTC under
-    // the pinned session zone), so no cross-type coercion enters the plan
+    // the guard above), so no cross-type coercion enters the plan
     val tsType = transcripts.schema("ts").dataType
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss")
@@ -480,15 +480,22 @@ object Rollup {
     // tiers only ever serve windows inside [floor-minute(from), to):
     // push that range onto the raw scan before the 1m aggregation.
     // In a deployment the tiers are STORED tables (one scan each); in
-    // recompute mode the persists stand in for them — without them
+    // recompute mode the checkpoints stand in for them — without them
     // every union branch re-aggregates raw→1m(→1h) independently and
-    // the raw table is scanned once per slice (7× for a ragged range)
+    // the raw table is scanned once per slice (7× for a ragged range).
+    // localCheckpoint, NOT persist (the toolLeadLag rationale,
+    // SeriesOps): the frame is returned lazily, so a persist here
+    // would register CacheManager entries nothing can ever unpersist —
+    // repeated tier_stitch calls in a long session would pin blocks
+    // without bound. Checkpoint blocks free with the RDD once the
+    // result is GC'd; the eager build is the price of the stored-tier
+    // stand-in and is LAZY here (an empty/sub-minute range never pays it)
     lazy val m1 = fromRaw(
       transcripts.filter(
         col("ts") >= ntz(from.truncatedTo(java.time.temporal.ChronoUnit.MINUTES)) &&
           col("ts") < ntz(to)),
-      Tier.M1).persist()
-    lazy val h1 = cascade(m1, Tier.H1).persist()
+      Tier.M1).localCheckpoint()
+    lazy val h1 = cascade(m1, Tier.H1).localCheckpoint()
     lazy val d1 = cascade(h1, Tier.D1)
     val parts = slices.map {
       case ("raw", lo, hi) =>
@@ -509,19 +516,7 @@ object Rollup {
         .select(stitchCols.map(col): _*))
     unioned
       .groupBy(col("conv_id"))
-      .agg(
-        sum(col("turn_count")).as("turn_count"),
-        sum(col("user_turns")).as("user_turns"),
-        sum(col("assistant_turns")).as("assistant_turns"),
-        sum(col("tool_calls")).as("tool_calls"),
-        sum(col("char_len_sum")).as("char_len_sum"),
-        min(col("char_len_min")).as("char_len_min"),
-        max(col("char_len_max")).as("char_len_max"),
-        sum(col("token_sum")).as("token_sum"),
-        min(col("min_turn_idx")).as("min_turn_idx"),
-        max(col("max_turn_idx")).as("max_turn_idx"),
-        min_by(col("first_text"), col("min_turn_idx")).as("first_text"),
-        max_by(col("last_text"), col("max_turn_idx")).as("last_text"))
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
       .withColumn("char_len_avg",
         col("char_len_sum") * lit(1.0) / col("turn_count"))
   }

@@ -120,6 +120,13 @@ class StitchSpec extends SparkTestBase {
     }
   }
 
+  test("stitchRange: fractional-second boundaries are rejected, not truncated") {
+    val e = intercept[IllegalArgumentException] {
+      Rollup.stitchRange(turns, "2024-01-03 07:41:23.500", "2024-01-04 00:00:00")
+    }
+    assert(e.getMessage.contains("whole seconds"), e.getMessage)
+  }
+
   test("stitchRange: empty range yields zero rows with the full schema") {
     val st = Rollup.stitchRange(turns, "2024-01-10 06:30:00", "2024-01-10 06:30:00")
     assert(st.columns.toSeq == Seq("conv_id", "turn_count", "user_turns",
