@@ -2597,13 +2597,18 @@ object SparkEntry {
         |    CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS turn_share,
         |  CAST(COALESCE(SUM(chars), 0) AS BIGINT) AS char_sum
         |FROM b GROUP BY 1""".stripMargin),
-    // U+0001-joined texts in turn order, null text -> U+0002 marker;
-    // the oracle derives each digest independently from raw turns
+    // U+0001-joined length-prefixed texts (`<charlen>:<text>`, null
+    // turn -> bare 'N') in turn order; the oracle derives each digest
+    // independently from raw turns
     "q115_conv_fingerprint" -> Transcripts.oracle(
       """SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS turns,
         |  CAST(COALESCE(SUM(LENGTH(text)), 0) AS BIGINT) AS char_sum,
-        |  md5(string_agg(COALESCE(text, chr(2)), chr(1)
-        |    ORDER BY turn_idx, COALESCE(text, chr(2)))) AS digest
+        |  md5(string_agg(
+        |    CASE WHEN text IS NULL THEN 'N'
+        |         ELSE length(text) || ':' || text END, chr(1)
+        |    ORDER BY turn_idx,
+        |      CASE WHEN text IS NULL THEN 'N'
+        |           ELSE length(text) || ':' || text END)) AS digest
         |FROM transcripts
         |WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
         |GROUP BY 1""".stripMargin),
@@ -2766,9 +2771,12 @@ object SparkEntry {
         |  CAST(len(lines) AS BIGINT) AS n_lines,
         |  ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
         |    / CAST(len(lines) AS DOUBLE), 6) AS dup_line_frac,
-        |  ROUND(CAST(list_sum([length(x) for x in lines])
+        |  -- zero line-char mass pins dup_line_char_frac to 0.0 (the
+        |  -- 0/0 division is NULL in DuckDB; the native expression
+        |  -- makes the same decision explicitly)
+        |  ROUND(COALESCE(CAST(list_sum([length(x) for x in lines])
         |      - list_sum([length(x) for x in list_distinct(lines)]) AS DOUBLE)
-        |    / CAST(list_sum([length(x) for x in lines]) AS DOUBLE), 6)
+        |    / CAST(list_sum([length(x) for x in lines]) AS DOUBLE), 0.0), 6)
         |    AS dup_line_char_frac,
         |  ROUND(CAST(list_max([len(list_filter(bg, y -> y = x)) * length(x)
         |      for x in list_distinct(bg)]) AS DOUBLE)
@@ -2948,7 +2956,8 @@ object SparkEntry {
         |  min_v, max_v, zero_n,
         |  min_v = max_v AS is_constant
         |FROM a""".stripMargin,
-    // canonical row string (chr(1) joins, chr(2) null markers, epoch
+    // canonical INJECTIVE row string (chr(1) joins, each field
+    // length-prefixed `<charlen>:<value>`, NULL -> bare 'N', epoch
     // micros for ts), 60-bit md5 prefix, HUGEINT-exact sum rendered
     // through DECIMAL(38,0) as text
     "q136_corpus_checksum" -> Transcripts.oracle(
@@ -2956,12 +2965,12 @@ object SparkEntry {
         |  CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
         |FROM (
         |  SELECT CAST('0x' || substr(md5(concat_ws(chr(1),
-        |    COALESCE(conv_id, chr(2)),
-        |    COALESCE(CAST(turn_idx AS VARCHAR), chr(2)),
-        |    COALESCE(role, chr(2)),
-        |    COALESCE(text, chr(2)),
-        |    COALESCE(tool, chr(2)),
-        |    COALESCE(CAST(EPOCH_US(ts) AS VARCHAR), chr(2)))), 1, 15)
+        |    CASE WHEN conv_id IS NULL THEN 'N' ELSE length(conv_id) || ':' || conv_id END,
+        |    CASE WHEN CAST(turn_idx AS VARCHAR) IS NULL THEN 'N' ELSE length(CAST(turn_idx AS VARCHAR)) || ':' || CAST(turn_idx AS VARCHAR) END,
+        |    CASE WHEN role IS NULL THEN 'N' ELSE length(role) || ':' || role END,
+        |    CASE WHEN text IS NULL THEN 'N' ELSE length(text) || ':' || text END,
+        |    CASE WHEN tool IS NULL THEN 'N' ELSE length(tool) || ':' || tool END,
+        |    CASE WHEN CAST(EPOCH_US(ts) AS VARCHAR) IS NULL THEN 'N' ELSE length(CAST(EPOCH_US(ts) AS VARCHAR)) || ':' || CAST(EPOCH_US(ts) AS VARCHAR) END)), 1, 15)
         |    AS BIGINT) AS h
         |  FROM transcripts)""".stripMargin),
     // q136's hash grouped by the µs-floor day (NULL ts → NULL day)
@@ -2971,12 +2980,12 @@ object SparkEntry {
         |    + 86400000000) % 86400000000) AS day,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(CAST(SUM(CAST('0x' || substr(md5(concat_ws(chr(1),
-        |    COALESCE(conv_id, chr(2)),
-        |    COALESCE(CAST(turn_idx AS VARCHAR), chr(2)),
-        |    COALESCE(role, chr(2)),
-        |    COALESCE(text, chr(2)),
-        |    COALESCE(tool, chr(2)),
-        |    COALESCE(CAST(EPOCH_US(ts) AS VARCHAR), chr(2)))), 1, 15)
+        |    CASE WHEN conv_id IS NULL THEN 'N' ELSE length(conv_id) || ':' || conv_id END,
+        |    CASE WHEN CAST(turn_idx AS VARCHAR) IS NULL THEN 'N' ELSE length(CAST(turn_idx AS VARCHAR)) || ':' || CAST(turn_idx AS VARCHAR) END,
+        |    CASE WHEN role IS NULL THEN 'N' ELSE length(role) || ':' || role END,
+        |    CASE WHEN text IS NULL THEN 'N' ELSE length(text) || ':' || text END,
+        |    CASE WHEN tool IS NULL THEN 'N' ELSE length(tool) || ':' || tool END,
+        |    CASE WHEN CAST(EPOCH_US(ts) AS VARCHAR) IS NULL THEN 'N' ELSE length(CAST(EPOCH_US(ts) AS VARCHAR)) || ':' || CAST(EPOCH_US(ts) AS VARCHAR) END)), 1, 15)
         |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
         |FROM transcripts
         |GROUP BY 1""".stripMargin),

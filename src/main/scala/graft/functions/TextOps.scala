@@ -238,11 +238,18 @@ object TextOps {
     * and UNROUNDED double ratios computed with the identical IEEE
     * operand order — callers apply `round(_, 6)` on top exactly where
     * the HOF form did. Documents under 3 tokens return null (the
-    * upstream filter's contract). Degenerate inputs keep the HOF
-    * arithmetic bit-for-bit: a doc whose every "line" is empty (all
-    * empty tokens at w=1) yields lineSum=0 and dup_line_char_frac =
-    * 0/0 = NaN, exactly as the transform/aggregate form divided — NOT
-    * silently coerced to 0. The q126 oracle and the
+    * upstream filter's contract). Degenerate zero-divisor input
+    * (a doc whose every "line" is empty — all empty tokens — so
+    * lineSum=0) is PINNED to `dup_line_char_frac = 0.0` by decision:
+    * zero line-character mass has zero duplicate mass. The earlier
+    * IEEE 0/0 = NaN here was a silent behavior change from the HOF
+    * form this expression replaced (Spark's Divide yields NULL for a
+    * zero divisor, and DuckDB's oracle likewise) AND mis-flagged such
+    * docs as repetitive in [[graft.operators.TextAnalysis.qualityGate]]
+    * (Spark orders NaN above every threshold). 0.0 keeps the field
+    * non-nullable, matches the oracle's COALESCE(x/0 → NULL, 0) guard
+    * term for term, and leaves junk-doc detection to the gates that
+    * actually measure it. The q126 oracle and the
     * naive-Scala-reference property test are the drift nets.
     */
   def repetitionStats(text: UTF8String, w: Int): InternalRow = {
@@ -311,7 +318,8 @@ object TextOps {
       n.toLong,
       nLines.toLong,
       (nLines - distinctLines).toDouble / nLines.toDouble,
-      (lineSum - distinctLineSum).toDouble / lineSum.toDouble,
+      if (lineSum == 0) 0.0
+      else (lineSum - distinctLineSum).toDouble / lineSum.toDouble,
       topBg.toDouble / cp(s).toDouble,
       dupBg.toDouble / bgs.length.toDouble,
       dupTg.toDouble / tgs.length.toDouble))

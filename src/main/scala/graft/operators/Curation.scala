@@ -185,10 +185,12 @@ object Curation {
     * conversation-level dedup (the conv-granularity sibling of
     * [[Dedup.exact]]'s doc-granularity md5).
     *
-    * Encoding: texts joined by U+0001 (never in the data), null text
-    * encoded as U+0002 so `(null)` ≠ `("")` ≠ absent; ties on a
+    * Encoding: each turn's text renders length-prefixed as
+    * `<charlen>:<text>` (null text → bare `N`), turns joined by
+    * U+0001 — INJECTIVE even for texts containing the joiner, and
+    * `(null)` ≠ `("")` ≠ absent; ties on a
     * duplicated `turn_idx` (impossible in canonical data, possible in
-    * arbitrary input) break on the text so the digest stays
+    * arbitrary input) break on the encoded text so the digest stays
     * deterministic. Null `conv_id` / `turn_idx` turns drop
     * (unkeyable / unorderable).
     *
@@ -206,7 +208,12 @@ object Curation {
     * transcript shapes the north rule targets.
     */
   def convFingerprint(transcripts: DataFrame): DataFrame = {
-    val txt = coalesce(col("text"), lit("\u0002"))
+    // same injective length-prefix canonicalization as
+    // [[rowChecksumCol]]: a text CONTAINING the U+0001 joiner cannot
+    // shift turn boundaries inside the digest, and no text value can
+    // collide with a null turn
+    val txt = when(col("text").isNull, lit("N"))
+      .otherwise(concat(length(col("text")).cast("string"), lit(":"), col("text")))
     transcripts
       .filter(col("conv_id").isNotNull && col("turn_idx").isNotNull)
       .select(col("conv_id"), col("turn_idx"), txt.as("_t"),
@@ -230,7 +237,8 @@ object Curation {
     * comparable number per warehouse/snapshot.
     *
     * Each row canonicalizes to a `U+0001`-joined string of all six
-    * columns (null → `U+0002` marker, timestamps as epoch micros), is
+    * columns (length-prefixed, null → `N` marker — see
+    * [[rowChecksumCol]]; timestamps as epoch micros), is
     * hashed to the cross-engine 60-bit md5 prefix, and the hashes SUM
     * as DECIMAL — addition is commutative/associative, so the checksum
     * is independent of partitioning, row order, and engine, and shard
@@ -249,23 +257,36 @@ object Curation {
     * aggregate — one scan, the cheapest possible exchange (one partial
     * row per task).
     */
-  /** The ONE row-checksum derivation (canonical U+0001-joined string,
-    * U+0002 null markers, epoch-µs ts → 60-bit md5 prefix as DECIMAL)
-    * shared by [[corpusChecksum]], [[corpusChecksumDaily]], and the
-    * streaming sibling
-    * [[graft.streaming.StreamingRollup.dailyChecksum]] — the
+  /** The ONE row-checksum derivation (canonical length-prefixed
+    * string, epoch-µs ts → 60-bit md5 prefix as DECIMAL) shared by
+    * [[corpusChecksum]], [[corpusChecksumDaily]], and the streaming
+    * sibling [[graft.streaming.StreamingRollup.dailyChecksum]] — the
     * single-definition doctrine: the three parity surfaces can never
     * drift from each other or from the oracle's mirror.
+    *
+    * The encoding is INJECTIVE: each field renders as
+    * `<charlen>:<value>` (null → the bare marker `N`, which no
+    * prefixed field can equal — a prefix always starts with a digit).
+    * Field boundaries are determined by the length prefixes alone, so
+    * a value CONTAINING the `U+0001` joiner cannot shift them, and no
+    * text value can collide with NULL — two distinct rows hash
+    * identically only by genuine md5 collision, never by encoding
+    * ambiguity (the earlier joiner/marker scheme had both holes).
+    * Char length counts CODE POINTS in both engines (`UTF8String
+    * .numChars` here, `length()` in DuckDB) — the same cross-engine
+    * pin the q27 gram indexing relies on.
     */
   private[graft] def rowChecksumCol: org.apache.spark.sql.Column = {
-    val m = lit("\u0002")
+    def lp(f: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(f.isNull, lit("N"))
+        .otherwise(concat(length(f).cast("string"), lit(":"), f))
     val canon = concat_ws("\u0001",
-      coalesce(col("conv_id"), m),
-      coalesce(col("turn_idx").cast("string"), m),
-      coalesce(col("role"), m),
-      coalesce(col("text"), m),
-      coalesce(col("tool"), m),
-      coalesce(unix_micros(col("ts").cast("timestamp")).cast("string"), m))
+      lp(col("conv_id")),
+      lp(col("turn_idx").cast("string")),
+      lp(col("role")),
+      lp(col("text")),
+      lp(col("tool")),
+      lp(unix_micros(col("ts").cast("timestamp")).cast("string")))
     conv(substring(md5(canon), 1, 15), 16, 10).cast("decimal(20,0)")
   }
 

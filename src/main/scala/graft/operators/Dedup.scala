@@ -82,6 +82,16 @@ object Dedup {
     * pairing and [[decontaminate]]'s cross-corpus join so the two
     * paths can never diverge from each other or from the oracle's
     * mirror of the same fold.
+    *
+    * NULL keys are dropped here, once, for every caller: a NULL-text
+    * doc (or an empty user-supplied hash array on the SQL face) has a
+    * NULL minhash signature by pin, so its fold is NULL in every
+    * band. SQL equi-joins (the oracle, and [[decontaminate]]'s `bk`
+    * join) never match NULL keys, but Spark's `Window.partitionBy(bk)`
+    * in [[pairsFromBuckets]] groups NULLs into ONE bucket — without
+    * this filter every NULL-signature doc would pair with every other
+    * one (pairs the oracle never emits, with undefined jaccards in
+    * verification).
     */
   private[operators] def bandedKeys(signatures: DataFrame, k: Int,
       bands: Int, idName: String): DataFrame = {
@@ -94,6 +104,7 @@ object Dedup {
     }
     signatures.select(col("doc_id").as(idName),
       explode(array(bandExprs: _*)).as("bk"))
+      .filter(col("bk").isNotNull)
   }
 
   /** Shared banded-pairing kernel, built around ONE shuffle of
@@ -183,7 +194,13 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni",
         (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
-      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      // uni=0 (two degenerate docs with empty shingle sets) cannot
+      // arise from LSH candidacy since bandedKeys drops NULL keys, but
+      // caller-supplied pairs can still contain one: jaccard is
+      // UNDEFINED there, so emit NULL (dropped by the >= filter)
+      // rather than evaluating 0/0.
+      .withColumn("jaccard",
+        when(col("uni") > 0, round(col("inter") / col("uni"), 6)))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -426,7 +443,8 @@ object Dedup {
       .withColumn("_i", size(array_intersect(col("_sa"), col("_sb"))).cast("double"))
       .withColumn("_u",
         (size(col("_sa")) + size(col("_sb"))).cast("double") - col("_i"))
-      .withColumn("jaccard", round(col("_i") / col("_u"), 6))
+      // same undefined-jaccard guard as jaccardVerify: NULL, not 0/0
+      .withColumn("jaccard", when(col("_u") > 0, round(col("_i") / col("_u"), 6)))
       .filter(col("jaccard") >= threshold)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
@@ -445,9 +463,11 @@ object Dedup {
     * audit posture as [[graft.operators.SnapshotDiff]] for rollups.
     *
     * NULL signatures (empty/short docs — minhash of an empty hash
-    * array is NULL by pin) agree on no component: est 0, and the exact
-    * side drops undefined jaccards (0/0), so degenerate pairs never
-    * reach the report. Candidate discovery reuses the banded kernel
+    * array is NULL by pin) produce NULL band keys in every band, and
+    * [[bandedKeys]] drops NULL keys before bucketing, so degenerate
+    * docs are never candidates and never reach the report — matching
+    * the oracle, whose `a.bk = b.bk` equi-join can't match NULL keys
+    * either. Candidate discovery reuses the banded kernel
     * verbatim (star guard included); the oracle mirrors signatures,
     * banding, star guard, and both divisions term for term.
     *

@@ -148,11 +148,11 @@ class CurationSpec extends SparkTestBase {
     val got = Curation.convFingerprint(df).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
-    assert(got("A") == ((2L, 10L, md5Hex("hello\u0001world"))))
-    // null text digests as the U+0002 marker with zero chars...
-    assert(got("B") == ((1L, 0L, md5Hex("\u0002"))))
-    // ...which is distinct from the empty string
-    assert(got("C") == ((1L, 0L, md5Hex(""))))
+    assert(got("A") == ((2L, 10L, md5Hex("5:hello\u00015:world"))))
+    // null text digests as the bare 'N' marker with zero chars...
+    assert(got("B") == ((1L, 0L, md5Hex("N"))))
+    // ...which is distinct from the (length-prefixed) empty string
+    assert(got("C") == ((1L, 0L, md5Hex("0:"))))
     assert(got("B")._3 != got("C")._3)
   }
 
@@ -362,5 +362,39 @@ class CurationSpec extends SparkTestBase {
       .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
     val b = a.withColumn("text", lit(""))
     assert(checksumOf(a)._2 != checksumOf(b)._2)
+  }
+
+  test("row checksum canonicalization is injective (joiner in data, marker-valued text)") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def row(role: String, text: String) =
+      Seq(("c1", 0, role, text, null.asInstanceOf[String], ts))
+        .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    // a U+0001 INSIDE a field must not shift field boundaries: under a
+    // plain joiner scheme ("user\u0001x", "y") and ("user", "x\u0001y")
+    // canonicalize identically — length prefixes keep them distinct
+    assert(checksumOf(row("user\u0001x", "y"))._2 != checksumOf(row("user", "x\u0001y"))._2)
+    // a text VALUE equal to a would-be null marker must not collide
+    // with an actual NULL in that field
+    assert(checksumOf(row("user", "\u0002"))._2 != checksumOf(row("user", null))._2)
+    assert(checksumOf(row("user", "N"))._2 != checksumOf(row("user", null))._2)
+  }
+
+  test("convFingerprint digest is injective across turn boundaries") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // two turns ("ab", "c") vs ("ab\u0001c") in a 1-turn sibling would
+    // collide under plain joining if turn counts were ignored — and
+    // ("a\u0001b", "c") vs ("a", "b\u0001c") collide even at equal turn
+    // counts; the length-prefixed digest separates both
+    val x = Seq(("c1", 0, "u", "a\u0001b", null.asInstanceOf[String], ts),
+      ("c1", 1, "u", "c", null.asInstanceOf[String], ts))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val y = Seq(("c1", 0, "u", "a", null.asInstanceOf[String], ts),
+      ("c1", 1, "u", "b\u0001c", null.asInstanceOf[String], ts))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    def digestOf(df: org.apache.spark.sql.DataFrame): String =
+      Curation.convFingerprint(df).collect()(0).getAs[String]("digest")
+    assert(digestOf(x) != digestOf(y))
   }
 }

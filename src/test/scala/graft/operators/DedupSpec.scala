@@ -496,6 +496,44 @@ class DedupSpec extends SparkTestBase {
       Dedup.minhashCalibration(docs, k = 16, bands = 5))
   }
 
+  test("NULL-signature docs: NULL band keys never pair; short docs verify as 0.0 not 0/0") {
+    // NULL-text docs have NULL signatures → NULL band keys in every
+    // band. Two of them would land in ONE Window.partitionBy(bk)
+    // bucket if NULL keys survived banding — emitting pairs the
+    // oracle's bk equi-join never produces. bandedKeys filters NULL
+    // keys, so no pair may touch a NULL-text doc.
+    val mixed = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]),
+      (4L, "ok")
+    ).toDF("doc_id", "text")
+    val nullDocs = Set(2L, 3L)
+    val cal = Dedup.minhashCalibration(mixed, k = 16, bands = 8).collect()
+    assert(cal.nonEmpty, "the real dup pair must still be reported")
+    cal.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(!nullDocs(a) && !nullDocs(b), s"NULL-text doc in calibration pair ($a,$b)")
+    }
+    val lsh = Dedup.minhashLsh(mixed, k = 16, bands = 8, threshold = 0.0).collect()
+    lsh.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(!nullDocs(a) && !nullDocs(b), s"NULL-text doc in LSH pair ($a,$b)")
+    }
+    // <3-token docs get a singleton whole-text shingle, so a
+    // caller-supplied short-doc pair has a DEFINED jaccard (0.0 for
+    // distinct texts) — reported, not crashed on
+    val shorts = Seq((10L, "ok"), (11L, "")).toDF("doc_id", "text")
+    val v = Dedup.jaccardVerify(shorts, Seq((10L, 11L)).toDF("doc_a", "doc_b"),
+      threshold = 0.0).collect()
+    assert(v.length == 1 && v(0).getAs[Double]("jaccard") == 0.0)
+    // a pair whose BOTH sides have NULL text has NULL (undefined)
+    // jaccard — dropped by the threshold filter, not divided 0/0
+    assert(Dedup.jaccardVerify(mixed, Seq((2L, 3L)).toDF("doc_a", "doc_b"),
+      threshold = 0.0).count() == 0)
+  }
+
   test("decontaminateBloom/bloomBits reject bad parameters") {
     intercept[IllegalArgumentException](Dedup.bloomBits(docs, numBits = 100))
     intercept[IllegalArgumentException](Dedup.bloomBits(docs, numHashes = 0))

@@ -67,6 +67,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("repetition: all-empty-token doc pins dup_line_char_frac to 0.0, not NaN") {
+    // "  " splits to ["", "", ""] — three tokens, every "line" empty
+    // at w=1, lineSum = 0. The zero-divisor decision is 0.0 (matching
+    // the oracle's COALESCE of DuckDB's NULL division), NOT IEEE NaN —
+    // NaN sorts ABOVE every threshold in Spark SQL, so it would read
+    // as maximally repetitive downstream. (qualityGate itself runs
+    // w=2, where a 2-empty-token line joins to " " and lineSum >= 1 —
+    // the degenerate divisor is reachable only at w=1.)
+    val out = TextAnalysis.repetition(docs(Seq((1L, "  "))), lineTokens = 1)
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getDouble(r.fieldIndex("dup_line_char_frac")) == 0.0)
+    // the sibling line-count fraction is well-defined: 3 empty lines,
+    // 1 distinct
+    assert(math.abs(r.getDouble(r.fieldIndex("dup_line_frac")) - 0.666667) < 1e-9)
+  }
+
   test("repetition matches a naive Scala reference on a generated corpus") {
     val corpus = (0L until 60L).map { i =>
       val rnd = new scala.util.Random(i)
