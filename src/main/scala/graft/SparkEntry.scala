@@ -18,6 +18,34 @@ object SparkEntry {
   private def transcripts(s: SparkSession, dir: String): DataFrame =
     Transcripts.fromEvents(s, dir)
 
+  /** Warehouse for q141's stored-tier stitch: the full
+    * [[graft.jobs.RollupJob]] pipeline materializes rollup_1m/1h/1d
+    * ONCE per input dir per JVM (a deployment builds tiers once and
+    * serves many range queries from them — rebuilding per bench rep
+    * would measure the write path q140 already covers, not the read
+    * path q141 exists to exercise). Scratch lives under the JVM
+    * tmpdir and is deleted on exit.
+    */
+  private val stitchWarehouses =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stitchWarehouse(s: SparkSession, dir: String): String =
+    stitchWarehouses.computeIfAbsent(dir, d => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-stitch-wh").toString
+      new graft.jobs.RollupJob(wh).run(s, transcripts(s, d), "q141-build")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val root = Paths.get(wh)
+        if (Files.exists(root)) {
+          val all = Files.walk(root).iterator().asScala.toSeq
+          all.sortBy(-_.getNameCount).foreach(p =>
+            try Files.deleteIfExists(p) catch { case _: Exception => () })
+        }
+      }))
+      wh
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * 1-minute per-conversation continuous aggregates over transcripts.
     */
@@ -715,7 +743,20 @@ object SparkEntry {
     // oracle = direct aggregation of raw turns over the same range
     "q140_tier_stitch" -> ((s, dir) =>
       Rollup.stitchRange(transcripts(s, dir),
-        "2024-01-03 07:41:23", "2024-01-27 18:22:05"))
+        "2024-01-03 07:41:23", "2024-01-27 18:22:05")),
+    // the same range served from STORED warehouse tiers (RollupJob
+    // materializes rollup_1m/1h/1d once; the query is manifest-pruned
+    // reads + the <=2 sub-minute raw edges) — same oracle as q140:
+    // the stitch must equal direct raw aggregation either way
+    "q141_tier_stitch_stored" -> ((s, dir) => {
+      val wh = stitchWarehouse(s, dir)
+      Rollup.stitchRangeStored(s,
+        new graft.table.SnapshotTable(s"$wh/rollup_1m"),
+        new graft.table.SnapshotTable(s"$wh/rollup_1h"),
+        new graft.table.SnapshotTable(s"$wh/rollup_1d"),
+        transcripts(s, dir),
+        "2024-01-03 07:41:23", "2024-01-27 18:22:05")
+    })
   )
 
   private val rollupSelect: String =
@@ -3041,6 +3082,28 @@ object SparkEntry {
     // stitched tier answer ≡ direct aggregation of raw over the range:
     // the oracle never sees tiers — it IS the semantics being stitched
     "q140_tier_stitch" -> Transcripts.oracle(
+      """SELECT
+        |  conv_id,
+        |  COUNT(*) AS turn_count,
+        |  COUNT(*) FILTER (WHERE role = 'user') AS user_turns,
+        |  COUNT(*) FILTER (WHERE role = 'assistant') AS assistant_turns,
+        |  COUNT(tool) AS tool_calls,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS char_len_sum,
+        |  CAST(MIN(LENGTH(text)) AS BIGINT) AS char_len_min,
+        |  CAST(MAX(LENGTH(text)) AS BIGINT) AS char_len_max,
+        |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS token_sum,
+        |  MIN(turn_idx) AS min_turn_idx,
+        |  MAX(turn_idx) AS max_turn_idx,
+        |  ARG_MIN(text, turn_idx) AS first_text,
+        |  ARG_MAX(text, turn_idx) AS last_text,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) * 1.0 / COUNT(*) AS char_len_avg
+        |FROM transcripts
+        |WHERE ts >= TIMESTAMP '2024-01-03 07:41:23'
+        |  AND ts < TIMESTAMP '2024-01-27 18:22:05'
+        |GROUP BY 1""".stripMargin),
+    // identical semantics to q140: stored tiers must serve the same
+    // answer direct raw aggregation gives
+    "q141_tier_stitch_stored" -> Transcripts.oracle(
       """SELECT
         |  conv_id,
         |  COUNT(*) AS turn_count,

@@ -520,4 +520,94 @@ object Rollup {
       .withColumn("char_len_avg",
         col("char_len_sum") * lit(1.0) / col("turn_count"))
   }
+
+  /** [[stitchRange]] served from STORED warehouse tiers — the
+    * deployment read path a continuous-aggregate engine exists for
+    * (the reference built its per-window tablets to be read back,
+    * `IoTDBWriter.java:147-185`; TimescaleDB answers real-time
+    * aggregates the same way): [[graft.jobs.RollupJob]] has already
+    * materialized `rollup_1m/1h/1d` as day-partitioned
+    * [[graft.table.SnapshotTable]]s, so each [[rangeSlices]] tier
+    * slice becomes ONE manifest-pruned table scan — only the day
+    * partitions overlapping the slice are even LISTED, then
+    * `window_start` filters trim to the slice inside those days.
+    * Raw turns are touched exclusively by the ≤2 sub-minute edge
+    * slices (an aligned range reads NO raw file at all — plan-pinned
+    * in StitchSpec); the per-call tier recompute + localCheckpoint
+    * that dominates [[stitchRange]]'s cost disappears entirely.
+    *
+    * Identities: output ≡ [[stitchRange]] ≡ direct raw aggregation
+    * over `[from, to)` (the q140/q141 oracle), because the stored
+    * tiers are the same [[fromRaw]]/[[cascade]] frames the recompute
+    * mode derives — [[graft.jobs.RollupJob]] commits exactly those.
+    *
+    * Scale: a 30-day query plans O(30) day partitions across three
+    * manifests (driver metadata), scans O(windows-in-range) rollup
+    * rows, and shuffles only the final per-conversation merge. The
+    * warehouse's day watermark discipline (closed days recompute on
+    * late arrivals) means serving from tiers is exact, not
+    * approximate — the stitch inherits the job's correctness
+    * contract rather than re-deriving it per query.
+    *
+    * Days with no committed partition (quiet days inside the range)
+    * contribute no files — [[graft.table.SnapshotTable.read]] returns
+    * a zero-column empty frame then, which is skipped (zero rows ≡
+    * zero contribution to the merge).
+    */
+  def stitchRangeStored(spark: org.apache.spark.sql.SparkSession,
+      m1Table: graft.table.SnapshotTable,
+      h1Table: graft.table.SnapshotTable,
+      d1Table: graft.table.SnapshotTable,
+      transcripts: DataFrame, fromTs: String, toTs: String): DataFrame = {
+    graft.operators.TimeArith.requireUtcForCalendar(transcripts, "ts")
+    val from = java.time.LocalDateTime.parse(fromTs.replace(' ', 'T'))
+    val to = java.time.LocalDateTime.parse(toTs.replace(' ', 'T'))
+    require(from.getNano == 0 && to.getNano == 0,
+      s"stitch boundaries must be whole seconds ('yyyy-MM-dd HH:mm:ss'): [$fromTs, $toTs)")
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    // boundary literals cast to EACH frame's own timestamp flavor
+    // (stored tiers may be zoned while the raw input is NTZ; both are
+    // naive-UTC under the guard above + the writer's UTC session)
+    def bound(t: java.time.LocalDateTime,
+        dt: org.apache.spark.sql.types.DataType): Column =
+      lit(t.format(fmt)).cast(dt)
+    // day partitions overlapping [lo, hi): hi is exclusive and minute-
+    // aligned or coarser, so the last contributing window starts
+    // strictly before hi — minusSeconds(1) lands in its day
+    def dayParts(lo: java.time.LocalDateTime,
+        hi: java.time.LocalDateTime): Set[String] = {
+      val last = hi.minusSeconds(1).toLocalDate
+      Iterator.iterate(lo.toLocalDate)(_.plusDays(1))
+        .takeWhile(!_.isAfter(last)).map(_.toString).toSet
+    }
+    val rawTs = transcripts.schema("ts").dataType
+    val parts = rangeSlices(from, to).flatMap {
+      case ("raw", lo, hi) =>
+        Some(fromRaw(
+          transcripts.filter(
+            col("ts") >= bound(lo, rawTs) && col("ts") < bound(hi, rawTs)),
+          Tier.M1).select(stitchCols.map(col): _*))
+      case (tier, lo, hi) =>
+        val table = tier match {
+          case "1m" => m1Table; case "1h" => h1Table; case _ => d1Table
+        }
+        val t = table.read(spark, Some(dayParts(lo, hi)))
+        if (t.columns.isEmpty) None // no committed files in range days
+        else {
+          val wsType = t.schema("window_start").dataType
+          Some(t.filter(col("window_start") >= bound(lo, wsType) &&
+              col("window_start") < bound(hi, wsType))
+            .select(stitchCols.map(col): _*))
+        }
+    }
+    val unioned = parts.reduceOption(_ union _).getOrElse(
+      fromRaw(transcripts.filter(lit(false)), Tier.M1)
+        .select(stitchCols.map(col): _*))
+    unioned
+      .groupBy(col("conv_id"))
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .withColumn("char_len_avg",
+        col("char_len_sum") * lit(1.0) / col("turn_count"))
+  }
 }

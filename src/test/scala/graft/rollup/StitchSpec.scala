@@ -127,6 +127,75 @@ class StitchSpec extends SparkTestBase {
     assert(e.getMessage.contains("whole seconds"), e.getMessage)
   }
 
+  // ---- stored-tier mode ---------------------------------------------------
+
+  /** Warehouse built ONCE for the stored-mode tests: the full
+    * RollupJob pipeline commits rollup_1m/1h/1d SnapshotTables over
+    * `turns`, and stitchRangeStored serves ranges from them.
+    */
+  private lazy val storedWh: String = {
+    val wh = tmpDir("stitch-stored-wh")
+    new graft.jobs.RollupJob(wh).run(spark, turns, "stitch-spec-build")
+    wh
+  }
+  private def storedStitch(lo: String, hi: String): DataFrame =
+    Rollup.stitchRangeStored(spark,
+      new graft.table.SnapshotTable(s"$storedWh/rollup_1m"),
+      new graft.table.SnapshotTable(s"$storedWh/rollup_1h"),
+      new graft.table.SnapshotTable(s"$storedWh/rollup_1d"),
+      turns, lo, hi)
+
+  test("stitchRangeStored equals direct raw aggregation on every range shape") {
+    val ranges = Seq(
+      ("2024-01-03 07:41:23", "2024-01-27 18:22:05"),
+      ("2024-01-02 00:00:00", "2024-01-29 00:00:00"),
+      ("2024-01-10 00:00:00", "2024-01-10 00:00:41"),
+      ("2024-01-10 13:59:59", "2024-01-10 14:00:01"),
+      ("2024-01-05 23:10:30", "2024-01-06 01:50:00"))
+    for ((a, b) <- ranges)
+      assertSameRows(storedStitch(a, b), direct(a, b))
+  }
+
+  test("stitchRangeStored plan: aligned range reads ONLY pruned 1d files, zero raw") {
+    // whole-day-aligned range → a single 1d slice; the raw input (an
+    // in-memory frame here) must not appear in the plan at all, and
+    // the manifest must have pruned the parquet scan to exactly the
+    // two in-range day partitions of rollup_1d
+    val df = storedStitch("2024-01-04 00:00:00", "2024-01-06 00:00:00")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val files = scans.flatMap(_.relation.location.inputFiles)
+    assert(files.nonEmpty, "expected parquet reads of the stored 1d tier")
+    assert(files.forall(_.contains("rollup_1d")),
+      s"aligned whole-day range must be served from 1d only:\n${files.mkString("\n")}")
+    assert(files.forall(f => f.contains("p=2024-01-04") || f.contains("p=2024-01-05")),
+      s"manifest pruning must keep only in-range day partitions:\n${files.mkString("\n")}")
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("LocalTableScan") && !plan.contains("InMemoryTableScan")
+      && !plan.contains("ExistingRDD"),
+      s"raw input must not be scanned for an aligned range:\n$plan")
+  }
+
+  test("stitchRangeStored plan: ragged range touches raw ONLY at the sub-minute edges") {
+    val df = storedStitch("2024-01-03 07:41:23", "2024-01-27 18:22:05")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val files = scans.flatMap(_.relation.location.inputFiles)
+    // all three tiers contribute; every scanned file is a tier file
+    assert(files.exists(_.contains("rollup_1d")) &&
+      files.exists(_.contains("rollup_1h")) && files.exists(_.contains("rollup_1m")),
+      s"expected all three tier tables in the scan set:\n${files.mkString("\n")}")
+    assert(files.forall(f => f.contains("rollup_1")),
+      s"only tier files may be scanned from disk:\n${files.mkString("\n")}")
+    // the 1m scans prune to the two edge days
+    val m1Files = files.filter(_.contains("rollup_1m"))
+    assert(m1Files.forall(f =>
+      f.contains("p=2024-01-03") || f.contains("p=2024-01-27")),
+      s"1m reads must prune to the edge days:\n${m1Files.mkString("\n")}")
+  }
+
   test("stitchRange: empty range yields zero rows with the full schema") {
     val st = Rollup.stitchRange(turns, "2024-01-10 06:30:00", "2024-01-10 06:30:00")
     assert(st.columns.toSeq == Seq("conv_id", "turn_count", "user_turns",
