@@ -366,7 +366,34 @@ object GraftExtensions {
       arities = Set(3)),
     tfn("doc_repetition",
       "(table[, line_tokens]) - Gopher-style within-document repetition metrics: duplicate chunk-line fractions, top-bigram char share, duplicate bigram/trigram position fractions (default line_tokens 2)",
-      arities = Set(1, 2), intArgs = Set(1)))
+      arities = Set(1, 2), intArgs = Set(1)),
+    tfn("dedup_exact",
+      "(table) - exact dedup by content hash: one row per distinct text with min-doc_id keeper and duplicate count",
+      arities = Set(1)),
+    tfn("minhash_pairs",
+      "(table[, k, bands, threshold]) - MinHash+LSH candidate pairs verified by exact shingle jaccard >= threshold (defaults k=16 bands=4 threshold=0.7)",
+      arities = Set(1, 4), intArgs = Set(1, 2), doubleArgs = Set(3)),
+    tfn("dedup_clusters",
+      "(table[, k, bands, threshold]) - connected components of the verified minhash-LSH pair graph: (doc_id, component) with the component's min doc_id as keeper label",
+      arities = Set(1, 4), intArgs = Set(1, 2), doubleArgs = Set(3)),
+    tfn("dedup_corpus",
+      "(table[, k, bands, threshold]) - the dedup pipeline's terminal operator: corpus rows minus near-dup non-keepers (LSH pairs -> components -> min-doc_id keeper)",
+      arities = Set(1, 4), intArgs = Set(1, 2), doubleArgs = Set(3)),
+    tfn("simhash_pairs",
+      "(table[, bits, max_dist]) - SimHash near-dup pairs within hamming max_dist via pigeonhole banding (defaults bits=60 max_dist=3)",
+      arities = Set(1, 3), intArgs = Set(1, 2)),
+    tfn("knn",
+      "(corpus, queries, k[, mode, param]) - top-k cosine neighbors per query embedding; mode 'brute' (default, exact), 'lsh' (param = hyperplane bits), 'ivf' (param = nlist)",
+      arities = Set(3, 4, 5), intArgs = Set(2, 4)),
+    tfn("cosine_pairs",
+      "(table, threshold[, bits]) - embedding pairs with cosine >= threshold: exhaustive when bits omitted, hyperplane-bucketed (the scale path) when given",
+      arities = Set(2, 3), doubleArgs = Set(1), intArgs = Set(2)),
+    tfn("bloom_bits",
+      "(benchmark[, num_bits, num_hashes]) - ONE-row dense bloom bitset over the benchmark's shingle hashes; CTAS it as a reusable decontamination artifact (defaults 2^18 bits, 3 hashes)",
+      arities = Set(1, 3), intArgs = Set(1, 2)),
+    tfn("decontaminate_bloom_artifact",
+      "(corpus, benchmark, bloom_table[, threshold, num_hashes]) - exact-recall bloom decontamination using a PREBUILT bloom_bits artifact table instead of rebuilding the bitset per run (defaults threshold=0.5 hashes=3)",
+      arities = Set(3, 5), doubleArgs = Set(3), intArgs = Set(4)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

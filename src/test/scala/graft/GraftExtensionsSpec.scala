@@ -433,6 +433,14 @@ class GraftExtensionsSpec extends SparkTestBase {
       ext.sql("SELECT * FROM decontaminate_bloom('corpus_ext', 'bench_ext', 0.5, 4096, 3)"),
       graft.operators.Dedup.decontaminateBloom(
         all.filter(!isBench), all.filter(isBench), 0.5, 4096, 3))
+    // artifact lifecycle on the SQL face: build the bitset once as a
+    // view (a deployment CTASes it), serve decontamination from it
+    ext.sql("SELECT * FROM bloom_bits('bench_ext', 4096, 3)")
+      .createOrReplaceTempView("bloom_art_ext")
+    assertSameRows(
+      ext.sql("SELECT * FROM decontaminate_bloom_artifact('corpus_ext', 'bench_ext', 'bloom_art_ext', 0.5, 3)"),
+      graft.operators.Dedup.decontaminateBloom(
+        all.filter(!isBench), all.filter(isBench), 0.5, 4096, 3))
     all.createOrReplaceTempView("docs_cal_ext")
     assertSameRows(
       ext.sql("SELECT * FROM minhash_calibration('docs_cal_ext', 16, 8, 64)"),
@@ -515,5 +523,58 @@ class GraftExtensionsSpec extends SparkTestBase {
     assertSameRows(
       ext.sql("SELECT * FROM doc_repetition('docs_rep_ext', 3)"),
       graft.operators.TextAnalysis.repetition(docs, lineTokens = 3))
+  }
+
+  test("dedup pipeline table functions in SQL == Column API (exact, pairs, clusters, corpus, simhash)") {
+    val docs = graft.ingest.Synth.documents(ext, n = 250, seed = 7L)
+    docs.createOrReplaceTempView("docs_pipe_ext")
+    assertSameRows(
+      ext.sql("SELECT * FROM dedup_exact('docs_pipe_ext')"),
+      graft.operators.Dedup.exact(docs))
+    assertSameRows(
+      ext.sql("SELECT * FROM minhash_pairs('docs_pipe_ext', 16, 8, 0.5)"),
+      graft.operators.Dedup.minhashLsh(docs, 16, 8, 0.5))
+    assertSameRows(
+      ext.sql("SELECT * FROM dedup_clusters('docs_pipe_ext', 16, 8, 0.5)"),
+      graft.operators.Dedup.components(
+        graft.operators.Dedup.minhashLsh(docs, 16, 8, 0.5)))
+    assertSameRows(
+      ext.sql("SELECT * FROM dedup_corpus('docs_pipe_ext', 16, 8, 0.5)"),
+      graft.operators.Dedup.dedupByPairs(docs,
+        graft.operators.Dedup.minhashLsh(docs, 16, 8, 0.5)))
+    assertSameRows(
+      ext.sql("SELECT * FROM simhash_pairs('docs_pipe_ext')"),
+      graft.operators.Dedup.simhashPairs(graft.operators.Dedup.simhash(docs)))
+    assertSameRows(
+      ext.sql("SELECT * FROM simhash_pairs('docs_pipe_ext', 32, 2)"),
+      graft.operators.Dedup.simhashPairs(
+        graft.operators.Dedup.simhash(docs, 32), bits = 32, maxDist = 2))
+  }
+
+  test("knn/cosine_pairs table functions in SQL == Column API (brute, lsh, ivf)") {
+    val emb = graft.ingest.Synth.embeddings(ext, 300, dims = 32)
+    val queries = emb.filter(col("vec_id") < 8)
+    emb.createOrReplaceTempView("corpus_knn_ext")
+    queries.createOrReplaceTempView("queries_knn_ext")
+    assertSameRows(
+      ext.sql("SELECT * FROM knn('corpus_knn_ext', 'queries_knn_ext', 5)"),
+      graft.operators.Similarity.bruteForceTopK(emb, queries, 5))
+    assertSameRows(
+      ext.sql("SELECT * FROM knn('corpus_knn_ext', 'queries_knn_ext', 5, 'lsh')"),
+      graft.operators.Similarity.lshTopK(emb, queries, 5))
+    assertSameRows(
+      ext.sql("SELECT * FROM knn('corpus_knn_ext', 'queries_knn_ext', 5, 'ivf', 8)"),
+      graft.operators.Similarity.ivfTopK(emb, queries, 5, nlist = 8))
+    assertSameRows(
+      ext.sql("SELECT * FROM cosine_pairs('corpus_knn_ext', 0.35)"),
+      graft.operators.Similarity.cosinePairsAbove(emb, 0.35))
+    assertSameRows(
+      ext.sql("SELECT * FROM cosine_pairs('corpus_knn_ext', 0.35, 4)"),
+      graft.operators.Similarity.lshPairsAbove(emb, 0.35, bits = 4))
+    val badMode = intercept[Exception] {
+      ext.sql("SELECT * FROM knn('corpus_knn_ext', 'queries_knn_ext', 5, 'exact')")
+        .collect()
+    }
+    assert(badMode.getMessage.contains("mode must be"), badMode.getMessage)
   }
 }
