@@ -59,14 +59,29 @@ object CsvSource {
     * bracket section is stripped and the OFFSET determines the instant
     * — the offset is always present when a region is (ISO_DATE_TIME
     * nests the region optional inside the offset optional), so the
-    * value is fully determined without any tzdb lookup. Remaining
-    * micro-deviation (documented, pinned in CsvSourceSpec): the region
-    * NAME is shape-checked, not tzdb-validated — `+01:00[Not/AZone]`
-    * parses here but rejects in the reference; validating names would
-    * tie the valid/reject split to the tzdb version the cluster runs.
+    * value is fully determined without any tzdb lookup needed for
+    * the INSTANT. The region NAME is additionally tzdb-validated
+    * (`validZoneRegions` below): `+01:00[No/Such_Zone]` REJECTS the
+    * row exactly as `ISO_DATE_TIME`'s `appendZoneRegionId()` throws in
+    * the reference (`CsvColumn.java:123-126` → per-row FAILED) — a
+    * feed with corrupt region suffixes must quarantine those rows,
+    * not silently ingest them. This ties the valid/reject split to
+    * the JVM's tzdb version, but so did the reference's formatter —
+    * matching its behavior IS the contract.
     */
   private[ingest] val isoDateTimeRe =
     """^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}(:\d{2}(\.\d{1,9})?)?((Z|[+-]\d{2}(:\d{2}(:\d{2})?)?)(\[[A-Za-z][A-Za-z0-9~/._+-]*\])?)?$"""
+
+  /** The tzdb region ids `appendZoneRegionId()` accepts, as a sorted
+    * literal set: membership drives an `isin` the optimizer turns into
+    * a hashed InSet — O(1) per row, codegen'd, no tzdb lookup on the
+    * hot path. Sorted for plan determinism across JVMs with the same
+    * tzdb.
+    */
+  private[ingest] lazy val validZoneRegions: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.time.ZoneId.getAvailableZoneIds.asScala.toSeq.sorted
+  }
 
   private val declared = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
@@ -137,7 +152,12 @@ object CsvSource {
     // `Long.parseLong(v) * 1000` (`CsvColumn.java:121`) silently WRAPS
     // and accepts a garbage timestamp; rejecting is the safer contract.
     case Unix => timestamp_millis(expr(s"try_multiply(try_cast(`$name` AS long), 1000L)"))
-    case Iso => when(col(name).rlike(isoDateTimeRe),
+    case Iso =>
+      // bracket region (empty when absent) must be a real tzdb id —
+      // shape alone accepted `[No/Such_Zone]` the reference rejects
+      val region = regexp_extract(col(name), """\[([^\]]*)\]$""", 1)
+      val regionOk = region === lit("") || region.isin(validZoneRegions: _*)
+      when(col(name).rlike(isoDateTimeRe) && regionOk,
         try_to_timestamp(regexp_replace(col(name), """\[[^\]]*\]$""", "")))
       .otherwise(lit(null).cast("timestamp"))
     case Custom(p, zone) =>

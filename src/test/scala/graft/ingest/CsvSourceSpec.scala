@@ -124,17 +124,19 @@ class CsvSourceSpec extends SparkTestBase {
     // (CsvColumn.java:123-126): the bracket section rides after an
     // offset-id (so the instant is fully determined by the offset) and
     // is stripped here — a migration from zoned ISO data ingests the
-    // same rows the reference does. The region NAME is shape-checked
-    // only (documented micro-deviation at isoDateTimeRe: tzdb-
-    // validating names would tie the valid/reject split to the
-    // cluster's tzdb version); a bare bracket with no offset is not an
-    // ISO_DATE_TIME shape and still rejects.
+    // same rows the reference does. The region NAME is tzdb-validated
+    // like the formatter's appendZoneRegionId(): a corrupt suffix
+    // (`[No/Such_Zone]`) REJECTS the row instead of silently
+    // ingesting data the reference would have quarantined; a bare
+    // bracket with no offset is not an ISO_DATE_TIME shape and still
+    // rejects.
     val path = write("isozone",
       """conv_id,turn_idx,role,text,tool,ts
         |c1,0,user,plain-offset,,2024-03-01T10:00:00+01:00
         |c1,1,user,zone-region,,2024-03-01T10:00:00+01:00[Europe/Paris]
         |c1,2,user,zulu-region,,2024-03-01T10:00:00Z[Europe/Paris]
-        |c1,3,user,no-offset-region,,2024-03-01T10:00:00[Europe/Paris]""".stripMargin)
+        |c1,3,user,no-offset-region,,2024-03-01T10:00:00[Europe/Paris]
+        |c1,4,user,bad-region,,2024-03-01T10:00:00+01:00[No/Such_Zone]""".stripMargin)
     val (valid, rejects) = CsvSource.read(spark, path)
     val byText = valid.collect()
       .map(r => r.getAs[String]("text") ->
@@ -144,7 +146,8 @@ class CsvSourceSpec extends SparkTestBase {
     assert(byText("zone-region") == byText("plain-offset"))
     assert(byText("zulu-region") == "2024-03-01T10:00:00Z")
     val rej = rejects.collect().map(r => r.getAs[String]("text") -> r.getAs[String]("reject_reason"))
-    assert(rej.toSet == Set("no-offset-region" -> "bad ts"), s"got ${rej.toSeq}")
+    assert(rej.toSet == Set("no-offset-region" -> "bad ts",
+      "bad-region" -> "bad ts"), s"got ${rej.toSeq}")
   }
 
   test("absurd unix epoch overflows to a REJECTED row, not a failed batch (ANSI)") {
