@@ -627,10 +627,36 @@ object Dedup {
     */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
       threshold: Double = 0.5, numBits: Int = 1 << 18,
+      numHashes: Int = 3): DataFrame =
+    decontaminateBloomWith(corpus, benchmark,
+      bloomBitsArray(benchmark, numBits, numHashes), threshold, numHashes)
+
+  /** [[decontaminateBloom]] with a PREBUILT bitset — the
+    * build-once-per-benchmark-release path the [[bloomBits]] artifact
+    * doctrine promises: the benchmark side is small and changes
+    * rarely, so a curation loop that decontaminates many corpus
+    * shards should pay the bitset build (a benchmark scan + one
+    * `bit_or` exchange) ONCE, persist the one-row artifact, and hand
+    * the words back here per run. This overload is a pure plan
+    * constructor: it runs NO Spark job (DedupSpec pins that), and
+    * `numBits` is implied by the array length. `benchmark` is still
+    * read lazily by the exact verify join — only the PRESCREEN bits
+    * are precomputed, so a stale artifact can cost extra exact
+    * verifies (bloom false positives) but can lose matches ONLY if
+    * the live benchmark gained docs since the build — same staleness
+    * contract as [[decontaminateBloom]]'s call-time snapshot,
+    * documented there.
+    */
+  def decontaminateBloomWith(corpus: DataFrame, benchmark: DataFrame,
+      bloom: Array[Long], threshold: Double = 0.5,
       numHashes: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val bloomArr = bloomBitsArray(benchmark, numBits, numHashes)
+    require(bloom.nonEmpty, "bloom artifact must be non-empty")
+    require(numHashes >= 1 && numHashes <= 16,
+      s"numHashes must be in [1,16], got $numHashes")
+    val numBits = bloom.length * 64
+    val bloomArr = bloom
     def sets(docs: DataFrame, idName: String): DataFrame =
       docs.select(col("doc_id").as(idName),
         array_distinct(graft.functions.TextOps.shingleHashes3(col("text")))
@@ -667,5 +693,20 @@ object Dedup {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(col("doc_id"), col("bench_id"), col("jaccard"))
+  }
+
+  /** Load a persisted [[bloomBits]] artifact frame (`bloom:
+    * array<bigint>`, ONE row) back into the driver-side word array
+    * [[decontaminateBloomWith]] takes — the read half of the
+    * build-once/serve-many artifact lifecycle, O(numBits/64) driver
+    * bytes (32 KB at the default 2¹⁸ bits). Throws on an empty or
+    * multi-row frame: a malformed artifact table must fail the run,
+    * not prescreen with garbage bits.
+    */
+  def bloomArtifactArray(bloom: DataFrame): Array[Long] = {
+    val rows = bloom.select(col("bloom")).collect()
+    require(rows.length == 1,
+      s"bloom artifact must be exactly one row, got ${rows.length}")
+    rows(0).getSeq[Long](0).toArray
   }
 }

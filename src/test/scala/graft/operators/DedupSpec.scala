@@ -534,6 +534,44 @@ class DedupSpec extends SparkTestBase {
       threshold = 0.0).count() == 0)
   }
 
+  test("decontaminateBloomWith: prebuilt artifact serves many runs, zero build jobs") {
+    val all = graft.ingest.Synth.documents(spark, n = 300, seed = 11L)
+    val isBench = col("doc_id") % 5 === 0
+    val corpus = all.filter(!isBench)
+    val bench = all.filter(isBench)
+    // the artifact lifecycle: build once (array or one-row frame),
+    // read the frame form back losslessly
+    val arr = Dedup.bloomBitsArray(bench, numBits = 4096, numHashes = 3)
+    val art = Dedup.bloomBits(bench, numBits = 4096, numHashes = 3)
+    assert(Dedup.bloomArtifactArray(art).toSeq == arr.toSeq)
+    // serve-many: constructing the plan from the prebuilt words runs
+    // NO Spark job (decontaminateBloom pays the bitset build action
+    // per call; the artifact path must not)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val (p1, p2) = try {
+      val a = Dedup.decontaminateBloomWith(corpus, bench, arr, 0.5, 3)
+      val b = Dedup.decontaminateBloomWith(corpus, bench, arr, 0.5, 3)
+      Thread.sleep(400) // listener bus drain
+      assert(jobs.get() == 0,
+        s"prebuilt path must run no job at plan time, saw ${jobs.get()}")
+      (a, b)
+    } finally spark.sparkContext.removeSparkListener(l)
+    // and both calls equal the per-call-build sibling exactly
+    val direct = Dedup.decontaminateBloom(corpus, bench, 0.5, 4096, 3)
+    assertSameRows(p1, direct)
+    assertSameRows(p2, direct)
+    intercept[IllegalArgumentException](
+      Dedup.decontaminateBloomWith(corpus, bench, Array.emptyLongArray))
+    intercept[IllegalArgumentException](Dedup.bloomArtifactArray(art.limit(0)))
+  }
+
   test("decontaminateBloom/bloomBits reject bad parameters") {
     intercept[IllegalArgumentException](Dedup.bloomBits(docs, numBits = 100))
     intercept[IllegalArgumentException](Dedup.bloomBits(docs, numHashes = 0))
