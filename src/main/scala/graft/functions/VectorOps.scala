@@ -152,12 +152,58 @@ object VectorOps {
     best
   }
 
+  /** Integer DTW distance between two bigint series — the compiled
+    * form of [[graft.operators.SeriesOps]]' `dtwFoldExpr` nested
+    * `aggregate` HOFs (CodegenFallback → interpreted per DP cell; the
+    * repo's RepetitionStats/BloomHits doctrine: per-element work at
+    * scale belongs in a native expression). Arithmetic mirrors the
+    * fold CELL FOR CELL: rolling row with a j=0 sentinel column,
+    * `cur(j) = |x−b(j)| + min(prev(j), prev(j−1), cur(j−1))`, the
+    * same ∞ sentinel `Long.MaxValue/4` (compared, never summed past
+    * one cost addition — every cell after the first row's first
+    * column is path-finite), empty-series degenerate cases included
+    * (n=0 → sentinel row's last element: 0 when m=0, ∞ otherwise).
+    * The DuckDB oracle runs the identical fold via `list_reduce`; a
+    * change here must change it in lockstep.
+    */
+  def dtwLong(a: ArrayData, b: ArrayData): Long = {
+    val inf = 2305843009213693951L // Long.MaxValue/4: compared, never compounded
+    val n = a.numElements()
+    val m = b.numElements()
+    var prev = new Array[Long](m + 1)
+    var j = 1
+    while (j <= m) { prev(j) = inf; j += 1 } // prev(0) = dp[0][0] = 0
+    if (n == 0) return prev(m)
+    var cur = new Array[Long](m + 1)
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      cur(0) = inf
+      j = 1
+      while (j <= m) {
+        val d = x - b.getLong(j - 1)
+        val cost = if (d < 0) -d else d
+        var best = prev(j)
+        if (prev(j - 1) < best) best = prev(j - 1)
+        if (cur(j - 1) < best) best = cur(j - 1)
+        cur(j) = cost + best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
   // --- Column API -----------------------------------------------------
 
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+
+  def dtwDistance(a: Column, b: Column): Column =
+    column(DtwDistance(expression(a), expression(b)))
 
   def lshSig(v: Column, bits: Int, seed: Long): Column =
     column(HyperplaneSig(expression(v), bits, seed))
@@ -188,6 +234,30 @@ case class CosineSim(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosine($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native expression: integer DTW distance of two bigint arrays
+  * ([[VectorOps.dtwLong]]). Codegen emits one static call — the whole
+  * O(n·m) DP runs compiled instead of one interpreted lambda per
+  * cell. Null-safe: null in → null out.
+  */
+case class DtwDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dtw_distance expects array<bigint> inputs, got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dtwLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dtwLong($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DtwDistance =
     copy(left = newLeft, right = newRight)
 }
 

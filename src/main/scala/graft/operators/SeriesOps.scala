@@ -2392,17 +2392,23 @@ object SeriesOps {
       col("n").as("n_b"))
     a.join(b, col("conv_a") < col("conv_b"))
       .select(col("conv_a"), col("conv_b"), col("n_a"), col("n_b"),
-        expr(dtwFoldExpr("va", "vb")).as("dtw"))
+        graft.functions.VectorOps.dtwDistance(col("va"), col("vb")).as("dtw"))
   }
 
-  /** The nested-fold DTW kernel over two bigint array columns. Row
-    * layout: list position p holds dp[·][p−1], so position 1 is the
-    * j=0 sentinel column; the init row is [0, ∞, …] (dp[0][0]=0). The
-    * DuckDB oracle runs the IDENTICAL fold via struct-seeded 2-arg
-    * `list_reduce` — a change here must change it in lockstep (the
+  /** The nested-fold DTW kernel over two bigint array columns —
+    * retained as the PARITY REFERENCE for the compiled kernel that
+    * replaced it on the hot path ([[graft.functions.VectorOps.dtwLong]];
+    * the nested `aggregate` HOFs are CodegenFallback, one interpreted
+    * lambda per DP cell — the RepetitionStats doctrine applied to the
+    * k²·maxDays² pair workload). Row layout: list position p holds
+    * dp[·][p−1], so position 1 is the j=0 sentinel column; the init
+    * row is [0, ∞, …] (dp[0][0]=0). The DuckDB oracle runs the
+    * IDENTICAL fold via struct-seeded 2-arg `list_reduce`, and
+    * SeriesOpsSpec pins native ≡ this fold cell-for-cell — a change
+    * to any of the three must change all in lockstep (the
     * [[pearsonPairCorr]] doctrine).
     */
-  private def dtwFoldExpr(aCol: String, bCol: String): String = {
+  private[operators] def dtwFoldExpr(aCol: String, bCol: String): String = {
     val inf = "2305843009213693951L" // Long.MaxValue/4: compared, never added
     s"""aggregate(
        |  $aCol,

@@ -1788,6 +1788,25 @@ class SeriesOpsSpec extends SparkTestBase {
     assert(got == exp, s"dtw diverges:\n got $got\n exp $exp")
   }
 
+  test("native dtw_distance == the nested-fold HOF reference cell-for-cell") {
+    import spark.implicits._
+    // the compiled kernel replaced the interpreted fold on the hot
+    // path; the fold stays as the parity reference (and the q108
+    // oracle's list_reduce mirror) — pin them equal on random series
+    // incl. length-1 and skewed shapes
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 60).map { _ =>
+      val n = 1 + rnd.nextInt(12)
+      val m = 1 + rnd.nextInt(12)
+      (Seq.fill(n)(rnd.nextInt(1000).toLong), Seq.fill(m)(rnd.nextInt(1000).toLong))
+    } :+ ((Seq(7L), Seq(7L))) :+ ((Seq(0L), Seq.fill(12)(999L)))
+    val out = rows.toDF("va", "vb").select(
+      graft.functions.VectorOps.dtwDistance(col("va"), col("vb")).as("native"),
+      expr(SeriesOps.dtwFoldExpr("va", "vb")).as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native ${r.getLong(0)} != fold ${r.getLong(1)}"))
+  }
+
   test("peakDays golden: strict peaks, one-sided boundaries, isolated day, plateau") {
     val df = turnsDf(
       // A days: d1=3, d2=5, d3=2, d10=5 (w=1 over OBSERVED days: d10's
