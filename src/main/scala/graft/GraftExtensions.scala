@@ -286,6 +286,12 @@ object GraftExtensions {
     tfn("funnel",
       "(table, step1[, step2, ... step8]) - ordered funnel conversion: conversations reaching each tool step strictly after the previous one",
       arities = (2 to 9).toSet),
+    tfn("funnel_latency",
+      "(table, step1, step2[, ... step8]) - exact p50/p95 of each funnel transition's per-conversation latency (percentile buffers the population; see funnel_latency_approx for the bounded-state path)",
+      arities = (3 to 9).toSet),
+    tfn("funnel_latency_approx",
+      "(table, step1, step2[, ... step8]) - Greenwald-Khanna p50/p95 of each funnel transition's latency: O(accuracy) state regardless of converted-conversation count",
+      arities = (3 to 9).toSet),
     tfn("sample_per_conv",
       "(table, k) - deterministic md5-permutation sample of up to k turns per conversation",
       arities = Set(2), intArgs = Set(1)),

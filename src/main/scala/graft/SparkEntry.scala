@@ -543,6 +543,21 @@ object SparkEntry {
         transcripts(s, dir)
           .filter(org.apache.spark.sql.functions.col("turn_idx") < 8),
         Seq("signup", "purchase", "error"))),
+    // per-transition latency distribution of the q112 funnel: exact
+    // percentile twin (oracle quantile_cont) ...
+    "q142_funnel_latency" -> ((s, dir) =>
+      graft.operators.SeriesOps.funnelLatency(
+        transcripts(s, dir)
+          .filter(org.apache.spark.sql.functions.col("turn_idx") < 8),
+        Seq("signup", "purchase", "error"))),
+    // ... and the GK-sketch scale sibling (rows-only by design: DuckDB
+    // cannot reproduce Spark's sketch; rank error bounded vs q142 in
+    // SeriesOpsSpec — the q84/q85 exact/approx posture)
+    "q143_funnel_latency_gk" -> ((s, dir) =>
+      graft.operators.SeriesOps.funnelLatencyApprox(
+        transcripts(s, dir)
+          .filter(org.apache.spark.sql.functions.col("turn_idx") < 8),
+        Seq("signup", "purchase", "error"))),
     // training-data curation family (Curation.scala): deterministic
     // md5-permutation sampling — the selected ROWS are hash-checked,
     // so the oracle pins the whole permutation, not just counts
@@ -2609,6 +2624,91 @@ object SparkEntry {
         |  CASE WHEN c3 > 0 THEN
         |    ROUND(CAST(sd3 AS DOUBLE) / CAST(c3 AS DOUBLE), 6)
         |  END, md3 FROM c""".stripMargin),
+    // q112's iterated-CTE funnel through the delta frame, read out as
+    // exact interpolated transition quantiles (quantile_cont ≡ Spark
+    // percentile — the q18 pin)
+    "q142_funnel_latency" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, tool,
+        |    CAST(EPOCH_US(ts) AS HUGEINT) * 4294967296
+        |      + (CAST(turn_idx AS BIGINT) + 2147483648) AS pk
+        |  FROM transcripts
+        |  WHERE ts IS NOT NULL AND conv_id IS NOT NULL
+        |    AND turn_idx IS NOT NULL AND tool IS NOT NULL
+        |    AND turn_idx < 8),
+        |s1 AS (
+        |  SELECT conv_id,
+        |    MIN(CASE WHEN tool = 'signup' THEN pk END) AS p1
+        |  FROM b GROUP BY 1),
+        |s2 AS (
+        |  SELECT b.conv_id,
+        |    MIN(CASE WHEN b.tool = 'purchase' AND b.pk > s1.p1
+        |        THEN b.pk END) AS p2
+        |  FROM b JOIN s1 USING (conv_id) GROUP BY 1),
+        |s3 AS (
+        |  SELECT b.conv_id,
+        |    MIN(CASE WHEN b.tool = 'error' AND b.pk > s2.p2
+        |        THEN b.pk END) AS p3
+        |  FROM b JOIN s2 USING (conv_id) GROUP BY 1),
+        |j AS (
+        |  SELECT
+        |    p1, p2, p3,
+        |    (p2 // 4294967296) - (p1 // 4294967296) AS d2,
+        |    (p3 // 4294967296) - (p2 // 4294967296) AS d3
+        |  FROM s1 JOIN s2 USING (conv_id) JOIN s3 USING (conv_id)),
+        |v2 AS (
+        |  SELECT CAST(d2 AS DOUBLE) AS d,
+        |    ROW_NUMBER() OVER (ORDER BY d2) - 1 AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM j WHERE d2 IS NOT NULL),
+        |v3 AS (
+        |  SELECT CAST(d3 AS DOUBLE) AS d,
+        |    ROW_NUMBER() OVER (ORDER BY d3) - 1 AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM j WHERE d3 IS NOT NULL),
+        |-- Spark's exact-percentile interpolation mirrored TERM FOR
+        |-- TERM (two-sided weighting with the equal-rank
+        |-- short-circuit), UNROUNDED: quantile_cont evaluates the
+        |-- interpolation in a different floating-point order, and
+        |-- ROUND(double, 6) here goes through x*1e6 > 2^53 (lossy)
+        |-- where Spark rounds exactly via BigDecimal
+        |q2 AS (
+        |  SELECT p, MAX(p * (n - 1)) AS pos,
+        |    MAX(CASE WHEN rk = CAST(FLOOR(p * (n - 1)) AS BIGINT)
+        |        THEN d END) AS lo,
+        |    MAX(CASE WHEN rk = CAST(CEIL(p * (n - 1)) AS BIGINT)
+        |        THEN d END) AS hi
+        |  -- p as DOUBLE: DuckDB's 0.95 literal is DECIMAL, making pos
+        |  -- decimal-exact (22.80) where Spark computes 0.95*(n-1) in
+        |  -- doubles (22.799999...) — the frac weights then differ
+        |  FROM v2, (SELECT UNNEST([CAST(0.5 AS DOUBLE),
+        |                           CAST(0.95 AS DOUBLE)]) AS p) GROUP BY 1),
+        |q3 AS (
+        |  SELECT p, MAX(p * (n - 1)) AS pos,
+        |    MAX(CASE WHEN rk = CAST(FLOOR(p * (n - 1)) AS BIGINT)
+        |        THEN d END) AS lo,
+        |    MAX(CASE WHEN rk = CAST(CEIL(p * (n - 1)) AS BIGINT)
+        |        THEN d END) AS hi
+        |  FROM v3, (SELECT UNNEST([CAST(0.5 AS DOUBLE),
+        |                           CAST(0.95 AS DOUBLE)]) AS p) GROUP BY 1),
+        |c AS (SELECT COUNT(p2) AS c2, COUNT(p3) AS c3 FROM j)
+        |SELECT 2 AS step, 'purchase' AS tool, CAST(c2 AS BIGINT) AS convs,
+        |  (SELECT CASE WHEN CEIL(pos) = FLOOR(pos) THEN lo
+        |     ELSE (CEIL(pos) - pos) * lo + (pos - FLOOR(pos)) * hi END
+        |   FROM q2 WHERE p = 0.5) AS p50_us,
+        |  (SELECT CASE WHEN CEIL(pos) = FLOOR(pos) THEN lo
+        |     ELSE (CEIL(pos) - pos) * lo + (pos - FLOOR(pos)) * hi END
+        |   FROM q2 WHERE p = 0.95) AS p95_us
+        |FROM c
+        |UNION ALL
+        |SELECT 3, 'error', CAST(c3 AS BIGINT),
+        |  (SELECT CASE WHEN CEIL(pos) = FLOOR(pos) THEN lo
+        |     ELSE (CEIL(pos) - pos) * lo + (pos - FLOOR(pos)) * hi END
+        |   FROM q3 WHERE p = 0.5),
+        |  (SELECT CASE WHEN CEIL(pos) = FLOOR(pos) THEN lo
+        |     ELSE (CEIL(pos) - pos) * lo + (pos - FLOOR(pos)) * hi END
+        |   FROM q3 WHERE p = 0.95)
+        |FROM c""".stripMargin),
     // the md5 permutation is the same deterministic draw in both
     // engines (the q20 dedup md5-parity doctrine), so the SELECTED
     // ROWS hash-match, pinning the whole sample

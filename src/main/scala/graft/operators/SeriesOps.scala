@@ -2545,9 +2545,10 @@ object SeriesOps {
     * CONVERSATION — a single global group — so an exact percentile
     * buffer would be unbounded at 10¹²-turn scale where the per-group
     * buffers of [[RefOps.turnGapStats]]/[[responseLatency]] are
-    * conversation-bounded; the GK-sketch sibling
-    * ([[graft.rollup.Rollup.charLenQuantilesApprox]]) is the
-    * documented path if a latency distribution is ever needed.
+    * conversation-bounded; the latency DISTRIBUTION lives in
+    * [[funnelLatency]] (exact, oracle-checkable twin) and
+    * [[funnelLatencyApprox]] (GK sketch, bounded state — the scale
+    * path).
     *
     * Plan: the step times are k conditional whole-partition window
     * MINs stacked on ONE conv_id exchange (each references the
@@ -2560,7 +2561,14 @@ object SeriesOps {
     * the reference never sequences events; semantics are defined here
     * and pinned by the DuckDB iterated-CTE oracle (`q112`).
     */
-  def funnel(transcripts: DataFrame, steps: Seq[String]): DataFrame = {
+  /** The funnel machinery shared by [[funnel]] and the latency
+    * quantile forms: per-conversation step times `_p1.._pk` (packed
+    * total-order keys) and transition deltas `_d2.._dk` (exact µs) —
+    * one conv_id exchange, k stacked conditional window MINs (see
+    * [[funnel]]'s plan note).
+    */
+  private def funnelPerConvDeltas(transcripts: DataFrame,
+      steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty && steps.size <= 8,
       s"steps must have 1 to 8 entries, got ${steps.size}")
     require(steps.forall(s => s != null && s.nonEmpty),
@@ -2593,10 +2601,78 @@ object SeriesOps {
     // after clearing the low 2³² the decimal division is exact
     def stepUs(p: Column): Column =
       ((p - pmod(p, lit(4294967296L))) / lit(4294967296L)).cast("long")
-    val withDeltas = steps.indices.tail.foldLeft(perConv) { (df, i) =>
+    steps.indices.tail.foldLeft(perConv) { (df, i) =>
       df.withColumn(s"_d${i + 1}",
         stepUs(col(s"_p${i + 1}")) - stepUs(col(s"_p$i")))
     }
+  }
+
+  /** Per-transition latency DISTRIBUTION of a funnel — the documented
+    * quantile path [[funnel]]'s avg/max deliberately stops short of:
+    * one row per transition (step ≥ 2), `(step, tool, convs, p50_us,
+    * p95_us)` over the per-conversation step-to-step deltas. This
+    * EXACT form uses `percentile` (interpolated, ≡ DuckDB
+    * `quantile_cont` — the q18 cross-engine pin), whose aggregation
+    * buffers the whole transition population: ONE global group, so at
+    * 10¹²-turn scale the buffer is corpus-bounded — use
+    * [[funnelLatencyApprox]] (Greenwald-Khanna-class bounded state)
+    * there; this form is the oracle-checkable twin that pins the
+    * sketch's error in specs (the q84/q85 exact/approx posture).
+    */
+  def funnelLatency(transcripts: DataFrame, steps: Seq[String]): DataFrame =
+    // UNROUNDED: at µs magnitudes (10¹¹+) a 6-decimal round is lossy
+    // in engines that round doubles via ×10⁶ (beyond 2⁵³ — DuckDB
+    // does), while Spark rounds through BigDecimal exactly; emitting
+    // the raw interpolated double keeps the oracle compare bit-exact
+    // because BOTH engines then evaluate the identical IEEE expression
+    funnelLatencyBy(transcripts, steps, (d, _) =>
+      Seq(expr(s"percentile($d, 0.5)"), expr(s"percentile($d, 0.95)")))
+
+  /** The scale sibling of [[funnelLatency]]: Spark's
+    * `approx_percentile` (Greenwald-Khanna sketch) — O(accuracy)
+    * state regardless of how many conversations converted, mergeable
+    * map-side, rank error ≤ n/accuracy positions (bounded vs the
+    * exact twin in SeriesOpsSpec). Returns ACTUAL observed deltas
+    * (GK picks ranks, never interpolates), cast DOUBLE so the two
+    * forms stay schema-compatible (the charLenQuantilesApprox
+    * migration doctrine).
+    */
+  def funnelLatencyApprox(transcripts: DataFrame, steps: Seq[String],
+      accuracy: Int = 10000): DataFrame = {
+    require(accuracy >= 10, s"accuracy must be >= 10, got $accuracy")
+    funnelLatencyBy(transcripts, steps, (d, _) =>
+      Seq(expr(s"CAST(approx_percentile($d, 0.5, $accuracy) AS DOUBLE)"),
+        expr(s"CAST(approx_percentile($d, 0.95, $accuracy) AS DOUBLE)")))
+  }
+
+  private def funnelLatencyBy(transcripts: DataFrame, steps: Seq[String],
+      quantiles: (String, Int) => Seq[Column]): DataFrame = {
+    require(steps.size >= 2,
+      s"latency needs at least 2 funnel steps, got ${steps.size}")
+    val withDeltas = funnelPerConvDeltas(transcripts, steps)
+    val aggs = steps.indices.tail.flatMap { i =>
+      val qs = quantiles(s"_d${i + 1}", i + 1)
+      count(col(s"_p${i + 1}")).as(s"_c${i + 1}") +:
+        qs.zipWithIndex.map { case (q, j) => q.as(s"_q${j}_${i + 1}") }
+    }
+    val agg = withDeltas.agg(aggs.head, aggs.tail: _*)
+    val rows = steps.indices.tail.map { i =>
+      struct(
+        lit(i + 1).as("step"),
+        lit(steps(i)).as("tool"),
+        col(s"_c${i + 1}").as("convs"),
+        col(s"_q0_${i + 1}").cast("double").as("p50_us"),
+        col(s"_q1_${i + 1}").cast("double").as("p95_us"))
+    }
+    agg
+      .select(explode(array(rows: _*)).as("_r"))
+      .select(col("_r.step").as("step"), col("_r.tool").as("tool"),
+        col("_r.convs").as("convs"), col("_r.p50_us").as("p50_us"),
+        col("_r.p95_us").as("p95_us"))
+  }
+
+  def funnel(transcripts: DataFrame, steps: Seq[String]): DataFrame = {
+    val withDeltas = funnelPerConvDeltas(transcripts, steps)
     val deltaAggs = steps.indices.tail.flatMap { i =>
       Seq(sum(col(s"_d${i + 1}").cast("decimal(38,0)")).as(s"_sd${i + 1}"),
         max(col(s"_d${i + 1}")).as(s"_md${i + 1}"))

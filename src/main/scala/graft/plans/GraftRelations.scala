@@ -264,6 +264,10 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         SeriesOps.outOfOrderSkew(session.table(args(0)))
       case "funnel" =>
         SeriesOps.funnel(session.table(args(0)), args.drop(1))
+      case "funnel_latency" =>
+        SeriesOps.funnelLatency(session.table(args(0)), args.drop(1))
+      case "funnel_latency_approx" =>
+        SeriesOps.funnelLatencyApprox(session.table(args(0)), args.drop(1))
       case "sample_per_conv" =>
         Curation.samplePerConv(session.table(args(0)), args(1).toInt)
       case "split_census" =>

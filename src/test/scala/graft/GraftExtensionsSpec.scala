@@ -525,6 +525,18 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.TextAnalysis.repetition(docs, lineTokens = 3))
   }
 
+  test("funnel latency table functions in SQL == Column API") {
+    val tr = graft.ingest.Synth.transcripts(ext, nConvs = 20, avgTurns = 30,
+      seed = 31L).toDF()
+    tr.createOrReplaceTempView("trc_funnel_ext")
+    assertSameRows(
+      ext.sql("SELECT * FROM funnel_latency('trc_funnel_ext', 'signup', 'purchase')"),
+      graft.operators.SeriesOps.funnelLatency(tr, Seq("signup", "purchase")))
+    assertSameRows(
+      ext.sql("SELECT * FROM funnel_latency_approx('trc_funnel_ext', 'signup', 'purchase')"),
+      graft.operators.SeriesOps.funnelLatencyApprox(tr, Seq("signup", "purchase")))
+  }
+
   test("dedup pipeline table functions in SQL == Column API (exact, pairs, clusters, corpus, simhash)") {
     val docs = graft.ingest.Synth.documents(ext, n = 250, seed = 7L)
     docs.createOrReplaceTempView("docs_pipe_ext")

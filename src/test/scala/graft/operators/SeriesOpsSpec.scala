@@ -1788,6 +1788,59 @@ class SeriesOpsSpec extends SparkTestBase {
     assert(got == exp, s"dtw diverges:\n got $got\n exp $exp")
   }
 
+  test("funnelLatency golden: exact interpolated transition quantiles") {
+    // five conversations convert signup->purchase with deltas
+    // 10..50 s: p50 = 30 s, p95 interpolates 0.95*(5-1)=3.8 between
+    // 40 s and 50 s -> 48 s; a sixth conv never converts (no purchase)
+    // and must not enter the distribution
+    val rows = (1 to 5).flatMap { i =>
+      Seq(("c" + i, 0, "user", "x", "signup", "2024-01-01 00:00:00"),
+        ("c" + i, 1, "user", "x", "purchase", s"2024-01-01 00:00:${10 * i}"))
+    } :+ (("c9", 0, "user", "x", "signup", "2024-01-01 00:00:00"))
+    val df = turnsDf(rows)
+    val out = SeriesOps.funnelLatency(df, Seq("signup", "purchase")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getInt(0), r.getString(1), r.getLong(2)) == ((2, "purchase", 5L)))
+    assert(r.getDouble(3) == 3.0e7, s"p50 ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 4.8e7, s"p95 ${r.getDouble(4)}")
+    // a transition nothing reached yields NULL quantiles, not a crash
+    val none = SeriesOps.funnelLatency(df, Seq("signup", "error")).collect().head
+    assert(none.getLong(2) == 0L && none.isNullAt(3) && none.isNullAt(4))
+    intercept[IllegalArgumentException](
+      SeriesOps.funnelLatency(df, Seq("signup")))
+  }
+
+  test("funnelLatencyApprox: GK rank error bounded vs the exact twin") {
+    // 400 conversations, delta = i seconds -> the delta distribution
+    // is exactly 1..400 s; GK rank error <= n/accuracy positions
+    val rows = (1 to 400).flatMap { i =>
+      Seq((f"c$i%04d", 0, "user", "x", "signup", "2024-01-01 00:00:00"),
+        (f"c$i%04d", 1, "user", "x", "purchase",
+          f"2024-01-01 ${i / 3600}%02d:${(i / 60) % 60}%02d:${i % 60}%02d"))
+    }
+    val df = turnsDf(rows)
+    val steps = Seq("signup", "purchase")
+    val approx = SeriesOps.funnelLatencyApprox(df, steps, accuracy = 50)
+      .collect().head
+    assert(approx.getLong(2) == 400L)
+    val n = 400.0
+    val tol = n / 50 + 1 // rank error bound + discretization
+    // exact ranks: p50 ~ position 200, p95 ~ position 380 (in seconds)
+    assert(math.abs(approx.getDouble(3) / 1e6 - 200.0) <= tol,
+      s"p50 ${approx.getDouble(3)}")
+    assert(math.abs(approx.getDouble(4) / 1e6 - 380.0) <= tol,
+      s"p95 ${approx.getDouble(4)}")
+    // schema-compatible with the exact twin (the migration doctrine)
+    val exact = SeriesOps.funnelLatency(df, steps)
+    assert(exact.schema == SeriesOps.funnelLatencyApprox(df, steps).schema)
+    // and at default accuracy >> n the sketch is rank-exact: the
+    // returned value is an OBSERVED delta at the exact rank
+    val dflt = SeriesOps.funnelLatencyApprox(df, steps).collect().head
+    assert(math.abs(dflt.getDouble(3) / 1e6 - 200.0) <= 1.0,
+      s"default-accuracy p50 ${dflt.getDouble(3)}")
+  }
+
   test("native dtw_distance == the nested-fold HOF reference cell-for-cell") {
     import spark.implicits._
     // the compiled kernel replaced the interpreted fold on the hot
