@@ -81,6 +81,34 @@ final class RollupJob(
   private def dayOf(c: org.apache.spark.sql.Column) =
     date_format(c, "yyyy-MM-dd")
 
+  /** The ONE write-stage layout for every tier commit: RANGE
+    * partitioning on (day, conv_id) + within-partition sort (the
+    * WriteProbe-measured winner — balanced tasks under day skew,
+    * O(1) files per day, parquet encoding locality), with an optional
+    * WRITER-TASK cap `spark.graft.write.tasks`. The cap exists
+    * because parquet write tasks are the one stage whose cost is NOT
+    * CPU-bound on this class of host: each writer thread faults JVM
+    * buffer pages through write(2), and those faults serialize on the
+    * process mmap_lock under Firecracker demand-paging (measured
+    * 58-63% system time at 32 writer threads — BENCH/BASELINE.md
+    * variance section). Capping the post-shuffle partition count
+    * bounds CONCURRENT WRITERS without touching upstream parallelism:
+    * the aggregation before the exchange still runs on every core,
+    * only the final write stage narrows. On a real cluster each
+    * executor owns its write path at single-digit thread counts, so
+    * the knob models exactly the regime clusters already run in;
+    * unset (default) keeps one task per shuffle partition.
+    */
+  private def writeClustered(spark: SparkSession,
+      withDay: DataFrame): DataFrame = {
+    val capped = spark.conf.getOption("spark.graft.write.tasks")
+      .map(_.toInt).filter(_ > 0) match {
+      case Some(n) => withDay.repartitionByRange(n, col("p"), col("conv_id"))
+      case None => withDay.repartitionByRange(col("p"), col("conv_id"))
+    }
+    capped.sortWithinPartitions(col("conv_id"), col("window_start"))
+  }
+
   /** Run the full pipeline over a transcripts frame. `killAfterTier`
     * simulates a crash between tier commits (resume tests).
     */
@@ -193,9 +221,8 @@ final class RollupJob(
           // Sorted for parquet encoding locality; the row count
           // afterwards comes from the committed files' parquet FOOTERS
           // (metadata-only) — never recompute the aggregation.
-          val withP = tierDf.withColumn("p", dayOf(col("window_start")))
-            .repartitionByRange(col("p"), col("conv_id"))
-            .sortWithinPartitions(col("conv_id"), col("window_start"))
+          val withP = writeClustered(spark,
+            tierDf.withColumn("p", dayOf(col("window_start"))))
           phase(s"tier ${tier.name}: computing + staging write")
           val rows = commitWithRetry(tier.name, jobId, target) {
             val table = tierTable(tier)
@@ -254,9 +281,9 @@ final class RollupJob(
           val src =
             if (target.size == rawParts.size) valid
             else valid.filter(dayOf(col("ts")).isin(target: _*))
-          val blocks = graft.rollup.BlockRollup.encode(src, Tier.H1)
-            .withColumn("p", dayOf(col("window_start")))
-            .repartitionByRange(col("p"), col("conv_id"))
+          val blocks = writeClustered(spark,
+            graft.rollup.BlockRollup.encode(src, Tier.H1)
+              .withColumn("p", dayOf(col("window_start"))))
           val rows = commitWithRetry("blocks_1h", jobId, target) {
             val table = blocksTable(Tier.H1)
             val manifest = table.overwritePartitions(blocks, "p", clusterKey = "conv_id")

@@ -35,6 +35,19 @@ object WriteProbe {
       "range_day_conv" -> (() => tier
         .repartitionByRange(col("p"), col("conv_id"))
         .sortWithinPartitions(col("conv_id"), col("window_start"))),
+      // writer-task caps over the range winner: the A/B axis behind
+      // spark.graft.write.tasks (RollupJob.writeClustered) — fewer
+      // CONCURRENT parquet writers on a host whose write(2) page
+      // faults serialize on the mmap_lock, same upstream parallelism
+      "range_cap16" -> (() => tier
+        .repartitionByRange(16, col("p"), col("conv_id"))
+        .sortWithinPartitions(col("conv_id"), col("window_start"))),
+      "range_cap8" -> (() => tier
+        .repartitionByRange(8, col("p"), col("conv_id"))
+        .sortWithinPartitions(col("conv_id"), col("window_start"))),
+      "range_cap4" -> (() => tier
+        .repartitionByRange(4, col("p"), col("conv_id"))
+        .sortWithinPartitions(col("conv_id"), col("window_start"))),
       "no_cluster" -> (() => tier))
 
     val codecs: Seq[String] =
