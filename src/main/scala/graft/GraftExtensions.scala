@@ -370,6 +370,9 @@ object GraftExtensions {
     tfn("tier_stitch",
       "(table, from_ts, to_ts) - per-conversation totals over [from_ts, to_ts) answered from the rollup tier ladder (whole days from 1d, edge hours/minutes from 1h/1m, raw only sub-minute); timestamps 'yyyy-MM-dd HH:mm:ss'",
       arities = Set(3)),
+    tfn("tier_stitch_stored",
+      "(raw_table, warehouse_path, from_ts, to_ts) - tier_stitch served from the warehouse's STORED rollup_1m/1h/1d snapshot tables (manifest-pruned day reads; raw only for sub-minute edges)",
+      arities = Set(4)),
     tfn("doc_repetition",
       "(table[, line_tokens]) - Gopher-style within-document repetition metrics: duplicate chunk-line fractions, top-bigram char share, duplicate bigram/trigram position fractions (default line_tokens 2)",
       arities = Set(1, 2), intArgs = Set(1)),

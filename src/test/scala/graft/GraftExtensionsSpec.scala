@@ -525,6 +525,26 @@ class GraftExtensionsSpec extends SparkTestBase {
       graft.operators.TextAnalysis.repetition(docs, lineTokens = 3))
   }
 
+  test("tier_stitch_stored table function in SQL == Column API over a real warehouse") {
+    val tr = graft.ingest.Synth.transcripts(ext, nConvs = 15, avgTurns = 40,
+      seed = 19L).toDF()
+    tr.createOrReplaceTempView("trc_stored_ext")
+    val wh = tmpDir("ext-stitch-wh")
+    new graft.jobs.RollupJob(wh).run(ext, tr, "ext-stitch-build")
+    val (from, to) = ("2024-01-04 05:06:07", "2024-01-20 10:11:12")
+    assertSameRows(
+      ext.sql(s"SELECT * FROM tier_stitch_stored('trc_stored_ext', '$wh', '$from', '$to')"),
+      graft.rollup.Rollup.stitchRangeStored(ext,
+        new graft.table.SnapshotTable(s"$wh/rollup_1m"),
+        new graft.table.SnapshotTable(s"$wh/rollup_1h"),
+        new graft.table.SnapshotTable(s"$wh/rollup_1d"),
+        tr, from, to))
+    // and both equal the recompute mode (the q140/q141 identity)
+    assertSameRows(
+      ext.sql(s"SELECT * FROM tier_stitch_stored('trc_stored_ext', '$wh', '$from', '$to')"),
+      graft.rollup.Rollup.stitchRange(tr, from, to))
+  }
+
   test("funnel latency table functions in SQL == Column API") {
     val tr = graft.ingest.Synth.transcripts(ext, nConvs = 20, avgTurns = 30,
       seed = 31L).toDF()
