@@ -70,6 +70,8 @@ object Bench {
     // query exists for
     SparkEntry.queries.get("q141_tier_stitch_stored")
       .foreach(fn => force(fn(spark, sfDir)))
+    SparkEntry.queries.get("q144_tier_stitch_serving")
+      .foreach(fn => force(fn(spark, sfDir)))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = timed {

@@ -373,6 +373,9 @@ object GraftExtensions {
     tfn("tier_stitch_stored",
       "(raw_table, warehouse_path, from_ts, to_ts) - tier_stitch served from the warehouse's STORED rollup_1m/1h/1d snapshot tables (manifest-pruned day reads; raw only for sub-minute edges)",
       arities = Set(4)),
+    tfn("tier_stitch_serving",
+      "(raw_table, warehouse_path, from_ts, to_ts) - REAL-TIME stitch: stored tiers for days the warehouse has CLOSED (per its checkpoints), raw transcripts for the live tail past the serving horizon",
+      arities = Set(4)),
     tfn("doc_repetition",
       "(table[, line_tokens]) - Gopher-style within-document repetition metrics: duplicate chunk-line fractions, top-bigram char share, duplicate bigram/trigram position fractions (default line_tokens 2)",
       arities = Set(1, 2), intArgs = Set(1)),

@@ -33,17 +33,41 @@ object SparkEntry {
       val wh = java.nio.file.Files
         .createTempDirectory("graft-stitch-wh").toString
       new graft.jobs.RollupJob(wh).run(s, transcripts(s, d), "q141-build")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Paths}
-        import scala.jdk.CollectionConverters._
-        val root = Paths.get(wh)
-        if (Files.exists(root)) {
-          val all = Files.walk(root).iterator().asScala.toSeq
-          all.sortBy(-_.getNameCount).foreach(p =>
-            try Files.deleteIfExists(p) catch { case _: Exception => () })
-        }
-      }))
+      Runtime.getRuntime.addShutdownHook(cleanupHook(wh))
       wh
+    })
+
+  /** Warehouse for q144's SERVING-mode stitch: built from transcripts
+    * TRUNCATED at 2024-01-15, so days before Jan 14 are CLOSED
+    * (COMPLETED checkpoints) and everything after is absent — the
+    * lagging-warehouse shape the serving mode exists for. Same
+    * build-once memo + cleanup as [[stitchWarehouse]].
+    */
+  private val servingWarehouses =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def servingWarehouse(s: SparkSession, dir: String): String =
+    servingWarehouses.computeIfAbsent(dir, d => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-serving-wh").toString
+      val truncated = transcripts(s, d).filter(
+        org.apache.spark.sql.functions.col("ts") <
+          org.apache.spark.sql.functions.lit("2024-01-15 00:00:00")
+            .cast(transcripts(s, d).schema("ts").dataType))
+      new graft.jobs.RollupJob(wh).run(s, truncated, "q144-build")
+      Runtime.getRuntime.addShutdownHook(cleanupHook(wh))
+      wh
+    })
+
+  private def cleanupHook(wh: String): Thread =
+    new Thread(() => {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(wh)
+      if (Files.exists(root)) {
+        val all = Files.walk(root).iterator().asScala.toSeq
+        all.sortBy(-_.getNameCount).foreach(p =>
+          try Files.deleteIfExists(p) catch { case _: Exception => () })
+      }
     })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -558,6 +582,21 @@ object SparkEntry {
         transcripts(s, dir)
           .filter(org.apache.spark.sql.functions.col("turn_idx") < 8),
         Seq("signup", "purchase", "error"))),
+    // REAL-TIME serving stitch: the warehouse is built from input
+    // TRUNCATED at 2024-01-15 (days < Jan 14 closed, rest absent);
+    // the query range runs to Jan 27, so the answer stitches stored
+    // tiers up to the serving horizon and raw for the live tail —
+    // and must STILL equal direct raw aggregation (q140's oracle)
+    "q144_tier_stitch_serving" -> ((s, dir) => {
+      val wh = servingWarehouse(s, dir)
+      graft.rollup.Rollup.stitchRangeServing(s,
+        new graft.table.SnapshotTable(s"$wh/rollup_1m"),
+        new graft.table.SnapshotTable(s"$wh/rollup_1h"),
+        new graft.table.SnapshotTable(s"$wh/rollup_1d"),
+        new graft.state.StateStore(s"$wh/_state"),
+        transcripts(s, dir),
+        "2024-01-03 07:41:23", "2024-01-27 18:22:05")
+    }),
     // training-data curation family (Curation.scala): deterministic
     // md5-permutation sampling — the selected ROWS are hash-checked,
     // so the oracle pins the whole permutation, not just counts
@@ -3204,6 +3243,28 @@ object SparkEntry {
     // identical semantics to q140: stored tiers must serve the same
     // answer direct raw aggregation gives
     "q141_tier_stitch_stored" -> Transcripts.oracle(
+      """SELECT
+        |  conv_id,
+        |  COUNT(*) AS turn_count,
+        |  COUNT(*) FILTER (WHERE role = 'user') AS user_turns,
+        |  COUNT(*) FILTER (WHERE role = 'assistant') AS assistant_turns,
+        |  COUNT(tool) AS tool_calls,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS char_len_sum,
+        |  CAST(MIN(LENGTH(text)) AS BIGINT) AS char_len_min,
+        |  CAST(MAX(LENGTH(text)) AS BIGINT) AS char_len_max,
+        |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS token_sum,
+        |  MIN(turn_idx) AS min_turn_idx,
+        |  MAX(turn_idx) AS max_turn_idx,
+        |  ARG_MIN(text, turn_idx) AS first_text,
+        |  ARG_MAX(text, turn_idx) AS last_text,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) * 1.0 / COUNT(*) AS char_len_avg
+        |FROM transcripts
+        |WHERE ts >= TIMESTAMP '2024-01-03 07:41:23'
+        |  AND ts < TIMESTAMP '2024-01-27 18:22:05'
+        |GROUP BY 1""".stripMargin),
+    // the serving mode answers from a LAGGING warehouse + raw tail —
+    // the oracle is still direct raw aggregation, unchanged
+    "q144_tier_stitch_serving" -> Transcripts.oracle(
       """SELECT
         |  conv_id,
         |  COUNT(*) AS turn_count,

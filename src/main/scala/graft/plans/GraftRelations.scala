@@ -315,6 +315,13 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         RefOps.olsTrend(session.table(args(0)))
       case "tier_stitch" =>
         Rollup.stitchRange(session.table(args(0)), args(1), args(2))
+      case "tier_stitch_serving" =>
+        Rollup.stitchRangeServing(session,
+          new graft.table.SnapshotTable(s"${args(1)}/rollup_1m"),
+          new graft.table.SnapshotTable(s"${args(1)}/rollup_1h"),
+          new graft.table.SnapshotTable(s"${args(1)}/rollup_1d"),
+          new graft.state.StateStore(s"${args(1)}/_state"),
+          session.table(args(0)), args(2), args(3))
       case "tier_stitch_stored" =>
         // warehouse path baked as a literal, like every table identity
         // on this surface; raw table serves only the sub-minute edges

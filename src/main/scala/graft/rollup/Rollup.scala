@@ -559,19 +559,54 @@ object Rollup {
       h1Table: graft.table.SnapshotTable,
       d1Table: graft.table.SnapshotTable,
       transcripts: DataFrame, fromTs: String, toTs: String): DataFrame = {
+    val (from, to) = parseStitchBounds(transcripts, fromTs, toTs)
+    stitchMerge(
+      storedParts(spark, m1Table, h1Table, d1Table, transcripts, from, to),
+      transcripts)
+  }
+
+  private def parseStitchBounds(transcripts: DataFrame, fromTs: String,
+      toTs: String): (java.time.LocalDateTime, java.time.LocalDateTime) = {
     graft.operators.TimeArith.requireUtcForCalendar(transcripts, "ts")
     val from = java.time.LocalDateTime.parse(fromTs.replace(' ', 'T'))
     val to = java.time.LocalDateTime.parse(toTs.replace(' ', 'T'))
     require(from.getNano == 0 && to.getNano == 0,
       s"stitch boundaries must be whole seconds ('yyyy-MM-dd HH:mm:ss'): [$fromTs, $toTs)")
-    val fmt = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm:ss")
-    // boundary literals cast to EACH frame's own timestamp flavor
-    // (stored tiers may be zoned while the raw input is NTZ; both are
-    // naive-UTC under the guard above + the writer's UTC session)
-    def bound(t: java.time.LocalDateTime,
-        dt: org.apache.spark.sql.types.DataType): Column =
-      lit(t.format(fmt)).cast(dt)
+    (from, to)
+  }
+
+  private val stitchFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  // boundary literals cast to EACH frame's own timestamp flavor
+  // (stored tiers may be zoned while the raw input is NTZ; both are
+  // naive-UTC under the parse guard + the writer's UTC session)
+  private def stitchBound(t: java.time.LocalDateTime,
+      dt: org.apache.spark.sql.types.DataType): Column =
+    lit(t.format(stitchFmt)).cast(dt)
+
+  /** The raw-served slice [lo, hi) in stitch-mergeable form. */
+  private def rawPart(transcripts: DataFrame,
+      lo: java.time.LocalDateTime, hi: java.time.LocalDateTime): DataFrame = {
+    val rawTs = transcripts.schema("ts").dataType
+    fromRaw(
+      transcripts.filter(col("ts") >= stitchBound(lo, rawTs) &&
+        col("ts") < stitchBound(hi, rawTs)),
+      Tier.M1).select(stitchCols.map(col): _*)
+  }
+
+  /** Ladder slices of [from, to) as stitch-mergeable frames, tier
+    * slices read from the STORED tables with manifest-level day
+    * pruning, raw only for sub-minute edges. See [[stitchRangeStored]]
+    * for the contract.
+    */
+  private def storedParts(spark: org.apache.spark.sql.SparkSession,
+      m1Table: graft.table.SnapshotTable,
+      h1Table: graft.table.SnapshotTable,
+      d1Table: graft.table.SnapshotTable,
+      transcripts: DataFrame,
+      from: java.time.LocalDateTime,
+      to: java.time.LocalDateTime): Seq[DataFrame] = {
     // day partitions overlapping [lo, hi): hi is exclusive and minute-
     // aligned or coarser, so the last contributing window starts
     // strictly before hi — minusSeconds(1) lands in its day
@@ -581,13 +616,8 @@ object Rollup {
       Iterator.iterate(lo.toLocalDate)(_.plusDays(1))
         .takeWhile(!_.isAfter(last)).map(_.toString).toSet
     }
-    val rawTs = transcripts.schema("ts").dataType
-    val parts = rangeSlices(from, to).flatMap {
-      case ("raw", lo, hi) =>
-        Some(fromRaw(
-          transcripts.filter(
-            col("ts") >= bound(lo, rawTs) && col("ts") < bound(hi, rawTs)),
-          Tier.M1).select(stitchCols.map(col): _*))
+    rangeSlices(from, to).flatMap {
+      case ("raw", lo, hi) => Some(rawPart(transcripts, lo, hi))
       case (tier, lo, hi) =>
         val table = tier match {
           case "1m" => m1Table; case "1h" => h1Table; case _ => d1Table
@@ -596,11 +626,15 @@ object Rollup {
         if (t.columns.isEmpty) None // no committed files in range days
         else {
           val wsType = t.schema("window_start").dataType
-          Some(t.filter(col("window_start") >= bound(lo, wsType) &&
-              col("window_start") < bound(hi, wsType))
+          Some(t.filter(col("window_start") >= stitchBound(lo, wsType) &&
+              col("window_start") < stitchBound(hi, wsType))
             .select(stitchCols.map(col): _*))
         }
     }
+  }
+
+  private def stitchMerge(parts: Seq[DataFrame],
+      transcripts: DataFrame): DataFrame = {
     val unioned = parts.reduceOption(_ union _).getOrElse(
       fromRaw(transcripts.filter(lit(false)), Tier.M1)
         .select(stitchCols.map(col): _*))
@@ -609,5 +643,57 @@ object Rollup {
       .agg(mergeAggs.head, mergeAggs.tail: _*)
       .withColumn("char_len_avg",
         col("char_len_sum") * lit(1.0) / col("turn_count"))
+  }
+
+  /** REAL-TIME serving mode — the TimescaleDB real-time-aggregate
+    * semantics that completes the continuous-aggregate story: answer
+    * `[from, to)` from the stored tiers for every day the warehouse
+    * has CLOSED, and from raw transcripts for the live tail the
+    * rollup job has not finalized yet. The split point is derived
+    * from the warehouse's OWN state: the serving horizon is the first
+    * day in the range without a COMPLETED checkpoint in ALL of
+    * 1m/1h/1d (a closed day is final by the watermark discipline —
+    * late arrivals reopen it via the census compare, and a reader
+    * seeing the old snapshot still gets the answer that warehouse
+    * version committed). Ahead of the horizon nothing is trusted:
+    * IN_PROGRESS days may be partially committed, so the tail
+    * [horizon, to) reads raw — correctness never depends on how far
+    * the rollup job has gotten.
+    *
+    * Identity: output ≡ direct raw aggregation over the range for ANY
+    * warehouse lag (StitchSpec pins a mid-range horizon, an all-closed
+    * range ≡ [[stitchRangeStored]], and an all-open range). Cost
+    * degrades gracefully from all-tiers (fully closed) to all-raw
+    * (cold warehouse): the stored prefix pays O(windows), only the
+    * tail scans turns — and the tail is bounded by the job's commit
+    * lag, typically the single open boundary day.
+    */
+  def stitchRangeServing(spark: org.apache.spark.sql.SparkSession,
+      m1Table: graft.table.SnapshotTable,
+      h1Table: graft.table.SnapshotTable,
+      d1Table: graft.table.SnapshotTable,
+      state: graft.state.StateStore,
+      transcripts: DataFrame, fromTs: String, toTs: String): DataFrame = {
+    val (from, to) = parseStitchBounds(transcripts, fromTs, toTs)
+    val cps = state.checkpoints
+    def closed(tier: String): Set[String] = cps.collect {
+      case ((t, p), c) if t == tier && c.status == "COMPLETED" => p
+    }.toSet
+    val closedAll = Seq("1m", "1h", "1d").map(closed).reduce(_ intersect _)
+    // first day >= from not closed in every tier; scan stops at `to`
+    var day = from.toLocalDate
+    while (day.atStartOfDay.isBefore(to) && closedAll.contains(day.toString))
+      day = day.plusDays(1)
+    val horizon = day.atStartOfDay
+    val cut =
+      if (horizon.isBefore(from)) from
+      else if (horizon.isAfter(to)) to else horizon
+    val stored =
+      if (cut.isAfter(from))
+        storedParts(spark, m1Table, h1Table, d1Table, transcripts, from, cut)
+      else Seq.empty
+    val tail =
+      if (to.isAfter(cut)) Seq(rawPart(transcripts, cut, to)) else Seq.empty
+    stitchMerge(stored ++ tail, transcripts)
   }
 }

@@ -543,6 +543,11 @@ class GraftExtensionsSpec extends SparkTestBase {
     assertSameRows(
       ext.sql(s"SELECT * FROM tier_stitch_stored('trc_stored_ext', '$wh', '$from', '$to')"),
       graft.rollup.Rollup.stitchRange(tr, from, to))
+    // serving mode over a fully-built warehouse degenerates to the
+    // stored answer (horizon past the range) — SQL face parity
+    assertSameRows(
+      ext.sql(s"SELECT * FROM tier_stitch_serving('trc_stored_ext', '$wh', '$from', '$to')"),
+      graft.rollup.Rollup.stitchRange(tr, from, to))
   }
 
   test("funnel latency table functions in SQL == Column API") {

@@ -196,6 +196,62 @@ class StitchSpec extends SparkTestBase {
       s"1m reads must prune to the edge days:\n${m1Files.mkString("\n")}")
   }
 
+  // ---- serving mode (lagging warehouse + live raw tail) -------------------
+
+  /** Warehouse built from input TRUNCATED at Jan 15: days up to Jan 13
+    * are CLOSED (Jan 14 holds the watermark, IN_PROGRESS), everything
+    * later is absent — the lag shape stitchRangeServing must hide.
+    */
+  private lazy val lagWh: String = {
+    val wh = tmpDir("stitch-serving-wh")
+    val tsType = turns.schema("ts").dataType
+    new graft.jobs.RollupJob(wh).run(spark,
+      turns.filter(col("ts") < lit("2024-01-15 00:00:00").cast(tsType)),
+      "stitch-serving-build")
+    wh
+  }
+  private def serving(lo: String, hi: String): DataFrame =
+    Rollup.stitchRangeServing(spark,
+      new graft.table.SnapshotTable(s"$lagWh/rollup_1m"),
+      new graft.table.SnapshotTable(s"$lagWh/rollup_1h"),
+      new graft.table.SnapshotTable(s"$lagWh/rollup_1d"),
+      new graft.state.StateStore(s"$lagWh/_state"),
+      turns, lo, hi)
+
+  test("stitchRangeServing equals direct aggregation across the horizon") {
+    val ranges = Seq(
+      // spans the horizon: stored prefix + raw tail
+      ("2024-01-03 07:41:23", "2024-01-27 18:22:05"),
+      // entirely CLOSED: stored only
+      ("2024-01-04 00:00:00", "2024-01-12 06:30:15"),
+      // entirely past the horizon: raw only
+      ("2024-01-16 03:10:00", "2024-01-25 12:00:00"),
+      // starts ON the open boundary day (Jan 14 is IN_PROGRESS)
+      ("2024-01-14 00:00:00", "2024-01-20 00:00:00"))
+    for ((a, b) <- ranges)
+      assertSameRows(serving(a, b), direct(a, b))
+  }
+
+  test("stitchRangeServing plan: tier files only before the horizon, raw only after") {
+    val df = serving("2024-01-04 00:00:00", "2024-01-20 00:00:00")
+    val files = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.flatMap(_.relation.location.inputFiles)
+    assert(files.nonEmpty, "stored prefix must read tier files")
+    // every scanned file is a tier file from a CLOSED day (< Jan 14)
+    assert(files.forall(_.contains("rollup_1")),
+      s"only tier files may come from disk:\n${files.mkString("\n")}")
+    val dayRe = "p=(\\d{4}-\\d{2}-\\d{2})".r
+    val days = files.flatMap(f => dayRe.findFirstMatchIn(f).map(_.group(1)))
+    assert(days.nonEmpty && days.forall(_ < "2024-01-14"),
+      s"stored reads must stop at the serving horizon: ${days.distinct.sorted}")
+    // the raw tail IS present (the in-memory turns frame)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("LocalTableScan")
+      || plan.contains("ExistingRDD"),
+      s"live tail must read raw transcripts:\n$plan")
+  }
+
   test("stitchRange: empty range yields zero rows with the full schema") {
     val st = Rollup.stitchRange(turns, "2024-01-10 06:30:00", "2024-01-10 06:30:00")
     assert(st.columns.toSeq == Seq("conv_id", "turn_count", "user_turns",
