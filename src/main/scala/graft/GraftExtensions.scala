@@ -404,8 +404,8 @@ object GraftExtensions {
       "(benchmark[, num_bits, num_hashes]) - ONE-row dense bloom bitset over the benchmark's shingle hashes; CTAS it as a reusable decontamination artifact (defaults 2^18 bits, 3 hashes)",
       arities = Set(1, 3), intArgs = Set(1, 2)),
     tfn("decontaminate_bloom_artifact",
-      "(corpus, benchmark, bloom_table[, threshold, num_hashes]) - exact-recall bloom decontamination using a PREBUILT bloom_bits artifact table instead of rebuilding the bitset per run (defaults threshold=0.5 hashes=3)",
-      arities = Set(3, 5), doubleArgs = Set(3), intArgs = Set(4)))
+      "(corpus, benchmark, bloom_table[, threshold]) - exact-recall bloom decontamination using a PREBUILT bloom_bits artifact table instead of rebuilding the bitset per run; the hash count is read from the artifact (default threshold 0.5)",
+      arities = Set(3, 4), doubleArgs = Set(3)))
 
   private def tfn(name: String, usage: String, arities: Set[Int],
       numericArgs: Set[Int] = Set.empty, intArgs: Set[Int] = Set.empty,

@@ -152,6 +152,19 @@ object VectorOps {
     best
   }
 
+  /** True when any element is NULL — [[DtwDistance]] returns NULL
+    * then, by decision: `ArrayData.getLong` would read the slot as 0
+    * (a wrong finite distance), and the fold reference is no yardstick
+    * for nulls (its `least` SKIPS them, leaking the ∞ sentinel into a
+    * garbage value). An undefined distance is NULL, full stop.
+    */
+  def hasNullElem(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   /** Integer DTW distance between two bigint series — the compiled
     * form of [[graft.operators.SeriesOps]]' `dtwFoldExpr` nested
     * `aggregate` HOFs (CodegenFallback → interpreted per DP cell; the
@@ -252,10 +265,23 @@ case class DtwDistance(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"dtw_distance expects array<bigint> inputs, got (${left.dataType}, ${right.dataType})")
   override def dataType: DataType = org.apache.spark.sql.types.LongType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.dtwLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // a NULL ELEMENT nulls the whole distance (see hasNullElem) —
+  // ArrayData.getLong would otherwise silently read a null slot as 0
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (VectorOps.hasNullElem(x) || VectorOps.hasNullElem(y)) null
+    else VectorOps.dtwLong(x, y)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dtwLong($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VectorOps.hasNullElem($a) ||
+          graft.functions.VectorOps.hasNullElem($b)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorOps.dtwLong($a, $b);
+      }""")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DtwDistance =
     copy(left = newLeft, right = newRight)

@@ -574,12 +574,20 @@ object Dedup {
     arr
   }
 
+  /** The persistable artifact form: ONE row `(bloom, num_hashes)` —
+    * the hash count rides IN the artifact because probing with a
+    * different count than the build silently breaks the no-false-
+    * negative guarantee (probe index i ≥ build's k hits positions
+    * never set → genuinely present shingles test absent → missed
+    * contamination). [[bloomArtifactArray]] reads both back and the
+    * serving paths use the STORED count, never a caller guess.
+    */
   def bloomBits(benchmark: DataFrame, numBits: Int = 1 << 18,
       numHashes: Int = 3): DataFrame = {
     val arr = bloomBitsArray(benchmark, numBits, numHashes)
     val spark = benchmark.sparkSession
     import spark.implicits._
-    Seq(Tuple1(arr.toSeq)).toDF("bloom")
+    Seq((arr.toSeq, numHashes)).toDF("bloom", "num_hashes")
   }
 
   /** Test-set decontamination with a bloom-filter prescreen — the
@@ -639,7 +647,11 @@ object Dedup {
     * `bit_or` exchange) ONCE, persist the one-row artifact, and hand
     * the words back here per run. This overload is a pure plan
     * constructor: it runs NO Spark job (DedupSpec pins that), and
-    * `numBits` is implied by the array length. `benchmark` is still
+    * `numBits` is implied by the array length; `numHashes` MUST be
+    * the value the bitset was built with (probing with a larger count
+    * tests unset positions and forfeits the no-false-negative
+    * guarantee) — prefer [[decontaminateBloomArtifact]], which reads
+    * the count from the artifact itself. `benchmark` is still
     * read lazily by the exact verify join — only the PRESCREEN bits
     * are precomputed, so a stale artifact can cost extra exact
     * verifies (bloom false positives) but can lose matches ONLY if
@@ -695,18 +707,27 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("jaccard"))
   }
 
-  /** Load a persisted [[bloomBits]] artifact frame (`bloom:
-    * array<bigint>`, ONE row) back into the driver-side word array
-    * [[decontaminateBloomWith]] takes — the read half of the
-    * build-once/serve-many artifact lifecycle, O(numBits/64) driver
-    * bytes (32 KB at the default 2¹⁸ bits). Throws on an empty or
-    * multi-row frame: a malformed artifact table must fail the run,
-    * not prescreen with garbage bits.
+  /** Load a persisted [[bloomBits]] artifact frame (`(bloom:
+    * array<bigint>, num_hashes: int)`, ONE row) back into the
+    * driver-side (words, numHashes) pair the serving paths take — the
+    * read half of the build-once/serve-many artifact lifecycle,
+    * O(numBits/64) driver bytes (32 KB at the default 2¹⁸ bits).
+    * Throws on an empty or multi-row frame: a malformed artifact
+    * table must fail the run, not prescreen with garbage bits.
     */
-  def bloomArtifactArray(bloom: DataFrame): Array[Long] = {
-    val rows = bloom.select(col("bloom")).collect()
+  def bloomArtifactArray(bloom: DataFrame): (Array[Long], Int) = {
+    val rows = bloom.select(col("bloom"), col("num_hashes")).collect()
     require(rows.length == 1,
       s"bloom artifact must be exactly one row, got ${rows.length}")
-    rows(0).getSeq[Long](0).toArray
+    (rows(0).getSeq[Long](0).toArray, rows(0).getInt(1))
+  }
+
+  /** [[decontaminateBloomWith]] fed from a persisted [[bloomBits]]
+    * artifact frame — probes with the artifact's OWN hash count.
+    */
+  def decontaminateBloomArtifact(corpus: DataFrame, benchmark: DataFrame,
+      bloom: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val (arr, numHashes) = bloomArtifactArray(bloom)
+    decontaminateBloomWith(corpus, benchmark, arr, threshold, numHashes)
   }
 }

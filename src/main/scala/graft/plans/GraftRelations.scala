@@ -360,12 +360,14 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
           Dedup.bloomBits(session.table(args(0)), args(1).toInt, args(2).toInt)
         else Dedup.bloomBits(session.table(args(0)))
       case "decontaminate_bloom_artifact" =>
-        val arr = Dedup.bloomArtifactArray(session.table(args(2)))
-        if (args.length == 5)
-          Dedup.decontaminateBloomWith(session.table(args(0)),
-            session.table(args(1)), arr, args(3).toDouble, args(4).toInt)
-        else Dedup.decontaminateBloomWith(session.table(args(0)),
-          session.table(args(1)), arr)
+        // the hash count comes from the artifact row itself — a
+        // caller-supplied count that disagrees with the build would
+        // break the no-false-negative guarantee
+        if (args.length == 4)
+          Dedup.decontaminateBloomArtifact(session.table(args(0)),
+            session.table(args(1)), session.table(args(2)), args(3).toDouble)
+        else Dedup.decontaminateBloomArtifact(session.table(args(0)),
+          session.table(args(1)), session.table(args(2)))
       case "label_outliers" =>
         if (args.length == 2)
           Similarity.labelOutliers(session.table(args(0)), args(1).toDouble)
@@ -441,7 +443,13 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         val queries = session.table(args(1))
         val k = args(2).toInt
         args.lift(3).getOrElse("brute") match {
-          case "brute" => Similarity.bruteForceTopK(corpus, queries, k)
+          case "brute" =>
+            // a 5th arg with brute mode is always a mistake (a typo'd
+            // mode or a tunable brute doesn't have) — reject it rather
+            // than silently returning exact results for the wrong ask
+            require(args.length <= 4,
+              s"knn: mode 'brute' takes no param, got '${args(4)}'")
+            Similarity.bruteForceTopK(corpus, queries, k)
           case "lsh" => args.lift(4) match {
             case Some(bits) => Similarity.lshTopK(corpus, queries, k, bits = bits.toInt)
             case None => Similarity.lshTopK(corpus, queries, k)

@@ -460,23 +460,13 @@ object Rollup {
       : DataFrame = {
     // the boundary-literal cast parses in the SESSION zone for zoned
     // TimestampType while window() stays epoch-aligned — the TimeArith
-    // doctrine: enforce UTC where the arithmetic happens, both types
-    graft.operators.TimeArith.requireUtcForCalendar(transcripts, "ts")
-    val from = java.time.LocalDateTime.parse(fromTs.replace(' ', 'T'))
-    val to = java.time.LocalDateTime.parse(toTs.replace(' ', 'T'))
-    // LocalDateTime.parse accepts fractional seconds the boundary
-    // formatter below would silently TRUNCATE out of the filters —
-    // reject rather than shift the range edges
-    require(from.getNano == 0 && to.getNano == 0,
-      s"stitch boundaries must be whole seconds ('yyyy-MM-dd HH:mm:ss'): [$fromTs, $toTs)")
+    // doctrine lives in parseStitchBounds, SHARED with the stored and
+    // serving modes so the boundary contract (whole seconds,
+    // input-flavor cast, UTC guard) has one definition
+    val (from, to) = parseStitchBounds(transcripts, fromTs, toTs)
     val slices = rangeSlices(from, to)
-    // boundary literals take the INPUT's timestamp flavor (NTZ from the
-    // driver parquet, zoned from the Turn fixture — both naive-UTC under
-    // the guard above), so no cross-type coercion enters the plan
     val tsType = transcripts.schema("ts").dataType
-    val fmt = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm:ss")
-    def ntz(t: java.time.LocalDateTime): Column = lit(t.format(fmt)).cast(tsType)
+    def ntz(t: java.time.LocalDateTime): Column = stitchBound(t, tsType)
     // tiers only ever serve windows inside [floor-minute(from), to):
     // push that range onto the raw scan before the 1m aggregation.
     // In a deployment the tiers are STORED tables (one scan each); in
@@ -652,17 +642,23 @@ object Rollup {
     * rollup job has not finalized yet. The split point is derived
     * from the warehouse's OWN state: the serving horizon is the first
     * day in the range without a COMPLETED checkpoint in ALL of
-    * 1m/1h/1d (a closed day is final by the watermark discipline —
-    * late arrivals reopen it via the census compare, and a reader
-    * seeing the old snapshot still gets the answer that warehouse
-    * version committed). Ahead of the horizon nothing is trusted:
-    * IN_PROGRESS days may be partially committed, so the tail
-    * [horizon, to) reads raw — correctness never depends on how far
-    * the rollup job has gotten.
+    * 1m/1h/1d. Ahead of the horizon nothing is trusted: IN_PROGRESS
+    * days may be partially committed, so the tail [horizon, to) reads
+    * raw — LAG (how far the rollup job has gotten) never affects
+    * correctness.
     *
-    * Identity: output ≡ direct raw aggregation over the range for ANY
-    * warehouse lag (StitchSpec pins a mid-range horizon, an all-closed
-    * range ≡ [[stitchRangeStored]], and an all-open range). Cost
+    * Identity: output ≡ direct raw aggregation over the range for any
+    * warehouse lag, PROVIDED closed days are census-stable — the
+    * standard continuous-aggregate consistency contract. A LATE row
+    * landing in an already-CLOSED day is not visible here until the
+    * next [[graft.jobs.RollupJob]] run heals it (the census compare
+    * marks the day dirty and recomputes every tier); until then this
+    * read serves the answer that warehouse version committed, exactly
+    * as any reader of the materialized tiers would. Detecting the
+    * drift at READ time would cost a raw census scan per query — the
+    * write path owns that job. (StitchSpec pins a mid-range horizon,
+    * an all-closed range ≡ [[stitchRangeStored]], an all-open range,
+    * and the stale-closed-day contract.) Cost
     * degrades gracefully from all-tiers (fully closed) to all-raw
     * (cold warehouse): the stored prefix pays O(windows), only the
     * tail scans turns — and the tail is bounded by the job's commit
@@ -676,10 +672,8 @@ object Rollup {
       transcripts: DataFrame, fromTs: String, toTs: String): DataFrame = {
     val (from, to) = parseStitchBounds(transcripts, fromTs, toTs)
     val cps = state.checkpoints
-    def closed(tier: String): Set[String] = cps.collect {
-      case ((t, p), c) if t == tier && c.status == "COMPLETED" => p
-    }.toSet
-    val closedAll = Seq("1m", "1h", "1d").map(closed).reduce(_ intersect _)
+    val closedAll = Seq("1m", "1h", "1d")
+      .map(state.completedPartitions(_, cps)).reduce(_ intersect _)
     // first day >= from not closed in every tier; scan stops at `to`
     var day = from.toLocalDate
     while (day.atStartOfDay.isBefore(to) && closedAll.contains(day.toString))

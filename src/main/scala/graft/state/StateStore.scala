@@ -256,7 +256,15 @@ class StateStore(root: String) {
     * `MigrationInitializer.java:62-75`).
     */
   def completedPartitions(tier: String): Set[String] =
-    checkpoints.collect {
+    completedPartitions(tier, checkpoints)
+
+  /** Overload over a pre-read checkpoint map — callers inspecting
+    * several tiers (the serving stitch) read the files once and keep
+    * the ONE COMPLETED-status predicate defined here.
+    */
+  def completedPartitions(tier: String,
+      cps: Map[(String, String), Checkpoint]): Set[String] =
+    cps.collect {
       case ((t, p), c) if t == tier && c.status == "COMPLETED" => p
     }.toSet
 

@@ -438,7 +438,7 @@ class GraftExtensionsSpec extends SparkTestBase {
     ext.sql("SELECT * FROM bloom_bits('bench_ext', 4096, 3)")
       .createOrReplaceTempView("bloom_art_ext")
     assertSameRows(
-      ext.sql("SELECT * FROM decontaminate_bloom_artifact('corpus_ext', 'bench_ext', 'bloom_art_ext', 0.5, 3)"),
+      ext.sql("SELECT * FROM decontaminate_bloom_artifact('corpus_ext', 'bench_ext', 'bloom_art_ext', 0.5)"),
       graft.operators.Dedup.decontaminateBloom(
         all.filter(!isBench), all.filter(isBench), 0.5, 4096, 3))
     all.createOrReplaceTempView("docs_cal_ext")

@@ -543,7 +543,10 @@ class DedupSpec extends SparkTestBase {
     // read the frame form back losslessly
     val arr = Dedup.bloomBitsArray(bench, numBits = 4096, numHashes = 3)
     val art = Dedup.bloomBits(bench, numBits = 4096, numHashes = 3)
-    assert(Dedup.bloomArtifactArray(art).toSeq == arr.toSeq)
+    // the artifact carries its OWN hash count — probing with a
+    // different count than the build breaks no-false-negatives
+    val (artArr, artHashes) = Dedup.bloomArtifactArray(art)
+    assert(artArr.toSeq == arr.toSeq && artHashes == 3)
     // serve-many: constructing the plan from the prebuilt words runs
     // NO Spark job (decontaminateBloom pays the bitset build action
     // per call; the artifact path must not)
@@ -563,10 +566,13 @@ class DedupSpec extends SparkTestBase {
         s"prebuilt path must run no job at plan time, saw ${jobs.get()}")
       (a, b)
     } finally spark.sparkContext.removeSparkListener(l)
-    // and both calls equal the per-call-build sibling exactly
+    // and both calls equal the per-call-build sibling exactly, as
+    // does the artifact-frame form (stored hash count)
     val direct = Dedup.decontaminateBloom(corpus, bench, 0.5, 4096, 3)
     assertSameRows(p1, direct)
     assertSameRows(p2, direct)
+    assertSameRows(
+      Dedup.decontaminateBloomArtifact(corpus, bench, art, 0.5), direct)
     intercept[IllegalArgumentException](
       Dedup.decontaminateBloomWith(corpus, bench, Array.emptyLongArray))
     intercept[IllegalArgumentException](Dedup.bloomArtifactArray(art.limit(0)))

@@ -1858,6 +1858,19 @@ class SeriesOpsSpec extends SparkTestBase {
       expr(SeriesOps.dtwFoldExpr("va", "vb")).as("hof")).collect()
     out.foreach(r => assert(r.getLong(0) == r.getLong(1),
       s"native ${r.getLong(0)} != fold ${r.getLong(1)}"))
+    // a NULL ELEMENT nulls the native distance BY DECISION:
+    // ArrayData.getLong would read the null slot as 0 (a wrong finite
+    // answer), and the fold reference is no yardstick here — Spark's
+    // `least` SKIPS nulls, so the fold leaks the ∞ sentinel into a
+    // garbage finite value for a null in `va`. NULL is the only
+    // honest answer for an undefined distance; dtwPairs itself never
+    // produces null elements (day counts).
+    val withNull = Seq((Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](2L)))
+      .toDF("va", "vb")
+    val nr = withNull.select(
+      graft.functions.VectorOps.dtwDistance(col("va"), col("vb")).as("native"))
+      .collect()(0)
+    assert(nr.isNullAt(0), s"null element must null the distance: $nr")
   }
 
   test("peakDays golden: strict peaks, one-sided boundaries, isolated day, plateau") {

@@ -252,6 +252,41 @@ class StitchSpec extends SparkTestBase {
       s"live tail must read raw transcripts:\n$plan")
   }
 
+  test("stitchRangeServing: late row in a CLOSED day serves the committed answer until the job heals it") {
+    // the continuous-aggregate consistency contract: a late arrival
+    // into an already-closed day is invisible to the serving read
+    // until the next RollupJob run recomputes the dirty day — the
+    // read must NOT silently mix stale tier rows with the late raw row
+    val wh = tmpDir("stitch-late-wh")
+    val tsType = turns.schema("ts").dataType
+    val base = turns.filter(col("ts") < lit("2024-01-10 00:00:00").cast(tsType))
+    new graft.jobs.RollupJob(wh).run(spark, base, "late-build-1")
+    val late = turns.sparkSession.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row("late-conv", 0, "user", "late text", null,
+          java.sql.Timestamp.valueOf("2024-01-05 12:00:00"))),
+      base.schema)
+    val withLate = base.unionByName(late)
+    def serve(raw: DataFrame) = Rollup.stitchRangeServing(spark,
+      new graft.table.SnapshotTable(s"$wh/rollup_1m"),
+      new graft.table.SnapshotTable(s"$wh/rollup_1h"),
+      new graft.table.SnapshotTable(s"$wh/rollup_1d"),
+      new graft.state.StateStore(s"$wh/_state"),
+      raw, "2024-01-04 00:00:00", "2024-01-08 00:00:00")
+    // before healing: the closed-day range serves the COMMITTED
+    // answer (no late-conv row), even though raw already has it
+    val stale = serve(withLate).collect()
+    assert(!stale.exists(_.getString(0) == "late-conv"),
+      "closed days must serve the committed snapshot, not mix in raw")
+    // the healing run marks the day dirty (census moved) and
+    // recomputes it; the same serving read now includes the late row
+    new graft.jobs.RollupJob(wh).run(spark, withLate, "late-build-2")
+    val healed = serve(withLate)
+    assert(healed.collect().exists(_.getString(0) == "late-conv"))
+    assertSameRows(healed,
+      Rollup.stitchRange(withLate, "2024-01-04 00:00:00", "2024-01-08 00:00:00"))
+  }
+
   test("stitchRange: empty range yields zero rows with the full schema") {
     val st = Rollup.stitchRange(turns, "2024-01-10 06:30:00", "2024-01-10 06:30:00")
     assert(st.columns.toSeq == Seq("conv_id", "turn_count", "user_turns",
