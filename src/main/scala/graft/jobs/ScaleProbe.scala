@@ -53,6 +53,18 @@ object ScaleProbe {
       if (stageFilter.forall(_.findFirstIn(name).isDefined)) timed(body)
       else 0.0
 
+    // one-time setup for the stored-stitch read stage: materialize the
+    // tier warehouse (untimed — it is the deployment artifact whose
+    // write cost the durable pairs measure)
+    val storedWh: Option[String] =
+      if (stageFilter.forall(_.findFirstIn("stitchstored").isDefined) &&
+          tsRange._2 - tsRange._1 >= 2 * 3661L + 60L) {
+        val wh = s"/dev/shm/scale-stitch-wh-$cores"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+        new RollupJob(wh).run(spark, raw, s"scale-stitch-$cores")
+        Some(wh)
+      } else None
+
     val results = (1 to reps).map { r =>
       val tM1 = stage("rollup_1m")(Rollup.fromRaw(raw, Tier.M1).count())
       val m1 = Rollup.fromRaw(raw, Tier.M1)
@@ -291,18 +303,35 @@ object ScaleProbe {
       // (0.00s) when the input spans < 2×(1h1m1s)+1m — a smoke input
       // has no ladder to exercise and an inverted range would throw.
       // Payload = first_text so the min_by merge cannot be pruned.
+      val fmtS = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")
+      def at(s: Long) = java.time.LocalDateTime
+        .ofEpochSecond(s, 0, java.time.ZoneOffset.UTC).format(fmtS)
       val tStitch =
         if (stageFilter.forall(_.findFirstIn("stitch").isDefined) &&
             tsRange._2 - tsRange._1 < 2 * 3661L + 60L) 0.0
         else stage("stitch") {
-        val fmtS = java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd HH:mm:ss")
-        def at(s: Long) = java.time.LocalDateTime
-          .ofEpochSecond(s, 0, java.time.ZoneOffset.UTC).format(fmtS)
         Rollup.stitchRange(raw, at(tsRange._1 + 3661L), at(tsRange._2 - 3661L))
           .agg(count(col("first_text"))).head()
       }
-      val total = tStitch + tWau + tWauS + tCov + tHamp + tSd + tHm + tMgs + tHq + tWs + tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
+      // the q141 READ path over the same ragged span: stored-tier
+      // manifest-pruned reads + sub-minute raw edges. The warehouse
+      // build is per-rep SETUP (the write side RollupMain's durable
+      // pairs already measure) — only the read is timed, so the
+      // N-vs-4N ratio isolates exactly what a deployment pays per
+      // range query against materialized tiers.
+      val tStitchStored = storedWh match {
+        case Some(wh) => stage("stitchstored") {
+          Rollup.stitchRangeStored(spark,
+            new graft.table.SnapshotTable(s"$wh/rollup_1m"),
+            new graft.table.SnapshotTable(s"$wh/rollup_1h"),
+            new graft.table.SnapshotTable(s"$wh/rollup_1d"),
+            raw, at(tsRange._1 + 3661L), at(tsRange._2 - 3661L))
+            .agg(count(col("first_text"))).head()
+        }
+        case None => 0.0
+      }
+      val total = tStitch + tStitchStored + tWau + tWauS + tCov + tHamp + tSd + tHm + tMgs + tHq + tWs + tM1 + tCascade + tBlocks + tSess + tAsof + tInterval +
         tSliding + tTwa + tZscore + tCorr + tHist + tEwma + tCusum + tAc +
         tMad + tGap + tSp + tHolt + tRuns + tBurst + tDiv + tTrans +
         tVocab + tProf + tOhlc + tDaily + tGapRep + tSax + tTheil +
@@ -345,10 +374,13 @@ object ScaleProbe {
         f"histmerge=$tHm%.2fs mgsketch=$tMgs%.2fs snapdiff=$tSd%.2fs " +
         f"hampel=$tHamp%.2fs coverage=$tCov%.2fs " +
         f"wauexact=$tWau%.2fs wausketch=$tWauS%.2fs stitch=$tStitch%.2fs " +
+        f"stitchstored=$tStitchStored%.2fs " +
         f"total=$total%.2fs " +
         (if (tM1 > 0) f"throughput=${n / tM1}%.0f turns/s" else "throughput=n/a"))
       total
     }
+    storedWh.foreach(wh =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh)))
     println(f"[scale-probe] BEST cores=$cores total=${results.min}%.2fs " +
       (if (results.min > 0) f"chain_throughput=${n / results.min}%.0f turns/s"
        else "chain_throughput=n/a"))
