@@ -130,6 +130,9 @@ object GraftExtensions {
     tfn("tool_diversity",
       "(table) - Simpson diversity and effective tool count of per-conversation tool usage",
       arities = Set(1)),
+    tfn("tool_transition_diversity",
+      "(table) - Simpson diversity over consecutive tool-call PAIRS per conversation (order-sensitive sibling of tool_diversity) + dominant transition and share",
+      arities = Set(1)),
     tfn("role_transitions",
       "(table) - corpus-level role-to-successor transition counts and row shares",
       arities = Set(1)),

@@ -587,6 +587,10 @@ object SparkEntry {
     // the query range runs to Jan 27, so the answer stitches stored
     // tiers up to the serving horizon and raw for the live tail —
     // and must STILL equal direct raw aggregation (q140's oracle)
+    // order-sensitive sibling of q59: Simpson over consecutive
+    // tool-call PAIRS per conversation + dominant transition
+    "q145_tool_transition_diversity" -> ((s, dir) =>
+      graft.operators.RefOps.toolTransitionDiversity(transcripts(s, dir))),
     "q144_tier_stitch_serving" -> ((s, dir) => {
       val wh = servingWarehouse(s, dir)
       graft.rollup.Rollup.stitchRangeServing(s,
@@ -3283,6 +3287,41 @@ object SparkEntry {
         |FROM transcripts
         |WHERE ts >= TIMESTAMP '2024-01-03 07:41:23'
         |  AND ts < TIMESTAMP '2024-01-27 18:22:05'
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin),
+    // the q59 Simpson shape over consecutive tool pairs; dominant
+    // pair tie-break = MIN(pair | c = per-conv max c) in both engines
+    "q145_tool_transition_diversity" -> Transcripts.oracle(
+      """, b AS (
+        |  SELECT conv_id, turn_idx, tool
+        |  FROM transcripts
+        |  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+        |    AND tool IS NOT NULL),
+        |p AS (
+        |  SELECT conv_id, tool || '>' ||
+        |    LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pair
+        |  FROM b),
+        |c AS (
+        |  SELECT conv_id, pair, COUNT(*) AS c
+        |  FROM p WHERE pair IS NOT NULL GROUP BY 1, 2),
+        |x AS (
+        |  SELECT conv_id, pair, c,
+        |    MAX(c) OVER (PARTITION BY conv_id) AS mc
+        |  FROM c),
+        |m AS (
+        |  SELECT conv_id, COUNT(*) AS n_pairs,
+        |    CAST(SUM(c) AS BIGINT) AS transitions,
+        |    CAST(SUM(c * c) AS BIGINT) AS ss,
+        |    MIN(CASE WHEN c = mc THEN pair END) AS top_pair,
+        |    CAST(MAX(c) AS BIGINT) AS topc
+        |  FROM x GROUP BY 1)
+        |SELECT conv_id, n_pairs, transitions,
+        |  ROUND(1.0 - CAST(ss AS DOUBLE)
+        |    / (CAST(transitions AS DOUBLE) * transitions), 6) AS simpson_diversity,
+        |  ROUND(CAST(transitions AS DOUBLE) * transitions
+        |    / CAST(ss AS DOUBLE), 6) AS effective_pairs,
+        |  top_pair,
+        |  ROUND(CAST(topc AS DOUBLE)
+        |    / CAST(transitions AS DOUBLE), 6) AS top_share
+        |FROM m""".stripMargin)
   )
 }

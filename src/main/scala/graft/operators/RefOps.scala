@@ -1105,6 +1105,56 @@ object RefOps {
           .as("effective_tools"))
   }
 
+  /** Per-conversation tool TRANSITION diversity — the order-sensitive
+    * sibling of [[toolDiversity]]: Simpson concentration over the
+    * distribution of consecutive tool-call PAIRS (the conversation's
+    * first-order Markov edges), plus the dominant transition and its
+    * share. Shannon entropy is deliberately NOT used (`ln()` is 1-ulp
+    * engine-divergent — the q59 decision); Simpson stays all-rational,
+    * so the oracle is hash-exact. "Consecutive" means adjacent among
+    * the conversation's TOOL turns in canonical turn order (non-tool
+    * turns between two calls don't break the chain — the
+    * [[graft.operators.SeriesOps.toolCadence]] convention). Conversations with < 2 tool calls
+    * have no transitions and drop. The dominant pair ties break
+    * lexicographically via `MIN(pair | c = max c)` — deterministic
+    * and identically expressed in both engines.
+    *
+    * Plan: ONE conv_id exchange for the lead window; the pair
+    * group-by partial-aggregates map-side and the max-count window +
+    * final collapse move only pair-cardinality rows.
+    */
+  def toolTransitionDiversity(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val pairs = transcripts
+      .filter(col("conv_id").isNotNull && col("turn_idx").isNotNull &&
+        col("tool").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("tool"))
+      .withColumn("_nt", lead(col("tool"), 1).over(w))
+      .filter(col("_nt").isNotNull)
+      .select(col("conv_id"),
+        concat(col("tool"), lit(">"), col("_nt")).as("pair"))
+    val mx = Window.partitionBy(col("conv_id"))
+    val n = col("transitions").cast("double")
+    pairs
+      .groupBy(col("conv_id"), col("pair"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("_mc", max(col("c")).over(mx))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("c")).as("transitions"),
+        sum(col("c") * col("c")).as("_ss"),
+        min(when(col("c") === col("_mc"), col("pair"))).as("top_pair"),
+        max(col("c")).as("_topc"))
+      .select(col("conv_id"), col("n_pairs"), col("transitions"),
+        round(lit(1.0) - col("_ss").cast("double") / (n * col("transitions")), 6)
+          .as("simpson_diversity"),
+        round(n * col("transitions") / col("_ss").cast("double"), 6)
+          .as("effective_pairs"),
+        col("top_pair"),
+        round(col("_topc").cast("double") / n, 6).as("top_share"))
+  }
+
   /** Corpus-level role transition matrix — counts and row-normalized
     * shares of `role → successor role` over the canonical turn order:
     * the first-order Markov structure of the dialogue ("what follows a

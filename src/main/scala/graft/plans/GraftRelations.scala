@@ -120,6 +120,8 @@ final case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPl
         else RefOps.burstFlags(session.table(args(0)))
       case "tool_diversity" =>
         RefOps.toolDiversity(session.table(args(0)))
+      case "tool_transition_diversity" =>
+        RefOps.toolTransitionDiversity(session.table(args(0)))
       case "role_transitions" =>
         RefOps.roleTransitions(session.table(args(0)))
       case "tool_vocab_growth" =>

@@ -512,6 +512,9 @@ class GraftExtensionsSpec extends SparkTestBase {
     assertSameRows(
       ext.sql("SELECT * FROM term_topk_sketch('trc_ext', 10, 4096)"),
       graft.operators.SeriesOps.termTopKSketch(tr, 10, 4096))
+    assertSameRows(
+      ext.sql("SELECT * FROM tool_transition_diversity('trc_ext')"),
+      graft.operators.RefOps.toolTransitionDiversity(tr))
   }
 
   test("doc_repetition table function == Column API, default and explicit width") {

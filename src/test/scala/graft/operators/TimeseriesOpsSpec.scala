@@ -884,6 +884,35 @@ class TimeseriesOpsSpec extends SparkTestBase {
     assert(!got.contains("D") && got.size == 3)
   }
 
+  test("toolTransitionDiversity golden: pairs, dominance tie-break, intervening non-tool turns") {
+    val df = turnsDf(Seq(
+      // tool sequence a,a,b,a -> pairs a>a, a>b, b>a: 3 transitions,
+      // all distinct (Σc²=3) → simpson 1−3/9, effective 3; top pair
+      // ties at c=1 → lexicographic min "a>a"
+      ("A", 0, "user", "x", "a", "2024-01-01 00:00:00"),
+      ("A", 1, "user", "x", "a", "2024-01-01 00:00:01"),
+      // a non-tool turn between calls must NOT break the chain
+      ("A", 2, "user", "x", null, "2024-01-01 00:00:02"),
+      ("A", 3, "user", "x", "b", "2024-01-01 00:00:03"),
+      ("A", 4, "user", "x", "a", "2024-01-01 00:00:04"),
+      // one repeated transition dominates: t>t ×2 → simpson 0
+      ("B", 0, "user", "x", "t", "2024-01-01 00:00:00"),
+      ("B", 1, "user", "x", "t", "2024-01-01 00:00:01"),
+      ("B", 2, "user", "x", "t", "2024-01-01 00:00:02"),
+      // single tool call → no transition → NO row
+      ("C", 0, "user", "x", "p", "2024-01-01 00:00:00")))
+    val got = RefOps.toolTransitionDiversity(df).collect().map(r =>
+      r.getString(0) -> ((r.getAs[Long]("n_pairs"), r.getAs[Long]("transitions"),
+        r.getAs[Double]("simpson_diversity"), r.getAs[Double]("effective_pairs"),
+        r.getAs[String]("top_pair"), r.getAs[Double]("top_share")))).toMap
+    assert(got("A") == ((3L, 3L, BigDecimal(1.0 - 3.0 / 9.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 3.0,
+      "a>a", BigDecimal(1.0 / 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got("B") == ((1L, 2L, 0.0, 1.0, "t>t", 1.0)))
+    assert(!got.contains("C") && got.size == 2)
+  }
+
   test("toolDiversity equals driver-side exact moments on synth data") {
     val raw = turns.filter(col("tool").isNotNull)
       .select(col("conv_id"), col("tool")).collect()
