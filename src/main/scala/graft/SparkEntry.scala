@@ -26,16 +26,27 @@ object SparkEntry {
     * path q141 exists to exercise). Scratch lives under the JVM
     * tmpdir and is deleted on exit.
     */
+  // the memo stores a LAZY holder so computeIfAbsent only registers it
+  // (O(1) under the map bin lock); the multi-minute RollupJob build runs
+  // under the holder's own lock — a concurrent query hashing to the
+  // same CHM bin no longer blocks for the full build
   private val stitchWarehouses =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
+  private def memoWarehouse(
+      memo: java.util.concurrent.ConcurrentHashMap[String, () => String],
+      dir: String)(build: => String): String =
+    memo.computeIfAbsent(dir, _ => {
+      lazy val wh = build
+      () => wh
+    })()
   private def stitchWarehouse(s: SparkSession, dir: String): String =
-    stitchWarehouses.computeIfAbsent(dir, d => {
+    memoWarehouse(stitchWarehouses, dir) {
       val wh = java.nio.file.Files
         .createTempDirectory("graft-stitch-wh").toString
-      new graft.jobs.RollupJob(wh).run(s, transcripts(s, d), "q141-build")
+      new graft.jobs.RollupJob(wh).run(s, transcripts(s, dir), "q141-build")
       Runtime.getRuntime.addShutdownHook(cleanupHook(wh))
       wh
-    })
+    }
 
   /** Warehouse for q144's SERVING-mode stitch: built from transcripts
     * TRUNCATED at 2024-01-15, so days before Jan 14 are CLOSED
@@ -44,19 +55,19 @@ object SparkEntry {
     * build-once memo + cleanup as [[stitchWarehouse]].
     */
   private val servingWarehouses =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
   private def servingWarehouse(s: SparkSession, dir: String): String =
-    servingWarehouses.computeIfAbsent(dir, d => {
+    memoWarehouse(servingWarehouses, dir) {
       val wh = java.nio.file.Files
         .createTempDirectory("graft-serving-wh").toString
-      val truncated = transcripts(s, d).filter(
+      val truncated = transcripts(s, dir).filter(
         org.apache.spark.sql.functions.col("ts") <
           org.apache.spark.sql.functions.lit("2024-01-15 00:00:00")
-            .cast(transcripts(s, d).schema("ts").dataType))
+            .cast(transcripts(s, dir).schema("ts").dataType))
       new graft.jobs.RollupJob(wh).run(s, truncated, "q144-build")
       Runtime.getRuntime.addShutdownHook(cleanupHook(wh))
       wh
-    })
+    }
 
   private def cleanupHook(wh: String): Thread =
     new Thread(() => {
@@ -64,7 +75,8 @@ object SparkEntry {
       import scala.jdk.CollectionConverters._
       val root = Paths.get(wh)
       if (Files.exists(root)) {
-        val all = Files.walk(root).iterator().asScala.toSeq
+        val walk = Files.walk(root)
+        val all = try walk.iterator().asScala.toSeq finally walk.close()
         all.sortBy(-_.getNameCount).foreach(p =>
           try Files.deleteIfExists(p) catch { case _: Exception => () })
       }

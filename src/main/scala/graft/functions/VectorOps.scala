@@ -42,6 +42,26 @@ object VectorOps {
     s
   }
 
+  /** Squared L2 norm, double accumulation over float inputs — the
+    * per-VECTOR factor of [[cosine]], split out so pair-scoring plans
+    * can precompute it once per row instead of twice per pair (guide
+    * §1.2 per-task work: the fused kernel spends 2/3 of its flops
+    * re-deriving norms that are a pure function of one side).
+    * Accumulation order is identical to [[cosine]]'s `na` loop
+    * (x = getFloat(i).toDouble; na += x·x, ascending i), so for
+    * EQUAL-LENGTH vectors — the embedding-table contract every ANN
+    * operator here assumes — `dot/(sqrt(na)·sqrt(nb))` with these
+    * precomputed factors is bit-identical to the fused kernel (pinned
+    * in SimilaritySpec).
+    */
+  def sqnorm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+    na
+  }
+
   /** Random-hyperplane LSH signature: bit j = sign(v · h_j) where h_j is
     * a deterministic pseudo-random unit-free hyperplane derived from
     * (seed, j, dim-index) via SplitMix64 — no stored model, executors
@@ -215,6 +235,26 @@ object VectorOps {
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
 
+  def dotProduct(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
+  def sqNorm(a: Column): Column = column(SqNorm(expression(a)))
+
+  /** Cosine from a precomputed dot product and the two squared norms —
+    * the EXACT arithmetic of [[cosine]]'s final step (`dot /
+    * (sqrt(na) · sqrt(nb))`, 0.0 when either norm is 0), composed from
+    * codegen built-ins so a join can score pairs with just the dot
+    * kernel while each side's norm is computed once per row upstream.
+    * Bit-identical to `cosineSim(a, b)` for equal-length vectors when
+    * `na = sqNorm(a)`, `nb = sqNorm(b)`, `dp = dotProduct(a, b)` —
+    * same accumulators, same op order (SimilaritySpec pins it).
+    */
+  def cosineFromParts(dp: Column, na: Column, nb: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, sqrt, when}
+    when(na === lit(0.0) || nb === lit(0.0), lit(0.0))
+      .otherwise(dp / (sqrt(na) * sqrt(nb)))
+  }
+
   def dtwDistance(a: Column, b: Column): Column =
     column(DtwDistance(expression(a), expression(b)))
 
@@ -248,6 +288,49 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native expression: dot product of two float arrays — the pair-scoring
+  * half of [[CosineSim]] for plans that precompute norms per row
+  * ([[VectorOps.sqnorm]]). Same codegen shape (one static call inside
+  * WholeStageCodegen), same accumulation order as the fused kernel's
+  * dot accumulator.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true; case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects array<float> inputs, got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native expression: squared L2 norm of a float array
+  * ([[VectorOps.sqnorm]]) — the per-row factor precomputed once so
+  * pair joins only pay the dot kernel per pair.
+  */
+case class SqNorm(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sq_norm expects array<float>, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.sqnorm(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorOps.sqnorm($v)")
+  override protected def withNewChildInternal(newChild: Expression): SqNorm =
+    copy(child = newChild)
 }
 
 /** Native expression: integer DTW distance of two bigint arrays

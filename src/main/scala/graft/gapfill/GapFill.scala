@@ -1,7 +1,7 @@
 package graft.gapfill
 
 import graft.model.Tier
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,15 +25,13 @@ object GapFill {
     * carry `filled=false` and their original value.
     */
   def linear(rollup: DataFrame, tier: Tier, valueCol: String): DataFrame =
-    fill(rollup, tier, valueCol) { gaps =>
-      gaps.withColumn(
-          "frac",
-          (unix_timestamp(col("gs").cast("timestamp")) -
-            unix_timestamp(col("window_start").cast("timestamp"))).cast("double") /
-            (unix_timestamp(col("next_ws").cast("timestamp")) -
-              unix_timestamp(col("window_start").cast("timestamp"))).cast("double"))
-        .withColumn("fill_value",
-          col("value") + (col("next_v") - col("value")) * col("frac"))
+    fill(rollup, tier, valueCol) { gs =>
+      val frac =
+        (unix_timestamp(gs.cast("timestamp")) -
+          unix_timestamp(col("window_start").cast("timestamp"))).cast("double") /
+          (unix_timestamp(col("next_ws").cast("timestamp")) -
+            unix_timestamp(col("window_start").cast("timestamp"))).cast("double")
+      col("value") + (col("next_v") - col("value")) * frac
     }
 
   /** Last-observation-carried-forward fill — the step-function sibling
@@ -43,34 +41,48 @@ object GapFill {
     * same single conv_id exchange, same output contract.
     */
   def locf(rollup: DataFrame, tier: Tier, valueCol: String): DataFrame =
-    fill(rollup, tier, valueCol)(_.withColumn("fill_value", col("value")))
+    fill(rollup, tier, valueCol)(_ => col("value"))
 
-  /** Shared grid machinery: lead-pair present windows, explode the
-    * missing grid points, let `fillExpr` define the gap value as
-    * `fill_value` from (value, next_v, window_start, next_ws, gs).
+  /** Shared grid machinery: lead-pair present windows, then emit each
+    * present point AND its trailing gap points from ONE explode —
+    * `fillExpr(gs)` defines the gap value from (value, next_v,
+    * window_start, next_ws) and the grid point `gs`.
+    *
+    * Single-pass shape (guide §2.4): the original formulation unioned
+    * a present-rows branch with a gap-rows branch, and since both
+    * branches hang below the union, the ENTIRE upstream pipeline —
+    * rollup scan, aggregation exchange, conv_id window — was executed
+    * twice (exchange reuse does not cover the post-exchange window
+    * compute). Emitting `array(present) ++ gap points` per row and
+    * exploding once keeps the upstream single-execution: one scan, one
+    * rollup exchange, one window, no union. Output rows are identical
+    * (present rows carry filled=false and their original value; grid
+    * points carry fillExpr and filled=true).
     */
   private def fill(rollup: DataFrame, tier: Tier, valueCol: String)(
-      fillExpr: DataFrame => DataFrame): DataFrame = {
+      fillExpr: Column => Column): DataFrame = {
     val step = expr(s"INTERVAL ${tier.windowSeconds} SECONDS")
     val byConv = Window.partitionBy(col("conv_id")).orderBy(col("window_start"))
     val paired = rollup
       .select(col("conv_id"), col("window_start"), col(valueCol).cast("double").as("value"))
       .withColumn("next_ws", lead(col("window_start"), 1).over(byConv))
       .withColumn("next_v", lead(col("value"), 1).over(byConv))
-    val gaps = fillExpr(
-      paired
-        .filter(col("next_ws").isNotNull &&
-          col("next_ws") > col("window_start") + step)
-        .withColumn(
-          "gs",
-          explode(sequence(col("window_start") + step, col("next_ws") - step, step))))
-      .select(
-        col("conv_id"),
-        col("gs").as("window_start"),
-        col("fill_value").as("value"),
-        lit(true).as("filled"))
+    val present = array(struct(
+      col("window_start").as("ws"), col("value").as("v"),
+      lit(false).as("filled")))
+    val gapPts = when(
+      col("next_ws").isNotNull && col("next_ws") > col("window_start") + step,
+      transform(
+        sequence(col("window_start") + step, col("next_ws") - step, step),
+        gs => struct(gs.as("ws"), fillExpr(gs).as("v"), lit(true).as("filled"))))
+      // slice(present, 1, 0): an EMPTY array of the same struct type
+      // (a bare array() would not type-unify, and `when` without
+      // `otherwise` yields NULL, which concat propagates — dropping
+      // the present row)
+      .otherwise(slice(present, 1, 0))
     paired
-      .select(col("conv_id"), col("window_start"), col("value"), lit(false).as("filled"))
-      .unionByName(gaps)
+      .select(col("conv_id"), explode(concat(present, gapPts)).as("p"))
+      .select(col("conv_id"), col("p.ws").as("window_start"),
+        col("p.v").as("value"), col("p.filled").as("filled"))
   }
 }

@@ -102,7 +102,10 @@ final class RollupJob(
   private def writeClustered(spark: SparkSession,
       withDay: DataFrame): DataFrame = {
     val capped = spark.conf.getOption("spark.graft.write.tasks")
-      .map(_.toInt).filter(_ > 0) match {
+      .map(v => try v.toInt catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.write.tasks must be a positive integer, got '$v'", e)
+      }).filter(_ > 0) match {
       case Some(n) => withDay.repartitionByRange(n, col("p"), col("conv_id"))
       case None => withDay.repartitionByRange(col("p"), col("conv_id"))
     }

@@ -59,7 +59,12 @@ object ScaleProbe {
     val storedWh: Option[String] =
       if (stageFilter.forall(_.findFirstIn("stitchstored").isDefined) &&
           tsRange._2 - tsRange._1 >= 2 * 3661L + 60L) {
-        val wh = s"/dev/shm/scale-stitch-wh-$cores"
+        // PID suffix (overridable): a fixed per-core-count path would
+        // collide if two probes with the same core count run at once;
+        // /dev/shm is RAM-backed, so callers probing memory-sensitive
+        // shapes can redirect via SPARK_GRAFT_STITCH_WH_DIR
+        val base = sys.env.getOrElse("SPARK_GRAFT_STITCH_WH_DIR", "/dev/shm")
+        val wh = s"$base/scale-stitch-wh-$cores-${ProcessHandle.current().pid()}"
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
         new RollupJob(wh).run(spark, raw, s"scale-stitch-$cores")
         Some(wh)
@@ -316,8 +321,9 @@ object ScaleProbe {
       }
       // the q141 READ path over the same ragged span: stored-tier
       // manifest-pruned reads + sub-minute raw edges. The warehouse
-      // build is per-rep SETUP (the write side RollupMain's durable
-      // pairs already measure) — only the read is timed, so the
+      // build is ONE-TIME setup before the reps loop (the write side
+      // RollupMain's durable pairs already measure) — only the read is
+      // timed, so the
       // N-vs-4N ratio isolates exactly what a deployment pays per
       // range query against materialized tiers.
       val tStitchStored = storedWh match {

@@ -482,7 +482,20 @@ object Dedup {
     val sigs = minhashSignatures(docs, k)
     val cand = lshCandidatePairs(sigs, k, bands, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def side(name: String) = sigs.select(
+    // the estimate joins only ever read signatures of CANDIDATE docs (a
+    // vanishing fraction of the corpus — the jaccardVerify prune
+    // doctrine), and a signature is a pure per-doc function: semi-join
+    // the corpus down to candidate ids BEFORE recomputing signatures
+    // for the two estimate sides, instead of re-running the corpus-wide
+    // shingle-md5 + minhash map pass once per side (guide §1.2: don't
+    // compute what you throw away — 2 of the 4 full-corpus text passes
+    // this query used to make)
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sigsCand = minhashSignatures(
+      docs.join(candIds, Seq("doc_id"), "left_semi"), k)
+    def side(name: String) = sigsCand.select(
       col("doc_id").as(name) +:
         (0 until k).map(i => col(s"mh$i").as(s"_${name}_$i")): _*)
     val agree = (0 until k).map(i =>

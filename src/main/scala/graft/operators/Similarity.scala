@@ -22,12 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact top-k cosine neighbors for each query vector. */
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * Norms are precomputed ONCE PER ROW on each side (`sqNorm`) and
+    * only the dot product runs per pair — bit-identical to the fused
+    * kernel (same accumulators, same final arithmetic; see
+    * [[VectorOps.cosineFromParts]]) at 1/3 the per-pair flops, which
+    * is the whole cost of an O(|Q|·|corpus|) scorer.
+    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      VectorOps.sqNorm(col("embedding")).as("_nn"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      VectorOps.sqNorm(col("embedding")).as("_qn"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(VectorOps.cosineSim(col("q_emb"), col("n_emb")), 6))
+      .withColumn("sim", round(VectorOps.cosineFromParts(
+        VectorOps.dotProduct(col("q_emb"), col("n_emb")),
+        col("_qn"), col("_nn")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -53,25 +64,32 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 8, seed: Long = 42L, tables: Int = 8): DataFrame = {
-    def bucketed(df: DataFrame, idCol: String, embCol: String) = {
+    def bucketed(df: DataFrame, idCol: String, embCol: String, nCol: String) = {
       val sigs = (0 until tables).map(t =>
         struct(lit(t).as("t"),
           VectorOps.lshSig(col("embedding"), bits, seed + t * 0x51_7c_c1_b7L).as("sig"))
           .as(s"b$t"))
-      df.select(col("vec_id").as(idCol) +: col("embedding").as(embCol) +: sigs: _*)
+      // per-vector norm computed once BEFORE the table explode and
+      // carried through it — the rerank then pays only the dot kernel
+      // per candidate (see bruteForceTopK)
+      df.select(col("vec_id").as(idCol) +: col("embedding").as(embCol) +:
+          VectorOps.sqNorm(col("embedding")).as(nCol) +: sigs: _*)
         .withColumn("bucket", explode(array((0 until tables).map(t => col(s"b$t")): _*)))
         .drop((0 until tables).map(t => s"b$t"): _*)
     }
-    val c = bucketed(corpus, "n_id", "n_emb")
-    val q = bucketed(queries, "q_id", "q_emb")
+    val c = bucketed(corpus, "n_id", "n_emb", "_nn")
+    val q = bucketed(queries, "q_id", "q_emb", "_qn")
     // score BEFORE deduping cross-table repeats (same rationale as
     // lshPairsAbove): dropDuplicates over rows carrying both embedding
     // arrays shuffles 2·dims floats per candidate; scoring map-side
     // and deduping the scalar (q_id, n_id, sim) rows shuffles ~24
     // bytes — a repeated pair re-scores its cosine, compute is cheap
-    val scored = c.join(broadcast(q.select(col("bucket"), col("q_id"), col("q_emb"))), Seq("bucket"))
+    val scored = c.join(broadcast(
+        q.select(col("bucket"), col("q_id"), col("q_emb"), col("_qn"))), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(VectorOps.cosineSim(col("q_emb"), col("n_emb")), 6))
+      .withColumn("sim", round(VectorOps.cosineFromParts(
+        VectorOps.dotProduct(col("q_emb"), col("n_emb")),
+        col("_qn"), col("_nn")), 6))
       .select(col("q_id"), col("n_id"), col("sim"))
       .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
@@ -98,26 +116,32 @@ object Similarity {
     val centroids = trainCentroids(corpus, nlist, seed, iters,
       corpusRows = corpusRows)
 
-    // corpus: argmax centroid in ONE pass, computed map-side
+    // corpus: argmax centroid in ONE pass, computed map-side; the
+    // per-vector norm rides along so the rerank pays only the dot
+    // kernel per candidate (bruteForceTopK doctrine)
     val assigned = corpus.select(
       col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      VectorOps.sqNorm(col("embedding")).as("_nn"),
       VectorOps.centroidArgmaxCol(col("embedding"), centroids).as("list_id"))
 
     // queries: nprobe best centroids, also map-side (sims array built
     // by one native expression, then sorted — nlist elements per row)
     val probed = queries.select(
         col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        VectorOps.sqNorm(col("embedding")).as("_qn"),
         slice(reverse(array_sort(zip_with(
           VectorOps.centroidSimsCol(col("embedding"), centroids),
           sequence(lit(0), lit(nlist - 1)),
           (s, i) => struct(s.as("sim"), i.as("idx"))))), 1, nprobe).as("probes"))
-      .select(col("q_id"), col("q_emb"),
+      .select(col("q_id"), col("q_emb"), col("_qn"),
         explode(col("probes.idx")).as("list_id"))
 
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     assigned.join(broadcast(probed), Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(VectorOps.cosineSim(col("q_emb"), col("n_emb")), 6))
+      .withColumn("sim", round(VectorOps.cosineFromParts(
+        VectorOps.dotProduct(col("q_emb"), col("n_emb")),
+        col("_qn"), col("_nn")), 6))
       .select(col("q_id"), col("n_id"), col("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -220,10 +244,18 @@ object Similarity {
     * [[lshPairsAbove]], which never broadcasts.
     */
   def cosinePairsAbove(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    // norms once per row (n of them), dot only per pair (n²/2): the
+    // fused kernel re-derived both norms inside every pair — 3× the
+    // flops on the quadratic term (bit-identical split, see
+    // VectorOps.cosineFromParts; SimilaritySpec pins the parity)
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      VectorOps.sqNorm(col("embedding")).as("_na"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      VectorOps.sqNorm(col("embedding")).as("_nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", round(VectorOps.cosineSim(col("emb_a"), col("emb_b")), 6))
+      .withColumn("sim", round(VectorOps.cosineFromParts(
+        VectorOps.dotProduct(col("emb_a"), col("emb_b")),
+        col("_na"), col("_nb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
@@ -249,6 +281,7 @@ object Similarity {
       tables: Int = 8, seed: Long = 42L, maxBucket: Int = 1024): DataFrame = {
     val banded = corpus.select(
       col("vec_id").as("doc_id"), col("embedding"),
+      VectorOps.sqNorm(col("embedding")).as("_n"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
           VectorOps.lshSig(col("embedding"), bits, seed + t * 0x51_7c_c1_b7L).as("sig"))): _*))
@@ -257,11 +290,13 @@ object Similarity {
     // with both embedding arrays attached would shuffle 2·dims floats
     // per candidate; scoring map-side and deduping (id_a, id_b, sim)
     // shuffles 24 bytes (a repeated pair re-scores its cosine k times —
-    // compute is cheap, array shuffle is not)
-    Dedup.pairsFromBuckets(banded, maxBucket, extra = Seq("embedding"),
+    // compute is cheap, array shuffle is not). The 8-byte norm rides
+    // next to each embedding so the rerank pays only the dot kernel.
+    Dedup.pairsFromBuckets(banded, maxBucket, extra = Seq("embedding", "_n"),
         distinctOutput = false)
-      .withColumn("sim",
-        round(VectorOps.cosineSim(col("embedding_a"), col("embedding_b")), 6))
+      .withColumn("sim", round(VectorOps.cosineFromParts(
+        VectorOps.dotProduct(col("embedding_a"), col("embedding_b")),
+        col("_n_a"), col("_n_b")), 6))
       .filter(col("sim") >= threshold)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("sim"))
       .distinct()
@@ -300,17 +335,23 @@ object Similarity {
     // keeps the oracle mirror exact, on both the scored rows AND the
     // reference selection (a zero min-id vector would otherwise
     // poison its whole label)
-    val sqNorm = aggregate(col("embedding"), lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    // native SqNorm (same left-to-right double accumulation as the
+    // `aggregate` HOF it replaces — identical values, but codegen'd
+    // instead of one interpreted lambda per element) serves BOTH the
+    // zero-direction filter and the scoring denominator
     val e = embeddings
-      .filter(sqNorm > 0)
-      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("_en", graft.functions.VectorOps.sqNorm(col("embedding")))
+      .filter(col("_en") > 0)
+      .select(col("vec_id"), col("label"), col("embedding"), col("_en"))
     val refIds = e.groupBy(col("label")).agg(min(col("vec_id")).as("ref_vec_id"))
     val refs = e
-      .select(col("vec_id").as("ref_vec_id"), col("embedding").as("_ref"))
+      .select(col("vec_id").as("ref_vec_id"), col("embedding").as("_ref"),
+        col("_en").as("_refn"))
       .join(broadcast(refIds), Seq("ref_vec_id"))
     e.join(broadcast(refs), Seq("label"))
-      .withColumn("sim", round(VectorOps.cosineSim(col("embedding"), col("_ref")), 6))
+      .withColumn("sim", round(VectorOps.cosineFromParts(
+        VectorOps.dotProduct(col("embedding"), col("_ref")),
+        col("_en"), col("_refn")), 6))
       .select(col("vec_id"), col("label"), col("ref_vec_id"), col("sim"),
         (col("sim") < threshold).as("is_outlier"))
   }

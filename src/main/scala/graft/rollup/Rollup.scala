@@ -663,6 +663,20 @@ object Rollup {
     * (cold warehouse): the stored prefix pays O(windows), only the
     * tail scans turns — and the tail is bounded by the job's commit
     * lag, typically the single open boundary day.
+    *
+    * QUIET-DAY caveat (cost, not correctness): the horizon stops at
+    * the FIRST range day lacking COMPLETED checkpoints in all three
+    * tiers. A mid-range day with no input rows never gets a
+    * checkpoint (the rollup job only checkpoints days it saw), so
+    * such a day forces the entire remainder of the range onto the
+    * raw path — the answer is still exact (raw is ground truth), but
+    * a range spanning a quiet day pays raw-scan cost for its whole
+    * tail. Deployments with legitimately quiet days should have the
+    * rollup job commit an explicit empty COMPLETED partition for
+    * every day inside its watermark (closing days by census, not by
+    * presence), which restores the stored prefix; inferring closure
+    * at READ time would require a raw census scan per query, which
+    * this read path deliberately never does.
     */
   def stitchRangeServing(spark: org.apache.spark.sql.SparkSession,
       m1Table: graft.table.SnapshotTable,

@@ -17,6 +17,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(cross.getDouble(0) >= -1.0 - 1e-9 && cross.getDouble(1) <= 1.0 + 1e-9)
   }
 
+  test("precomputed-norm cosine is BIT-identical to the fused kernel") {
+    // the r6 pair-scoring split (sqNorm once per row + dotProduct per
+    // pair + cosineFromParts) must reproduce CosineSim exactly — same
+    // accumulation order, same final op order, same zero-norm guard —
+    // or every hash-exact cosine query would drift. Cross-join a
+    // slice against itself (includes identical, near, and unrelated
+    // pairs) and compare raw doubles with ===, no tolerance.
+    val a = emb.limit(60).select(col("vec_id").as("ia"), col("embedding").as("ea"),
+      VectorOps.sqNorm(col("embedding")).as("na"))
+    val b = emb.limit(60).select(col("vec_id").as("ib"), col("embedding").as("eb"),
+      VectorOps.sqNorm(col("embedding")).as("nb"))
+    val both = a.crossJoin(b).select(
+      VectorOps.cosineSim(col("ea"), col("eb")).as("fused"),
+      VectorOps.cosineFromParts(
+        VectorOps.dotProduct(col("ea"), col("eb")), col("na"), col("nb"))
+        .as("split"))
+    assert(both.filter(col("fused") =!= col("split")).count() == 0)
+    // zero-norm guard parity: both forms pin 0.0, not NaN
+    val z = emb.sparkSession.createDataFrame(Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 2.0f)))).toDF("vec_id", "embedding")
+    val zr = z.select(
+      VectorOps.cosineSim(col("embedding"), col("embedding")).as("fused"),
+      VectorOps.cosineFromParts(
+        VectorOps.dotProduct(col("embedding"), col("embedding")),
+        VectorOps.sqNorm(col("embedding")), VectorOps.sqNorm(col("embedding")))
+        .as("split")).collect()
+    assert(zr.forall(r => r.getDouble(0) == r.getDouble(1)))
+    assert(zr.exists(r => r.getDouble(0) == 0.0)) // the zero-norm row
+  }
+
   test("brute-force top-k returns k deterministic neighbors per query") {
     val q = emb.filter(col("vec_id") < 5)
     val a = Similarity.bruteForceTopK(emb, q, 5).collect().map(_.toString).sorted
