@@ -73,6 +73,19 @@ object Dedup {
   val bandFoldM = 1000003L
   val bandFoldP = 2147483647L
 
+  /** Above this cap, [[pairsFromBuckets]] switches to the segmented
+    * parallel expansion (an exhaustive-mode bucket can hold the whole
+    * corpus — expanding it as one array would serialize the quadratic
+    * stage on one task); at or below it, buckets are small and many,
+    * and the zero-exchange single-array expansion wins.
+    */
+  val parallelExpandThreshold = 1024
+
+  /** Segment size of the parallel expansion: each work unit expands at
+    * most segSize² pairs, so units spread evenly over task slots.
+    */
+  val expandSegSize = 128
+
   def lshCandidatePairs(signatures: DataFrame, k: Int, bands: Int,
       maxBucket: Int = 64): DataFrame =
     pairsFromBuckets(bandedKeys(signatures, k, bands, "doc_id"), maxBucket)
@@ -141,15 +154,60 @@ object Dedup {
         .filter(col("n") > 1)) { (df, c) =>
       df.withColumn(s"rep_$c", min_by(col(c), col("doc_id")).over(w))
     }
-    val pairsSmall = stat.filter(col("n") <= maxBucket)
+    val bucketArrs = stat.filter(col("n") <= maxBucket)
       .groupBy(col("bk"))
       .agg(sort_array(collect_list(struct(col("doc_id") +: extra.map(col): _*)))
         .as("ids"))
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"))
-        .as("p"))
-      .select(col("p.a.doc_id").as("doc_a") +: col("p.b.doc_id").as("doc_b") +:
-        extra.flatMap(c => Seq(col(s"p.a.$c").as(s"${c}_a"), col(s"p.b.$c").as(s"${c}_b"))): _*)
+    val pairProj: Seq[Column] =
+      col("p.a.doc_id").as("doc_a") +: col("p.b.doc_id").as("doc_b") +:
+        extra.flatMap(c => Seq(col(s"p.a.$c").as(s"${c}_a"), col(s"p.b.$c").as(s"${c}_b")))
+    val pairsSmall =
+      if (maxBucket <= parallelExpandThreshold)
+        // capped path (every production caller): buckets are provably
+        // ≤ maxBucket members, the pairwise expansion is bounded and
+        // runs on the window's existing bk partitioning — no extra
+        // exchange, parallel across the many buckets
+        bucketArrs
+          .select(explode(expr(
+            "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"))
+            .as("p"))
+          .select(pairProj: _*)
+      else {
+        // UNCAPPED path (the exhaustive verification twins, e.g. q40's
+        // bits=0 single all-pass bucket): one bucket holds the whole
+        // corpus, so the single-array expansion above would build and
+        // score all C(n,2) pairs IN ONE TASK — the quadratic stage
+        // serializes on one core however many the cluster has. Split
+        // each bucket's sorted array into fixed segments and emit one
+        // WORK UNIT per segment pair (g1 ≤ g2, each carrying only its
+        // two slices), exchange the units across the cluster (explicit
+        // partition count: AQE would coalesce these few small-byte
+        // rows back to one partition, defeating the point), then
+        // expand per unit: positional i<j pairs within a segment, full
+        // A×B across segments — exactly the global i<j pair set of the
+        // sorted array, in ≤ segSize² chunks. Unit payload totals
+        // O(n·nseg) bytes vs the O(n²) pair output — the exchange is
+        // asymptotically free next to the expansion it parallelizes.
+        val s = expandSegSize
+        val nseg = s"cast(ceil(size(ids) / $s.0) as int)"
+        val units = bucketArrs
+          .select(col("bk"), explode(expr(
+            s"""flatten(transform(sequence(0, $nseg - 1), g1 ->
+               |  transform(sequence(g1, $nseg - 1), g2 -> struct(
+               |    g1 as g1, g2 as g2,
+               |    slice(ids, g1 * $s + 1, $s) as sa,
+               |    slice(ids, g2 * $s + 1, $s) as sb))))""".stripMargin))
+            .as("u"))
+          .repartition(banded.sparkSession.sparkContext.defaultParallelism,
+            col("bk"), col("u.g1"), col("u.g2"))
+        units
+          .select(explode(when(col("u.g1") === col("u.g2"),
+            expr("flatten(transform(u.sa, (a, i) -> transform(slice(u.sa, i + 2, size(u.sa)), b -> struct(a, b))))"))
+            .otherwise(
+              expr("flatten(transform(u.sa, a -> transform(u.sb, b -> struct(a, b))))")))
+            .as("p"))
+          .select(pairProj: _*)
+      }
     val pairsBig = stat.filter(col("n") > maxBucket && col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a") +: col("doc_id").as("doc_b") +:
         extra.flatMap(c => Seq(col(s"rep_$c").as(s"${c}_a"), col(c).as(s"${c}_b"))): _*)

@@ -248,16 +248,33 @@ object Similarity {
     // fused kernel re-derived both norms inside every pair — 3× the
     // flops on the quadratic term (bit-identical split, see
     // VectorOps.cosineFromParts; SimilaritySpec pins the parity)
+    //
+    // The streamed side is explicitly spread over the cluster's task
+    // slots: a small corpus arrives as ONE scan partition (single
+    // parquet file), which would serialize the entire O(n²) nested-loop
+    // stage on one core — and AQE would coalesce a keyed repartition
+    // of n tiny rows right back to one partition, so the partition
+    // count is pinned to defaultParallelism (cores locally, total
+    // executor cores on a cluster — environment-derived, not a
+    // constant). The exchange moves n rows; the stage it parallelizes
+    // does n²/2 dot products — always a win for an all-pairs scorer.
+    val slots = corpus.sparkSession.sparkContext.defaultParallelism
     val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       VectorOps.sqNorm(col("embedding")).as("_na"))
+      .repartition(slots, col("id_a"))
     val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
       VectorOps.sqNorm(col("embedding")).as("_nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", round(VectorOps.cosineFromParts(
-        VectorOps.dotProduct(col("emb_a"), col("emb_b")),
-        col("_na"), col("_nb")), 6))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
+    // the threshold predicate is part of the hand-written join
+    // condition, ORDERED cheap-first: left to the optimizer, the
+    // pushed sim filter landed AHEAD of `id_a < id_b` in the conjunct
+    // list, so every ORDERED pair (n², twice the output space) paid
+    // the kernel before the id compare discarded half — conjunct
+    // short-circuiting makes the id compare a free 2× on the dot count
+    val sim = round(VectorOps.cosineFromParts(
+      VectorOps.dotProduct(col("emb_a"), col("emb_b")),
+      col("_na"), col("_nb")), 6)
+    a.join(b, col("id_a") < col("id_b") && sim >= threshold)
+      .select(col("id_a"), col("id_b"), sim.as("sim"))
   }
 
   /** Broadcast-free embedding near-dup pairs — the scale sibling of
