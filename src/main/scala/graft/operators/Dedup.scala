@@ -35,7 +35,10 @@ object Dedup {
     * cheap arithmetic derives (see [[TextFunctions.minhashUniversal]]).
     */
   def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
-    val hs = docs.select(
+    // spread an under-partitioned corpus first: the shingle-md5 +
+    // minhash pass is the expensive part and runs entirely BEFORE the
+    // band shuffle (ScanSpread — no-op for large inputs)
+    val hs = ScanSpread.spreadForCompute(docs).select(
       col("doc_id"), graft.functions.TextOps.shingleHashes3(col("text")).as("hs"))
     val sig = hs.select(
       col("doc_id"), graft.functions.TextOps.minhash(col("hs"), k).as("sig"))
@@ -389,7 +392,7 @@ object Dedup {
     * bit j) > 0, token hash = md5-hex→BIGINT cross-engine trick.
     */
   def simhash(docs: DataFrame, bits: Int = 60): DataFrame =
-    docs.select(col("doc_id"),
+    ScanSpread.spreadForCompute(docs).select(col("doc_id"),
       graft.functions.TextOps.simhash(col("text"), bits).as("simhash"))
 
   /** Declarative simhash — the form the DuckDB oracle mirrors term for
@@ -751,7 +754,7 @@ object Dedup {
     // survivors carry their own set size through the explode (4 bytes
     // per shingle row), so NO self-join is needed to recover it — the
     // corpus side never meets a join until the survivor-shingle BHJ
-    val pre = sets(corpus, "doc_id")
+    val pre = sets(ScanSpread.spreadForCompute(corpus), "doc_id")
       .withColumn("_hits", graft.functions.TextOps.bloomHitsCount(
         col("_s"), bloomArr, numBits, numHashes))
       .filter(col("_hits") >= lit(1) &&

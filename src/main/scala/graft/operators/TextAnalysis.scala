@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   def stats(docs: DataFrame): DataFrame =
-    docs.select(
+    ScanSpread.spreadForCompute(docs).select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       TextFunctions.tokenCountWs(col("text")).as("tokens_ws"),
@@ -21,7 +21,7 @@ object TextAnalysis {
       TextFunctions.qualityScorePpm(col("text")).as("quality_ppm"))
 
   def langId(docs: DataFrame): DataFrame =
-    docs.select(
+    ScanSpread.spreadForCompute(docs).select(
       col("doc_id"),
       LangId.col(col("text")).as("lang_pred"),
       col("lang").as("lang_label"))
@@ -55,7 +55,7 @@ object TextAnalysis {
     * here, on the expression's unrounded IEEE-identical ratios.
     */
   def repetition(docs: DataFrame, lineTokens: Int = 2): DataFrame =
-    docs
+    ScanSpread.spreadForCompute(docs)
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         TextOps.repetitionStatsCol(col("text"), lineTokens).as("_r"))
@@ -101,7 +101,7 @@ object TextAnalysis {
       s"token band must satisfy 1 <= min < max, got [$minTokens, $maxTokens]")
     require(minMeanTokChars > 0 && maxMeanTokChars > minMeanTokChars,
       "mean-token-chars band must satisfy 0 < min < max")
-    val guarded = docs
+    val guarded = ScanSpread.spreadForCompute(docs)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"),
         TextOps.repetitionStatsCol(col("text"), 2).as("_r"))
@@ -130,7 +130,10 @@ object TextAnalysis {
   }
 
   def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
-    docs.select(
+    // winnowing hashes every k-gram — the whole cost is in this map
+    // pass, upstream of any exchange, so an under-partitioned corpus
+    // must be spread first (ScanSpread — no-op for large inputs)
+    ScanSpread.spreadForCompute(docs).select(
       col("doc_id"),
       TextOps.fingerprint(col("text"), k, w).as("fp"))
 

@@ -157,10 +157,18 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
-  test("qualityGate: one scan, zero exchanges; rejects inverted bands") {
+  test("qualityGate: one scan, no data-dependent exchange; rejects inverted bands") {
     val plan = TextAnalysis.qualityGate(docs(Seq((1L, "a b c"))))
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"gate must be map-only:\n$plan")
+    // the ONLY permitted exchange is ScanSpread's round-robin input
+    // spread (fires here because the test input is tiny); the gate
+    // itself must stay map-only — no hash/range exchange, no join,
+    // no aggregation
+    val dataExchanges = plan.linesIterator
+      .filter(_.contains("Exchange"))
+      .filterNot(_.contains("RoundRobinPartitioning"))
+      .toSeq
+    assert(dataExchanges.isEmpty, s"gate must be map-only:\n$plan")
     intercept[IllegalArgumentException](
       TextAnalysis.qualityGate(docs(Seq()), minTokens = 5, maxTokens = 5))
     intercept[IllegalArgumentException](
