@@ -19,7 +19,10 @@ object RefOps {
     * `cast` THROWS on overflow/parse failure instead of nulling.
     */
   def typedCast(events: DataFrame): DataFrame =
-    events.select(
+    // regexp extraction per row with no downstream exchange: an
+    // under-partitioned scan would run the whole pass on one core
+    // (ScanSpread — no-op for large inputs)
+    ScanSpread.spreadForCompute(events).select(
       col("event_id"),
       // STRING → INT where the string is numeric: json k-field
       expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS int)").as("k_int"),
@@ -130,7 +133,7 @@ object RefOps {
     */
   def timeNormalize(events: DataFrame): DataFrame = {
     val sec = col("ts").cast("timestamp") // session TZ = UTC
-    events.select(
+    ScanSpread.spreadForCompute(events).select(
       col("event_id"),
       unix_seconds(date_trunc("second", sec)).as("unix_sec"),
       timestamp_millis(unix_seconds(date_trunc("second", sec)) * 1000)
@@ -359,7 +362,12 @@ object RefOps {
   def lttbDownsample(events: DataFrame, windowExpr: String = "1 hour"): DataFrame = {
     TimeArith.requireUtcForNtz(events, "ts")
     val usC = unix_micros(col("ts").cast("timestamp"))
-    val pts = events
+    // `pts` is referenced by THREE consumers (census, interior join,
+    // endpoints); spreading the scan inserts one round-robin exchange
+    // that (a) parallelizes the per-point decimal/µs map prefix when
+    // the input arrives as one file partition and (b) lets exchange
+    // reuse serve all three consumers from one scan pass
+    val pts = ScanSpread.spreadForCompute(events)
       // null value has no place on the y axis ([[downsampleMinMax]]
       // doctrine); null ts none on the x axis. window_start rides as
       // epoch µs only (`_bus`) and is re-materialized at the output
