@@ -329,11 +329,24 @@ object Dedup {
     // trade-off (GraphX checkpoints the same way): on executor loss the
     // operator fails and a rerun recomputes deterministically, rather
     // than replaying an exponentially deep lineage.
+    //
+    // r6 job-count diet (guide §1.2 — every action is a scheduled job):
+    //  - the INIT label frame is NOT checkpointed: iteration 1's plan
+    //    references it twice (seed rows + the propagation join), both
+    //    over the persisted edge list — one cheap aggregation computed
+    //    twice inside one job, instead of a whole extra materialization
+    //    job; from iteration 1 on, `labels` is always a checkpoint, so
+    //    lineage stays bounded;
+    //  - the convergence count rides the checkpoint's OWN action as an
+    //    `observe` metric (the typedCastLogged listener doctrine)
+    //    instead of a second job per iteration; delivery is async, so
+    //    the reader polls briefly and falls back to an explicit count
+    //    if the metric has not landed (correctness never depends on
+    //    listener timing).
     var labels = e
       .groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("component"))
-      .localCheckpoint(true)
     try {
       var it = 0
       var converged = false
@@ -344,16 +357,26 @@ object Dedup {
             lit(null).cast("long").as("prev"))
         // the OLD label rides through the same aggregation (max ignores
         // the propagation rows' nulls; every doc_id has exactly one
-        // labels row), so convergence is a trivial filter-count on the
-        // checkpointed result instead of a second shuffle join per
-        // iteration
+        // labels row), so convergence needs no second shuffle join
+        val obs = new org.apache.spark.sql.Observation()
         val next = labels
           .select(col("doc_id"), col("component"), col("component").as("prev"))
           .union(viaNbr)
           .groupBy("doc_id")
           .agg(min("component").as("component"), max("prev").as("prev"))
+          .observe(obs,
+            count(when(col("component") =!= col("prev"), lit(1))).as("changed"))
           .localCheckpoint(true)
-        val changed = next.filter(col("component") =!= col("prev")).count()
+        val changed = {
+          import org.apache.spark.sql.graftbridge.Bridge.observationSnapshot
+          var m = observationSnapshot(obs)
+          var tries = 0
+          while (m.isEmpty && tries < 100) {
+            Thread.sleep(20); m = observationSnapshot(obs); tries += 1
+          }
+          m.get("changed").map(_.asInstanceOf[Long]).getOrElse(
+            next.filter(col("component") =!= col("prev")).count())
+        }
         // no explicit unpersist: localCheckpoint pins at the RDD level,
         // where Dataset.unpersist is a no-op — superseded iterations
         // become unreferenced here and the ContextCleaner reclaims
