@@ -67,22 +67,34 @@ object GapFill {
       .select(col("conv_id"), col("window_start"), col(valueCol).cast("double").as("value"))
       .withColumn("next_ws", lead(col("window_start"), 1).over(byConv))
       .withColumn("next_v", lead(col("value"), 1).over(byConv))
-    val present = array(struct(
-      col("window_start").as("ws"), col("value").as("v"),
-      lit(false).as("filled")))
-    val gapPts = when(
+    // grid points as a BARE timestamp array — the row's own window
+    // plus its trailing gap grid — so the explode stays a codegen'd
+    // Generate over sequence/concat built-ins, and the fill value is
+    // computed AFTER the explode as plain column arithmetic. (An
+    // earlier r6 attempt built array<struct> via transform lambdas:
+    // single-pass, but every gap point went through an interpreted
+    // higher-order function — measured ~2× slower than even the
+    // two-branch union it replaced. The round-1 union form paid the
+    // whole upstream rollup + window twice instead.)
+    val gapSeq = when(
       col("next_ws").isNotNull && col("next_ws") > col("window_start") + step,
-      transform(
-        sequence(col("window_start") + step, col("next_ws") - step, step),
-        gs => struct(gs.as("ws"), fillExpr(gs).as("v"), lit(true).as("filled"))))
-      // slice(present, 1, 0): an EMPTY array of the same struct type
-      // (a bare array() would not type-unify, and `when` without
-      // `otherwise` yields NULL, which concat propagates — dropping
-      // the present row)
-      .otherwise(slice(present, 1, 0))
+      sequence(col("window_start") + step, col("next_ws") - step, step))
+      // empty array of the input's own timestamp flavor (`when`
+      // without otherwise yields NULL, which concat propagates —
+      // dropping the present row)
+      .otherwise(slice(array(col("window_start")), 1, 0))
+    val gs = col("gs")
     paired
-      .select(col("conv_id"), explode(concat(present, gapPts)).as("p"))
-      .select(col("conv_id"), col("p.ws").as("window_start"),
-        col("p.v").as("value"), col("p.filled").as("filled"))
+      .select(col("conv_id"), col("window_start"), col("value"),
+        col("next_ws"), col("next_v"),
+        explode(concat(array(col("window_start")), gapSeq)).as("gs"))
+      .select(
+        col("conv_id"),
+        gs.as("window_start2"),
+        when(gs > col("window_start"), fillExpr(gs)).otherwise(col("value"))
+          .as("value2"),
+        (gs > col("window_start")).as("filled"))
+      .select(col("conv_id"), col("window_start2").as("window_start"),
+        col("value2").as("value"), col("filled"))
   }
 }

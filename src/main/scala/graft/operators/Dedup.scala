@@ -35,10 +35,16 @@ object Dedup {
     * cheap arithmetic derives (see [[TextFunctions.minhashUniversal]]).
     */
   def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
-    // spread an under-partitioned corpus first: the shingle-md5 +
-    // minhash pass is the expensive part and runs entirely BEFORE the
-    // band shuffle (ScanSpread — no-op for large inputs)
-    val hs = ScanSpread.spreadForCompute(docs).select(
+    // deliberately NO ScanSpread here: the fused shingle-hash +
+    // minhash pass is cheap per row (one md5 per shingle, arithmetic
+    // derives), and several callers build MULTIPLE signature
+    // sub-pipelines per query (calibration's two estimate sides,
+    // decontamination's two corpora) — same-phase A/B measured the
+    // per-sub-pipeline spread exchange as a net loss (q133 1.12 s
+    // without vs 1.87 s with; q34/q35 similar), while the genuinely
+    // expensive passes (regexp stats, winnowing, bloom probes) keep
+    // their spread
+    val hs = docs.select(
       col("doc_id"), graft.functions.TextOps.shingleHashes3(col("text")).as("hs"))
     val sig = hs.select(
       col("doc_id"), graft.functions.TextOps.minhash(col("hs"), k).as("sig"))
@@ -110,7 +116,13 @@ object Dedup {
     * verification).
     */
   private[operators] def bandedKeys(signatures: DataFrame, k: Int,
-      bands: Int, idName: String): DataFrame = {
+      bands: Int, idName: String,
+      /** columns carried THROUGH the banding into the (id, bk) rows —
+        * callers that need per-doc payload attached to candidate pairs
+        * (e.g. [[minhashCalibration]]'s signature columns) ride it
+        * here instead of re-deriving the payload and joining it back.
+        */
+      keep: Seq[String] = Seq.empty): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, s"bands=$bands must divide k=$k")
     val bandExprs = (0 until bands).map { b =>
@@ -118,8 +130,8 @@ object Dedup {
         (acc * bandFoldM + col(s"mh${b * rowsPerBand + r}")) % bandFoldP
       }
     }
-    signatures.select(col("doc_id").as(idName),
-      explode(array(bandExprs: _*)).as("bk"))
+    signatures.select(col("doc_id").as(idName) +: keep.map(col) :+
+      explode(array(bandExprs: _*)).as("bk"): _*)
       .filter(col("bk").isNotNull)
   }
 
@@ -330,23 +342,16 @@ object Dedup {
     // operator fails and a rerun recomputes deterministically, rather
     // than replaying an exponentially deep lineage.
     //
-    // r6 job-count diet (guide §1.2 — every action is a scheduled job):
-    //  - the INIT label frame is NOT checkpointed: iteration 1's plan
-    //    references it twice (seed rows + the propagation join), both
-    //    over the persisted edge list — one cheap aggregation computed
-    //    twice inside one job, instead of a whole extra materialization
-    //    job; from iteration 1 on, `labels` is always a checkpoint, so
-    //    lineage stays bounded;
-    //  - the convergence count rides the checkpoint's OWN action as an
-    //    `observe` metric (the typedCastLogged listener doctrine)
-    //    instead of a second job per iteration; delivery is async, so
-    //    the reader polls briefly and falls back to an explicit count
-    //    if the metric has not landed (correctness never depends on
-    //    listener timing).
+    // (an r6 experiment removed the init checkpoint and folded the
+    // convergence count into the checkpoint action as an observe()
+    // metric — fewer jobs on paper, but same-phase A/B measured it
+    // flat-to-slower locally, so the simpler shape stays; guide §1.1:
+    // evidence over theory)
     var labels = e
       .groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("component"))
+      .localCheckpoint(true)
     try {
       var it = 0
       var converged = false
@@ -357,26 +362,16 @@ object Dedup {
             lit(null).cast("long").as("prev"))
         // the OLD label rides through the same aggregation (max ignores
         // the propagation rows' nulls; every doc_id has exactly one
-        // labels row), so convergence needs no second shuffle join
-        val obs = new org.apache.spark.sql.Observation()
+        // labels row), so convergence is a trivial filter-count on the
+        // checkpointed result instead of a second shuffle join per
+        // iteration
         val next = labels
           .select(col("doc_id"), col("component"), col("component").as("prev"))
           .union(viaNbr)
           .groupBy("doc_id")
           .agg(min("component").as("component"), max("prev").as("prev"))
-          .observe(obs,
-            count(when(col("component") =!= col("prev"), lit(1))).as("changed"))
           .localCheckpoint(true)
-        val changed = {
-          import org.apache.spark.sql.graftbridge.Bridge.observationSnapshot
-          var m = observationSnapshot(obs)
-          var tries = 0
-          while (m.isEmpty && tries < 100) {
-            Thread.sleep(20); m = observationSnapshot(obs); tries += 1
-          }
-          m.get("changed").map(_.asInstanceOf[Long]).getOrElse(
-            next.filter(col("component") =!= col("prev")).count())
-        }
+        val changed = next.filter(col("component") =!= col("prev")).count()
         // no explicit unpersist: localCheckpoint pins at the RDD level,
         // where Dataset.unpersist is a no-op — superseded iterations
         // become unreferenced here and the ContextCleaner reclaims
@@ -563,23 +558,25 @@ object Dedup {
     */
   def minhashCalibration(docs: DataFrame, k: Int = 16, bands: Int = 4,
       maxBucket: Int = 64): DataFrame = {
+    // the estimate stage needs each candidate pair's TWO signatures,
+    // recomputed corpus-wide per estimate side and joined back. Two r6
+    // alternatives were built and A/B-measured same-phase: (a) semi-
+    // join the corpus to candidate ids before the estimate signature
+    // passes — fewer corpus passes, but two extra join sub-pipelines
+    // of fixed overhead; (b) ride the signature columns through the
+    // banding as pairsFromBuckets `extra` columns — zero extra passes,
+    // but k extra min_by window aggregates + k-wide collect structs in
+    // the shared pairing kernel. BOTH measured slower end-to-end than
+    // this shape at sf0.1 (1.12 s vs 1.84 s / 2.26 s): the signature
+    // map passes are cheap codegen (and ScanSpread now parallelizes
+    // them), while extra joins/window-aggs are fixed serial overhead.
+    // At corpus scales where the repeated signature pass would
+    // dominate, variant (a) is the documented path — see
+    // OPTIMIZATION_r06.md "not yet optimized".
     val sigs = minhashSignatures(docs, k)
     val cand = lshCandidatePairs(sigs, k, bands, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the estimate joins only ever read signatures of CANDIDATE docs (a
-    // vanishing fraction of the corpus — the jaccardVerify prune
-    // doctrine), and a signature is a pure per-doc function: semi-join
-    // the corpus down to candidate ids BEFORE recomputing signatures
-    // for the two estimate sides, instead of re-running the corpus-wide
-    // shingle-md5 + minhash map pass once per side (guide §1.2: don't
-    // compute what you throw away — 2 of the 4 full-corpus text passes
-    // this query used to make)
-    val candIds = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id")))
-      .distinct()
-    val sigsCand = minhashSignatures(
-      docs.join(candIds, Seq("doc_id"), "left_semi"), k)
-    def side(name: String) = sigsCand.select(
+    def side(name: String) = sigs.select(
       col("doc_id").as(name) +:
         (0 until k).map(i => col(s"mh$i").as(s"_${name}_$i")): _*)
     val agree = (0 until k).map(i =>

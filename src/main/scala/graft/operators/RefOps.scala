@@ -362,12 +362,12 @@ object RefOps {
   def lttbDownsample(events: DataFrame, windowExpr: String = "1 hour"): DataFrame = {
     TimeArith.requireUtcForNtz(events, "ts")
     val usC = unix_micros(col("ts").cast("timestamp"))
-    // `pts` is referenced by THREE consumers (census, interior join,
-    // endpoints); spreading the scan inserts one round-robin exchange
-    // that (a) parallelizes the per-point decimal/µs map prefix when
-    // the input arrives as one file partition and (b) lets exchange
-    // reuse serve all three consumers from one scan pass
-    val pts = ScanSpread.spreadForCompute(events)
+    // NO ScanSpread here, by measurement: the per-point map prefix is
+    // cheap casts (unlike the regexp/hash passes that earn the spread),
+    // and inserting the exchange ahead of three consumers measured
+    // ~1.5× SLOWER same-phase than letting each branch re-read the
+    // (pushdown-pruned) scan
+    val pts = events
       // null value has no place on the y axis ([[downsampleMinMax]]
       // doctrine); null ts none on the x axis. window_start rides as
       // epoch µs only (`_bus`) and is re-materialized at the output

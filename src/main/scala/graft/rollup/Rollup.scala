@@ -487,19 +487,13 @@ object Rollup {
       Tier.M1).localCheckpoint()
     lazy val h1 = cascade(m1, Tier.H1).localCheckpoint()
     lazy val d1 = cascade(h1, Tier.D1)
-    // both sub-minute raw edges (a ragged range has two) share ONE
-    // transcripts derivation via rawEdgeParts — each edge as its own
-    // fromRaw branch re-ran the full scan + conv window per edge
-    val rawIter = rawEdgeParts(transcripts,
-      slices.collect { case ("raw", lo, hi) => (lo, hi) }).iterator
-    val parts = slices.map {
-      case ("raw", _, _) =>
-        // a raw edge is < 1 minute wide; fromRaw at 1m (inside
-        // rawEdgeParts) reuses the exact per-row metric expressions
-        // (and stays correct even if a slice ever spanned windows: the
-        // merge below re-sums)
-        rawIter.next()
-      case (tier, lo, hi) =>
+    // both sub-minute raw edges (a ragged range has two) aggregate in
+    // ONE combined fromRaw frame via rawEdgeParts — each edge as its
+    // own branch re-ran the full scan + conv window per edge
+    val rawCombined = rawEdgeParts(transcripts,
+      slices.collect { case ("raw", lo, hi) => (lo, hi) })
+    val parts = rawCombined ++ slices.collect {
+      case (tier, lo, hi) if tier != "raw" =>
         val t = tier match {
           case "1m" => m1; case "1h" => h1; case _ => d1
         }
@@ -590,30 +584,32 @@ object Rollup {
       Tier.M1).select(stitchCols.map(col): _*)
   }
 
-  /** The ladder's raw edge slices as stitch-mergeable frames, computed
-    * from ONE pass over `transcripts` when there is more than one edge:
-    * a ragged range has up to two sub-minute raw edges, and deriving
+  /** The ladder's raw edge slices as ONE stitch-mergeable frame: a
+    * ragged range has up to two sub-minute raw edges, and deriving
     * each with its own [[rawPart]] re-runs the ENTIRE transcripts
     * derivation (scan + conv exchange + row-number window — the ts
     * filter cannot push below the window because turn identity is a
-    * whole-conversation function) once per edge. Filtering to the
-    * UNION of the edge spans first and localCheckpoint-ing that frame
-    * (tiny: each span is < 1 minute wide) pays the full derivation
-    * once; each edge then filters the checkpointed rows. A single edge
-    * skips the checkpoint — there is nothing to share.
+    * whole-conversation function) once per edge. Instead the edges
+    * aggregate TOGETHER from one pass filtered to the union of the
+    * spans — sound because [[stitchMerge]] re-sums the union of all
+    * slice frames per conversation with the associative [[mergeAggs]],
+    * so whether the two disjoint edges arrive as two frames or one
+    * combined (conv, window) aggregation, the merged totals are
+    * identical. One derivation, zero extra jobs (an r6 intermediate
+    * shared the pass via localCheckpoint, which paid an eager
+    * materialization job per stitch call for the same saving).
     */
   private def rawEdgeParts(transcripts: DataFrame,
       spans: Seq[(java.time.LocalDateTime, java.time.LocalDateTime)])
       : Seq[DataFrame] =
-    if (spans.lengthCompare(1) <= 0)
-      spans.map { case (lo, hi) => rawPart(transcripts, lo, hi) }
+    if (spans.isEmpty) Seq.empty
     else {
       val rawTs = transcripts.schema("ts").dataType
       val union = spans.map { case (lo, hi) =>
         col("ts") >= stitchBound(lo, rawTs) && col("ts") < stitchBound(hi, rawTs)
       }.reduce(_ || _)
-      val edges = transcripts.filter(union).localCheckpoint()
-      spans.map { case (lo, hi) => rawPart(edges, lo, hi) }
+      Seq(fromRaw(transcripts.filter(union), Tier.M1)
+        .select(stitchCols.map(col): _*))
     }
 
   /** Ladder slices of [from, to) as stitch-mergeable frames, tier
@@ -638,12 +634,12 @@ object Rollup {
         .takeWhile(!_.isAfter(last)).map(_.toString).toSet
     }
     val slices = rangeSlices(from, to)
-    // the ≤2 sub-minute raw edges share one transcripts derivation
-    // (rawEdgeParts) instead of one full scan + conv window EACH
-    val rawIter = rawEdgeParts(transcripts,
-      slices.collect { case ("raw", lo, hi) => (lo, hi) }).iterator
-    slices.flatMap {
-      case ("raw", _, _) => Some(rawIter.next())
+    // the ≤2 sub-minute raw edges aggregate in ONE combined fromRaw
+    // frame (rawEdgeParts) instead of one full scan + conv window EACH
+    val rawCombined = rawEdgeParts(transcripts,
+      slices.collect { case ("raw", lo, hi) => (lo, hi) })
+    rawCombined ++ slices.flatMap {
+      case ("raw", _, _) => None
       case (tier, lo, hi) =>
         val table = tier match {
           case "1m" => m1Table; case "1h" => h1Table; case _ => d1Table
