@@ -410,7 +410,10 @@ object Dedup {
     * bit j) > 0, token hash = md5-hex→BIGINT cross-engine trick.
     */
   def simhash(docs: DataFrame, bits: Int = 60): DataFrame =
-    ScanSpread.spreadForCompute(docs).select(col("doc_id"),
+    // no ScanSpread (same-phase A/B: the native simhash pass is cheap
+    // enough that the spread exchange cost ~2× the win at sf0.1 —
+    // q25 0.44 s → 0.89 s with it; the minhashSignatures rationale)
+    docs.select(col("doc_id"),
       graft.functions.TextOps.simhash(col("text"), bits).as("simhash"))
 
   /** Declarative simhash — the form the DuckDB oracle mirrors term for

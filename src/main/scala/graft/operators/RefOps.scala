@@ -133,7 +133,9 @@ object RefOps {
     */
   def timeNormalize(events: DataFrame): DataFrame = {
     val sec = col("ts").cast("timestamp") // session TZ = UTC
-    ScanSpread.spreadForCompute(events).select(
+    // no ScanSpread (same-phase A/B: timestamp format round-trips are
+    // cheaper than the spread exchange here, unlike typedCast's regexp)
+    events.select(
       col("event_id"),
       unix_seconds(date_trunc("second", sec)).as("unix_sec"),
       timestamp_millis(unix_seconds(date_trunc("second", sec)) * 1000)

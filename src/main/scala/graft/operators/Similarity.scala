@@ -298,7 +298,6 @@ object Similarity {
       tables: Int = 8, seed: Long = 42L, maxBucket: Int = 1024): DataFrame = {
     val banded = corpus.select(
       col("vec_id").as("doc_id"), col("embedding"),
-      VectorOps.sqNorm(col("embedding")).as("_n"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
           VectorOps.lshSig(col("embedding"), bits, seed + t * 0x51_7c_c1_b7L).as("sig"))): _*))
@@ -307,13 +306,17 @@ object Similarity {
     // with both embedding arrays attached would shuffle 2·dims floats
     // per candidate; scoring map-side and deduping (id_a, id_b, sim)
     // shuffles 24 bytes (a repeated pair re-scores its cosine k times —
-    // compute is cheap, array shuffle is not). The 8-byte norm rides
-    // next to each embedding so the rerank pays only the dot kernel.
-    Dedup.pairsFromBuckets(banded, maxBucket, extra = Seq("embedding", "_n"),
+    // compute is cheap, array shuffle is not). The FUSED kernel stays
+    // here by measurement: carrying precomputed norms through
+    // pairsFromBuckets costs one extra min_by window aggregate per
+    // carried column on the banded frame, and recomputing norms per
+    // candidate pair is flop-identical to the fused kernel anyway —
+    // the split only pays off where one row scores MANY pairs
+    // (bruteForce/cosinePairsAbove), not in bucketed candidate scoring.
+    Dedup.pairsFromBuckets(banded, maxBucket, extra = Seq("embedding"),
         distinctOutput = false)
-      .withColumn("sim", round(VectorOps.cosineFromParts(
-        VectorOps.dotProduct(col("embedding_a"), col("embedding_b")),
-        col("_n_a"), col("_n_b")), 6))
+      .withColumn("sim",
+        round(VectorOps.cosineSim(col("embedding_a"), col("embedding_b")), 6))
       .filter(col("sim") >= threshold)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("sim"))
       .distinct()

@@ -13,12 +13,4 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
-
-  /** Non-blocking read of an [[org.apache.spark.sql.Observation]]'s
-    * metrics (`getOrEmpty` is `private[sql]`; the public `get` BLOCKS
-    * until an action fires the listener — unusable when the caller
-    * must fall back to an explicit job if the metric never lands).
-    */
-  def observationSnapshot(o: org.apache.spark.sql.Observation): Map[String, Any] =
-    o.getOrEmpty
 }
