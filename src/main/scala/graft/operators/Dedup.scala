@@ -258,9 +258,15 @@ object Dedup {
     val ids = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
+    // lazy pin: `sh` is joined twice (doc_a side, doc_b side) and each
+    // join would otherwise re-run the semi-join + shingle pass; the
+    // frame is candidate-docs-only (tiny by construction), so the pin
+    // piggy-backs the first consumer's action — same caller-released
+    // lifecycle as the candidate persist in minhashLsh
     val sh = docs.join(ids, Seq("doc_id"), "left_semi").select(
       col("doc_id"),
       array_distinct(graft.functions.TextOps.shingleHashes3(col("text"))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -576,7 +582,18 @@ object Dedup {
     // At corpus scales where the repeated signature pass would
     // dominate, variant (a) is the documented path — see
     // OPTIMIZATION_r06.md "not yet optimized".
+    // lazy pin on the signature frame: it feeds the candidate pipeline
+    // AND both estimate sides — without the pin each reference re-runs
+    // the corpus shingle-md5 + minhash pass (3× total). The pin adds
+    // no job (the cand materialization populates it in passing) and no
+    // joins — unlike the two measured-and-rejected restructurings
+    // documented below. Footprint note: the cached table is corpus ×
+    // (k+1) longs (MEMORY_AND_DISK — spills, never OOMs); at corpus
+    // scales where even the spilled footprint is unwelcome, switch the
+    // estimate sides to the candidate-pruned variant instead (prune
+    // docs to candidate ids, recompute signatures on the pruned set).
     val sigs = minhashSignatures(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidatePairs(sigs, k, bands, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def side(name: String) = sigs.select(
