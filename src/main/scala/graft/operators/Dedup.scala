@@ -787,6 +787,9 @@ object Dedup {
       docs.select(col("doc_id").as(idName),
         array_distinct(graft.functions.TextOps.shingleHashes3(col("text")))
           .as("_s"))
+    // setsB feeds two broadcast joins; a cache pin here measured
+    // neutral-to-slower (broadcast builds don't amortize through the
+    // columnar cache the way shuffle joins do) — left unpinned
     val setsB = sets(benchmark, "bench_id")
     // the bitset rides as a LITERAL array (the VectorOps centroid
     // reference-object pattern): the prescreen is a pure map-side
