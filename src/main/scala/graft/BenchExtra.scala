@@ -47,7 +47,11 @@ object BenchExtra {
         force(name)
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      val med = ts(ts.size / 2)
+      // true median (even rep counts average the middle pair — the
+      // upper-middle element alone would bias toward slow outliers)
+      val med =
+        if (ts.size % 2 == 1) ts(ts.size / 2)
+        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
       System.err.println(f"[bench-extra] $name min=${ts.head}%.3f med=$med%.3f")
       name -> (ts.head, med)
     }

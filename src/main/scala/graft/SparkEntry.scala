@@ -26,19 +26,32 @@ object SparkEntry {
     * path q141 exists to exercise). Scratch lives under the JVM
     * tmpdir and is deleted on exit.
     */
-  // the memo stores a LAZY holder so computeIfAbsent only registers it
-  // (O(1) under the map bin lock); the multi-minute RollupJob build runs
-  // under the holder's own lock — a concurrent query hashing to the
-  // same CHM bin no longer blocks for the full build
+  // success-only memo with a per-dir build lock: the multi-minute
+  // RollupJob build runs under its own lock (a concurrent query
+  // hashing to the same CHM bin no longer blocks for the full build),
+  // and a FAILED build caches nothing — a retry re-runs the caller's
+  // build thunk with the caller's CURRENT session, instead of
+  // replaying a captured (possibly stopped) one forever
   private val stitchWarehouses =
-    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val warehouseLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def memoWarehouse(
-      memo: java.util.concurrent.ConcurrentHashMap[String, () => String],
-      dir: String)(build: => String): String =
-    memo.computeIfAbsent(dir, _ => {
-      lazy val wh = build
-      () => wh
-    })()
+      memo: java.util.concurrent.ConcurrentHashMap[String, String],
+      dir: String)(build: => String): String = {
+    val hit = memo.get(dir)
+    if (hit != null) hit
+    else warehouseLocks.computeIfAbsent(s"${System.identityHashCode(memo)}:$dir",
+        _ => new Object).synchronized {
+      val again = memo.get(dir)
+      if (again != null) again
+      else {
+        val wh = build
+        memo.put(dir, wh)
+        wh
+      }
+    }
+  }
   private def stitchWarehouse(s: SparkSession, dir: String): String =
     memoWarehouse(stitchWarehouses, dir) {
       val wh = java.nio.file.Files
@@ -55,7 +68,7 @@ object SparkEntry {
     * build-once memo + cleanup as [[stitchWarehouse]].
     */
   private val servingWarehouses =
-    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def servingWarehouse(s: SparkSession, dir: String): String =
     memoWarehouse(servingWarehouses, dir) {
       val wh = java.nio.file.Files

@@ -93,7 +93,13 @@ object GapFill {
         gs.as("window_start2"),
         when(gs > col("window_start"), fillExpr(gs)).otherwise(col("value"))
           .as("value2"),
-        (gs > col("window_start")).as("filled"))
+        // coalesce pins BOTH the round-5 contract points a bare
+        // comparison would change: a NULL-window row (null ts grouped
+        // by the rollup — nothing is filtered upstream) is a PRESENT
+        // row and must read filled=false, not NULL; and the column
+        // stays NON-NULLABLE like the old union of boolean literals
+        // (schema nullability is part of the output contract)
+        coalesce(gs > col("window_start"), lit(false)).as("filled"))
       .select(col("conv_id"), col("window_start2").as("window_start"),
         col("value2").as("value"), col("filled"))
   }

@@ -64,6 +64,19 @@ object ScaleProbe {
         // /dev/shm is RAM-backed, so callers probing memory-sensitive
         // shapes can redirect via SPARK_GRAFT_STITCH_WH_DIR
         val base = sys.env.getOrElse("SPARK_GRAFT_STITCH_WH_DIR", "/dev/shm")
+        // reclaim leftovers from CRASHED probes (their end-of-run
+        // delete never ran, and per-PID paths mean no later run reuses
+        // them): any sibling dir whose embedded PID is no longer alive
+        // is garbage — without this, repeated crashes fill the
+        // RAM-backed tmpfs
+        val baseDir = new java.io.File(base)
+        Option(baseDir.listFiles()).getOrElse(Array.empty).foreach { f =>
+          val m = "scale-stitch-wh-\\d+-(\\d+)".r.findFirstMatchIn(f.getName)
+          m.map(_.group(1).toLong).foreach { pid =>
+            if (ProcessHandle.of(pid).isEmpty)
+              org.apache.commons.io.FileUtils.deleteQuietly(f)
+          }
+        }
         val wh = s"$base/scale-stitch-wh-$cores-${ProcessHandle.current().pid()}"
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
         new RollupJob(wh).run(spark, raw, s"scale-stitch-$cores")

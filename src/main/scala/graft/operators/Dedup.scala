@@ -116,13 +116,7 @@ object Dedup {
     * verification).
     */
   private[operators] def bandedKeys(signatures: DataFrame, k: Int,
-      bands: Int, idName: String,
-      /** columns carried THROUGH the banding into the (id, bk) rows —
-        * callers that need per-doc payload attached to candidate pairs
-        * (e.g. [[minhashCalibration]]'s signature columns) ride it
-        * here instead of re-deriving the payload and joining it back.
-        */
-      keep: Seq[String] = Seq.empty): DataFrame = {
+      bands: Int, idName: String): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, s"bands=$bands must divide k=$k")
     val bandExprs = (0 until bands).map { b =>
@@ -130,8 +124,8 @@ object Dedup {
         (acc * bandFoldM + col(s"mh${b * rowsPerBand + r}")) % bandFoldP
       }
     }
-    signatures.select(col("doc_id").as(idName) +: keep.map(col) :+
-      explode(array(bandExprs: _*)).as("bk"): _*)
+    signatures.select(col("doc_id").as(idName),
+      explode(array(bandExprs: _*)).as("bk"))
       .filter(col("bk").isNotNull)
   }
 

@@ -36,7 +36,10 @@ object ScanSpread {
   private[operators] def spreadForCompute(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val maxBytes = spark.conf.getOption("spark.graft.spread.maxBytes")
-      .map(_.toLong).getOrElse(defaultSpreadMaxBytes)
+      .map(v => try v.toLong catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.spread.maxBytes must be a byte count, got '$v'", e)
+      }).getOrElse(defaultSpreadMaxBytes)
     if (maxBytes <= 0) df
     else {
       val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
