@@ -2625,8 +2625,14 @@ object SeriesOps {
     // does), while Spark rounds through BigDecimal exactly; emitting
     // the raw interpolated double keeps the oracle compare bit-exact
     // because BOTH engines then evaluate the identical IEEE expression
-    funnelLatencyBy(transcripts, steps, (d, _) =>
-      Seq(expr(s"percentile($d, 0.5)"), expr(s"percentile($d, 0.95)")))
+    // ONE array-fraction percentile per transition (the q18 doctrine):
+    // two scalar calls would buffer and sort each transition's delta
+    // population twice; both references below share the single
+    // deduplicated aggregate, value-identical interpolation
+    funnelLatencyBy(transcripts, steps, (d, _) => {
+      val p = expr(s"percentile($d, array(0.5D, 0.95D))")
+      Seq(element_at(p, 1), element_at(p, 2))
+    })
 
   /** The scale sibling of [[funnelLatency]]: Spark's
     * `approx_percentile` (Greenwald-Khanna sketch) — O(accuracy)
@@ -2640,9 +2646,12 @@ object SeriesOps {
   def funnelLatencyApprox(transcripts: DataFrame, steps: Seq[String],
       accuracy: Int = 10000): DataFrame = {
     require(accuracy >= 10, s"accuracy must be >= 10, got $accuracy")
-    funnelLatencyBy(transcripts, steps, (d, _) =>
-      Seq(expr(s"CAST(approx_percentile($d, 0.5, $accuracy) AS DOUBLE)"),
-        expr(s"CAST(approx_percentile($d, 0.95, $accuracy) AS DOUBLE)")))
+    funnelLatencyBy(transcripts, steps, (d, _) => {
+      // one GK sketch per transition, both ranks read from it (the
+      // exact twin's array-fraction shape)
+      val p = expr(s"approx_percentile($d, array(0.5D, 0.95D), $accuracy)")
+      Seq(element_at(p, 1).cast("double"), element_at(p, 2).cast("double"))
+    })
   }
 
   private def funnelLatencyBy(transcripts: DataFrame, steps: Seq[String],

@@ -326,9 +326,15 @@ object Rollup {
       .groupBy(
         col("conv_id"),
         window(col("ts"), tier.windowExpr).getField("start").as("window_start"))
-      .agg(
-        expr("round(percentile(length(text), 0.5), 6)").as("char_len_p50"),
-        expr("round(percentile(length(text), 0.95), 6)").as("char_len_p95"))
+      // ONE percentile aggregate with an array of fractions: two
+      // scalar percentile calls each buffer (and sort) the group's
+      // full value list independently — the array form buffers once
+      // and reads both ranks from the same sorted list, with
+      // value-identical interpolation
+      .agg(expr("percentile(length(text), array(0.5D, 0.95D))").as("_p"))
+      .select(col("conv_id"), col("window_start"),
+        round(element_at(col("_p"), 1), 6).as("char_len_p50"),
+        round(element_at(col("_p"), 2), 6).as("char_len_p95"))
 
   /** The scale sibling of [[charLenQuantiles]]: Spark's
     * `approx_percentile` (Greenwald-Khanna sketch) — constant state
@@ -342,14 +348,16 @@ object Rollup {
       .groupBy(
         col("conv_id"),
         window(col("ts"), tier.windowExpr).getField("start").as("window_start"))
-      .agg(
-        // DOUBLE like the exact sibling: the two forms must stay
-        // schema-compatible so the documented exact→approx migration
-        // doesn't break warehouse appends or downstream readers
-        expr(s"CAST(approx_percentile(length(text), 0.5, $accuracy) AS DOUBLE)")
-          .as("char_len_p50"),
-        expr(s"CAST(approx_percentile(length(text), 0.95, $accuracy) AS DOUBLE)")
-          .as("char_len_p95"))
+      // ONE sketch per group, both ranks read from it (the exact
+      // sibling's array-fraction shape); DOUBLE like the exact
+      // sibling: the two forms must stay schema-compatible so the
+      // documented exact→approx migration doesn't break warehouse
+      // appends or downstream readers
+      .agg(expr(s"approx_percentile(length(text), array(0.5D, 0.95D), $accuracy)")
+        .as("_p"))
+      .select(col("conv_id"), col("window_start"),
+        element_at(col("_p"), 1).cast("double").as("char_len_p50"),
+        element_at(col("_p"), 2).cast("double").as("char_len_p95"))
 
   /** Multi-granularity continuous aggregate: the per-conversation AND
     * the corpus-wide per-window rollup from ONE scan via GROUPING SETS
